@@ -1,0 +1,22 @@
+"""licenta_crawler_spark — a from-scratch PySpark-native distributed URL
+frontier + fetch scheduler with the crawl/data-processing capabilities of
+the reference ``mcdobr/licenta-crawler`` (a single-node Java crawler).
+
+NOT a port: the reference tells us WHAT to compute (crawl ordering,
+URL-seen membership, politeness, span documents); the architecture here is
+idiomatic Spark — DataFrame plans, Catalyst optimization, Arrow-vectorized
+pandas UDFs for the three genuinely imperative stages (fetch, parse,
+per-host politeness heap), and an Iceberg-layout checkpointer for
+resumable, lineage-tracked frontier state.
+
+Layout:
+  functions/  — pure column-expression libraries (urlnorm, text, similarity)
+  fixtures/   — deterministic synthetic web corpus (no network in sandbox)
+  oracle/     — pure-Python reference-semantics simulator (test oracle)
+  operators/  — seen-set, politeness, fetch, parse, sitemap, dedup, ann
+  plans/      — the crawl wave loop + metrics
+  sources/    — Iceberg-layout checkpoint tables
+  streaming/  — foreachBatch streaming facade
+"""
+
+__version__ = "0.1.0"

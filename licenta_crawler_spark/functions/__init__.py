@@ -1,0 +1,8 @@
+from licenta_crawler_spark.functions.urlnorm import (  # noqa: F401
+    canonicalize_url,
+    canonicalize_url_col,
+    host_col,
+    url_sha1_bin_col,
+    url_sha1_hex,
+    url_sha1_hex_col,
+)

@@ -1,0 +1,220 @@
+"""RFC-3986 URL canonicalization + SHA-1 identity.
+
+The reference keys its URL-seen set on the *raw* URL string (upserts in
+``BrowserCrawler.java:145`` / ``SitemapSaxCrawler.java:86`` with only
+``absUrl``/``URLDecoder`` applied upstream — see SURVEY.md §2.2 P6). The
+north rule upgrades this to SHA-1 over the RFC-3986-canonicalized URL, so
+equivalent spellings collapse to one frontier entry.
+
+Canonicalization spec (applied identically by the pure-Python function —
+used by the oracle simulator and tests — and by the native Spark column
+expression chain used in the hot path):
+
+  1. strip the fragment (``#...``)
+  2. lowercase scheme and host (userinfo is not produced by the crawler
+     and is dropped if present)
+  3. drop default ports (http:80, https:443)
+  4. percent-encoding: uppercase hex digits; decode unreserved chars
+     (ALPHA / DIGIT / ``-._~``)  [RFC 3986 §6.2.2.1-2]
+  5. resolve dot-segments in the path  [RFC 3986 §5.2.4]
+  6. empty path -> "/"
+  7. preserve the query byte-for-byte (order kept; bare trailing "?"
+     dropped)
+
+The Spark side is a *pure column-expression chain* (whole-stage codegen,
+no Python in the hot path): percent-normalization uses
+``split('%') -> transform(conv/char) -> concat_ws`` and dot-segment
+removal uses a bounded fixed-point of regexp_replace passes (depth
+``_DOT_PASSES`` covers any realistic crawl path; the pure-Python form is
+exact and the property tests compare the two).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import string
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_UNRESERVED = set(string.ascii_letters + string.digits + "-._~")
+_HEX = set(string.hexdigits)
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+_DOT_PASSES = 12  # max '..' nesting resolved natively; oracle is exact
+
+
+# ---------------------------------------------------------------- pure python
+def _pct_normalize(s: str) -> str:
+    """Uppercase %XX hex, decode unreserved characters."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+            code = int(s[i + 1 : i + 3], 16)
+            ch = chr(code)
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + s[i + 1 : i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            if inp.startswith("/"):
+                j = inp.find("/", 1)
+            else:
+                j = inp.find("/")
+            if j == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def canonicalize_url(url: str) -> str:
+    """Pure-Python canonicalizer (oracle + tests). Exact w.r.t. the spec."""
+    s = urlsplit(url.strip())
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    try:
+        port = s.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and _DEFAULT_PORTS.get(scheme) != port:
+        netloc = f"{host}:{port}"
+    path = _remove_dot_segments(_pct_normalize(s.path)) or "/"
+    query = _pct_normalize(s.query)
+    out = f"{scheme}://{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def url_sha1_hex(url: str) -> str:
+    """sha1(canonical(url)) as lowercase hex — the frontier identity key."""
+    return hashlib.sha1(canonicalize_url(url).encode("utf-8")).hexdigest()
+
+
+# ------------------------------------------------------------ spark columns
+def _pct_normalize_col(c: Column) -> Column:
+    """Native %XX normalization: split on '%', fix each tail's hex pair.
+
+    Whole-stage-codegen friendly: split/transform/conv/char/concat_ws,
+    zero Python. Malformed escapes ('%' not followed by 2 hex) are kept
+    verbatim, matching the pure-Python behavior.
+    """
+    parts = F.split(c, "%", -1)
+
+    def fix(x: Column, i: Column) -> Column:
+        pair = F.substring(x, 1, 2)
+        rest = F.substring(x, 3, 2**30)
+        is_hex = pair.rlike("^[0-9A-Fa-f]{2}$")
+        code = F.conv(pair, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))   # 0-9
+            | ((code >= 65) & (code <= 90))  # A-Z
+            | ((code >= 97) & (code <= 122))  # a-z
+            | code.isin(45, 46, 95, 126)     # - . _ ~
+        )
+        fixed = (
+            F.when(~is_hex, F.concat(F.lit("%"), x))
+            .when(unreserved, F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(pair), rest))
+        )
+        return F.when(i == F.lit(0), x).otherwise(fixed)
+
+    return F.concat_ws("", F.transform(parts, fix))
+
+
+def _remove_dot_segments_col(path: Column, passes: int = _DOT_PASSES) -> Column:
+    p = path
+    for _ in range(passes):
+        p = F.regexp_replace(p, r"/\./", "/")                             # inner /./
+        p = F.regexp_replace(p, r"/\.$", "/")                             # trailing /. -> /
+        p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/")      # inner /seg/../
+        p = F.regexp_replace(p, r"/(?!\.\.$)[^/]+/\.\.$", "/")            # trailing /seg/.. -> /
+        p = F.regexp_replace(p, r"^/\.\.(?=/|$)", "")                     # leading /..
+    return p
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Native column-expression canonicalizer — same spec as
+    :func:`canonicalize_url`; used in every hot path (no UDF)."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1)
+    # drop userinfo, split host:port
+    hostport = F.regexp_replace(authority, "^.*@", "")
+    host = F.lower(F.regexp_replace(hostport, r":\d*$", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    netloc = F.when(
+        (port == "") | (port == default_port), host
+    ).otherwise(F.concat(host, F.lit(":"), port))
+
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    raw_path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    raw_query = F.when(rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise(
+        F.lit("")
+    )
+    path = _remove_dot_segments_col(_pct_normalize_col(raw_path))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = _pct_normalize_col(raw_query)
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_sha1_hex_col(url: Column) -> Column:
+    """sha1 hex of the canonical URL (native: F.sha1 over UTF-8 bytes)."""
+    return F.sha1(F.encode(canonicalize_url_col(url), "UTF-8"))
+
+
+def url_sha1_bin_col(url: Column) -> Column:
+    """20-byte binary sha1 of the canonical URL (frontier key column)."""
+    return F.unhex(url_sha1_hex_col(url))
+
+
+def host_col(url: Column) -> Column:
+    """Host component (politeness partition key) — SURVEY §2.2 P5,
+    reference ``HtmlUtil.getDomainOfUrl`` call site CrawlJobResource.java:73."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))

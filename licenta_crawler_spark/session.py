@@ -1,0 +1,45 @@
+"""SparkSession factory with the configs the engine assumes.
+
+Local-mode sandbox runs on a single JVM; on a real cluster the same
+builder is used minus the ``master`` override (spark-submit supplies it).
+AQE is on so hot-host skew joins get split at runtime in addition to the
+explicit salting done by the politeness scheduler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "licenta_crawler_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session.
+
+    parallelism: local[N] thread count; None -> local[*] (all cores).
+    shuffle_partitions: defaults to parallelism (local mode wants
+    ~cores, not the 200 default).
+    """
+    master = f"local[{parallelism}]" if parallelism else "local[*]"
+    n_shuffle = shuffle_partitions or parallelism or 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

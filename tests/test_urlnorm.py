@@ -1,0 +1,123 @@
+"""Golden + property tests for RFC-3986 canonicalization (SURVEY §2.2 P6).
+
+The pure-Python form is the spec; the native Spark column chain must agree
+on every URL shape the crawler can meet (FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.urlnorm import (
+    canonicalize_url,
+    canonicalize_url_col,
+    url_sha1_hex,
+    url_sha1_hex_col,
+)
+
+GOLDEN = [
+    # (raw, canonical)
+    ("http://Books-1.Example/", "http://books-1.example/"),
+    ("HTTP://BOOKS-1.EXAMPLE", "http://books-1.example/"),
+    ("http://books-1.example:80/", "http://books-1.example/"),
+    ("https://books-1.example:443/shelf", "https://books-1.example/shelf"),
+    ("http://books-1.example:8080/x", "http://books-1.example:8080/x"),
+    ("https://books-1.example:80/x", "https://books-1.example:80/x"),
+    ("http://a.example/p#frag", "http://a.example/p"),
+    ("http://a.example/p?q=1#frag", "http://a.example/p?q=1"),
+    ("http://a.example/p?", "http://a.example/p"),
+    ("http://a.example/a/./b", "http://a.example/a/b"),
+    ("http://a.example/a/../b", "http://a.example/b"),
+    ("http://a.example/a/b/../../c", "http://a.example/c"),
+    ("http://a.example/../x", "http://a.example/x"),
+    ("http://a.example/a/.", "http://a.example/a/"),
+    ("http://a.example/a/..", "http://a.example/"),
+    ("http://a.example/%7Euser", "http://a.example/~user"),
+    ("http://a.example/%7euser", "http://a.example/~user"),
+    ("http://a.example/%41%42c", "http://a.example/ABc"),
+    ("http://a.example/a%2fb", "http://a.example/a%2Fb"),
+    ("http://a.example/a%20b", "http://a.example/a%20b"),
+    ("http://a.example/p?b=2&a=1", "http://a.example/p?b=2&a=1"),  # query order kept
+    ("http://a.example/p?x=%2d", "http://a.example/p?x=-"),
+    ("http://a.example/100%", "http://a.example/100%"),  # malformed escape kept
+    ("http://a.example/%zz", "http://a.example/%zz"),
+    ("  http://a.example/x  ", "http://a.example/x"),
+    ("http://user:pw@a.example/x", "http://a.example/x"),  # userinfo dropped
+    ("http://a.example", "http://a.example/"),
+    ("http://a.example/shelf/page/../page-2?p=2", "http://a.example/shelf/page-2?p=2"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN)
+def test_python_golden(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+def test_spark_matches_python_on_golden(spark):
+    df = spark.createDataFrame([(r,) for r, _ in GOLDEN], ["raw"])
+    got = df.select(
+        "raw",
+        canonicalize_url_col(F.col("raw")).alias("canon"),
+        url_sha1_hex_col(F.col("raw")).alias("sha"),
+    ).collect()
+    for row in got:
+        assert row["canon"] == canonicalize_url(row["raw"]), row["raw"]
+        assert row["sha"] == url_sha1_hex(row["raw"]), row["raw"]
+
+
+def test_sha1_identity():
+    c = canonicalize_url("http://Books-1.Example:80/a/../b?x=1#f")
+    assert c == "http://books-1.example/b?x=1"
+    assert url_sha1_hex("http://Books-1.Example:80/a/../b?x=1#f") == hashlib.sha1(
+        c.encode()
+    ).hexdigest()
+
+
+def test_variants_collapse():
+    variants = [
+        "http://A.example/prod/../prod/book-1",
+        "http://a.example:80/prod/book-1",
+        "http://a.example/prod/book%2D1#reviews",
+        "http://a.example/prod/./book-1",
+    ]
+    assert len({url_sha1_hex(v) for v in variants}) == 1
+
+
+_path_seg = st.text(
+    alphabet=st.sampled_from("abcXYZ019-._~%2Fé "), min_size=0, max_size=6
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP"]),
+    host=st.sampled_from(["A.Example", "books-9.example", "x.y.example"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(st.sampled_from(["a", "b.", "..", ".", "c%41", "%7e", "d e"]), max_size=5),
+    query=st.sampled_from(["", "?a=1&b=%2f", "?z=%7E", "?"]),
+    frag=st.sampled_from(["", "#f"]),
+)
+def test_property_python_total(scheme, host, port, segs, query, frag):
+    """Canonicalizer is total + idempotent on crawler-shaped URLs."""
+    url = f"{scheme}://{host}{port}/" + "/".join(segs) + query + frag
+    c = canonicalize_url(url)
+    assert canonicalize_url(c) == c  # idempotent
+    assert "#" not in c
+
+
+def test_property_spark_agrees(spark):
+    """Spark chain == python spec on a generated cross-product of shapes."""
+    urls = []
+    for host in ["A.Example:80", "b.example", "c.example:8443"]:
+        for path in ["", "/", "/a/./b", "/a/../../b", "/%7e/%2F/x%20y", "/" + "a/.." * 8]:
+            for q in ["", "?q=%41&r=2", "?"]:
+                urls.append((f"http://{host}{path}{q}#z",))
+    df = spark.createDataFrame(urls, ["raw"])
+    got = df.select("raw", canonicalize_url_col(F.col("raw")).alias("canon")).collect()
+    for row in got:
+        assert row["canon"] == canonicalize_url(row["raw"]), row["raw"]
