@@ -1,0 +1,1 @@
+from licenta_crawler_spark.fixtures.corpus import build_corpus, Corpus  # noqa: F401

@@ -1,0 +1,343 @@
+"""Deterministic synthetic web corpus (seed=42) — FIXTURES.md §1-6.
+
+Models the reference's target shape: book e-commerce hosts with either
+robots-advertised sitemap trees (SitemapSaxCrawler path, EP2) or paginated
+shelf→product browse structure (BrowserCrawler path, EP3). No network in
+the sandbox: the fetch operator resolves URLs against this corpus.
+
+Ground-truth fields (``product_urls``, ``next_url``, ``spans``) are
+generated *independently* of the HTML text, so the engine's HTML parser is
+genuinely tested against them (the parser never sees the ground truth).
+
+Deliberate stress shapes (FIXTURES.md):
+  * duplicate product URL across two shelves (first-discovery dedup D2)
+  * relative / %-encoded / fragment / default-port spellings of the same
+    product (canonicalization P6 must collapse them)
+  * one "mega retailer" host with ~10x pages (skew handling)
+  * 404 products, one 301 shelf redirect, a 6-hop redirect chain in the
+    sitemap tree (must be dropped by the 5-hop cap, F6)
+  * one URL listed in two sitemaps (dedup D1)
+  * one gzipped sitemap (S4)
+  * seed-host mismatch job (F1 reject) and duplicate-host job (F3 reject)
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from urllib.parse import urljoin
+
+from licenta_crawler_spark.functions.urlnorm import canonicalize_url
+
+WORDS = (
+    "ink paper spine folio verse chapter atlas fable ledger quill "
+    "saga myth codex scroll press galley proof margin vellum index"
+).split()
+
+
+@dataclass
+class Page:
+    url: str                      # canonical URL
+    host: str
+    page_kind: str                # SHELF | PRODUCT
+    html: str = ""
+    next_url: str | None = None   # ground-truth pagination successor
+    product_urls: list[str] = field(default_factory=list)  # ground truth, doc order (absolutized hrefs)
+    spans: list[dict] = field(default_factory=list)        # ground-truth span sequence
+    redirect_to: str | None = None
+    status: int = 200
+
+
+@dataclass
+class Sitemap:
+    url: str
+    is_index: bool
+    children: list[str]           # child sitemap URLs or page URLs (ordered)
+    gzipped: bool = False
+    redirect_to: str | None = None
+
+
+@dataclass
+class Corpus:
+    pages: dict[str, Page]        # canonical url -> Page
+    sitemaps: dict[str, Sitemap]  # canonical url -> Sitemap
+    robots: list[dict]            # host, user_agent, crawl_delay_ms, sitemaps, disallow
+    seed_jobs: list[dict]         # job_id, homepage, seeds, additional_sitemaps, disallow_cookies
+    hosts: list[str]
+
+    def robots_for(self, host: str) -> dict | None:
+        for r in self.robots:
+            if r["host"] == host:
+                return r
+        return None
+
+
+def _text(rng: random.Random, lo=3, hi=8) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _product_page(rng: random.Random, url: str, host: str, related: list[str]) -> Page:
+    """Product page with interleaved text/image/link spans."""
+    title = _text(rng, 2, 4).title()
+    spans: list[dict] = []
+    body_parts: list[str] = [f'<div class="product-detail">']
+    spans.append({"kind": "text", "text": title, "media_ref": None})
+    body_parts.append(f"<h1>{title}</h1>")
+    n_blocks = rng.randint(2, 5)
+    for b in range(n_blocks):
+        roll = rng.random()
+        if roll < 0.5:
+            t = _text(rng)
+            spans.append({"kind": "text", "text": t, "media_ref": None})
+            body_parts.append(f"<p>{t}</p>")
+        elif roll < 0.8:
+            img = f"https://cdn.{host}/img/{rng.randint(1, 9999)}.jpg"
+            spans.append({"kind": "image", "text": None, "media_ref": img})
+            body_parts.append(f'<img src="{img}"/>')
+        elif related:
+            href = rng.choice(related)
+            spans.append({"kind": "link", "text": None, "media_ref": urljoin(url, href)})
+            body_parts.append(f'<a href="{href}">{_text(rng, 1, 2)}</a>')
+        else:
+            t = _text(rng)
+            spans.append({"kind": "text", "text": t, "media_ref": None})
+            body_parts.append(f"<p>{t}</p>")
+    body_parts.append("</div>")
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    html = (
+        f"<html><head><title>{title}</title></head><body>"
+        + "".join(body_parts)
+        + "</body></html>"
+    )
+    return Page(url=url, host=host, page_kind="PRODUCT", html=html, spans=spans)
+
+
+def _variant_href(rng: random.Random, purl: str, shelf_url: str) -> str:
+    """Spell a product URL as one of several RFC-3986-equivalent variants."""
+    roll = rng.random()
+    path = purl.split(".example", 1)[1]
+    if roll < 0.25:
+        return path  # relative (host-absolute path)
+    if roll < 0.4:
+        # percent-encode the last (unreserved) char — canonicalization decodes it
+        if purl[-1].isalnum():
+            return purl[:-1] + "%%%02x" % ord(purl[-1])
+        return purl
+    if roll < 0.55:
+        return purl + "#reviews"  # fragment
+    if roll < 0.65:
+        scheme, rest = purl.split("://", 1)
+        host_part, path_part = rest.split("/", 1)
+        port = "80" if scheme == "http" else "443"
+        return f"{scheme}://{host_part}:{port}/{path_part}"  # default port
+    return purl
+
+
+def _shelf_page(
+    rng: random.Random,
+    url: str,
+    host: str,
+    shelf_idx: int,
+    product_hrefs: list[str],
+    next_url: str | None,
+) -> Page:
+    title = f"Shelf {shelf_idx} " + _text(rng, 1, 3)
+    spans: list[dict] = [{"kind": "text", "text": title, "media_ref": None}]
+    cells: list[str] = []
+    abs_products: list[str] = []
+    for k, href in enumerate(product_hrefs):
+        img = f"https://cdn.{host}/thumb/{shelf_idx}-{k}.jpg"
+        name = _text(rng, 1, 3).title()
+        cells.append(
+            f'<div class="product-cell"><img src="{img}"/>'
+            f'<a href="{href}">{name}</a></div>'
+        )
+        spans.append({"kind": "image", "text": None, "media_ref": img})
+        spans.append({"kind": "link", "text": None, "media_ref": urljoin(url, href)})
+        abs_products.append(urljoin(url, href))
+    # pagination: active li, then enabled next (or disabled when chain ends)
+    if next_url:
+        pag = (
+            '<ul class="pagination">'
+            f'<li class="active"><a href="{url}">{shelf_idx + 1}</a></li>'
+            f'<li><a href="{next_url}">Next</a></li>'
+            "</ul>"
+        )
+        spans.append({"kind": "link", "text": None, "media_ref": urljoin(url, url)})
+        spans.append({"kind": "link", "text": None, "media_ref": next_url})
+    else:
+        pag = (
+            '<ul class="pagination">'
+            f'<li class="active"><a href="{url}">{shelf_idx + 1}</a></li>'
+            '<li class="disabled"><a>Next</a></li>'
+            "</ul>"
+        )
+        spans.append({"kind": "link", "text": None, "media_ref": urljoin(url, url)})
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    html = (
+        f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"
+        + "".join(cells)
+        + pag
+        + "</body></html>"
+    )
+    return Page(
+        url=url,
+        host=host,
+        page_kind="SHELF",
+        html=html,
+        next_url=next_url,
+        product_urls=abs_products,
+        spans=spans,
+    )
+
+
+def build_corpus(
+    seed: int = 42,
+    n_browse_hosts: int = 4,
+    n_sitemap_hosts: int = 3,
+    mega_host: bool = True,
+    chain_len: tuple[int, int] = (2, 5),
+    products_per_shelf: tuple[int, int] = (4, 8),
+) -> Corpus:
+    rng = random.Random(seed)
+    pages: dict[str, Page] = {}
+    sitemaps: dict[str, Sitemap] = {}
+    robots: list[dict] = []
+    seed_jobs: list[dict] = []
+    hosts: list[str] = []
+    delays = [0, 100, 1000]
+
+    host_specs = [("browse", i, False) for i in range(n_browse_hosts)]
+    if mega_host:
+        host_specs.append(("browse", n_browse_hosts, True))
+    host_specs += [("sitemap", i, False) for i in range(n_sitemap_hosts)]
+
+    job_no = 0
+    for kind, i, is_mega in host_specs:
+        host = f"books-{kind[0]}{i}.example"
+        hosts.append(host)
+        homepage = f"http://{host}/"
+        delay = delays[(i + (3 if kind == "sitemap" else 0)) % len(delays)]
+
+        if kind == "browse":
+            n_seeds = 3 if is_mega else rng.randint(1, 2)
+            c_lo, c_hi = (8, 12) if is_mega else chain_len
+            p_lo, p_hi = (15, 25) if is_mega else products_per_shelf
+            seeds: list[str] = []
+            prev_products: list[str] = []  # cross-shelf duplicate pool
+            for s in range(n_seeds):
+                chain = rng.randint(c_lo, c_hi)
+                shelf_urls = [
+                    f"http://{host}/shelf/{s}/page-{p}" for p in range(chain)
+                ]
+                seeds.append(shelf_urls[0])
+                for p, surl in enumerate(shelf_urls):
+                    nprod = rng.randint(p_lo, p_hi)
+                    hrefs: list[str] = []
+                    purls: list[str] = []
+                    for k in range(nprod):
+                        if prev_products and rng.random() < 0.08:
+                            purl = rng.choice(prev_products)  # dup across shelves (D2)
+                        else:
+                            purl = f"http://{host}/prod/{s}-{p}-{k}"
+                        purls.append(purl)
+                        hrefs.append(_variant_href(rng, purl, surl))
+                    prev_products.extend(purls)
+                    nxt = shelf_urls[p + 1] if p + 1 < chain else None
+                    pages[surl] = _shelf_page(rng, surl, host, p, hrefs, nxt)
+                    for purl in purls:
+                        cp = canonicalize_url(purl)
+                        if cp in pages:
+                            continue
+                        if rng.random() < 0.05:
+                            pages[cp] = Page(url=cp, host=host, page_kind="PRODUCT", status=404)
+                        else:
+                            related = [u for u in prev_products[-5:] if u != purl]
+                            pages[cp] = _product_page(rng, cp, host, related)
+            # one shelf redirect on host 0: an alias URL 301s to seed 0; the
+            # alias is also a (last) seed so the redirect path is crawled
+            if i == 0 and not is_mega:
+                alias = f"http://{host}/shelf/latest"
+                pages[alias] = Page(
+                    url=alias, host=host, page_kind="SHELF", status=301,
+                    redirect_to=seeds[0],
+                )
+                seeds.append(alias)
+            robots.append(
+                {"host": host, "user_agent": "*", "crawl_delay_ms": delay,
+                 "sitemaps": [], "disallow": ["/cart"]}
+            )
+            seed_jobs.append(
+                {"job_id": f"job-{job_no:04d}", "homepage": homepage, "seeds": seeds,
+                 "additional_sitemaps": [], "disallow_cookies": bool(i % 2)}
+            )
+            job_no += 1
+        else:
+            # sitemap host: index -> leaf sitemaps -> page URLs
+            root = f"http://{host}/sitemap.xml"
+            n_leaves = rng.randint(2, 4)
+            leaf_urls = [f"http://{host}/sitemap-{j}.xml" for j in range(n_leaves)]
+            page_urls: list[str] = []
+            shared: str | None = None
+            for j, lurl in enumerate(leaf_urls):
+                urls = [f"http://{host}/p/{j}/{k}" for k in range(rng.randint(5, 15))]
+                if j == 1 and page_urls:
+                    shared = page_urls[0]
+                    urls.insert(2, shared)  # URL listed in two sitemaps (D1)
+                sitemaps[lurl] = Sitemap(
+                    url=lurl, is_index=False, children=urls, gzipped=(j == 0)
+                )
+                page_urls.extend(urls)
+            children = list(leaf_urls)
+            if i == 0:
+                # 6-hop redirect chain -> exceeds the 5-hop cap, dropped (F6)
+                hop_urls = [f"http://{host}/redir-{h}.xml" for h in range(7)]
+                for h in range(6):
+                    sitemaps[hop_urls[h]] = Sitemap(
+                        url=hop_urls[h], is_index=False, children=[],
+                        redirect_to=hop_urls[h + 1],
+                    )
+                sitemaps[hop_urls[6]] = Sitemap(
+                    url=hop_urls[6], is_index=False,
+                    children=[f"http://{host}/p/deep/0"],
+                )
+                children.append(hop_urls[0])
+            if i == 1 and len(leaf_urls) > 1:
+                # nested index (depth 2)
+                sub = f"http://{host}/sitemap-sub.xml"
+                subleaf = f"http://{host}/sitemap-sub-leaf.xml"
+                sub_pages = [f"http://{host}/p/sub/{k}" for k in range(4)]
+                sitemaps[subleaf] = Sitemap(url=subleaf, is_index=False, children=sub_pages)
+                sitemaps[sub] = Sitemap(url=sub, is_index=True, children=[subleaf])
+                children.append(sub)
+                page_urls.extend(sub_pages)
+            sitemaps[root] = Sitemap(url=root, is_index=True, children=children)
+            for purl in page_urls:
+                cp = canonicalize_url(purl)
+                if cp not in pages:
+                    pages[cp] = _product_page(rng, cp, host, [])
+            robots.append(
+                {"host": host, "user_agent": "*", "crawl_delay_ms": delay,
+                 "sitemaps": [root], "disallow": []}
+            )
+            seed_jobs.append(
+                {"job_id": f"job-{job_no:04d}", "homepage": homepage, "seeds": [homepage],
+                 "additional_sitemaps": [], "disallow_cookies": False}
+            )
+            job_no += 1
+
+    # invalid admission jobs (F1 seed-host mismatch, F3 duplicate host)
+    seed_jobs.append(
+        {"job_id": f"job-{job_no:04d}", "homepage": f"http://{hosts[0]}/",
+         "seeds": ["http://other-host.example/shelf/0"], "additional_sitemaps": [],
+         "disallow_cookies": False}
+    )
+    seed_jobs.append(
+        {"job_id": f"job-{job_no + 1:04d}", "homepage": f"http://{hosts[0]}/",
+         "seeds": [f"http://{hosts[0]}/shelf/0/page-0"], "additional_sitemaps": [],
+         "disallow_cookies": False}
+    )
+    return Corpus(pages=pages, sitemaps=sitemaps, robots=robots,
+                  seed_jobs=seed_jobs, hosts=hosts)

@@ -1,0 +1,167 @@
+"""Minimal DOM + the reference's two selector shapes, stdlib-only.
+
+The reference extracts product links with the Jsoup selector
+``[class*='produ']:has(img):has(a)`` (BrowserCrawler.java:153-164) and the
+pagination successor with the XPath
+``//ul[contains(@class,'pagination')]/li[contains(@class,'active')]/
+following-sibling::li[not(contains(@class,'disabled'))][1]/a``
+(BrowserCrawler.java:43). This module re-implements exactly those two
+queries plus a generic interleaved-span walker over a tiny element tree
+built with ``html.parser`` (no bs4/lxml in the sandbox).
+
+This code runs ONLY inside Arrow-batched pandas UDFs (mapInPandas) — it is
+the parse stage's per-document kernel, never driver-side row iteration.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+_VOID = {"img", "br", "hr", "meta", "link", "input"}
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+        self.parent = parent
+
+    def iter(self):
+        yield self
+        for c in self.children:
+            if isinstance(c, Element):
+                yield from c.iter()
+
+    def has_descendant(self, tag: str) -> bool:
+        return any(e.tag == tag for e in self.iter() if e is not self)
+
+    def first(self, tag: str, with_attr: str | None = None):
+        for e in self.iter():
+            if e is not self and e.tag == tag and (with_attr is None or with_attr in e.attrs):
+                return e
+        return None
+
+    @property
+    def classes(self) -> str:
+        return self.attrs.get("class", "")
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        el = Element(tag, dict(attrs), self.cur)
+        self.cur.children.append(el)
+        if tag not in _VOID:
+            self.cur = el
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Element(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        node = self.cur
+        while node is not None and node.tag != tag:
+            node = node.parent
+        if node is not None and node.parent is not None:
+            self.cur = node.parent
+
+    def handle_data(self, data):
+        if data.strip():
+            self.cur.children.append(data)
+
+
+def parse_html(html: str) -> Element:
+    b = _TreeBuilder()
+    b.feed(html or "")
+    return b.root
+
+
+def extract_product_links(root: Element, base_url: str) -> list[str]:
+    """Jsoup ``[class*='produ']:has(img):has(a)`` → first a[href], absolutized.
+
+    Matches leaf-most elements (the reference leaf-ifies the selector via
+    ``CssUtil.makeLeafOfSelector``): an element qualifies only if no
+    descendant also qualifies.
+    """
+    candidates = [
+        e
+        for e in root.iter()
+        if "produ" in e.classes and e.has_descendant("img") and e.has_descendant("a")
+    ]
+    leafs = [
+        e
+        for e in candidates
+        if not any(d in candidates for d in e.iter() if d is not e)
+    ]
+    out: list[str] = []
+    for e in leafs:
+        a = e.first("a", with_attr="href")
+        if a is not None:
+            out.append(urljoin(base_url, a.attrs["href"]))
+    return out
+
+
+def extract_next_url(root: Element, base_url: str) -> str | None:
+    """The pagination XPath: ul.pagination > li.active
+    +following-sibling li:not(.disabled)[1] > a[href]."""
+    for ul in root.iter():
+        if ul.tag == "ul" and "pagination" in ul.classes:
+            lis = [c for c in ul.children if isinstance(c, Element) and c.tag == "li"]
+            for idx, li in enumerate(lis):
+                if "active" in li.classes:
+                    for sib in lis[idx + 1 :]:
+                        if "disabled" not in sib.classes:
+                            a = sib.first("a", with_attr="href")
+                            if a is not None:
+                                return urljoin(base_url, a.attrs["href"])
+                            return None
+                    return None
+    return None
+
+
+def extract_spans(root: Element, base_url: str) -> list[dict]:
+    """Interleaved text+media span walker (input_hint schema).
+
+    Document-order walk skipping <head>; <img src> → image span,
+    <a href> → link span (inner text suppressed), other non-whitespace
+    text nodes → text spans. ``offset`` = 0-based span index.
+    """
+    spans: list[dict] = []
+
+    def walk(el: Element):
+        for c in el.children:
+            if isinstance(c, str):
+                t = c.strip()
+                if t:
+                    spans.append({"kind": "text", "text": t, "media_ref": None})
+            elif c.tag == "head":
+                continue
+            elif c.tag == "img":
+                src = c.attrs.get("src")
+                if src:
+                    spans.append(
+                        {"kind": "image", "text": None, "media_ref": urljoin(base_url, src)}
+                    )
+                walk(c)
+            elif c.tag == "a":
+                if "href" in c.attrs:
+                    spans.append(
+                        {"kind": "link", "text": None,
+                         "media_ref": urljoin(base_url, c.attrs["href"])}
+                    )
+                # inner text/media of a link is suppressed (one span per link;
+                # href-less anchors are dead UI controls and emit nothing)
+            else:
+                walk(c)
+
+    walk(root)
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    return spans

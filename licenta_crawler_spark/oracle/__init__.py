@@ -1,0 +1,1 @@
+from licenta_crawler_spark.oracle.simulator import simulate_crawl, OracleResult  # noqa: F401

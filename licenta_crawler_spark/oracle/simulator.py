@@ -1,0 +1,162 @@
+"""Pure-Python single-threaded reference-semantics simulator (the oracle).
+
+Implements exactly the reference's crawl semantics (SURVEY.md §2-§3),
+independent of any Spark code, over the synthetic corpus:
+
+* strategy choice: robots sitemaps non-empty → sitemap BFS
+  (SitemapSaxCrawler, CrawlJobResource.java:111-119), else paginated
+  browse (BrowserCrawler).
+* sitemap BFS: FIFO queue seeded from robots sitemaps; index sitemaps
+  enqueue children at the back; leaf sitemaps upsert their page URLs in
+  order (SitemapSaxCrawler.java:52-91). Redirects followed up to 5 hops
+  (":102,120-125"); chains longer than that are dropped.
+* browse: seeds crawled sequentially in order (BrowserCrawler.java:113-117);
+  per shelf: product links in document order, then the shelf itself, are
+  upserted as one batch (":133-145"); pagination follows the next-link
+  until none (":149,172-220").
+* URL-seen: upsert keyed on the URL — here on sha1(canonical(url)) per the
+  north rule; re-discovery is idempotent, first discovery wins.
+* politeness: consecutive fetches of one host are >= crawl_delay_ms apart
+  (virtual clock); hosts are independent (one thread per host in the
+  reference, CrawlJobResource.java:36,80).
+
+Output: per-host ordered discovery log, the URL-seen set, expected span
+documents, and per-host fetch timestamps — everything the equivalence
+tests in BASELINE.md compare against.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from licenta_crawler_spark.fixtures.corpus import Corpus
+from licenta_crawler_spark.functions.urlnorm import canonicalize_url, url_sha1_hex
+
+MAX_REDIRECTS = 5  # SitemapSaxCrawler.java:102
+
+
+@dataclass
+class OracleResult:
+    # host -> ordered list of (url_canonical, referer, page_type)
+    discovery_log: dict[str, list[tuple[str, str | None, str]]]
+    seen: set[str]  # sha1 hex of canonical urls
+    # doc_id (sha1 hex) -> list of span dicts (kind, text, media_ref, offset)
+    documents: dict[str, list[dict]]
+    # host -> list of virtual fetch timestamps (ms)
+    fetch_times: dict[str, list[int]] = field(default_factory=dict)
+    rejected_jobs: dict[str, str] = field(default_factory=dict)  # job_id -> reason
+
+
+def _resolve_redirects(corpus: Corpus, url: str, kind: str) -> str | None:
+    """Follow redirect_to chains up to MAX_REDIRECTS hops; None if exceeded
+    or target missing."""
+    cur = canonicalize_url(url)
+    for _ in range(MAX_REDIRECTS + 1):
+        obj = corpus.sitemaps.get(cur) if kind == "sitemap" else corpus.pages.get(cur)
+        if obj is None:
+            return None
+        if obj.redirect_to:
+            cur = canonicalize_url(obj.redirect_to)
+            continue
+        return cur
+    return None  # chain too long — dropped (F6)
+
+
+def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleResult:
+    log: dict[str, list[tuple[str, str | None, str]]] = {}
+    seen: set[str] = set()
+    documents: dict[str, list[dict]] = {}
+    fetch_times: dict[str, list[int]] = {}
+    rejected: dict[str, str] = {}
+    active_hosts: set[str] = set()
+
+    def upsert(host: str, url: str, referer: str | None, page_type: str) -> bool:
+        key = url_sha1_hex(url)
+        if key in seen:
+            return False
+        seen.add(key)
+        log.setdefault(host, []).append((canonicalize_url(url), referer, page_type))
+        return True
+
+    def record_doc(canon_url: str) -> None:
+        page = corpus.pages.get(canon_url)
+        if page is not None and page.status == 200:
+            documents[url_sha1_hex(canon_url)] = page.spans
+
+    for job in corpus.seed_jobs:
+        host = job["homepage"].split("://", 1)[1].split("/", 1)[0].lower()
+        # F1: every seed's host must equal the homepage host
+        bad = [s for s in job["seeds"] if s.split("://", 1)[-1].split("/", 1)[0].lower()
+               .split(":")[0] != host.split(":")[0]]
+        if bad:
+            rejected[job["job_id"]] = "SEED_HOST_MISMATCH"
+            continue
+        # F3: one active job per host
+        if host in active_hosts:
+            rejected[job["job_id"]] = "JOB_ACTIVE_ON_HOST"
+            continue
+        active_hosts.add(host)
+
+        robots = corpus.robots_for(host) or {"crawl_delay_ms": 0, "sitemaps": []}
+        delay = robots["crawl_delay_ms"]
+        clock = 0
+        times: list[int] = []
+
+        def fetch_tick():
+            nonlocal clock
+            times.append(clock)
+            clock += max(delay, 1)
+
+        sitemap_list = list(robots["sitemaps"]) + list(job["additional_sitemaps"])
+        if sitemap_list:
+            # EP2: sitemap BFS
+            queue: deque[str] = deque(sitemap_list)
+            while queue:
+                sm_url = queue.popleft()
+                fetch_tick()
+                target = _resolve_redirects(corpus, sm_url, "sitemap")
+                if target is None:
+                    continue
+                sm = corpus.sitemaps[target]
+                if sm.is_index:
+                    queue.extend(sm.children)  # no dedup of sitemap URLs (D3)
+                else:
+                    for purl in sm.children:
+                        upsert(host, purl, "sitemap", "sitemap")
+            if fetch_product_docs:
+                for canon, _, _ in log.get(host, []):
+                    fetch_tick()
+                    record_doc(canon)
+        else:
+            # EP3: paginated browse, seeds sequential
+            for seed in job["seeds"]:
+                prev_shelf: str | None = None
+                cur: str | None = seed
+                while cur is not None:
+                    fetch_tick()
+                    target = _resolve_redirects(corpus, cur, "page")
+                    if target is None:
+                        break
+                    page = corpus.pages[target]
+                    if page.status != 200:
+                        break
+                    new_products = []
+                    for purl in page.product_urls:
+                        if upsert(host, purl, target, "PRODUCT"):
+                            new_products.append(purl)
+                    upsert(host, target, prev_shelf, "SHELF")
+                    record_doc(target)
+                    prev_shelf = target
+                    cur = page.next_url
+            if fetch_product_docs:
+                for canon, _, ptype in list(log.get(host, [])):
+                    if ptype == "PRODUCT":
+                        fetch_tick()
+                        record_doc(canon)
+        fetch_times[host] = times
+
+    return OracleResult(
+        discovery_log=log, seen=seen, documents=documents,
+        fetch_times=fetch_times, rejected_jobs=rejected,
+    )

@@ -1,0 +1,102 @@
+"""Sanity of the synthetic corpus + oracle simulator + DOM-lite parser.
+
+The HTML parser is validated here against corpus ground truth that was
+generated independently of the parser (FIXTURES.md §4-5).
+"""
+
+from __future__ import annotations
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus
+from licenta_crawler_spark.functions.htmldom import (
+    extract_next_url,
+    extract_product_links,
+    extract_spans,
+    parse_html,
+)
+from licenta_crawler_spark.functions.urlnorm import canonicalize_url, url_sha1_hex
+from licenta_crawler_spark.oracle.simulator import simulate_crawl
+
+
+def test_corpus_shapes():
+    c = build_corpus()
+    assert len(c.hosts) == 8  # 4 browse + 1 mega + 3 sitemap
+    assert len(c.pages) > 300
+    assert len(c.sitemaps) >= 10
+    # stress shapes present
+    assert any(p.status == 404 for p in c.pages.values())
+    assert any(p.redirect_to for p in c.pages.values())
+    assert any(s.gzipped for s in c.sitemaps.values())
+    assert any(s.redirect_to for s in c.sitemaps.values())
+    # deterministic
+    c2 = build_corpus()
+    assert sorted(c.pages) == sorted(c2.pages)
+    assert [p.html for p in c.pages.values()] == [p.html for p in c2.pages.values()]
+
+
+def test_dom_parser_matches_ground_truth():
+    c = build_corpus()
+    n_shelves = n_products = 0
+    for page in c.pages.values():
+        if page.status != 200:
+            continue
+        root = parse_html(page.html)
+        assert extract_spans(root, page.url) == page.spans, page.url
+        if page.page_kind == "SHELF":
+            n_shelves += 1
+            assert extract_product_links(root, page.url) == page.product_urls, page.url
+            assert extract_next_url(root, page.url) == page.next_url, page.url
+        else:
+            n_products += 1
+    assert n_shelves > 20 and n_products > 300
+
+
+def test_oracle_basics():
+    c = build_corpus()
+    r = simulate_crawl(c)
+    # every host crawled something
+    assert set(r.discovery_log) == set(c.hosts)
+    # seen set == distinct canonical sha1s in the log
+    log_keys = {
+        url_sha1_hex(u) for rows in r.discovery_log.values() for (u, _, _) in rows
+    }
+    assert log_keys == r.seen
+    # no duplicates within a host log (first-discovery semantics)
+    for host, rows in r.discovery_log.items():
+        urls = [u for (u, _, _) in rows]
+        assert len(urls) == len(set(urls)), host
+    # admission rejections recorded (F1 + F3)
+    assert sorted(r.rejected_jobs.values()) == ["JOB_ACTIVE_ON_HOST", "SEED_HOST_MISMATCH"]
+    # documents exist for 200 pages only, with span ground truth
+    assert len(r.documents) > 300
+    for doc_id, spans in list(r.documents.items())[:20]:
+        assert all(s["offset"] == i for i, s in enumerate(spans))
+    # politeness invariant holds in the oracle's own virtual clock
+    for host, times in r.fetch_times.items():
+        delay = c.robots_for(host)["crawl_delay_ms"]
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= delay for g in gaps), host
+
+
+def test_oracle_variant_collapse():
+    """%-encoded / default-port / fragment spellings collapse to one entry."""
+    c = build_corpus()
+    r = simulate_crawl(c)
+    for rows in r.discovery_log.values():
+        for u, _, _ in rows:
+            assert canonicalize_url(u) == u  # log stores canonical forms
+
+
+def test_oracle_redirect_cap_drops_deep_chain():
+    c = build_corpus()
+    r = simulate_crawl(c)
+    # the 6-hop chain's payload page must NOT be discovered
+    deep = [u for rows in r.discovery_log.values() for (u, _, _) in rows if "/p/deep/" in u]
+    assert deep == []
+
+
+def test_oracle_shared_sitemap_url_single_discovery():
+    c = build_corpus()
+    r = simulate_crawl(c)
+    for host, rows in r.discovery_log.items():
+        urls = [u for (u, _, _) in rows]
+        assert len(set(urls)) == len(urls)
