@@ -72,6 +72,53 @@ class Corpus:
         return None
 
 
+def sitemap_xml(sm: Sitemap) -> bytes:
+    """Serialize a Sitemap to (optionally gzipped) XML bytes — the wire
+    format the fetch stage sees (SitemapSaxCrawler parses the same shapes)."""
+    import gzip as _gzip
+
+    if sm.is_index:
+        inner = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in sm.children)
+        body = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{inner}</sitemapindex>"
+        ).encode()
+    else:
+        inner = "".join(f"<url><loc>{u}</loc></url>" for u in sm.children)
+        body = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{inner}</urlset>"
+        ).encode()
+    return _gzip.compress(body, mtime=0) if sm.gzipped else body
+
+
+def corpus_to_resolver(corpus: "Corpus") -> dict[str, dict]:
+    """Flatten the corpus into the broadcastable fetch-resolver map:
+    canonical url -> {status, redirect_to, kind, body}. HTML pages carry
+    str bodies; sitemaps carry (possibly gzipped) XML bytes + a
+    content_encoding marker, exercising the S4 transport-decode path."""
+    res: dict[str, dict] = {}
+    for url, p in corpus.pages.items():
+        res[url] = {
+            "status": p.status,
+            "redirect_to": p.redirect_to,
+            "kind": "page",
+            "body": p.html if p.status == 200 else "",
+            "content_encoding": None,
+        }
+    for url, s in corpus.sitemaps.items():
+        res[url] = {
+            "status": 301 if s.redirect_to else 200,
+            "redirect_to": s.redirect_to,
+            "kind": "sitemap",
+            "body": sitemap_xml(s),
+            "content_encoding": "gzip" if s.gzipped else None,
+        }
+    return res
+
+
 def _text(rng: random.Random, lo=3, hi=8) -> str:
     return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
 
@@ -200,6 +247,8 @@ def build_corpus(
     mega_host: bool = True,
     chain_len: tuple[int, int] = (2, 5),
     products_per_shelf: tuple[int, int] = (4, 8),
+    mega_chain: tuple[int, int] = (8, 12),
+    mega_products: tuple[int, int] = (15, 25),
 ) -> Corpus:
     rng = random.Random(seed)
     pages: dict[str, Page] = {}
@@ -223,8 +272,8 @@ def build_corpus(
 
         if kind == "browse":
             n_seeds = 3 if is_mega else rng.randint(1, 2)
-            c_lo, c_hi = (8, 12) if is_mega else chain_len
-            p_lo, p_hi = (15, 25) if is_mega else products_per_shelf
+            c_lo, c_hi = mega_chain if is_mega else chain_len
+            p_lo, p_hi = mega_products if is_mega else products_per_shelf
             seeds: list[str] = []
             prev_products: list[str] = []  # cross-shelf duplicate pool
             for s in range(n_seeds):

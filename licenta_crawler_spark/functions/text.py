@@ -1,0 +1,90 @@
+"""Text-analysis column library for large-scale training-data pipelines.
+
+All hot-path functions are native column expressions (JVM-side, whole-stage
+codegen); only language-ID uses an Arrow-vectorized pandas UDF (n-gram
+profile scoring doesn't decompose into built-ins cleanly).
+
+These operate on the ``documents`` text table (driver testdata) and on any
+crawled span document (spans of kind='text' concatenated).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deliberately small + fixed: deterministic across engines and versions
+STOPWORDS_EN = (
+    "the of and a to in is it you that he was for on are as with his they at"
+).split()
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_count_col(text: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return F.size(F.filter(tokens_col(F.lower(text)), lambda x: F.array_contains(sw, x)))
+
+
+def quality_flags_col(text: Column) -> Column:
+    """Boolean quality gate: sane length, token count, has letters —
+    the cheap heuristics a pretraining pipeline runs before dedup."""
+    n_tok = token_count_col(text)
+    return (
+        (F.length(text) >= 20)
+        & (F.length(text) <= 100_000)
+        & (n_tok >= 5)
+        & (text.rlike("[A-Za-z]"))
+    )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Punctuation/whitespace-insensitive canonical text (fingerprint key)."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint = sha256 of normalized text: collapses
+    case/punct/whitespace near-duplicates exactly."""
+    return F.sha2(normalized_text_col(text), 256)
+
+
+# ------------------------------------------------------------- language id
+# tiny deterministic stopword profiles (public-knowledge function words)
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "del", "las"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "est"},
+    "de": {"der", "die", "und", "das", "von", "ist", "den", "mit", "ein", "zu"},
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized stopword-profile language ID; 'und' when no
+    profile scores (synthetic corpora rarely match real profiles)."""
+
+    def score(t: str) -> str:
+        if not t:
+            return "und"
+        words = set(t.lower().split())
+        best, best_n = "und", 0
+        for lang, prof in _LANG_PROFILES.items():
+            n = len(words & prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    return texts.map(score)

@@ -1,0 +1,206 @@
+"""Document deduplication operators for training-data pipelines.
+
+Scale-first designs over the ``documents`` table (doc_id, text):
+
+  * exact dedup — hash-groupBy on a normalized-text fingerprint (all
+    JVM-side: sha2 over a regexp-normalized column; one shuffle on the
+    fingerprint key, map-side partial agg).
+  * MinHash + LSH near-dup — shingle → minhash signatures → band buckets →
+    bucket self-join. Signatures are computed natively: posexplode the
+    shingle array, ``xxhash64(shingle, seed_i)`` per permutation, one
+    groupBy(doc) min-agg — zero Python in the pipeline. Band join keys are
+    ``hash(band_id, sig_slice)`` so the self-join is an equi-join Catalyst
+    can shuffle-hash; candidates are verified with exact Jaccard over the
+    shingle sets.
+  * SimHash — 64-bit fingerprint: token xxhash64, per-bit ±1 sums via
+    explode + groupBy, sign-pack back to a long. Exact-match grouping
+    finds near-identical docs; banded rotations would extend to hamming<k.
+
+At 100 TB: every stage is shuffle-on-key with partial aggregation; the
+only quadratic step (candidate verify) is bounded by LSH bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.text import fingerprint_col, normalized_text_col
+
+
+# ---------------------------------------------------------------- exact
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact (normalized) duplicates: fingerprint, n_docs,
+    keep_doc_id (min id), all sorted ids."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc (min id) per normalized-text fingerprint."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        docs.withColumn("fp", fingerprint_col(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+# --------------------------------------------------------------- shingles
+def shingles_col(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct), built natively:
+    tokens -> transform over index -> slice+join."""
+    toks = F.split(normalized_text_col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ------------------------------------------------------------ minhash lsh
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<long>[n_hashes]) — min over xxhash64(shingle, seed).
+
+    Implementation: posexplode shingles, compute all n_hashes hashes as
+    columns, groupBy(doc) with n min() aggs → one shuffle, all codegen.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(n_hashes)],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(
+                    b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (bounded work)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH buckets → exact-Jaccard verify."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    return verify_jaccard(pairs, docs, id_col, text_col, shingle_n, threshold)
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_col_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash: long) — classic 64-bit simhash, fully native:
+    explode tokens → xxhash64 → per-bit ±1 contributions summed via one
+    groupBy → sign bits packed back into a long."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text_col(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # per-bit contribution: +1 if bit set else -1
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return (
+        simhash_col_df(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,81 @@
+"""Vectorized fetch stage (SURVEY §2.1 S1-S4, F6) — one mapInPandas site.
+
+Reference behavior re-expressed:
+  * redirect chase: follow 301/302/303 up to 5 hops
+    (SitemapSaxCrawler.java:96-128, cap at :102,120-125); chains beyond
+    the cap yield status=-1 (dropped downstream, F6);
+  * Location resolution: URL-decode + resolve relative (":114-117") — the
+    resolver map is keyed by canonical URL so this is `canonicalize_url`;
+  * gzip transport decode when the payload is gzip-encoded (":63-66");
+  * batching: the reference upserts one batch per page; here Arrow batches
+    flow through mapInPandas.
+
+Sandbox: no network — URLs resolve against the broadcast synthetic-corpus
+resolver (FIXTURES.md). In production this UDF body is the only thing that
+changes: an HTTP session per partition (connection reuse, the reference's
+50 s timeouts), same columns in/out. The surrounding plan is identical.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from licenta_crawler_spark.functions.urlnorm import canonicalize_url
+
+MAX_REDIRECTS = 5  # SitemapSaxCrawler.java:102
+REDIRECT_STATUSES = {301, 302, 303}  # SitemapSaxCrawler.java:134-138
+
+FETCHED_SCHEMA = (
+    "url string, final_url string, status int, body_kind string, "
+    "body string, n_redirects int"
+)
+
+
+def _resolve(resolver: dict, url: str) -> tuple[str, int, str, str, int]:
+    """Follow the redirect chain; returns (final_url, status, kind, body, hops)."""
+    cur = canonicalize_url(url)
+    for hops in range(MAX_REDIRECTS + 1):
+        entry = resolver.get(cur)
+        if entry is None:
+            return cur, 404, "missing", "", hops
+        if entry["redirect_to"] and entry["status"] in REDIRECT_STATUSES:
+            cur = canonicalize_url(entry["redirect_to"])  # S2+S3
+            continue
+        body = entry["body"]
+        if isinstance(body, (bytes, bytearray)):
+            if entry.get("content_encoding") == "gzip" or body[:2] == b"\x1f\x8b":
+                body = gzip.decompress(bytes(body))  # S4
+            body = body.decode("utf-8", errors="replace")
+        return cur, int(entry["status"]), entry["kind"], body, hops
+    return cur, -1, "redirect_cap", "", MAX_REDIRECTS + 1  # F6: too many hops
+
+
+def fetch_batches(df: DataFrame, resolver_bc) -> DataFrame:
+    """df must have a ``url`` column; all other columns are passed through.
+
+    Repartitions are the caller's concern (wave.py round-robins the due
+    batch before this so one hot host doesn't serialize a partition).
+    """
+    passthrough = [c for c in df.columns if c != "url"]
+    pass_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != "url"
+    )
+    schema = FETCHED_SCHEMA + (", " + pass_schema if pass_schema else "")
+
+    def run(it):
+        resolver = resolver_bc.value
+        for pdf in it:
+            rows = []
+            for url in pdf["url"]:
+                rows.append((url, *_resolve(resolver, url)))
+            out = pd.DataFrame(
+                rows, columns=["url", "final_url", "status", "body_kind", "body", "n_redirects"]
+            )
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,127 @@
+"""Parse stage (SURVEY §2.2 P1-P2, §2.1 S5, S9-as-links) — one mapInPandas
+site producing, per fetched page, in a single pass:
+
+  * the interleaved text+media span sequence (input_hint schema) —
+    reference: getDocumentStripped/sanitize at BrowserCrawler.java:166-170,
+    upgraded to first-class span documents per the north rule;
+  * product out-links in document order — the Jsoup selector
+    ``[class*='produ']:has(img):has(a)`` (BrowserCrawler.java:153-164);
+  * the pagination successor — the next-page XPath
+    (BrowserCrawler.java:43,172-220), extracted as a link instead of a
+    browser click (pre-rendered corpus; SURVEY §2.1 S8/S9 note).
+
+Sitemap XML parsing (SitemapSaxCrawler.java:69-77) lives here too:
+``parse_sitemaps`` splits index vs leaf and returns ordered children.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from licenta_crawler_spark.functions.htmldom import (
+    extract_next_url,
+    extract_product_links,
+    extract_spans,
+    parse_html,
+)
+
+PARSED_SCHEMA = (
+    "url string, final_url string, status int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "product_links array<string>, next_url string"
+)
+
+
+def parse_pages(fetched: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """fetched: output of fetch_batches (kind='page'). One DOM build per
+    page; spans + product links + next link extracted from the same tree."""
+    passthrough = passthrough or []
+    pass_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name in passthrough
+    )
+
+    def run(it):
+        for pdf in it:
+            out_rows = []
+            for tup in pdf.itertuples(index=False):
+                if tup.status == 200 and tup.body:
+                    root = parse_html(tup.body)
+                    spans = [
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in extract_spans(root, tup.final_url)
+                    ]
+                    links = extract_product_links(root, tup.final_url)
+                    nxt = extract_next_url(root, tup.final_url)
+                else:
+                    spans, links, nxt = [], [], None
+                out_rows.append((tup.url, tup.final_url, tup.status, spans, links, nxt))
+            out = pd.DataFrame(
+                out_rows,
+                columns=["url", "final_url", "status", "spans", "product_links", "next_url"],
+            )
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield out
+
+    return fetched.mapInPandas(run, schema=PARSED_SCHEMA + pass_schema)
+
+
+_SITEMAP_TAG = re.compile(r"<\s*(sitemapindex|urlset)\b")
+
+SITEMAP_PARSED_SCHEMA = "url string, final_url string, status int, is_index boolean, children array<string>"
+
+
+def _parse_sitemap_xml(body: str) -> tuple[bool, list[str]]:
+    """Non-strict sitemap/sitemap-index parse (crawler-commons parity:
+    SiteMapParser(false) at SitemapSaxCrawler.java:69-70). Returns
+    (is_index, ordered loc URLs)."""
+    m = _SITEMAP_TAG.search(body)
+    if not m:
+        return False, []
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return False, []
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    is_index = root.tag.endswith("sitemapindex")
+    locs = [
+        el.text.strip()
+        for el in root.iter(f"{ns}loc")
+        if el.text and el.text.strip()
+    ]
+    return is_index, locs
+
+
+def parse_sitemaps(fetched: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    passthrough = passthrough or []
+    pass_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name in passthrough
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                if tup.status == 200 and tup.body:
+                    is_index, children = _parse_sitemap_xml(tup.body)
+                else:
+                    is_index, children = False, []
+                rows.append((tup.url, tup.final_url, tup.status, is_index, children))
+            out = pd.DataFrame(
+                rows, columns=["url", "final_url", "status", "is_index", "children"]
+            )
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield out
+
+    return fetched.mapInPandas(run, schema=SITEMAP_PARSED_SCHEMA + pass_schema)

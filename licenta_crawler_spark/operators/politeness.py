@@ -1,0 +1,106 @@
+"""Per-host politeness scheduler (SURVEY §2.5 O1-O4).
+
+The reference enforces politeness structurally: one single-threaded crawler
+per host (BrowserCrawler.java:32-39 class invariant; one-active-job-per-host
+at CrawlJobResource.java:86-90). Distributed, that becomes: candidates are
+shuffled once on ``host`` and an ``applyInPandas`` group function runs a
+min-heap per host, emitting at most ``max_per_host`` URLs per wave with
+virtual ``scheduled_at`` timestamps spaced ``crawl_delay_ms`` apart
+(robots.txt budget). The heap key is the deterministic discovery-order
+tuple, which makes per-host fetch order a *data property* — identical under
+any executor count (the crux of order equivalence, SURVEY §7 "hard parts").
+
+Skew: one mega-host's queue length does not serialize a whole executor
+longer than ``max_per_host`` rows per wave — the emit cap *is* the salting
+valve (schedule generation is host-partitioned; fetch execution of the
+emitted batch is free to repartition round-robin afterwards, which
+``wave.py`` does before the fetch UDF).
+
+Production note: ``scheduled_at`` is a virtual clock the fetch stage would
+sleep against per host; in the sandbox (no network) tests assert the gap
+invariant on the schedule itself instead of wall-clock sleeping.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCHEDULE_COLS = "host string, url string, kind string, prio0 long, prio1 long, prio2 long, scheduled_at long"
+
+
+def schedule_fetches(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_clocks: DataFrame,
+    max_per_host: int = 64,
+) -> DataFrame:
+    """candidates: (host, url, kind, prio0, prio1, prio2). Returns the
+    per-wave fetch schedule: one row per emitted fetch with scheduled_at.
+
+    Rows beyond ``max_per_host`` per host are simply not emitted this wave
+    (they stay QUEUED in their source table and re-enter next wave).
+    """
+    enriched = (
+        candidates.join(
+            F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left"
+        )
+        .join(F.broadcast(host_clocks), "host", "left")
+        .fillna({"crawl_delay_ms": 0, "clock_ms": 0})
+    )
+
+    def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        delay = max(int(pdf["crawl_delay_ms"].iloc[0]), 1)
+        clock = int(pdf["clock_ms"].iloc[0])
+        heap = list(
+            zip(
+                pdf["prio0"].astype(int),
+                pdf["prio1"].astype(int),
+                pdf["prio2"].astype(int),
+                pdf["url"],
+                pdf["kind"],
+            )
+        )
+        heapq.heapify(heap)
+        out = []
+        t = clock
+        for _ in range(min(max_per_host, len(heap))):
+            p0, p1, p2, url, kind = heapq.heappop(heap)
+            out.append((pdf["host"].iloc[0], url, kind, p0, p1, p2, t))
+            t += delay
+        return pd.DataFrame(
+            out, columns=["host", "url", "kind", "prio0", "prio1", "prio2", "scheduled_at"]
+        )
+
+    return enriched.groupBy("host").applyInPandas(per_host, schema=SCHEDULE_COLS)
+
+
+def advance_clocks(
+    host_clocks: DataFrame, schedule: DataFrame, robots: DataFrame
+) -> DataFrame:
+    """New per-host clock = last scheduled_at + crawl_delay.
+
+    Stays distributed (a host-keyed agg, not a collect): the hosts table
+    can be millions of rows at production scale. The wave loop truncates
+    lineage by checkpointing state tables per wave.
+    """
+    last = (
+        schedule.groupBy("host")
+        .agg(F.max("scheduled_at").alias("last_at"))
+        .join(F.broadcast(robots.select("host", "crawl_delay_ms")), "host", "left")
+        .fillna({"crawl_delay_ms": 0})
+        .select(
+            "host",
+            (F.col("last_at") + F.greatest(F.col("crawl_delay_ms"), F.lit(1))).alias(
+                "clock_ms"
+            ),
+        )
+    )
+    return (
+        host_clocks.unionByName(last)
+        .groupBy("host")
+        .agg(F.max("clock_ms").alias("clock_ms"))
+    )

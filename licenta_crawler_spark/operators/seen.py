@@ -1,0 +1,161 @@
+"""URL-seen set: partitioned Bloom filter + exact anti-join confirm.
+
+The reference's entire dedup story is "upsert keyed by URL"
+(BrowserCrawler.java:145, SitemapSaxCrawler.java:86 — SURVEY §2.4 D1/D2).
+At 10^10-URL frontier scale an exact join against the full seen table every
+wave is the dominant shuffle, so the north rule prescribes a partitioned
+Bloom pre-filter:
+
+  * the seen table's sha1 keys are hashed into ``n_shards`` shards
+    (``h1 % n_shards``); each shard is an ``m_bits`` Bloom bitmap built
+    *distributed* via ``applyInPandas`` (numpy-vectorized, one group per
+    shard) and OR-merged;
+  * the shard directory (dict shard->bytes) is broadcast; candidates probe
+    it inside one Arrow-vectorized ``mapInPandas`` pass;
+  * probe-negative rows are **definitely new** (Bloom has no false
+    negatives) and skip the shuffle entirely; probe-positive rows go to the
+    exact ``left_anti`` join, so false positives can never drop a URL.
+
+The two 60-bit hash inputs (h1, h2) are carved natively out of the sha1
+hex with ``conv``/``substring`` — the sha1 is already a cryptographic
+hash, so double hashing ``(h1 + i*h2) % m`` gives the k Bloom probes
+without any Python-side hashing. All Python here is numpy array math over
+Arrow batches; no per-row Python.
+
+Sizing: with ``bits_per_key ≈ 10`` and ``k = 7`` the FPP is ~0.8%. At
+10^10 keys that is ~12.5 GB of bitmap total — sharded (e.g. 1024 shards of
+~12 MB) so an executor only holds the shards its partition probes; in the
+sandbox we broadcast the whole directory (small corpora).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_hash_cols(df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
+    """Derive h1/h2 (60-bit longs) + shard natively from the sha1 hex."""
+    h1 = F.conv(F.substring(F.col(sha1_col), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.col(sha1_col), 17, 15), 16, 10).cast("long")
+    return df.withColumn("_h1", h1).withColumn("_h2", h2)
+
+
+class BloomShardSet:
+    """Immutable directory of Bloom shards: shard_id -> bitmap bytes."""
+
+    def __init__(self, n_shards: int = 8, m_bits: int = 1 << 16, k: int = 7):
+        assert m_bits % 8 == 0
+        self.n_shards = n_shards
+        self.m_bits = m_bits
+        self.k = k
+        self.shards: dict[int, bytes] = {}
+
+    # ---------------------------------------------------------------- build
+    def build(self, df: DataFrame, sha1_col: str = "url_sha1") -> "BloomShardSet":
+        """Distributed build: one applyInPandas group per shard."""
+        n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            h1 = pdf["_h1"].to_numpy(dtype=np.uint64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.uint64)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                                 np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+            return pd.DataFrame({"shard": [shard], "bits": [bits.tobytes()]})
+
+        hashed = with_hash_cols(df, sha1_col).withColumn(
+            "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
+        )
+        rows = (
+            hashed.select("_h1", "_h2", "_shard")
+            .groupBy("_shard")
+            .applyInPandas(build_shard, schema="shard int, bits binary")
+            .collect()
+        )
+        new = BloomShardSet(n_shards, m_bits, k)
+        new.shards = dict(self.shards)
+        for r in rows:
+            if r["shard"] in new.shards:
+                old = np.frombuffer(new.shards[r["shard"]], dtype=np.uint8)
+                add = np.frombuffer(r["bits"], dtype=np.uint8)
+                new.shards[r["shard"]] = np.bitwise_or(old, add).tobytes()
+            else:
+                new.shards[r["shard"]] = r["bits"]
+        return new
+
+    # ---------------------------------------------------------------- probe
+    def maybe_seen_col(self, df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
+        """Adds boolean ``_maybe_seen`` via one vectorized mapInPandas pass."""
+        n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self.shards)
+        cols = df.columns
+        hashed = with_hash_cols(df, sha1_col)
+
+        def probe(it):
+            shards = {s: np.frombuffer(b, dtype=np.uint8) for s, b in bc.value.items()}
+            for pdf in it:
+                h1 = pdf["_h1"].to_numpy(dtype=np.uint64)
+                h2 = pdf["_h2"].to_numpy(dtype=np.uint64)
+                shard_ids = (h1 % np.uint64(n_shards)).astype(np.int64)
+                out = np.zeros(len(pdf), dtype=bool)
+                for s in np.unique(shard_ids):
+                    bits = shards.get(int(s))
+                    if bits is None:
+                        continue  # empty shard -> definitely unseen
+                    mask = shard_ids == s
+                    hit = np.ones(mask.sum(), dtype=bool)
+                    for i in range(k):
+                        idx = (h1[mask] + np.uint64(i) * h2[mask]) % np.uint64(m_bits)
+                        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+                        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+                    out[mask] = hit
+                yield pdf.drop(columns=["_h1", "_h2"]).assign(_maybe_seen=out)
+
+        out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        return hashed.mapInPandas(probe, schema=out_schema + ", _maybe_seen boolean").select(
+            *cols, "_maybe_seen"
+        )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomShardSet | None,
+    sha1_col: str = "url_sha1",
+) -> DataFrame:
+    """D1: rows of ``candidates`` whose sha1 is not in ``seen``.
+
+    Bloom-negative rows bypass the join; Bloom-positive rows are confirmed
+    with an exact left_anti join (no false drops possible).
+    """
+    if bloom is None or not bloom.shards:
+        return candidates.join(
+            seen.select(sha1_col).distinct(), on=sha1_col, how="left_anti"
+        )
+    probed = bloom.maybe_seen_col(candidates, sha1_col)
+    fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed = suspect.join(
+        seen.select(sha1_col).distinct(), on=sha1_col, how="left_anti"
+    )
+    return fresh.unionByName(confirmed)
+
+
+def first_discovery(
+    df: DataFrame, order_cols: list[str | Column], sha1_col: str = "url_sha1"
+) -> DataFrame:
+    """D2: within-batch dedup — keep the first discovery of each URL by the
+    deterministic order key (wave, seq ordering made a *data property*)."""
+    w = Window.partitionBy(sha1_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

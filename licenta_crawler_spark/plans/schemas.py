@@ -1,0 +1,133 @@
+"""Table schemas (SURVEY.md §1 Spark mappings).
+
+Every stateful table the engine checkpoints has its schema here; the
+Iceberg-layout checkpointer (sources/checkpoint.py) snapshots them per
+wave with per-partition lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+# interleaved text+media documents — BASELINE.json input_hint schema
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN)),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("wave", T.IntegerType()),
+    ]
+)
+
+# per-host ordered discovery log == the reference's upsert stream; doubles
+# as the exact URL-seen table (url_sha1 column)
+CRAWL_LOG = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),        # canonical
+        T.StructField("url_sha1", T.StringType(), False),   # hex sha1(canonical)
+        T.StructField("referer", T.StringType()),
+        T.StructField("page_type", T.StringType()),
+        T.StructField("wave", T.IntegerType()),
+    ]
+)
+
+# shelf navigation chains (browse strategy) — navigation is distinct from
+# discovery: the reference re-walks chains regardless of seen-ness
+NAV = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("seed_index", T.IntegerType(), False),
+        T.StructField("page_index", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("prev_shelf", T.StringType()),
+        T.StructField("state", T.StringType(), False),  # QUEUED|FETCHED|DONE|FAILED
+    ]
+)
+
+# FIFO sitemap queue (EP2): queue_pos is the global FIFO position per host
+SITEMAP_QUEUE = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("queue_pos", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("state", T.StringType(), False),
+    ]
+)
+
+# product-page fetch frontier (doc production)
+FETCH_FRONTIER = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),       # canonical
+        T.StructField("url_sha1", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),         # discovery order
+        T.StructField("state", T.StringType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+    ]
+)
+
+JOBS = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("domain", T.StringType()),
+        T.StructField("homepage", T.StringType()),
+        T.StructField("seeds", T.ArrayType(T.StringType())),
+        T.StructField("sitemaps", T.ArrayType(T.StringType())),
+        T.StructField("status", T.StringType()),  # RUNNING|FINISHED|REJECTED_*
+        T.StructField("strategy", T.StringType()),  # SITEMAP|BROWSE|null
+        T.StructField("disallow_cookies", T.BooleanType()),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("user_agent", T.StringType()),
+        T.StructField("crawl_delay_ms", T.LongType()),
+        T.StructField("sitemaps", T.ArrayType(T.StringType())),
+        T.StructField("disallow", T.ArrayType(T.StringType())),
+    ]
+)
+
+# politeness clock per host (virtual ms)
+HOST_CLOCK = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("clock_ms", T.LongType(), False),
+    ]
+)
+
+FETCH_SCHEDULE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),   # SHELF|PRODUCT|SITEMAP
+        T.StructField("scheduled_at", T.LongType(), False),
+    ]
+)
+
+METRICS = T.StructType(
+    [
+        T.StructField("wave", T.IntegerType()),
+        T.StructField("phase", T.StringType()),
+        T.StructField("n_fetched", T.LongType()),
+        T.StructField("n_discovered", T.LongType()),
+        T.StructField("n_new", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_hosts", T.LongType()),
+    ]
+)

@@ -1,0 +1,542 @@
+"""The crawl wave engine — EP1 admission, EP2 sitemap BFS, EP3 paginated
+browse (SURVEY.md §3), re-expressed as one Catalyst plan per wave plus a
+driver loop. Per-wave dataflow (SURVEY §3 EP3 diagram):
+
+  frontier(QUEUED) ─politeness O1 (applyInPandas heap)─▶ schedule
+  schedule ─round-robin repartition─▶ fetch S1-S4 (mapInPandas)
+  fetched ─parse P1/P2/S9 (mapInPandas)─▶ spans ⊕ out-links
+  out-links ─canonicalize P6 → sha1─▶ D2 first-discovery ─▶ Bloom D1
+  pre-filter ─▶ exact left_anti vs crawl_log ─▶ new discoveries
+  (crawl_log append with per-host seq, fetch_frontier append, documents)
+
+Order equivalence with the single-threaded reference is achieved by making
+order a *data property*: per-host seq is assigned from the deterministic
+key (seed order, pagination order, link document order, shelf-last), never
+from execution order — so the same log falls out at any parallelism.
+
+Navigation (shelf chains) is deliberately separate from discovery: the
+reference re-walks a redirected/aliased chain even when every URL on it is
+already seen (upsert idempotence), so ``nav`` rows advance regardless of
+the seen-set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.urlnorm import (
+    canonicalize_url_col,
+    url_sha1_hex_col,
+)
+from licenta_crawler_spark.operators.fetch import fetch_batches
+from licenta_crawler_spark.operators.parse import parse_pages, parse_sitemaps
+from licenta_crawler_spark.operators.politeness import advance_clocks, schedule_fetches
+from licenta_crawler_spark.operators.seen import BloomShardSet, filter_unseen, first_discovery
+from licenta_crawler_spark.plans import schemas
+
+SHELF_LAST = 1 << 30  # shelf sorts after its products (P3 batch order)
+
+
+@dataclass
+class EngineConfig:
+    max_per_host: int = 64
+    bloom_shards: int = 8
+    bloom_bits: int = 1 << 18
+    bloom_k: int = 7
+    use_bloom: bool = True
+    track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
+    max_waves: int = 10_000
+    checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
+
+
+@dataclass
+class CrawlState:
+    jobs: DataFrame
+    nav: DataFrame
+    sitemap_queue: DataFrame
+    fetch_frontier: DataFrame
+    crawl_log: DataFrame
+    documents: DataFrame
+    host_clocks: DataFrame
+    schedule_log: DataFrame
+    metrics: list = field(default_factory=list)
+    wave: int = 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        resolver_bc,
+        robots: DataFrame,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.resolver_bc = resolver_bc
+        self.robots = robots.cache()
+        self.cfg = config or EngineConfig()
+        self.bloom = BloomShardSet(
+            self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
+        )
+
+    # ------------------------------------------------------------ admission
+    def admit(self, seed_jobs: DataFrame) -> CrawlState:
+        """EP1 (CrawlJobResource.java:53-119): validate F1/F3, choose
+        strategy, seed nav chains + sitemap queues."""
+        spark = self.spark
+        jobs = seed_jobs.withColumn(
+            "domain", F.lower(F.parse_url("homepage", F.lit("HOST")))
+        )
+        # F1: every seed host must equal the homepage host
+        seed_hosts = (
+            jobs.select("job_id", F.explode_outer("seeds").alias("seed"), "domain")
+            .withColumn("seed_host", F.lower(F.parse_url("seed", F.lit("HOST"))))
+            .groupBy("job_id")
+            .agg(
+                F.max(
+                    (F.col("seed_host").isNotNull() & (F.col("seed_host") != F.col("domain"))).cast("int")
+                ).alias("bad_seed")
+            )
+        )
+        jobs = jobs.join(seed_hosts, "job_id", "left").fillna({"bad_seed": 0})
+        # F3: one active job per host — first admitted (lowest job_id) wins
+        w = Window.partitionBy("domain").orderBy("job_id")
+        jobs = jobs.withColumn(
+            "host_rank", F.row_number().over(w)
+        )
+        jobs = jobs.join(
+            F.broadcast(self.robots.select(F.col("host").alias("domain"), F.col("sitemaps").alias("robot_sitemaps"))),
+            "domain",
+            "left",
+        )
+        jobs = jobs.select(
+            "job_id",
+            "domain",
+            "homepage",
+            "seeds",
+            F.flatten(
+                F.array(
+                    F.coalesce("robot_sitemaps", F.array().cast("array<string>")),
+                    F.coalesce("additional_sitemaps", F.array().cast("array<string>")),
+                )
+            ).alias("sitemaps"),
+            F.when(F.col("bad_seed") == 1, "REJECTED_SEED_HOST")
+            .when(F.col("host_rank") > 1, "REJECTED_ACTIVE_ON_HOST")
+            .otherwise("RUNNING")
+            .alias("status"),
+            F.when(F.col("bad_seed") == 1, None)
+            .when(F.col("host_rank") > 1, None)
+            .when(F.size(F.coalesce("robot_sitemaps", F.array().cast("array<string>"))) + F.size(F.coalesce("additional_sitemaps", F.array().cast("array<string>"))) > 0, "SITEMAP")
+            .otherwise("BROWSE")
+            .alias("strategy"),
+            "disallow_cookies",
+        ).cache()
+
+        running = jobs.filter(F.col("status") == "RUNNING")
+        # nav chains for BROWSE jobs: one row per seed, page_index 0
+        nav = (
+            running.filter(F.col("strategy") == "BROWSE")
+            .select(
+                "job_id",
+                F.col("domain").alias("host"),
+                F.posexplode("seeds").alias("seed_index", "url"),
+            )
+            .select(
+                "job_id", "host", "seed_index",
+                F.lit(0).alias("page_index"), "url",
+                F.lit(None).cast("string").alias("prev_shelf"),
+                F.lit("QUEUED").alias("state"),
+            )
+        )
+        # sitemap FIFO queues for SITEMAP jobs
+        smq = (
+            running.filter(F.col("strategy") == "SITEMAP")
+            .select(
+                "job_id",
+                F.col("domain").alias("host"),
+                F.posexplode("sitemaps").alias("pos", "url"),
+            )
+            .select("job_id", "host", F.col("pos").cast("long").alias("queue_pos"), "url",
+                    F.lit("QUEUED").alias("state"))
+        )
+        empty = lambda s: spark.createDataFrame([], s)  # noqa: E731
+        return CrawlState(
+            jobs=jobs,
+            nav=nav.localCheckpoint(),
+            sitemap_queue=smq.localCheckpoint(),
+            fetch_frontier=empty(schemas.FETCH_FRONTIER),
+            crawl_log=empty(schemas.CRAWL_LOG),
+            documents=empty(schemas.DOCUMENTS),
+            host_clocks=empty(schemas.HOST_CLOCK),
+            schedule_log=empty(
+                "host string, url string, kind string, scheduled_at long, wave int"
+            ),
+        )
+
+    # ------------------------------------------------------------- helpers
+    def _seq_base(self, st: CrawlState) -> DataFrame:
+        return st.crawl_log.groupBy("host").agg((F.max("seq") + 1).alias("seq_base"))
+
+    def _append_discoveries(self, st: CrawlState, cands: DataFrame, wave: int):
+        """cands: host, url(raw), referer, page_type, ord0 long, ord1 long.
+        Returns (new crawl_log, new frontier rows as DataFrame)."""
+        # Materialize canonical+sha1 eagerly: the canonicalization column
+        # expression is large (pct-normalize transform + dot-segment
+        # fixed-point), and letting it flow un-materialized into window/join
+        # plans makes Catalyst re-analyze it per stage (measured 60s/wave on
+        # tiny data). One projection job per wave, tiny plans after.
+        c = cands.withColumn(
+            "url_canon", canonicalize_url_col(F.col("url"))
+        ).withColumn(
+            "url_sha1", F.sha1(F.encode(F.col("url_canon"), "UTF-8"))
+        ).localCheckpoint()
+        c = first_discovery(c, [F.col("ord0"), F.col("ord1")])  # D2
+        new = filter_unseen(c, st.crawl_log, self.bloom if self.cfg.use_bloom else None)  # D1
+        w = Window.partitionBy("host").orderBy("ord0", "ord1")
+        new = (
+            new.join(F.broadcast(self._seq_base(st)), "host", "left")
+            .fillna({"seq_base": 0})
+            .withColumn("seq", F.col("seq_base") + F.row_number().over(w) - 1)
+        )
+        log_rows = new.select(
+            "host", "seq", F.col("url_canon").alias("url"), "url_sha1",
+            "referer", "page_type", F.lit(wave).alias("wave"),
+        )
+        return log_rows
+
+    def _checkpoint(self, st: CrawlState, tables: dict[str, DataFrame]) -> None:
+        # coalesce before checkpointing: per-wave unions would otherwise
+        # accumulate partitions linearly (wave k state = k stacked unions →
+        # thousands of micro-tasks per downstream job). Narrow dependency,
+        # no shuffle.
+        n = self.spark.sparkContext.defaultParallelism
+        for name, df in tables.items():
+            setattr(st, name, df.coalesce(n).localCheckpoint())
+        if self.cfg.checkpointer is not None:
+            self.cfg.checkpointer.commit_wave(
+                st.wave,
+                {
+                    "crawl_log": st.crawl_log,
+                    "documents": st.documents,
+                    "fetch_frontier": st.fetch_frontier,
+                    "nav": st.nav,
+                    "sitemap_queue": st.sitemap_queue,
+                    "host_clocks": st.host_clocks,
+                },
+            )
+
+    # --------------------------------------------------------- sitemap BFS
+    def sitemap_wave(self, st: CrawlState) -> bool:
+        """One FIFO level of the sitemap BFS (EP2). Returns True if work
+        was done."""
+        queued = st.sitemap_queue.filter(F.col("state") == "QUEUED")
+        wave = st.wave
+        cand = queued.select(
+            "host", "url", F.lit("SITEMAP").alias("kind"),
+            F.lit(0).cast("long").alias("prio0"),
+            F.col("queue_pos").alias("prio1"),
+            F.lit(0).cast("long").alias("prio2"),
+        )
+        sched = schedule_fetches(cand, self.robots, st.host_clocks, self.cfg.max_per_host)
+        sched = sched.localCheckpoint()
+        n_sched = sched.count()
+        if n_sched == 0:
+            return False
+
+        fetched = fetch_batches(
+            sched.select("url", "host", F.col("prio1").alias("queue_pos"), "scheduled_at")
+            .repartition(self.spark.sparkContext.defaultParallelism),
+            self.resolver_bc,
+        )
+        parsed = parse_sitemaps(fetched, passthrough=["host", "queue_pos"]).localCheckpoint()
+
+        # children of INDEX sitemaps -> appended at the back of the queue (D3: no dedup)
+        base = (
+            st.sitemap_queue.groupBy("host").agg((F.max("queue_pos") + 1).alias("qbase"))
+        )
+        idx_children = (
+            parsed.filter(F.col("is_index") & (F.col("status") == 200))
+            .select("host", "queue_pos", F.posexplode("children").alias("cpos", "curl"))
+        )
+        w = Window.partitionBy("host").orderBy("queue_pos", "cpos")
+        new_q = (
+            idx_children.join(F.broadcast(base), "host", "left")
+            .fillna({"qbase": 0})
+            .select(
+                F.lit(None).cast("string").alias("job_id"),
+                "host",
+                (F.col("qbase") + F.row_number().over(w) - 1).alias("queue_pos"),
+                F.col("curl").alias("url"),
+                F.lit("QUEUED").alias("state"),
+            )
+        )
+        # page URLs from LEAF sitemaps -> discoveries in FIFO order
+        leaf_pages = (
+            parsed.filter(~F.col("is_index") & (F.col("status") == 200))
+            .select("host", "queue_pos", F.posexplode("children").alias("cpos", "purl"))
+            .select(
+                "host", F.col("purl").alias("url"),
+                F.lit("sitemap").alias("referer"), F.lit("sitemap").alias("page_type"),
+                F.col("queue_pos").alias("ord0"), F.col("cpos").cast("long").alias("ord1"),
+            )
+        )
+        log_rows = self._append_discoveries(st, leaf_pages, wave).localCheckpoint()
+
+        # state updates
+        done_keys = sched.select("host", "url")
+        smq = (
+            st.sitemap_queue.join(done_keys, ["host", "url"], "left_anti")
+            .unionByName(
+                st.sitemap_queue.join(done_keys, ["host", "url"], "left_semi")
+                .withColumn("state", F.lit("FETCHED"))
+            )
+            .unionByName(new_q)
+        )
+        new_frontier = log_rows.select(
+            "host", "url", "url_sha1", "seq",
+            F.lit("QUEUED").alias("state"), F.lit(0).alias("retries"),
+        )
+        n_new = log_rows.count()
+        if self.cfg.use_bloom and n_new:
+            self.bloom = self.bloom.build(log_rows.select("url_sha1"))
+        self._checkpoint(
+            st,
+            {
+                "sitemap_queue": smq,
+                "crawl_log": st.crawl_log.unionByName(log_rows),
+                "fetch_frontier": st.fetch_frontier.unionByName(new_frontier),
+                "host_clocks": advance_clocks(st.host_clocks, sched, self.robots),
+                **(
+                    {"schedule_log": st.schedule_log.unionByName(
+                        sched.select("host", "url", "kind", "scheduled_at", F.lit(wave).alias("wave"))
+                    )} if self.cfg.track_schedule else {}
+                ),
+            },
+        )
+        st.metrics.append(
+            {"wave": wave, "phase": "sitemap", "n_fetched": n_sched, "n_new": n_new}
+        )
+        st.wave += 1
+        return True
+
+    # --------------------------------------------------------- browse wave
+    def browse_wave(self, st: CrawlState) -> bool:
+        """One politeness window: per host, the active shelf (lowest
+        unfinished seed's chain tip — sequential-seed semantics O3) plus
+        queued product fetches up to the budget."""
+        w_nav = Window.partitionBy("host").orderBy("seed_index", "page_index")
+        active = (
+            st.nav.filter(F.col("state") == "QUEUED")
+            .withColumn("_rn", F.row_number().over(w_nav))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        products = st.fetch_frontier.filter(F.col("state") == "QUEUED")
+        wave = st.wave
+
+        shelf_cand = active.select(
+            "host", "url", F.lit("SHELF").alias("kind"),
+            F.lit(0).cast("long").alias("prio0"),
+            F.col("seed_index").cast("long").alias("prio1"),
+            F.col("page_index").cast("long").alias("prio2"),
+        )
+        prod_cand = products.select(
+            "host", "url", F.lit("PRODUCT").alias("kind"),
+            F.lit(1).cast("long").alias("prio0"),
+            F.col("seq").alias("prio1"),
+            F.lit(0).cast("long").alias("prio2"),
+        )
+        sched = schedule_fetches(
+            shelf_cand.unionByName(prod_cand), self.robots, st.host_clocks,
+            self.cfg.max_per_host,
+        ).localCheckpoint()
+        n_sched = sched.count()
+        if n_sched == 0:
+            return False
+
+        fetched = fetch_batches(
+            sched.select("url", "host", "kind", "scheduled_at")
+            .repartition(self.spark.sparkContext.defaultParallelism),
+            self.resolver_bc,
+        )
+        parsed = parse_pages(fetched, passthrough=["host", "kind"]).localCheckpoint()
+
+        shelves = parsed.filter(F.col("kind") == "SHELF").join(
+            active.select(
+                "host", "url", "job_id", "seed_index", "page_index", "prev_shelf"
+            ),
+            ["host", "url"],
+            "inner",
+        ).localCheckpoint()
+
+        # ---- discoveries from shelves: products in doc order, shelf last (P3)
+        ok = shelves.filter(F.col("status") == 200)
+        prod_disc = ok.select(
+            "host", "seed_index", "page_index",
+            F.col("final_url").alias("referer"),
+            F.posexplode_outer("product_links").alias("link_index", "durl"),
+        ).filter(F.col("durl").isNotNull()).select(
+            "host", F.col("durl").alias("url"), "referer",
+            F.lit("PRODUCT").alias("page_type"),
+            (F.col("seed_index").cast("long") * F.lit(1 << 20) + F.col("page_index")).alias("ord0"),
+            F.col("link_index").cast("long").alias("ord1"),
+        )
+        shelf_disc = ok.select(
+            "host", F.col("final_url").alias("url"),
+            F.col("prev_shelf").alias("referer"),
+            F.lit("SHELF").alias("page_type"),
+            (F.col("seed_index").cast("long") * F.lit(1 << 20) + F.col("page_index")).alias("ord0"),
+            F.lit(SHELF_LAST).cast("long").alias("ord1"),
+        )
+        log_rows = self._append_discoveries(
+            st, prod_disc.unionByName(shelf_disc), wave
+        ).localCheckpoint()
+        new_frontier = log_rows.filter(F.col("page_type") == "PRODUCT").select(
+            "host", "url", "url_sha1", "seq",
+            F.lit("QUEUED").alias("state"), F.lit(0).alias("retries"),
+        )
+
+        # ---- documents: shelf docs now, product docs from PRODUCT fetches
+        prod_parsed = parsed.filter((F.col("kind") == "PRODUCT") & (F.col("status") == 200))
+        doc_src = ok.select("host", "final_url", "spans").unionByName(
+            prod_parsed.select("host", "final_url", "spans")
+        )
+        # (same eager-materialization rationale as _append_discoveries: keep
+        # the sha1-of-canonical expression out of the shuffle plans)
+        doc_keyed = doc_src.withColumn(
+            "doc_id", url_sha1_hex_col(F.col("final_url"))
+        ).localCheckpoint()
+        docs = (
+            doc_keyed.select(
+                "doc_id", "spans", F.col("final_url").alias("url"), "host",
+                F.lit(wave).alias("wave"),
+            )
+            .dropDuplicates(["doc_id"])
+            .join(st.documents.select("doc_id"), "doc_id", "left_anti")
+        )
+
+        # ---- nav updates: advance chains (navigation != discovery)
+        fetched_nav = shelves.select(
+            "job_id", "host", "seed_index", "page_index",
+            F.col("status").alias("_status"), F.col("next_url").alias("_next"),
+            F.col("final_url").alias("_final"),
+        )
+        nav_rest = st.nav.join(
+            fetched_nav.select("host", "seed_index", "page_index"),
+            ["host", "seed_index", "page_index"],
+            "left_anti",
+        )
+        nav_done = (
+            st.nav.alias("n")
+            .join(fetched_nav.alias("f"), ["host", "seed_index", "page_index"], "inner")
+            .select(
+                "n.job_id", "host", "seed_index", "page_index", "n.url", "n.prev_shelf",
+                F.when(F.col("f._status") == 200, "FETCHED").otherwise("FAILED").alias("state"),
+            )
+        )
+        nav_next = (
+            fetched_nav.filter((F.col("_status") == 200) & F.col("_next").isNotNull())
+            .select(
+                "job_id", "host", "seed_index",
+                (F.col("page_index") + 1).alias("page_index"),
+                F.col("_next").alias("url"),
+                F.col("_final").alias("prev_shelf"),
+                F.lit("QUEUED").alias("state"),
+            )
+        )
+
+        # ---- frontier updates: mark scheduled PRODUCT fetches
+        prod_keys = sched.filter(F.col("kind") == "PRODUCT").select("host", "url")
+        frontier_rest = st.fetch_frontier.join(prod_keys, ["host", "url"], "left_anti")
+        frontier_done = (
+            st.fetch_frontier.join(prod_keys, ["host", "url"], "left_semi")
+            .join(
+                parsed.filter(F.col("kind") == "PRODUCT").select(
+                    "url", F.col("status").alias("_status")
+                ),
+                "url",
+                "left",
+            )
+            .select(
+                "host", "url", "url_sha1", "seq",
+                F.when(F.col("_status") == 200, "FETCHED").otherwise("FAILED").alias("state"),
+                "retries",
+            )
+        )
+
+        n_new = log_rows.count()
+        n_docs = docs.count()
+        if self.cfg.use_bloom and n_new:
+            self.bloom = self.bloom.build(log_rows.select("url_sha1"))
+        self._checkpoint(
+            st,
+            {
+                "nav": nav_rest.unionByName(nav_done).unionByName(nav_next),
+                "fetch_frontier": frontier_rest.unionByName(frontier_done)
+                .unionByName(new_frontier),
+                "crawl_log": st.crawl_log.unionByName(log_rows),
+                "documents": st.documents.unionByName(docs),
+                "host_clocks": advance_clocks(st.host_clocks, sched, self.robots),
+                **(
+                    {"schedule_log": st.schedule_log.unionByName(
+                        sched.select("host", "url", "kind", "scheduled_at", F.lit(wave).alias("wave"))
+                    )} if self.cfg.track_schedule else {}
+                ),
+            },
+        )
+        st.metrics.append(
+            {"wave": wave, "phase": "browse", "n_fetched": n_sched,
+             "n_new": n_new, "n_docs": n_docs}
+        )
+        st.wave += 1
+        return True
+
+    # --------------------------------------------------------------- resume
+    def resume(self, catalog) -> CrawlState:
+        """Rebuild CrawlState from the latest Iceberg-layout snapshots and
+        re-seed the Bloom shards from the persisted seen-set — a crawl
+        killed after wave k continues identically (resume test, SURVEY §5.5)."""
+        spark = self.spark
+        wave = (catalog.latest_wave() or -1) + 1
+
+        def load(table, schema):
+            try:
+                return catalog.load(spark, table).localCheckpoint()
+            except KeyError:
+                return spark.createDataFrame([], schema)
+
+        st = CrawlState(
+            jobs=load("jobs", schemas.JOBS),
+            nav=load("nav", schemas.NAV),
+            sitemap_queue=load("sitemap_queue", schemas.SITEMAP_QUEUE),
+            fetch_frontier=load("fetch_frontier", schemas.FETCH_FRONTIER),
+            crawl_log=load("crawl_log", schemas.CRAWL_LOG),
+            documents=load("documents", schemas.DOCUMENTS),
+            host_clocks=load("host_clocks", schemas.HOST_CLOCK),
+            schedule_log=spark.createDataFrame(
+                [], "host string, url string, kind string, scheduled_at long, wave int"
+            ),
+            wave=wave,
+        )
+        if self.cfg.use_bloom and not st.crawl_log.isEmpty():
+            self.bloom = BloomShardSet(
+                self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
+            ).build(st.crawl_log.select("url_sha1"))
+        return st
+
+    # ---------------------------------------------------------------- run
+    def run_from(self, st: CrawlState, max_waves: int | None = None) -> CrawlState:
+        budget = max_waves if max_waves is not None else self.cfg.max_waves
+        for _ in range(budget):
+            if not self.sitemap_wave(st):
+                break
+        for _ in range(budget):
+            if not self.browse_wave(st):
+                break
+        return st
+
+    def run(self, seed_jobs: DataFrame) -> CrawlState:
+        return self.run_from(self.admit(seed_jobs))

@@ -36,6 +36,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", "48g")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,141 @@
+"""Iceberg-layout checkpoint catalog (SURVEY §7: the sandbox has no
+iceberg-spark-runtime jar, so this implements the *layout*: immutable
+Parquet data files + JSON snapshot/manifest metadata with per-partition
+lineage) behind a thin API that is swappable for real Iceberg when the jar
+exists (same commit_wave/load surface, ``format='iceberg'`` config).
+
+Layout per table:
+
+    <root>/catalog.json                      # table -> current snapshot id
+    <root>/<table>/metadata/snap-<id>.json   # wave, parent, manifest path,
+                                             #   summary row counts
+    <root>/<table>/metadata/manifest-<id>.json
+                                             # one entry per data file:
+                                             #   path, rows, bytes (the
+                                             #   per-partition lineage)
+    <root>/<table>/data/snap-<id>/part-*.parquet
+
+Every wave commit creates a new snapshot pointing at freshly-written
+immutable data files and records its parent snapshot — a resumable,
+time-travelable chain exactly like Iceberg's snapshot log. ``load`` reads
+any historical snapshot (default: current).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergLayoutCatalog:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._catalog_path = self.root / "catalog.json"
+        if not self._catalog_path.exists():
+            self._catalog_path.write_text(json.dumps({"tables": {}}))
+
+    # ------------------------------------------------------------ internal
+    def _catalog(self) -> dict:
+        return json.loads(self._catalog_path.read_text())
+
+    def _write_catalog(self, cat: dict) -> None:
+        tmp = self._catalog_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(cat, indent=1))
+        os.replace(tmp, self._catalog_path)  # atomic pointer swap (Iceberg-style commit)
+
+    # -------------------------------------------------------------- commit
+    def commit_table(self, table: str, df: DataFrame, wave: int) -> str:
+        snap_id = f"{wave:06d}-{uuid.uuid4().hex[:8]}"
+        tdir = self.root / table
+        data_dir = tdir / "data" / f"snap-{snap_id}"
+        meta_dir = tdir / "metadata"
+        meta_dir.mkdir(parents=True, exist_ok=True)
+
+        df.write.mode("overwrite").parquet(str(data_dir))
+        files = []
+        for f in sorted(data_dir.glob("*.parquet")):
+            md = pq.read_metadata(f)
+            files.append(
+                {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
+                 "bytes": f.stat().st_size, "partition_id": len(files)}
+            )
+        manifest = {"snapshot": snap_id, "table": table, "files": files}
+        (meta_dir / f"manifest-{snap_id}.json").write_text(json.dumps(manifest, indent=1))
+
+        cat = self._catalog()
+        parent = cat["tables"].get(table, {}).get("current")
+        snapshot = {
+            "snapshot_id": snap_id,
+            "wave": wave,
+            "parent_snapshot_id": parent,
+            "manifest": f"{table}/metadata/manifest-{snap_id}.json",
+            "schema": df.schema.json(),
+            "summary": {"total_rows": sum(f["rows"] for f in files),
+                        "n_files": len(files)},
+        }
+        (meta_dir / f"snap-{snap_id}.json").write_text(json.dumps(snapshot, indent=1))
+        entry = cat["tables"].setdefault(table, {"snapshots": []})
+        entry["snapshots"].append({"id": snap_id, "wave": wave})
+        entry["current"] = snap_id
+        self._write_catalog(cat)
+        return snap_id
+
+    def commit_wave(self, wave: int, tables: dict[str, DataFrame]) -> dict[str, str]:
+        return {name: self.commit_table(name, df, wave) for name, df in tables.items()}
+
+    # ---------------------------------------------------------------- read
+    def snapshots(self, table: str) -> list[dict]:
+        return self._catalog()["tables"].get(table, {}).get("snapshots", [])
+
+    def current_snapshot(self, table: str) -> str | None:
+        return self._catalog()["tables"].get(table, {}).get("current")
+
+    def snapshot_info(self, table: str, snap_id: str) -> dict:
+        return json.loads(
+            (self.root / table / "metadata" / f"snap-{snap_id}.json").read_text()
+        )
+
+    def latest_wave(self) -> int | None:
+        waves = [
+            s["wave"]
+            for t in self._catalog()["tables"].values()
+            for s in t.get("snapshots", [])
+        ]
+        return max(waves) if waves else None
+
+    def load(
+        self, spark: SparkSession, table: str, snapshot: str | None = None
+    ) -> DataFrame:
+        snap_id = snapshot or self.current_snapshot(table)
+        if snap_id is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        info = self.snapshot_info(table, snap_id)
+        manifest = json.loads((self.root / info["manifest"]).read_text())
+        paths = [str(self.root / f["path"]) for f in manifest["files"]]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(info["schema"]))
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def lineage(self, table: str) -> list[dict]:
+        """Snapshot chain current -> root with per-file (per-partition)
+        row counts — the 'per-partition lineage' of the north rule."""
+        out = []
+        snap_id = self.current_snapshot(table)
+        while snap_id is not None:
+            info = self.snapshot_info(table, snap_id)
+            manifest = json.loads((self.root / info["manifest"]).read_text())
+            out.append(
+                {"snapshot_id": snap_id, "wave": info["wave"],
+                 "files": manifest["files"], "summary": info["summary"]}
+            )
+            snap_id = info["parent_snapshot_id"]
+        return out

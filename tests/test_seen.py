@@ -1,0 +1,69 @@
+"""Bloom shard set + exact-confirm dedup (SURVEY §2.4 D1/D2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.seen import (
+    BloomShardSet,
+    filter_unseen,
+    first_discovery,
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [(_sha(f"url-{i}"),) for i in range(2000)]
+    df = spark.createDataFrame(keys, ["url_sha1"])
+    bloom = BloomShardSet(n_shards=8, m_bits=1 << 15, k=7).build(df)
+    probed = bloom.maybe_seen_col(df).collect()
+    assert all(r["_maybe_seen"] for r in probed)  # zero false negatives
+
+
+def test_bloom_fpp_bounded(spark):
+    seen = spark.createDataFrame([(_sha(f"url-{i}"),) for i in range(2000)], ["url_sha1"])
+    fresh = spark.createDataFrame([(_sha(f"new-{i}"),) for i in range(2000)], ["url_sha1"])
+    bloom = BloomShardSet(n_shards=8, m_bits=1 << 15, k=7).build(seen)
+    hits = bloom.maybe_seen_col(fresh).filter("_maybe_seen").count()
+    assert hits / 2000 < 0.05  # ~0.5% expected at this sizing
+
+
+def test_bloom_incremental_merge(spark):
+    a = spark.createDataFrame([(_sha(f"a-{i}"),) for i in range(500)], ["url_sha1"])
+    b = spark.createDataFrame([(_sha(f"b-{i}"),) for i in range(500)], ["url_sha1"])
+    bloom = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5).build(a).build(b)
+    both = a.unionByName(b)
+    assert bloom.maybe_seen_col(both).filter("_maybe_seen").count() == 1000
+
+
+def test_filter_unseen_exact(spark):
+    seen = spark.createDataFrame([(_sha(f"u-{i}"),) for i in range(1000)], ["url_sha1"])
+    cand = spark.createDataFrame(
+        [(_sha(f"u-{i}"), f"u-{i}") for i in range(900, 1100)], ["url_sha1", "url"]
+    )
+    bloom = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5).build(seen)
+    got = {r["url"] for r in filter_unseen(cand, seen, bloom).collect()}
+    assert got == {f"u-{i}" for i in range(1000, 1100)}
+    # and identical with no bloom (pure anti-join path)
+    got2 = {r["url"] for r in filter_unseen(cand, seen, None).collect()}
+    assert got2 == got
+
+
+def test_first_discovery_keeps_min_order_key(spark):
+    rows = [
+        (_sha("x"), "x", 2, 5),
+        (_sha("x"), "x", 1, 9),   # earliest wave wins
+        (_sha("x"), "x", 1, 3),   # then earliest seq
+        (_sha("y"), "y", 7, 0),
+    ]
+    df = spark.createDataFrame(rows, ["url_sha1", "url", "wave", "seq"])
+    got = {
+        (r["url"], r["wave"], r["seq"])
+        for r in first_discovery(df, [F.col("wave"), F.col("seq")]).collect()
+    }
+    assert got == {("x", 1, 3), ("y", 7, 0)}

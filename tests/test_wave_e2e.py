@@ -1,0 +1,133 @@
+"""End-to-end engine vs oracle equivalence (BASELINE.md correctness gate):
+
+  * per-host ordered discovery-sequence equality,
+  * global URL-seen set equality,
+  * per-row span-sequence equality (kind, text, media_ref, order),
+  * politeness gap invariant on the engine's schedule,
+  * admission rejections F1/F3.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus, corpus_to_resolver
+from licenta_crawler_spark.oracle.simulator import simulate_crawl
+from licenta_crawler_spark.plans import schemas
+from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+
+def _small_corpus():
+    return build_corpus(
+        n_browse_hosts=2, n_sitemap_hosts=2, mega_host=True,
+        chain_len=(2, 3), products_per_shelf=(3, 5),
+        mega_chain=(4, 5), mega_products=(6, 9),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark):
+    corpus = _small_corpus()
+    oracle = simulate_crawl(corpus)
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    engine = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=7, bloom_shards=4, bloom_bits=1 << 16),
+    )
+    state = engine.run(seed_jobs)
+    return corpus, oracle, state
+
+
+def test_discovery_order_equivalence(engine_run):
+    """Per-host ordered URL sequence == reference semantics, 100%."""
+    corpus, oracle, state = engine_run
+    rows = state.crawl_log.orderBy("host", "seq").collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["host"], []).append((r["url"], r["referer"], r["page_type"]))
+    exp = {h: rows for h, rows in oracle.discovery_log.items() if rows}
+    assert set(got) == set(exp)
+    for host in exp:
+        exp_urls = [u for (u, _, _) in exp[host]]
+        got_urls = [u for (u, _, _) in got[host]]
+        assert got_urls == exp_urls, f"order mismatch on {host}"
+        # referer + page_type parity too
+        assert got[host] == exp[host], f"referer/page_type mismatch on {host}"
+
+
+def test_seen_set_equivalence(engine_run):
+    _, oracle, state = engine_run
+    got = {r["url_sha1"] for r in state.crawl_log.select("url_sha1").collect()}
+    assert got == oracle.seen
+
+
+def test_seq_dense_per_host(engine_run):
+    _, _, state = engine_run
+    bad = (
+        state.crawl_log.groupBy("host")
+        .agg(F.count("*").alias("n"), F.max("seq").alias("mx"), F.min("seq").alias("mn"),
+             F.countDistinct("seq").alias("nd"))
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_document_span_equivalence(engine_run):
+    """Per-row span-sequence equality (kind, text, media_ref, order)."""
+    _, oracle, state = engine_run
+    docs = state.documents.collect()
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in docs
+    }
+    exp = {
+        doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for doc_id, spans in oracle.documents.items()
+    }
+    assert set(got) == set(exp)
+    assert got == exp
+
+
+def test_politeness_invariant(engine_run):
+    """No two fetches of one host closer than its crawl-delay."""
+    corpus, _, state = engine_run
+    sched = state.schedule_log.orderBy("host", "scheduled_at").collect()
+    by_host: dict[str, list[int]] = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r["scheduled_at"])
+    assert by_host
+    for host, times in by_host.items():
+        delay = corpus.robots_for(host)["crawl_delay_ms"]
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= max(delay, 1) for g in gaps), (host, delay, gaps[:5])
+
+
+def test_admission_rejections(engine_run):
+    _, oracle, state = engine_run
+    got = {
+        r["job_id"]: r["status"]
+        for r in state.jobs.filter(F.col("status") != "RUNNING").collect()
+    }
+    assert set(got) == set(oracle.rejected_jobs)
+    for job_id, reason in oracle.rejected_jobs.items():
+        assert reason.split("_")[0] in ("SEED", "JOB")
+    assert sorted(got.values()) == ["REJECTED_ACTIVE_ON_HOST", "REJECTED_SEED_HOST"]
+
+
+def test_documents_schema_matches_input_hint(engine_run):
+    _, _, state = engine_run
+    f = {x.name: x.dataType for x in state.documents.schema.fields}
+    assert isinstance(f["spans"], T.ArrayType)
+    span = f["spans"].elementType
+    assert [s.name for s in span.fields] == ["kind", "text", "media_ref", "offset"]
