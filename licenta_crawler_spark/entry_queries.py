@@ -1,0 +1,479 @@
+"""Driver-contract queries: each SURVEY §2 operator expressed over the
+driver testdata tables, paired with a DuckDB-runnable oracle SQL string.
+
+Conventions that make the driver's row-count + schema + value-hash compare
+deterministic across engines:
+  * every computed column is aliased identically in Spark and SQL;
+  * float aggregates are rounded (2-5 dp) on BOTH sides;
+  * Spark int-typed derived columns are cast to long where DuckDB yields
+    BIGINT (size/posexplode/row_number);
+  * timestamps are surfaced as epoch millis (unix_millis / epoch_ms);
+  * top-k queries order by (rounded metric, unique key) so boundary ties
+    resolve identically.
+
+Queries without an oracle entry (minhash/simhash/langid/LSH-ANN) are
+non-SQL-expressible; the driver records rows-only checks for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.text import (
+    fingerprint_col,
+    lang_id_udf,
+    quality_flags_col,
+    token_count_col,
+)
+from licenta_crawler_spark.operators.ann import brute_force_topk, cosine_col
+from licenta_crawler_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_dedup,
+    simhash_dup_groups,
+)
+
+# deterministic literal query vector (dim 64), identical in Spark + SQL
+ANN_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_ANN_SQL_VEC = "[" + ", ".join(f"{x:.1f}" for x in ANN_QUERY) + "]::DOUBLE[]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- TPC-H-ish
+def q1_pricing_summary(spark, sf_dir):
+    """A3 wave-metrics analog: the classic groupBy rollup (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """Broadcast-join + agg + deterministic top-k (shelf top-k analog)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_volume(spark, sf_dir):
+    """Multi-way join with two broadcast dims (robots/Bloom-directory analog)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------ crawl analogs
+def d1_unseen_anti_join(spark, sf_dir):
+    """D1 URL-seen confirm: left_anti of candidates vs seen set."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def d1_seen_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def d2_first_discovery(spark, sf_dir):
+    """D2 first-discovery dedup: earliest event per user by (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    )
+
+
+def p4_lag_chain(spark, sf_dir):
+    """P4 shelf-chain linkage: lag() per partition in order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        # null-free output: -1 for chain heads (cross-engine hash safety)
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+    )
+
+
+def o4_seq_in_wave(spark, sf_dir):
+    """O4 deterministic per-host sequence: row_number as a data property."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", (F.row_number().over(w) - 1).cast("long").alias("seq")
+    )
+
+
+def p5_host_extract(spark, sf_dir):
+    """P5 domain-of-URL on a synthesized URL column (parse_url native)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id"))
+    return d.select(
+        "doc_id", F.lower(F.parse_url(url, F.lit("HOST"))).alias("host")
+    )
+
+
+def p6_hash_identity(spark, sf_dir):
+    """P6 canonical-identity analog: content hash projection (sha2-256)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def s6_explode_ordinal(spark, sf_dir):
+    """S6 sitemap-child flattening: posexplode with stable ordinals."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 5).alias("val"),
+    )
+
+
+def f4_event_filter(spark, sf_dir):
+    """F4 active-job listing filter: predicate + group count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def a2_group_counts(spark, sf_dir):
+    """A1/A2 per-shelf / per-sitemap counts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def k1_upsert_union_dedup(spark, sf_dir):
+    """K1 batch-upsert idempotence: re-unioned batch collapses by key."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 3 == 0)
+    b = e.filter(F.col("event_id") % 2 == 0)
+    u = a.unionByName(b)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id")
+    )
+
+
+def a3_wave_metrics(spark, sf_dir):
+    """A3 per-wave metrics rollup: hour-bucketed counts + sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket", (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long"))
+        .groupBy("hour_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------- training-data pipeline
+def dedup_exact_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")).select(
+        "fp", F.col("n_docs").cast("long").alias("n_docs"), "keep_doc_id"
+    )
+
+
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_flags_col(F.col("text")).alias("is_quality"))
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+def multimodal_byte_len(spark, sf_dir):
+    """Opaque-binary plumbing: treat text as a binary payload column and
+    surface typed metadata (the decode itself is stubbed — see
+    operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, ANN_QUERY, k=10)
+
+
+def embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4).alias("l2_norm"),
+    )
+
+
+def knn_self_similarity(spark, sf_dir):
+    """Exact cosine between consecutive vec ids (zip_with/aggregate path)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .select(
+            "id_a",
+            F.round(
+                cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4
+            ).alias("cosine"),
+        )
+    )
+
+
+# ----------------------------------------------- rows-only (non-SQL) ops
+def minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return minhash_lsh_dedup(d, n_hashes=16, n_bands=4, threshold=0.5)
+
+
+def simhash_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return simhash_dup_groups(d)
+
+
+def lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return d.select("doc_id", lang_id_udf(F.col("text")).alias("lang_pred"))
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_volume": q5_nation_volume,
+    "d1_unseen_anti_join": d1_unseen_anti_join,
+    "d1_seen_semi_join": d1_seen_semi_join,
+    "d2_first_discovery": d2_first_discovery,
+    "p4_lag_chain": p4_lag_chain,
+    "o4_seq_in_wave": o4_seq_in_wave,
+    "p5_host_extract": p5_host_extract,
+    "p6_hash_identity": p6_hash_identity,
+    "s6_explode_ordinal": s6_explode_ordinal,
+    "f4_event_filter": f4_event_filter,
+    "a2_group_counts": a2_group_counts,
+    "k1_upsert_union_dedup": k1_upsert_union_dedup,
+    "a3_wave_metrics": a3_wave_metrics,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_byte_len": multimodal_byte_len,
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_norms": embedding_norms,
+    "knn_self_similarity": knn_self_similarity,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_groups": simhash_groups,
+    "lang_id": lang_id,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue_orders": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q5_nation_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "d1_unseen_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "d1_seen_semi_join": """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "d2_first_discovery": """
+        SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ts_ms FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "p4_lag_chain": """
+        SELECT user_id, event_id,
+               coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id
+        FROM events
+    """,
+    "o4_seq_in_wave": """
+        SELECT user_id, event_id,
+               (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT AS seq
+        FROM events
+    """,
+    "p5_host_extract": """
+        SELECT doc_id,
+               lower(regexp_extract('https://' || source || '.example/doc/' || doc_id,
+                                    'https://([^/]+)/', 1)) AS host
+        FROM documents
+    """,
+    "p6_hash_identity": """
+        SELECT doc_id, sha256(text) AS text_sha FROM documents
+    """,
+    "s6_explode_ordinal": """
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               round(unnest(embedding)::DOUBLE, 5) AS val
+        FROM embeddings WHERE vec_id < 100
+    """,
+    "f4_event_filter": """
+        SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+        FROM events WHERE event_type IN ('click', 'purchase', 'signup')
+        GROUP BY event_type
+    """,
+    "a2_group_counts": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "k1_upsert_union_dedup": """
+        SELECT event_id, user_id FROM (
+          SELECT event_id, user_id,
+                 row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+          FROM (
+            SELECT * FROM events WHERE event_id % 3 = 0
+            UNION ALL
+            SELECT * FROM events WHERE event_id % 2 = 0
+          )
+        ) WHERE rn = 1
+    """,
+    "a3_wave_metrics": """
+        SELECT (epoch_ms(ts) // 3600000)::BIGINT AS hour_bucket,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "dedup_exact_groups": """
+        SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id FROM (
+          SELECT doc_id::VARCHAR AS doc_id,
+                 sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          FROM documents
+        ) GROUP BY fp HAVING count(*) > 1
+    """,
+    "text_token_stats": """
+        SELECT doc_id,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+               length(text)::BIGINT AS n_chars
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               (length(text) >= 20 AND length(text) <= 100000
+                AND (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 5
+                AND regexp_matches(text, '[A-Za-z]')) AS is_quality
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "multimodal_byte_len": """
+        SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
+    """,
+    "ann_bruteforce_topk": f"""
+        SELECT vec_id, round(cosine, 4) AS cosine FROM (
+          SELECT vec_id,
+                 list_cosine_similarity(embedding::DOUBLE[], {_ANN_SQL_VEC}) AS cosine
+          FROM embeddings
+        ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2_norm
+        FROM embeddings WHERE vec_id < 200
+    """,
+    "knn_self_similarity": f"""
+        SELECT a.vec_id AS id_a,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+    """,
+    # minhash_lsh_pairs / simhash_groups / lang_id: non-SQL-expressible
+    # (xxhash64 signatures, banded LSH, UDF language profiles) -> rows-only.
+}

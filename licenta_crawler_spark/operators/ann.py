@@ -46,14 +46,12 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = vectors.select(
         F.col(id_col).alias("vec_id"),
-        cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        # round BEFORE ordering so boundary ties resolve identically in any
+        # engine computing the same rounded score (oracle comparability)
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 4).alias("cosine"),
     )
     # global top-k: orderBy+limit lets Spark run TakeOrdered (no full sort)
-    return (
-        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id", F.round("cosine", 4).alias("cosine"))
-    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 def knn_join_bruteforce(

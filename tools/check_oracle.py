@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the given SF, compare
+row count, schema width, and order-insensitive values exactly.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from licenta_crawler_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E402
+from licenta_crawler_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None  # pandas surfaces BIGINT NULL as NaN
+        return round(v, 9)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(parallelism=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        sql = ORACLE_SQL.get(name)
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        if sql is None:
+            print(f"{name:28s} rows-only: {len(srows)} rows")
+            continue
+        scols = sorted(sdf.columns)
+        got = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
+        ddf = con.sql(sql).df()
+        dcols = sorted(ddf.columns)
+        exp = sorted(
+            tuple(norm(v) for v in row)
+            for row in ddf[dcols].itertuples(index=False, name=None)
+        )
+        ok = scols == dcols and len(got) == len(exp) and got == exp
+        status = "OK " if ok else "FAIL"
+        print(f"{name:28s} {status} spark={len(got)} duck={len(exp)} cols={scols == dcols}")
+        if not ok:
+            failures.append(name)
+            if scols != dcols:
+                print(f"   cols spark={scols} duck={dcols}")
+            for g, e in [(g, e) for g, e in zip(got, exp) if g != e][:3]:
+                print(f"   spark={g}\n   duck ={e}")
+            if len(got) != len(exp):
+                og = [g for g in got if g not in set(exp)][:2]
+                oe = [e for e in exp if e not in set(got)][:2]
+                print(f"   only-spark={og}\n   only-duck ={oe}")
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
