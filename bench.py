@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Driver bench: headline queries + frontier-throughput jobs, one JSON line.
+
+Usage:  python bench.py [all|queries|frontier]
+Env:    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS     local[N] threads (default 32)
+        SPARK_GRAFT_BENCH_REPLICATION  raw-candidate multiplier (default 16)
+
+Output (single line on stdout):
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {raw_urls, urls_per_sec, pages_per_sec, ...},
+   "crawl_e2e": {urls_discovered, urls_per_sec, ...}}
+
+``frontier`` is the authoritative BASELINE.json metric (URLs
+scheduled+deduped/sec and pages fetched/sec) measured on one steady-state
+wave of the production operator chain; ``crawl_e2e`` is the full iterative
+wave loop including driver overhead. See plans/bench_jobs.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replication = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATION", "16"))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode not in ("all", "queries", "frontier"):
+        sys.stderr.write(f"usage: bench.py [all|queries|frontier] (got {mode!r})\n")
+        raise SystemExit(2)
+
+    from licenta_crawler_spark.session import get_spark
+
+    spark = get_spark("lcs-bench", parallelism=cpus, shuffle_partitions=cpus)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    out: dict = {"sf": sf, "cpus": cpus}
+    queries: dict[str, float] = {}
+
+    if mode in ("all", "queries"):
+        from licenta_crawler_spark.entry_queries import QUERIES
+
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    if mode in ("all", "frontier"):
+        from licenta_crawler_spark.fixtures.corpus import build_corpus
+        from licenta_crawler_spark.plans.bench_jobs import (
+            bench_corpus,
+            crawl_e2e,
+            frontier_steady_wave,
+        )
+
+        fr = frontier_steady_wave(spark, bench_corpus(), replication=replication)
+        out["frontier"] = fr
+        queries["frontier_steady_wave"] = fr["sec"]
+        if mode == "all":
+            e2e = crawl_e2e(spark, build_corpus())
+            out["crawl_e2e"] = e2e
+            queries["crawl_e2e"] = e2e["sec"]
+
+    out["queries"] = queries
+    out["value"] = round(sum(queries.values()), 3)
+    out["unit"] = "sec"
+    out["metric"] = (
+        "total bench sec (frontier.urls_per_sec / pages_per_sec carry the "
+        "BASELINE.json throughput metric)"
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Multimodal media columns: opaque ``binary`` payloads + typed metadata.
+
+The reference deliberately skips media (images are disabled in the browser
+profile — BrowserCrawler.java:82-84, `permissions.default.image=2` in
+resources/prod/browserDefault.properties:6) and only records that a page
+*referenced* them. The graft makes media first-class alongside the
+interleaved span documents (BASELINE.json input_hint): every ``image``
+span carries a ``media_ref``; this module turns refs into a ``media``
+table of opaque binary payloads with typed metadata and runs
+decode/feature/resize stages as Arrow-batched ``mapInPandas`` UDFs.
+
+The actual codec step is STUBBED (no PIL/ffmpeg in the container):
+``decode_media(..., codec="real")`` raises ``NotImplementedError``; the
+default deterministic fake codec derives metadata from the payload bytes
+so the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+batch shape — is real and fully tested. Swapping in a real decoder
+changes only the body of ``_fake_decode``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, doc_id string, kind string, payload binary, n_bytes long"
+)
+
+DECODED_SCHEMA = (
+    "media_ref string, doc_id string, kind string, width int, height int, "
+    "n_channels int, format string, feature array<float>"
+)
+
+
+def media_refs_from_documents(documents: DataFrame) -> DataFrame:
+    """Explode span sequences into one row per media reference, preserving
+    span order (posexplode keeps the offset as a data property)."""
+    return (
+        documents.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .filter(F.col("span.kind").isin("image", "audio", "video"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("pos").cast("long").alias("span_pos"),
+        )
+    )
+
+
+def fetch_media(refs: DataFrame) -> DataFrame:
+    """Materialize payloads for media refs (deterministic fake transport:
+    payload = repeated sha256 of the ref, length seeded by the ref). In
+    production this is the same ``mapInPandas`` fetch site as pages
+    (operators/fetch.py) with byte bodies; partition-parallel, no driver
+    involvement."""
+
+    def run(it):
+        for pdf in it:
+            payloads, sizes = [], []
+            for ref in pdf["media_ref"]:
+                h = hashlib.sha256(ref.encode()).digest()
+                n = 256 + h[0] * 16  # 256..4336 bytes, deterministic per ref
+                payload = (h * (n // len(h) + 1))[:n]
+                payloads.append(payload)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "n_bytes": np.asarray(sizes, dtype=np.int64),
+                }
+            )
+
+    return refs.select("media_ref", "doc_id", "kind").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, str, list[float]]:
+    """Deterministic stand-in for an image/audio decoder: metadata and a
+    small feature vector derived purely from the payload bytes."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[1] % 192
+    height = 64 + h[2] % 192
+    channels = 1 if kind == "audio" else 3
+    fmt = {"image": "png", "audio": "wav", "video": "mkv"}.get(kind, "bin")
+    arr = np.frombuffer(h[:32], dtype=np.uint8).astype(np.float32)
+    feature = (arr / 255.0).tolist()[:8]
+    return width, height, channels, fmt, feature
+
+
+def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode + feature-extract stage over the binary column, one Arrow
+    batch at a time. ``codec='real'`` is the marked stub for the codec
+    libraries absent from this container."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio decode needs PIL/ffmpeg (not in this container); "
+            "use codec='fake' for the deterministic plumbing path"
+        )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for ref, doc_id, kind, payload in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                w, hgt, c, fmt, feat = _fake_decode(bytes(payload), kind)
+                rows.append((ref, doc_id, kind, w, hgt, c, fmt, feat))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "doc_id", "kind", "width", "height",
+                    "n_channels", "format", "feature",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning is pure column math (native, no UDF): target dims
+    preserving aspect ratio, capped at ``max_side``."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "media_ref", "doc_id", "kind", "width", "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plan: frame indices as a native sequence
+    column (the decode of those frames is the stubbed codec step)."""
+    n_frames = (F.col("n_channels") * 0 + F.col("width") % 50 + 10).alias("n")  # fake duration
+    return (
+        decoded.filter(F.col("kind") == "video")
+        .withColumn("_n_frames", n_frames)
+        .select(
+            "media_ref", "doc_id",
+            F.slice(
+                F.sequence(F.lit(0), F.col("_n_frames") - 1, F.lit(every_n)),
+                1, max_frames,
+            ).alias("frame_indices"),
+        )
+    )

@@ -22,6 +22,8 @@ the seen-set.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -64,6 +66,9 @@ class CrawlState:
     schedule_log: DataFrame
     metrics: list = field(default_factory=list)
     wave: int = 0
+    # back-reference keeping the engine (and its scratch dir of materialized
+    # state files) alive as long as any state referencing those files is
+    engine: object = None
 
 
 class CrawlEngine:
@@ -81,6 +86,15 @@ class CrawlEngine:
         self.bloom = BloomShardSet(
             self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
         )
+        # scratch dir for per-wave state truncation when no durable
+        # checkpointer is configured (see _checkpoint for why parquet)
+        self._scratch = tempfile.mkdtemp(prefix="lcs-state-")
+
+    def __del__(self):
+        try:  # shutil may already be torn down at interpreter exit
+            shutil.rmtree(self._scratch, ignore_errors=True)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------ admission
     def admit(self, seed_jobs: DataFrame) -> CrawlState:
@@ -163,7 +177,7 @@ class CrawlEngine:
                     F.lit("QUEUED").alias("state"))
         )
         empty = lambda s: spark.createDataFrame([], s)  # noqa: E731
-        return CrawlState(
+        st = CrawlState(
             jobs=jobs,
             nav=nav.localCheckpoint(),
             sitemap_queue=smq.localCheckpoint(),
@@ -174,7 +188,16 @@ class CrawlEngine:
             schedule_log=empty(
                 "host string, url string, kind string, scheduled_at long, wave int"
             ),
+            engine=self,
         )
+        # snapshot the admitted state (wave -1) so a crawl killed before its
+        # first post-admission checkpoint still resumes with its nav chains
+        # and sitemap queues intact
+        if self.cfg.checkpointer is not None:
+            for name in ("nav", "sitemap_queue", "fetch_frontier", "crawl_log",
+                         "documents", "host_clocks"):
+                setattr(st, name, self._materialize(name, getattr(st, name), -1))
+        return st
 
     # ------------------------------------------------------------- helpers
     def _seq_base(self, st: CrawlState) -> DataFrame:
@@ -207,26 +230,31 @@ class CrawlEngine:
         )
         return log_rows
 
-    def _checkpoint(self, st: CrawlState, tables: dict[str, DataFrame]) -> None:
-        # coalesce before checkpointing: per-wave unions would otherwise
-        # accumulate partitions linearly (wave k state = k stacked unions →
-        # thousands of micro-tasks per downstream job). Narrow dependency,
-        # no shuffle.
+    def _materialize(self, name: str, df: DataFrame, wave: int) -> DataFrame:
+        """Truncate a state table's plan through a parquet round-trip.
+
+        NOT ``localCheckpoint()``: Spark carries the *estimated*
+        ``sizeInBytes`` of the pre-checkpoint plan into the LogicalRDD leaf,
+        and each wave's join tree multiplies several state leaves together
+        — so the carried estimate compounds geometrically across waves
+        (measured: ~3.5x more digits per wave; by wave ~12 the driver spends
+        minutes in BigInteger products inside
+        SizeInBytesOnlyStatsPlanVisitor). A parquet round-trip gives every
+        wave honest *physical* stats, keeps per-wave cost constant, and is
+        what a real cluster does anyway (state tables live in object
+        storage, not executor memory, at 10^10-URL scale)."""
         n = self.spark.sparkContext.defaultParallelism
-        for name, df in tables.items():
-            setattr(st, name, df.coalesce(n).localCheckpoint())
+        df = df.coalesce(n)
         if self.cfg.checkpointer is not None:
-            self.cfg.checkpointer.commit_wave(
-                st.wave,
-                {
-                    "crawl_log": st.crawl_log,
-                    "documents": st.documents,
-                    "fetch_frontier": st.fetch_frontier,
-                    "nav": st.nav,
-                    "sitemap_queue": st.sitemap_queue,
-                    "host_clocks": st.host_clocks,
-                },
-            )
+            snap = self.cfg.checkpointer.commit_table(name, df, wave)
+            return self.cfg.checkpointer.load(self.spark, name, snap)
+        path = f"{self._scratch}/{name}-w{wave}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.schema(df.schema).parquet(path)
+
+    def _checkpoint(self, st: CrawlState, tables: dict[str, DataFrame]) -> None:
+        for name, df in tables.items():
+            setattr(st, name, self._materialize(name, df, st.wave))
 
     # --------------------------------------------------------- sitemap BFS
     def sitemap_wave(self, st: CrawlState) -> bool:
@@ -520,6 +548,7 @@ class CrawlEngine:
                 [], "host string, url string, kind string, scheduled_at long, wave int"
             ),
             wave=wave,
+            engine=self,
         )
         if self.cfg.use_bloom and not st.crawl_log.isEmpty():
             self.bloom = BloomShardSet(
@@ -528,6 +557,33 @@ class CrawlEngine:
         return st
 
     # ---------------------------------------------------------------- run
+    def finalize_jobs(self, st: CrawlState) -> None:
+        """K2 job-state transition (Crawler.java:24-30 finishCrawlJob):
+        RUNNING jobs whose host has no QUEUED work left become FINISHED.
+        A later job on a finished host is admissible again (the reference's
+        JobActiveOnHost check only blocks *concurrent* jobs)."""
+        q = F.col("state") == "QUEUED"
+        remaining = (
+            st.nav.filter(q).select("host")
+            .unionByName(st.sitemap_queue.filter(q).select("host"))
+            .unionByName(st.fetch_frontier.filter(q).select("host"))
+            .distinct()
+            .withColumnRenamed("host", "domain")
+            .withColumn("_active", F.lit(1))
+        )
+        st.jobs = (
+            st.jobs.join(F.broadcast(remaining), "domain", "left")
+            .withColumn(
+                "status",
+                F.when(
+                    (F.col("status") == "RUNNING") & F.col("_active").isNull(),
+                    "FINISHED",
+                ).otherwise(F.col("status")),
+            )
+            .drop("_active")
+            .localCheckpoint()
+        )
+
     def run_from(self, st: CrawlState, max_waves: int | None = None) -> CrawlState:
         budget = max_waves if max_waves is not None else self.cfg.max_waves
         for _ in range(budget):
@@ -536,6 +592,7 @@ class CrawlEngine:
         for _ in range(budget):
             if not self.browse_wave(st):
                 break
+        self.finalize_jobs(st)
         return st
 
     def run(self, seed_jobs: DataFrame) -> CrawlState:

@@ -1,0 +1,119 @@
+"""Structured Streaming façade over the wave engine.
+
+The reference's job intake is a REST endpoint (`POST /jobs`,
+CrawlJobResource.java:53-82) feeding an unbounded thread pool; the graft's
+equivalent is a *stream of job requests*: ``readStream`` over a directory
+of JSON job files, with ``foreachBatch`` admitting each micro-batch into
+the persistent crawl state and driving waves until the frontier drains
+(SURVEY §2.7 notes the reference itself is a batch loop with external
+state — so the streaming layer is a thin intake façade over the wave
+engine, not a reimplementation).
+
+Semantics per micro-batch:
+  * cross-batch F3 (one-active-job-per-host, CrawlJobResource.java:86-90):
+    incoming jobs on a host that already has a RUNNING job are rejected
+    with ``REJECTED_ACTIVE_ON_HOST`` *before* within-batch admission;
+  * admitted jobs merge into the live state (union of nav chains /
+    sitemap queues) and the engine runs its wave loop;
+  * all state flows through the engine's checkpointer (Iceberg-layout
+    catalog), so a restarted service ``resume()``s and the stream's own
+    checkpointLocation guarantees each job file is processed exactly once.
+
+JSON job-file schema (one object per line, same fields as the reference's
+request body at CrawlJobResource.java:57-60):
+  {"job_id": ..., "homepage": ..., "seeds": [...],
+   "additional_sitemaps": [...], "disallow_cookies": false}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.plans.wave import CrawlEngine, CrawlState
+
+JOB_REQUEST_SCHEMA = (
+    "job_id string, homepage string, seeds array<string>, "
+    "additional_sitemaps array<string>, disallow_cookies boolean"
+)
+
+
+class StreamingCrawlService:
+    """Owns a CrawlEngine plus its live CrawlState across micro-batches."""
+
+    def __init__(self, engine: CrawlEngine, max_waves_per_batch: int | None = None):
+        self.engine = engine
+        self.state: CrawlState | None = None
+        self.max_waves_per_batch = max_waves_per_batch
+
+    # ----------------------------------------------------------- admission
+    def _admit_merge(self, seed_jobs: DataFrame) -> None:
+        eng = self.engine
+        if self.state is None:
+            if eng.cfg.checkpointer is not None and eng.cfg.checkpointer.latest_wave() is not None:
+                self.state = eng.resume(eng.cfg.checkpointer)
+            else:
+                self.state = eng.admit(seed_jobs)
+                return
+        st = self.state
+
+        # cross-batch F3: reject jobs whose host already has a RUNNING job
+        incoming = seed_jobs.withColumn(
+            "domain", F.lower(F.parse_url("homepage", F.lit("HOST")))
+        )
+        active = st.jobs.filter(F.col("status") == "RUNNING").select("domain").distinct()
+        rejected = (
+            incoming.join(F.broadcast(active), "domain", "left_semi")
+            .select(
+                "job_id", "domain", "homepage", "seeds",
+                F.coalesce("additional_sitemaps", F.array().cast("array<string>")).alias("sitemaps"),
+                F.lit("REJECTED_ACTIVE_ON_HOST").alias("status"),
+                F.lit(None).cast("string").alias("strategy"),
+                "disallow_cookies",
+            )
+        )
+        allowed = incoming.join(F.broadcast(active), "domain", "left_anti").drop("domain")
+
+        # within-batch admission without clobbering the catalog's current
+        # snapshots mid-merge (the merged state is committed right after)
+        cp, eng.cfg.checkpointer = eng.cfg.checkpointer, None
+        try:
+            inc = eng.admit(allowed)
+        finally:
+            eng.cfg.checkpointer = cp
+        st.jobs = st.jobs.unionByName(inc.jobs).unionByName(rejected)
+        eng._checkpoint(
+            st,
+            {
+                "nav": st.nav.unionByName(inc.nav),
+                "sitemap_queue": st.sitemap_queue.unionByName(inc.sitemap_queue),
+            },
+        )
+
+    # ------------------------------------------------------------ the sink
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self._admit_merge(batch_df)
+        self.engine.run_from(self.state, self.max_waves_per_batch)
+
+    # ------------------------------------------------------------- wiring
+    def start(
+        self,
+        spark: SparkSession,
+        jobs_dir: str,
+        stream_checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """Start the intake stream. ``available_now=True`` drains all
+        pending job files then stops (the testable trigger); ``False``
+        runs continuously with the default micro-batch trigger."""
+        stream = spark.readStream.schema(JOB_REQUEST_SCHEMA).json(jobs_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", stream_checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (operators/multimodal.py): binary payloads,
+typed metadata, Arrow batch shapes — with the codec step stubbed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.multimodal import (
+    decode_media,
+    fetch_media,
+    frame_sample_plan,
+    media_refs_from_documents,
+    resize_plan,
+)
+from licenta_crawler_spark.plans import schemas
+
+DOCS = [
+    (
+        "d1",
+        [
+            ("text", "hello", None, 0),
+            ("image", None, "https://cdn.h/a.jpg", 1),
+            ("link", None, "http://h/x", 2),
+            ("image", None, "https://cdn.h/b.jpg", 3),
+            ("video", None, "https://cdn.h/c.mkv", 4),
+        ],
+        "http://h/1", "h", 0,
+    ),
+    ("d2", [("text", "only text", None, 0)], "http://h/2", "h", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.createDataFrame(DOCS, schemas.DOCUMENTS)
+
+
+def test_media_refs_preserve_span_order(documents):
+    refs = media_refs_from_documents(documents).orderBy("doc_id", "span_pos").collect()
+    assert [(r.doc_id, r.kind, r.media_ref, r.span_pos) for r in refs] == [
+        ("d1", "image", "https://cdn.h/a.jpg", 1),
+        ("d1", "image", "https://cdn.h/b.jpg", 3),
+        ("d1", "video", "https://cdn.h/c.mkv", 4),
+    ]
+
+
+def test_fetch_media_binary_payloads(documents):
+    media = fetch_media(media_refs_from_documents(documents))
+    rows = {r.media_ref: r for r in media.collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert r.n_bytes == len(r.payload) >= 256
+    # deterministic: same ref -> same payload
+    again = {r.media_ref: r.payload for r in fetch_media(
+        media_refs_from_documents(documents)).collect()}
+    assert all(bytes(rows[k].payload) == bytes(v) for k, v in again.items())
+
+
+def test_decode_media_metadata_and_feature(documents):
+    decoded = decode_media(fetch_media(media_refs_from_documents(documents)))
+    rows = decoded.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    fmt = {r.kind: r.format for r in rows}
+    assert fmt == {"image": "png", "video": "mkv"}
+
+
+def test_decode_real_codec_is_stubbed(documents):
+    media = fetch_media(media_refs_from_documents(documents))
+    with pytest.raises(NotImplementedError):
+        decode_media(media, codec="real")
+
+
+def test_resize_plan_native_column_math(documents):
+    decoded = decode_media(fetch_media(media_refs_from_documents(documents)))
+    plan = resize_plan(decoded, max_side=100)
+    for r in plan.collect():
+        assert max(r.target_width, r.target_height) <= 100
+        # aspect ratio preserved within rounding
+        if r.width >= r.height:
+            assert r.target_width >= r.target_height
+        else:
+            assert r.target_height >= r.target_width
+
+
+def test_frame_sample_plan(documents):
+    decoded = decode_media(fetch_media(media_refs_from_documents(documents)))
+    plans = frame_sample_plan(decoded, every_n=5, max_frames=4).collect()
+    assert len(plans) == 1  # only the video span
+    idx = plans[0].frame_indices
+    assert 1 <= len(idx) <= 4
+    assert idx[0] == 0
+    assert all(b - a == 5 for a, b in zip(idx, idx[1:]))

@@ -1,0 +1,118 @@
+"""Structured Streaming job-intake façade (streaming/facade.py): job files
+arrive as a stream; each micro-batch admits + crawls; results equal the
+all-at-once batch run; re-posting a finished host is idempotent."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus, corpus_to_resolver
+from licenta_crawler_spark.plans import schemas
+from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+from licenta_crawler_spark.streaming.facade import StreamingCrawlService
+
+
+def _corpus():
+    return build_corpus(
+        n_browse_hosts=2, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 4),
+    )
+
+
+def _mk_engine(spark, corpus):
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    return CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=8, bloom_shards=4, bloom_bits=1 << 16),
+    )
+
+
+def _good_jobs(corpus):
+    # keep only admissible jobs (fixture includes F1/F3 stress rejects)
+    seen_hosts, out = set(), []
+    for j in corpus.seed_jobs:
+        host = j["homepage"].split("://", 1)[1].split("/", 1)[0].lower()
+        ok_seeds = all(host in s for s in j["seeds"])
+        if host in seen_hosts or not ok_seeds:
+            continue
+        seen_hosts.add(host)
+        out.append(j)
+    return out
+
+
+def _drain(spark, svc, jobs_dir, ckpt_dir):
+    q = svc.start(spark, jobs_dir, ckpt_dir, available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def _log_tuples(state):
+    return sorted(
+        (r.host, r.seq, r.url, r.referer, r.page_type)
+        for r in state.crawl_log.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    corpus = _corpus()
+    jobs = _good_jobs(corpus)
+    assert len(jobs) >= 2
+    jobs_dir = tmp_path_factory.mktemp("jobs_in")
+    ckpt_dir = tmp_path_factory.mktemp("stream_ckpt")
+
+    svc = StreamingCrawlService(_mk_engine(spark, corpus))
+
+    # batch 1: first job only
+    (jobs_dir / "batch1.json").write_text(json.dumps(jobs[0]) + "\n")
+    _drain(spark, svc, str(jobs_dir), str(ckpt_dir))
+    hosts_after_1 = {r.host for r in svc.state.crawl_log.select("host").distinct().collect()}
+
+    # batch 2: the rest (new files only are picked up via stream checkpoint)
+    (jobs_dir / "batch2.json").write_text(
+        "\n".join(json.dumps(j) for j in jobs[1:]) + "\n"
+    )
+    _drain(spark, svc, str(jobs_dir), str(ckpt_dir))
+    return corpus, jobs, svc, jobs_dir, ckpt_dir, hosts_after_1
+
+
+def test_incremental_intake_matches_batch_run(spark, streamed):
+    corpus, jobs, svc, _, _, hosts_after_1 = streamed
+    # batch 1 crawled only its own host
+    host0 = jobs[0]["homepage"].split("://", 1)[1].split("/", 1)[0]
+    assert hosts_after_1 == {host0}
+
+    # final state == the all-at-once batch run
+    batch_engine = _mk_engine(spark, corpus)
+    batch_state = batch_engine.run(
+        spark.createDataFrame(
+            jobs,
+            "job_id string, homepage string, seeds array<string>, "
+            "additional_sitemaps array<string>, disallow_cookies boolean",
+        )
+    )
+    assert _log_tuples(svc.state) == _log_tuples(batch_state)
+
+
+def test_finished_jobs_and_repost_idempotence(spark, streamed):
+    corpus, jobs, svc, jobs_dir, ckpt_dir, _ = streamed
+    st = svc.state
+    assert {r.status for r in st.jobs.collect()} == {"FINISHED"}
+    before = _log_tuples(st)
+    n_docs_before = st.documents.count()
+
+    # batch 3: re-post the first job (fresh job_id, same host) — admissible
+    # because the host's job FINISHED; re-crawl discovers nothing new
+    repost = dict(jobs[0], job_id="repost-1")
+    (jobs_dir / "batch3.json").write_text(json.dumps(repost) + "\n")
+    _drain(spark, svc, str(jobs_dir), str(ckpt_dir))
+
+    st = svc.state
+    statuses = {r.job_id: r.status for r in st.jobs.collect()}
+    assert statuses["repost-1"] == "FINISHED"
+    assert _log_tuples(st) == before
+    assert st.documents.count() == n_docs_before

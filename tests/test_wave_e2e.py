@@ -117,12 +117,15 @@ def test_admission_rejections(engine_run):
     _, oracle, state = engine_run
     got = {
         r["job_id"]: r["status"]
-        for r in state.jobs.filter(F.col("status") != "RUNNING").collect()
+        for r in state.jobs.filter(F.col("status").startswith("REJECTED")).collect()
     }
     assert set(got) == set(oracle.rejected_jobs)
     for job_id, reason in oracle.rejected_jobs.items():
         assert reason.split("_")[0] in ("SEED", "JOB")
     assert sorted(got.values()) == ["REJECTED_ACTIVE_ON_HOST", "REJECTED_SEED_HOST"]
+    # K2 lifecycle: every accepted job finished once its frontier drained
+    accepted = state.jobs.filter(~F.col("status").startswith("REJECTED"))
+    assert {r["status"] for r in accepted.collect()} == {"FINISHED"}
 
 
 def test_documents_schema_matches_input_hint(engine_run):

@@ -1,0 +1,103 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (N vs 4N executors), sandbox-proxied per driver instruction as
+the SAME frontier job at two local parallelism levels on the SAME input.
+
+Runs ``python bench.py frontier`` in two subprocesses (one SparkSession
+per JVM) at local[8] and local[32], computes
+
+    efficiency = (throughput_32 / throughput_8) / (32 / 8)
+
+and rewrites the measured-results section of BENCH.md.
+
+Usage: python tools/bench_scaling.py [low_cpus high_cpus [replication]]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cpus: int, replication: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_REPLICATION=str(replication),
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "frontier"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"bench.py frontier failed at cpus={cpus}")
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)["frontier"]
+    out["cpus"] = cpus
+    out["wall_sec"] = round(time.time() - t0, 1)
+    return out
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    replication = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    a = run_once(low, replication)
+    b = run_once(high, replication)
+    ratio = high / low
+    eff_urls = (b["urls_per_sec"] / a["urls_per_sec"]) / ratio
+    eff_pages = (b["pages_per_sec"] / a["pages_per_sec"]) / ratio
+    result = {
+        "job": "frontier_steady_wave (canonicalize+sha1+D2 window+Bloom D1+"
+               "anti-join+politeness schedule+fetch+parse)",
+        "replication": replication,
+        f"local[{low}]": a,
+        f"local[{high}]": b,
+        "scaling_efficiency_urls": round(eff_urls, 3),
+        "scaling_efficiency_pages": round(eff_pages, 3),
+        "target": 0.8,
+        "pass": eff_urls >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+
+    md = f"""# BENCH — measured throughput + scaling efficiency
+
+Job: **one steady-state frontier wave** — the production operator chain
+(P6 canonicalize → sha1 → D2 first-discovery window → D1 Bloom pre-filter +
+exact anti-join → O1 politeness schedule → S1-S4 vectorized fetch → P1/P2
+span parse) over {a['raw_urls']:,} raw candidate URLs (deterministic corpus,
+seed=42, {replication}x replication of RFC-3986-variant spellings).
+Identical input at both parallelism levels; virtual politeness clocks (no
+sleeping), so this measures compute throughput. See
+`licenta_crawler_spark/plans/bench_jobs.py` and `tools/bench_scaling.py`.
+
+| parallelism | raw URLs | pages fetched | sec | URLs/sec | pages/sec |
+|---|---|---|---|---|---|
+| local[{low}] | {a['raw_urls']:,} | {a['pages_fetched']:,} | {a['sec']} | {a['urls_per_sec']:,} | {a['pages_per_sec']:,} |
+| local[{high}] | {b['raw_urls']:,} | {b['pages_fetched']:,} | {b['sec']} | {b['urls_per_sec']:,} | {b['pages_per_sec']:,} |
+
+**Scaling efficiency ({low}→{high} threads, {ratio:.0f}x):**
+URLs/sec **{eff_urls:.3f}**, pages/sec **{eff_pages:.3f}** (target >= 0.8 —
+{"PASS" if eff_urls >= 0.8 else "FAIL"}).
+
+Note (per driver instruction): the north rule's N vs 4N *executors*
+criterion cannot use a real multi-node cluster in this sandbox; it is
+evidenced by the same job at two local parallelism levels on the same
+input. The job's only shuffles are the D2 dedup window and the O1 host
+grouping; everything else is map-only Arrow stages, which is what makes
+the scaling hold on a real cluster as well.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
