@@ -62,7 +62,10 @@ def main() -> None:
             frontier_steady_wave,
         )
 
-        fr = frontier_steady_wave(spark, bench_corpus(), replication=replication)
+        iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+        fr = frontier_steady_wave(
+            spark, bench_corpus(), replication=replication, iterations=iters
+        )
         out["frontier"] = fr
         queries["frontier_steady_wave"] = fr["sec"]
         if mode == "all":

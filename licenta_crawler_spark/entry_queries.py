@@ -211,6 +211,55 @@ def a3_wave_metrics(spark, sf_dir):
     )
 
 
+def a4_rollup_metrics(spark, sf_dir):
+    """Rollup aggregation (SURVEY §2.7 grouping sets) — subtotal rows per
+    priority, per (priority, status), and grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n", "total",
+        )
+    )
+
+
+def set_except_customers(spark, sf_dir):
+    """EXCEPT set op: customer keys in BUILDING segment minus those with
+    an open ('O') order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(open_cust.distinct()).distinct()
+
+
+def set_intersect_customers(spark, sf_dir):
+    """INTERSECT set op: customers appearing in both high-value and
+    low-priority order populations."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return hi.intersect(lo)
+
+
+def w_dense_rank_topk(spark, sf_dir):
+    """Ranking window beyond row_number (SURVEY §2.7): top-2 orders per
+    customer by (price, orderkey) via dense_rank."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rk").cast("long").alias("rk"),
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
 # ------------------------------------------------- training-data pipeline
 def dedup_exact_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -315,6 +364,10 @@ QUERIES = {
     "a2_group_counts": a2_group_counts,
     "k1_upsert_union_dedup": k1_upsert_union_dedup,
     "a3_wave_metrics": a3_wave_metrics,
+    "a4_rollup_metrics": a4_rollup_metrics,
+    "set_except_customers": set_except_customers,
+    "set_intersect_customers": set_intersect_customers,
+    "w_dense_rank_topk": w_dense_rank_topk,
     "dedup_exact_groups": dedup_exact_groups,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -425,6 +478,32 @@ ORACLE_SQL = {
                count(DISTINCT user_id)::BIGINT AS n_users,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "a4_rollup_metrics": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               count(*)::BIGINT AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "set_except_customers": """
+        SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "set_intersect_customers": """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "w_dense_rank_topk": """
+        SELECT o_custkey, o_orderkey, rk::BIGINT AS rk, round(o_totalprice, 2) AS price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 dense_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders WHERE o_custkey < 500
+        ) WHERE rk <= 2
     """,
     "dedup_exact_groups": """
         SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id FROM (

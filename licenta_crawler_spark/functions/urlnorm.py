@@ -155,7 +155,11 @@ def _pct_normalize_col(c: Column) -> Column:
         )
         return F.when(i == F.lit(0), x).otherwise(fixed)
 
-    return F.concat_ws("", F.transform(parts, fix))
+    # CASE WHEN short-circuits per row in codegen: URLs without any '%'
+    # (the common case) skip the split/transform machinery entirely
+    return F.when(
+        c.contains("%"), F.concat_ws("", F.transform(parts, fix))
+    ).otherwise(c)
 
 
 def _remove_dot_segments_col(path: Column, passes: int = _DOT_PASSES) -> Column:
@@ -166,7 +170,9 @@ def _remove_dot_segments_col(path: Column, passes: int = _DOT_PASSES) -> Column:
         p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/")      # inner /seg/../
         p = F.regexp_replace(p, r"/(?!\.\.$)[^/]+/\.\.$", "/")            # trailing /seg/.. -> /
         p = F.regexp_replace(p, r"^/\.\.(?=/|$)", "")                     # leading /..
-    return p
+    # paths without dot segments (the common case) skip the 5x12
+    # regexp_replace fixed-point entirely (lazy CASE WHEN branch)
+    return F.when(path.rlike(r"(^|/)\.\.?(/|$)"), p).otherwise(path)
 
 
 def canonicalize_url_col(url: Column) -> Column:

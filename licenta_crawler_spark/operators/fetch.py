@@ -36,13 +36,16 @@ FETCHED_SCHEMA = (
 
 def _resolve(resolver: dict, url: str) -> tuple[str, int, str, str, int]:
     """Follow the redirect chain; returns (final_url, status, kind, body, hops)."""
-    cur = canonicalize_url(url)
+    # scheduled URLs are already canonical — probe first, canonicalize only
+    # on a miss (the canonicalizer is the expensive part of this kernel)
+    cur = url if url in resolver else canonicalize_url(url)
     for hops in range(MAX_REDIRECTS + 1):
         entry = resolver.get(cur)
         if entry is None:
             return cur, 404, "missing", "", hops
         if entry["redirect_to"] and entry["status"] in REDIRECT_STATUSES:
-            cur = canonicalize_url(entry["redirect_to"])  # S2+S3
+            nxt = entry["redirect_to"]
+            cur = nxt if nxt in resolver else canonicalize_url(nxt)  # S2+S3
             continue
         body = entry["body"]
         if isinstance(body, (bytes, bytearray)):
