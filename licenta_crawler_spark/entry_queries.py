@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from licenta_crawler_spark.functions.urlnorm import canonicalize_url_col
+from licenta_crawler_spark.operators.politeness import schedule_fetches
+from licenta_crawler_spark.operators.seen import BloomShardSet, filter_unseen
 from licenta_crawler_spark.functions.text import (
     fingerprint_col,
     lang_id_udf,
@@ -211,6 +214,53 @@ def a3_wave_metrics(spark, sf_dir):
     )
 
 
+def p6_canonicalize(spark, sf_dir):
+    """P6 RFC-3986 canonicalization, the engine's own native column chain,
+    checked against an independently-constructed expected string: the raw
+    spelling carries an uppercase scheme/host, default port, dot segment,
+    %-encoded unreserved char, and a fragment — all of which the canonical
+    form must normalize away (SURVEY §2.2 P6)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE:80/a/../doc/"),
+        F.col("doc_id").cast("string"), F.lit("%2D?q=1&x=%5b#frag"),
+    )
+    return d.select("doc_id", canonicalize_url_col(raw).alias("canon"))
+
+
+def d1_bloom_unseen(spark, sf_dir):
+    """D1 as implemented: partitioned-Bloom pre-filter + exact anti-join
+    confirm over sha1 keys. The oracle is the plain set difference — the
+    Bloom path must return exactly it (false positives get exact-checked,
+    false negatives are impossible)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(
+        "doc_id", F.sha1(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("url_sha1")
+    )
+    seen = cand.filter(F.col("doc_id") % 2 == 0).select("url_sha1")
+    bloom = BloomShardSet(8, 1 << 18, 7).build(seen)
+    return filter_unseen(cand, seen, bloom).select("doc_id")
+
+
+def o1_politeness_schedule(spark, sf_dir):
+    """O1 per-host politeness schedule: min-heap per host, budget-capped
+    emission, virtual clocks spaced crawl_delay apart — the applyInPandas
+    operator itself, oracle'd by the closed-form (rank-1)*delay."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    cand = e.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.concat(F.lit("u/"), F.col("event_id").cast("string")).alias("url"),
+        F.lit("E").alias("kind"),
+        F.lit(0).cast("long").alias("prio0"),
+        F.col("event_id").cast("long").alias("prio1"),
+        F.lit(0).cast("long").alias("prio2"),
+    )
+    robots = cand.select("host").distinct().withColumn("crawl_delay_ms", F.lit(100).cast("long"))
+    clocks = spark.createDataFrame([], "host string, clock_ms long")
+    sched = schedule_fetches(cand, robots, clocks, max_per_host=5)
+    return sched.select("host", "url", "scheduled_at")
+
+
 def a4_rollup_metrics(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.7 grouping sets) — subtotal rows per
     priority, per (priority, status), and grand total."""
@@ -364,6 +414,9 @@ QUERIES = {
     "a2_group_counts": a2_group_counts,
     "k1_upsert_union_dedup": k1_upsert_union_dedup,
     "a3_wave_metrics": a3_wave_metrics,
+    "p6_canonicalize": p6_canonicalize,
+    "d1_bloom_unseen": d1_bloom_unseen,
+    "o1_politeness_schedule": o1_politeness_schedule,
     "a4_rollup_metrics": a4_rollup_metrics,
     "set_except_customers": set_except_customers,
     "set_intersect_customers": set_intersect_customers,
@@ -478,6 +531,23 @@ ORACLE_SQL = {
                count(DISTINCT user_id)::BIGINT AS n_users,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "p6_canonicalize": """
+        SELECT doc_id,
+               'http://' || lower(source) || '.example/doc/' || doc_id || '-?q=1&x=%5B' AS canon
+        FROM documents
+    """,
+    "d1_bloom_unseen": """
+        SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+    """,
+    "o1_politeness_schedule": """
+        SELECT user_id::VARCHAR AS host, 'u/' || event_id AS url,
+               ((rn - 1) * 100)::BIGINT AS scheduled_at
+        FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events WHERE event_id < 20000
+        ) WHERE rn <= 5
     """,
     "a4_rollup_metrics": """
         SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -26,7 +26,7 @@ from __future__ import annotations
 import heapq
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCHEDULE_COLS = "host string, url string, kind string, prio0 long, prio1 long, prio2 long, scheduled_at long"
@@ -37,12 +37,25 @@ def schedule_fetches(
     robots: DataFrame,
     host_clocks: DataFrame,
     max_per_host: int = 64,
+    impl: str = "native",
 ) -> DataFrame:
     """candidates: (host, url, kind, prio0, prio1, prio2). Returns the
     per-wave fetch schedule: one row per emitted fetch with scheduled_at.
 
     Rows beyond ``max_per_host`` per host are simply not emitted this wave
     (they stay QUEUED in their source table and re-enter next wave).
+
+    Two equivalent implementations (test-asserted identical):
+
+    * ``native`` (default): the per-host min-heap is a rank — emit the
+      ``max_per_host`` smallest rows by the deterministic priority tuple
+      with ``scheduled_at = clock + rank*delay``. Pure window/filter
+      column math: whole-stage codegen, sort-based (spills instead of
+      OOM-ing when a hot host has millions of queued URLs), no Python.
+    * ``pandas``: the literal min-heap per host group via applyInPandas
+      (the north-star formulation). Same output; loads each host group
+      into one in-memory pandas frame, so at 10^10-URL scale the native
+      path is the production default and this one is the reference shape.
     """
     enriched = (
         candidates.join(
@@ -51,6 +64,21 @@ def schedule_fetches(
         .join(F.broadcast(host_clocks), "host", "left")
         .fillna({"crawl_delay_ms": 0, "clock_ms": 0})
     )
+    if impl == "native":
+        w = Window.partitionBy("host").orderBy(
+            "prio0", "prio1", "prio2", "url", "kind"
+        )
+        return (
+            enriched.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_host)
+            .select(
+                "host", "url", "kind", "prio0", "prio1", "prio2",
+                (
+                    F.col("clock_ms")
+                    + (F.col("_rn") - 1) * F.greatest(F.col("crawl_delay_ms"), F.lit(1))
+                ).cast("long").alias("scheduled_at"),
+            )
+        )
 
     def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
         delay = max(int(pdf["crawl_delay_ms"].iloc[0]), 1)

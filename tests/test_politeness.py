@@ -1,0 +1,84 @@
+"""O1 politeness scheduler: the native window implementation and the
+pandas min-heap implementation must emit identical schedules, and both
+must honor budget + crawl-delay spacing."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.politeness import advance_clocks, schedule_fetches
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rng = random.Random(7)
+    hosts = [f"h{i}.example" for i in range(6)]
+    cand = [
+        (h, f"http://{h}/p{j}", rng.choice(["SHELF", "PRODUCT"]),
+         rng.randint(0, 1), rng.randint(0, 50), rng.randint(0, 3))
+        for h in hosts
+        for j in range(rng.randint(1, 40))
+    ]
+    cand_df = spark.createDataFrame(
+        cand, "host string, url string, kind string, prio0 long, prio1 long, prio2 long"
+    )
+    robots = spark.createDataFrame(
+        [(h, [0, 100, 250, 1000][i % 4]) for i, h in enumerate(hosts)],
+        "host string, crawl_delay_ms long",
+    )
+    clocks = spark.createDataFrame(
+        [(hosts[0], 5000)], "host string, clock_ms long"
+    )
+    return cand_df, robots, clocks
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_native_equals_pandas_heap(setup):
+    cand, robots, clocks = setup
+    for budget in (1, 5, 64):
+        native = schedule_fetches(cand, robots, clocks, budget, impl="native")
+        heap = schedule_fetches(cand, robots, clocks, budget, impl="pandas")
+        assert _rows(native) == _rows(heap), f"budget={budget}"
+
+
+def test_budget_cap_and_gap_invariant(setup):
+    cand, robots, clocks = setup
+    sched = schedule_fetches(cand, robots, clocks, 7, impl="native").collect()
+    by_host: dict[str, list] = {}
+    for r in sched:
+        by_host.setdefault(r.host, []).append(r.scheduled_at)
+    delays = {r.host: r.crawl_delay_ms for r in robots.collect()}
+    for host, times in by_host.items():
+        assert len(times) <= 7
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert b - a >= max(delays[host], 1)
+
+
+def test_existing_clock_offsets_schedule(setup):
+    cand, robots, clocks = setup
+    sched = schedule_fetches(cand, robots, clocks, 3, impl="native")
+    first = (
+        sched.filter(F.col("host") == "h0.example")
+        .agg(F.min("scheduled_at"))
+        .collect()[0][0]
+    )
+    assert first == 5000  # resumes at the persisted host clock
+
+
+def test_advance_clocks_monotone(setup):
+    cand, robots, clocks = setup
+    sched = schedule_fetches(cand, robots, clocks, 5, impl="native")
+    new_clocks = advance_clocks(clocks, sched, robots)
+    old = {r.host: r.clock_ms for r in clocks.collect()}
+    last = {r.host: r["last_at"] for r in
+            sched.groupBy("host").agg(F.max("scheduled_at").alias("last_at")).collect()}
+    for r in new_clocks.collect():
+        assert r.clock_ms > last.get(r.host, -1)
+        assert r.clock_ms >= old.get(r.host, 0)

@@ -1,0 +1,61 @@
+"""Host capability probe: CPU scaling vs memory-bandwidth scaling.
+
+Run before interpreting any parallel benchmark on this machine. On the
+sandbox host, cache-resident integer work scales past 8 cores, but
+aggregate memory bandwidth saturates at ~8 processes — so memory-bound
+stages (string churn, shuffles, Arrow) stop scaling there and degrade
+beyond it. Scaling-efficiency evidence must therefore compare parallelism
+levels below the bandwidth wall (see BENCH.md).
+
+Usage: python tools/host_probe.py  → one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import time
+
+
+def _cpu_burn(q):
+    t0 = time.time()
+    x = n = 0
+    while time.time() - t0 < 3.0:
+        for _ in range(10000):
+            x += 1
+        n += 10000
+    q.put(n)
+
+
+def _mem_burn(q):
+    import numpy as np
+
+    b = np.arange(64_000_000, dtype=np.uint8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 3.0:
+        _ = b + 1  # 64MB read + 64MB write per pass
+        n += 1
+    q.put(n)
+
+
+def _run(target, procs: int) -> float:
+    q = mp.Queue()
+    ps = [mp.Process(target=target, args=(q,)) for _ in range(procs)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return total
+
+
+def probe(levels=(1, 8, 32)) -> dict:
+    out: dict = {"cpu_Mops": {}, "mem_GBps": {}}
+    for p in levels:
+        out["cpu_Mops"][str(p)] = round(_run(_cpu_burn, p) / 3e6, 0)
+    for p in levels:
+        out["mem_GBps"][str(p)] = round(_run(_mem_burn, p) * 128 / 3 / 1000, 1)
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(probe()))
