@@ -69,7 +69,10 @@ def main() -> None:
         out["frontier"] = fr
         queries["frontier_steady_wave"] = fr["sec"]
         if mode == "all":
-            e2e = crawl_e2e(spark, build_corpus())
+            # pagination chains serialize waves (reference semantics), so the
+            # e2e corpus keeps chains short — wave-loop overhead per wave is
+            # the thing measured; frontier_steady_wave covers raw throughput
+            e2e = crawl_e2e(spark, build_corpus(mega_host=False, chain_len=(2, 4)))
             out["crawl_e2e"] = e2e
             queries["crawl_e2e"] = e2e["sec"]
 

@@ -29,7 +29,12 @@ from licenta_crawler_spark.functions.text import (
     quality_flags_col,
     token_count_col,
 )
-from licenta_crawler_spark.operators.ann import brute_force_topk, cosine_col
+from licenta_crawler_spark.operators.ann import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine_col,
+)
 from licenta_crawler_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_dedup,
@@ -378,7 +383,36 @@ def knn_self_similarity(spark, sf_dir):
     )
 
 
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: quality filter -> exact dedup
+    (first doc_id per fingerprint wins) -> per-survivor token stats. The
+    shape every pretraining corpus build runs, end to end in one plan."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(quality_flags_col(F.col("text"))).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        fingerprint_col(F.col("text")).alias("fp"),
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp", "n_tokens")
+    )
+
+
 # ----------------------------------------------- rows-only (non-SQL) ops
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, ANN_QUERY, k=10, n_planes=6)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(e, ANN_QUERY, k=10, n_cells=16, n_probe=4)
+
+
+
 def minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -426,7 +460,10 @@ QUERIES = {
     "text_quality": text_quality,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_byte_len": multimodal_byte_len,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_norms": embedding_norms,
     "knn_self_similarity": knn_self_similarity,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -605,6 +642,25 @@ ORACLE_SQL = {
     "multimodal_byte_len": """
         SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
     """,
+    "pipeline_clean_corpus": """
+        SELECT doc_id, fp, n_tokens FROM (
+          SELECT doc_id, fp, n_tokens,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM (
+            SELECT doc_id::VARCHAR AS doc_id,
+                   sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens
+            FROM documents
+            WHERE length(text) >= 20 AND length(text) <= 100000
+              AND (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 5
+              AND regexp_matches(text, '[A-Za-z]')
+          )
+        ) WHERE rn = 1
+    """,
+    # ann_lsh_topk / ann_ivf_topk: approximate by design -> rows-only
+    # (recall vs brute force is asserted in tests/test_ann.py instead)
     "ann_bruteforce_topk": f"""
         SELECT vec_id, round(cosine, 4) AS cosine FROM (
           SELECT vec_id,

@@ -7,9 +7,12 @@
     and probe are pure column math), candidates restricted to matching
     buckets before the exact cosine — at 10^9 vectors the bucket join
     replaces the full cross product.
-  * IVF-style variant: coarse centroids via k-means-- (sampled driver-side
-    seed centroids, one assignment pass) — left for a later round; LSH
-    covers the ANN contract first.
+  * IVF variant — the other scale path: coarse centroids (deterministic
+    seed sample + one distributed Lloyd refinement pass, all DataFrame
+    ops), vectors partitioned by nearest-centroid cell, query probes the
+    ``n_probe`` nearest cells only. At 10^9 vectors the cell assignment is
+    the ingest-time partition key and a probe scans n_probe/n_cells of
+    the data.
 """
 
 from __future__ import annotations
@@ -108,6 +111,95 @@ def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
     for p in range(n_planes):
         bucket = bucket + F.shiftleft(_pseudo_hyperplane_sign(vec, p, dim), p)
     return bucket
+
+
+# ----------------------------------------------------------------- IVF
+def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid — a literal expression tree over
+    the (small, broadcast-as-literals) centroid table."""
+    sims = F.array(
+        *[
+            cosine_col(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: seed centroids = the n_cells rows
+    with the smallest ids (deterministic sample), refined by ONE Lloyd
+    pass computed distributively (assign -> posexplode -> per-(cell,dim)
+    mean). More passes converge better; one is enough for cell routing."""
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    assigned = vectors.select(
+        _nearest_centroid_col(F.col(vec_col).cast("array<double>"), seeds).alias("cell"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    means = (
+        assigned.groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    refined = list(seeds)
+    for r in means:
+        refined[r["cell"]] = [float(x) for x in r["centroid"]]
+    return refined
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors whose cell is among the query's
+    ``n_probe`` nearest centroids. The cell column is ingest-time state
+    (and the partition key) at production scale; here it is computed
+    inline for a self-contained query."""
+    import math
+
+    cents = centroids or train_ivf_centroids(vectors, n_cells, id_col, vec_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(
+        range(len(cents)), key=lambda i: -cos(query, cents[i])
+    )[:n_probe]
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            _nearest_centroid_col(v, cents).alias("cell"),
+        )
+        .filter(F.col("cell").isin(*probe))
+        .select("vec_id", cosine_col(F.col("v"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
 
 
 def ann_topk_lsh(

@@ -41,6 +41,15 @@ from licenta_crawler_spark.plans import schemas
 
 SHELF_LAST = 1 << 30  # shelf sorts after its products (P3 batch order)
 
+# hive-partition the work tables by lifecycle state: every wave filters
+# state='QUEUED', so partition pruning skips the (ever-growing) FETCHED
+# files entirely instead of scanning and filtering them
+STATE_PARTITIONING = {
+    "fetch_frontier": ["state"],
+    "nav": ["state"],
+    "sitemap_queue": ["state"],
+}
+
 
 @dataclass
 class EngineConfig:
@@ -245,12 +254,17 @@ class CrawlEngine:
         storage, not executor memory, at 10^10-URL scale)."""
         n = self.spark.sparkContext.defaultParallelism
         df = df.coalesce(n)
+        part = STATE_PARTITIONING.get(name)
         if self.cfg.checkpointer is not None:
-            snap = self.cfg.checkpointer.commit_table(name, df, wave)
+            snap = self.cfg.checkpointer.commit_table(name, df, wave, partition_by=part)
             return self.cfg.checkpointer.load(self.spark, name, snap)
         path = f"{self._scratch}/{name}-w{wave}"
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.schema(df.schema).parquet(path)
+        writer = df.write.mode("overwrite")
+        if part:
+            writer = writer.partitionBy(*part)
+        writer.parquet(path)
+        out = self.spark.read.schema(df.schema).option("basePath", path).parquet(path)
+        return out.select(*df.columns)
 
     def _checkpoint(self, st: CrawlState, tables: dict[str, DataFrame]) -> None:
         for name, df in tables.items():

@@ -50,22 +50,40 @@ class IcebergLayoutCatalog:
         os.replace(tmp, self._catalog_path)  # atomic pointer swap (Iceberg-style commit)
 
     # -------------------------------------------------------------- commit
-    def commit_table(self, table: str, df: DataFrame, wave: int) -> str:
+    def commit_table(
+        self, table: str, df: DataFrame, wave: int,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """``partition_by`` hive-partitions the snapshot's data files (e.g.
+        frontier by ``state``) so downstream filters prune whole files —
+        the manifest records each file's partition values, mirroring
+        Iceberg's per-file partition tuple."""
         snap_id = f"{wave:06d}-{uuid.uuid4().hex[:8]}"
         tdir = self.root / table
         data_dir = tdir / "data" / f"snap-{snap_id}"
         meta_dir = tdir / "metadata"
         meta_dir.mkdir(parents=True, exist_ok=True)
 
-        df.write.mode("overwrite").parquet(str(data_dir))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
         files = []
-        for f in sorted(data_dir.glob("*.parquet")):
+        for f in sorted(data_dir.rglob("*.parquet")):
             md = pq.read_metadata(f)
+            rel_in_snap = f.relative_to(data_dir)
+            parts = dict(
+                p.split("=", 1) for p in rel_in_snap.parts[:-1] if "=" in p
+            )
             files.append(
                 {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
-                 "bytes": f.stat().st_size, "partition_id": len(files)}
+                 "bytes": f.stat().st_size, "partition_id": len(files),
+                 "partition": parts}
             )
-        manifest = {"snapshot": snap_id, "table": table, "files": files}
+        manifest = {
+            "snapshot": snap_id, "table": table, "files": files,
+            "partition_by": partition_by or [],
+        }
         (meta_dir / f"manifest-{snap_id}.json").write_text(json.dumps(manifest, indent=1))
 
         cat = self._catalog()
@@ -75,6 +93,7 @@ class IcebergLayoutCatalog:
             "wave": wave,
             "parent_snapshot_id": parent,
             "manifest": f"{table}/metadata/manifest-{snap_id}.json",
+            "data_dir": f"{table}/data/snap-{snap_id}",
             "schema": df.schema.json(),
             "summary": {"total_rows": sum(f["rows"] for f in files),
                         "n_files": len(files)},
@@ -117,12 +136,22 @@ class IcebergLayoutCatalog:
             raise KeyError(f"table {table!r} has no snapshot")
         info = self.snapshot_info(table, snap_id)
         manifest = json.loads((self.root / info["manifest"]).read_text())
-        paths = [str(self.root / f["path"]) for f in manifest["files"]]
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(info["schema"]))
-        if not paths:
+        if not manifest["files"]:
             return spark.createDataFrame([], schema)
+        if manifest.get("partition_by"):
+            # read the immutable snapshot dir so Spark recovers the
+            # hive-partition columns (and can prune on them)
+            data_dir = str(self.root / info["data_dir"])
+            return (
+                spark.read.schema(schema)
+                .option("basePath", data_dir)
+                .parquet(data_dir)
+                .select(*[f.name for f in schema.fields])
+            )
+        paths = [str(self.root / f["path"]) for f in manifest["files"]]
         return spark.read.schema(schema).parquet(*paths)
 
     def lineage(self, table: str) -> list[dict]:

@@ -1,0 +1,101 @@
+"""Similarity search: exact brute force is the ground truth; the LSH and
+IVF scale paths must (a) return a subset scored identically to exact
+cosine and (b) reach a sane recall@k against the exact top-k."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from licenta_crawler_spark.operators.ann import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    brute_force_topk,
+    knn_join_bruteforce,
+    train_ivf_centroids,
+)
+
+DIM = 32
+N = 400
+
+
+def _vec(rng, center):
+    return [center[i] + rng.gauss(0, 0.3) for i in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(5)]
+    rows = [(i, _vec(rng, centers[i % 5])) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), centers
+
+
+def _exact_py(rows, q, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    return [
+        vid for vid, _ in sorted(
+            ((vid, round(cos(v, q), 4)) for vid, v in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+    ]
+
+
+def test_bruteforce_matches_pure_python(vectors):
+    df, centers = vectors
+    q = centers[0]
+    got = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    exp = _exact_py([(r.vec_id, r.embedding) for r in df.collect()], q, 10)
+    assert got == exp
+
+
+def test_lsh_recall_and_exactness(vectors):
+    df, centers = vectors
+    q = centers[1]
+    exact = set(r.vec_id for r in brute_force_topk(df, q, k=10).collect())
+    approx = {r.vec_id: r.cosine for r in ann_topk_lsh(df, q, k=10, n_planes=4).collect()}
+    # scored subset: every approx hit carries its true cosine
+    full = {r.vec_id: r.cosine for r in brute_force_topk(df, q, k=N).collect()}
+    for vid, c in approx.items():
+        assert abs(c - full[vid]) < 1e-6
+    recall = len(exact & set(approx)) / 10
+    assert recall >= 0.5, recall  # single-probe LSH on clustered data
+
+
+def test_ivf_recall(vectors):
+    df, centers = vectors
+    q = centers[2]
+    exact = set(r.vec_id for r in brute_force_topk(df, q, k=10).collect())
+    approx = set(r.vec_id for r in ann_topk_ivf(df, q, k=10, n_cells=8, n_probe=3).collect())
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, recall  # 3-of-8 cells probed on 5-cluster data
+
+
+def test_ivf_centroid_training_deterministic(vectors):
+    df, _ = vectors
+    c1 = train_ivf_centroids(df, n_cells=8)
+    c2 = train_ivf_centroids(df, n_cells=8)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(c) == DIM for c in c1)
+
+
+def test_knn_join_ranks(vectors):
+    df, centers = vectors
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, centers[0]), (1, centers[1])], "q_id long, embedding array<double>"
+    )
+    out = knn_join_bruteforce(qdf, df, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.cosine))
+    assert set(by_q) == {0, 1}
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == [1, 2, 3]
+        assert all(a[1] >= b[1] for a, b in zip(ranks, ranks[1:]))
