@@ -61,6 +61,13 @@ class EngineConfig:
     track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
+    # scratch mode only: parquet round-trip every K-th wave, cheap
+    # localCheckpoint in between. The parquet reset bounds the carried
+    # sizeInBytes estimate (see _materialize) to ~K join-tree products from
+    # an honest physical base — a few hundred digits worst case — while
+    # saving the write+read of every state table on 3 of 4 waves. With a
+    # checkpointer configured every wave commits durably regardless.
+    full_materialize_every: int = 4
 
 
 @dataclass
@@ -258,6 +265,9 @@ class CrawlEngine:
         if self.cfg.checkpointer is not None:
             snap = self.cfg.checkpointer.commit_table(name, df, wave, partition_by=part)
             return self.cfg.checkpointer.load(self.spark, name, snap)
+        k = max(self.cfg.full_materialize_every, 1)
+        if wave >= 0 and wave % k != k - 1:
+            return df.localCheckpoint()
         path = f"{self._scratch}/{name}-w{wave}"
         writer = df.write.mode("overwrite")
         if part:

@@ -1,0 +1,67 @@
+"""Multi-executor proxy run: the frontier job on `local-cluster[N,C,M]` —
+separate executor JVMs on one box — with the package shipped exactly as
+`spark-submit --py-files` would (a zip distributed to executors, here via
+`addPyFile`, which is the same code path). This evidences the north
+rule's deployment shape as far as the sandbox allows: executors that do
+NOT share the driver's filesystem view of the repo must import the
+engine from the shipped artifact.
+
+Usage: python tools/run_cluster_proxy.py [n_executors cores_per_exec replication]
+Prints one JSON line with the run's counters.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import zipfile
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_pyfiles_zip() -> str:
+    zp = "/tmp/licenta_crawler_spark_pyfiles.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for p in (REPO / "licenta_crawler_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    return zp
+
+
+def main() -> None:
+    n_exec = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    replication = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores},4096]")
+        .appName("frontier-cluster-proxy")
+        .config("spark.executor.memory", "3g")
+        .config("spark.sql.shuffle.partitions", str(n_exec * cores))
+        .config("spark.default.parallelism", str(n_exec * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(build_pyfiles_zip())  # the --py-files path
+
+    from licenta_crawler_spark.plans.bench_jobs import bench_corpus, frontier_steady_wave
+
+    result = frontier_steady_wave(
+        spark, bench_corpus(), replication=replication, warmup=True, iterations=1
+    )
+    result["executors"] = n_exec
+    result["cores_per_executor"] = cores
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
