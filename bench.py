@@ -73,6 +73,11 @@ def main() -> None:
             # e2e corpus keeps chains short — wave-loop overhead per wave is
             # the thing measured; frontier_steady_wave covers raw throughput
             e2e = crawl_e2e(spark, build_corpus(mega_host=False, chain_len=(2, 4)))
+            e2e["note"] = (
+                "measures per-wave driver overhead on a small corpus whose "
+                "pagination chains serialize waves (reference semantics); "
+                "'frontier' carries the BASELINE throughput metric"
+            )
             out["crawl_e2e"] = e2e
             queries["crawl_e2e"] = e2e["sec"]
 
