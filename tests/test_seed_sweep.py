@@ -1,0 +1,45 @@
+"""Engine vs reference-semantics oracle on corpora OTHER than the
+default seed — guards against fixture overfitting (SURVEY §5.3: random
+site graphs ⇒ equivalence must hold for any deterministic corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus, corpus_to_resolver
+from licenta_crawler_spark.oracle.simulator import simulate_crawl
+from licenta_crawler_spark.plans import schemas
+from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_order_and_seen_equivalence_other_seeds(spark, seed):
+    corpus = build_corpus(
+        seed=seed, n_browse_hosts=2, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 3), products_per_shelf=(2, 5),
+    )
+    oracle = simulate_crawl(corpus)
+    engine = CrawlEngine(
+        spark,
+        spark.sparkContext.broadcast(corpus_to_resolver(corpus)),
+        spark.createDataFrame(corpus.robots, schemas.ROBOTS),
+        EngineConfig(max_per_host=4, bloom_shards=4, bloom_bits=1 << 16,
+                     track_schedule=False),
+    )
+    state = engine.run(
+        spark.createDataFrame(
+            corpus.seed_jobs,
+            "job_id string, homepage string, seeds array<string>, "
+            "additional_sitemaps array<string>, disallow_cookies boolean",
+        )
+    )
+    rows = state.crawl_log.orderBy("host", "seq").collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["host"], []).append((r["url"], r["referer"], r["page_type"]))
+    exp = {h: rs for h, rs in oracle.discovery_log.items() if rs}
+    assert set(got) == set(exp), seed
+    for host in exp:
+        assert got[host] == exp[host], (seed, host)
+    # URL-seen set equality (sha1 of canonical URLs)
+    assert {r["url_sha1"] for r in rows} == set(oracle.seen), seed
