@@ -11,8 +11,12 @@ deterministic across engines:
   * top-k queries order by (rounded metric, unique key) so boundary ties
     resolve identically.
 
-Queries without an oracle entry (minhash/simhash/langid/LSH-ANN) are
-non-SQL-expressible; the driver records rows-only checks for them.
+Approximate/hashed pipelines (minhash, simhash, LSH-ANN, lang-id) use
+md5-derived integer hashes and literal hyperplane/profile constants so the
+DuckDB oracle replays them exactly (the xxhash64 variants remain the
+production default inside operators/). Only ``ann_ivf_topk`` stays
+rows-only: its centroid refinement is float-summation-order sensitive
+across engines; tests/test_ann.py asserts its recall instead.
 """
 
 from __future__ import annotations
@@ -35,11 +39,15 @@ from licenta_crawler_spark.operators.ann import (
     brute_force_topk,
     cached_ivf_centroids,
     cosine_col,
+    hyperplanes,
+    lsh_bucket_py,
 )
 from licenta_crawler_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_dedup,
     simhash_dup_groups,
+    simhash_near_dup_pairs,
+    xor_seeds,
 )
 
 # deterministic literal query vector (dim 64), identical in Spark + SQL
@@ -402,7 +410,10 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-# ----------------------------------------------- rows-only (non-SQL) ops
+# -------------------------------- approximate ops with exact SQL replays
+# These pipelines hash with md5-derived integers / literal hyperplanes so
+# the DuckDB oracle reproduces the candidate sets bit-for-bit (the
+# xxhash64 variants remain the production default in operators/).
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return ann_topk_lsh(e, ANN_QUERY, k=10, n_planes=6)
@@ -421,19 +432,33 @@ def minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return minhash_lsh_dedup(d, n_hashes=16, n_bands=4, threshold=0.5)
+    return minhash_lsh_dedup(
+        d, n_hashes=16, n_bands=4, threshold=0.5,
+        hash_fn="md5", band_key="concat",
+    )
 
 
 def simhash_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    # project the array column to a deterministic string: the driver's
-    # rows-only canonicalizer sorts a pandas frame and cannot hash lists
-    return simhash_dup_groups(d).select(
+    # the array column is projected to a deterministic string (sorted,
+    # comma-joined) so the driver's value-hash compare can consume it
+    return simhash_dup_groups(d, hash_fn="md5").select(
         "simhash",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.concat_ws(",", F.col("doc_ids")).alias("doc_ids"),
+    )
+
+
+def simhash_near_groups(spark, sf_dir):
+    """Hamming≤3 near-dup pairs via banded SimHash LSH (4×16-bit bands,
+    guaranteed recall for distance < n_bands by pigeonhole)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return simhash_near_dup_pairs(d, k=3, n_bands=4, hash_fn="md5").select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
@@ -478,8 +503,177 @@ QUERIES = {
     "knn_self_similarity": knn_self_similarity,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_groups": simhash_groups,
+    "simhash_near_groups": simhash_near_groups,
     "lang_id": lang_id,
 }
+
+# ------------------------------------------------ generated SQL oracles
+# These replay the md5/literal-hyperplane pipelines exactly in DuckDB;
+# all constants (xor masks, hyperplanes, profiles) are injected from the
+# SAME Python sources the Spark operators use.
+
+_NORM_TOKS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+_MD5_H60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+
+
+def _minhash_pairs_sql(n_hashes=16, n_bands=4, threshold=0.5) -> str:
+    rpb = n_hashes // n_bands
+    seeds = xor_seeds(n_hashes)
+    hcols = ",\n           ".join(
+        f"xor({_MD5_H60.format(v='shingle')}, {seeds[i]}) AS h{i}"
+        for i in range(n_hashes)
+    )
+    sigcols = ", ".join(f"min(h{i}) AS s{i}" for i in range(n_hashes))
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, '{b}:' || {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"s{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 2000
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM docs)
+        ),
+        hashed AS (
+          SELECT doc_id,
+           {hcols}
+          FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shs)
+        ),
+        sig AS (SELECT doc_id, {sigcols} FROM hashed GROUP BY doc_id),
+        banded AS (
+    {bands}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        j AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(list_distinct(sa.shingles || sb.shingles)) AS uni
+          FROM cand
+          JOIN shs sa ON sa.doc_id = doc_a
+          JOIN shs sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 4) AS jaccard
+        FROM j
+        WHERE (CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END) >= {threshold}
+    """
+
+
+def _simhash_sql_cte(bits=60) -> str:
+    """CTE chain docs -> sh(doc_id, simhash); md5-60-bit variant, so bits
+    60..63 of the Spark packing are structurally zero and omitted here."""
+    bitcols = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 2000
+        ),
+        h AS (
+          SELECT doc_id, {_MD5_H60.format(v='tok')} AS h
+          FROM (SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS tok FROM docs)
+        ),
+        bits AS (
+          SELECT doc_id,
+                 {bitcols}
+          FROM h GROUP BY doc_id
+        ),
+        sh AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM bits)
+    """
+
+
+def _simhash_groups_sql() -> str:
+    return _simhash_sql_cte() + """
+        SELECT simhash, count(*)::BIGINT AS n_docs,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        FROM sh GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+def _simhash_near_sql(k=3, n_bands=4) -> str:
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return _simhash_sql_cte() + f"""
+        , banded AS (
+          SELECT doc_id, simhash, band, (simhash >> (band * {width})) & {mask} AS bucket
+          FROM sh, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+    """
+
+
+def _ann_lsh_sql(n_planes=6, dim=64, k=10) -> str:
+    planes = hyperplanes(n_planes, dim)
+    qb = lsh_bucket_py(ANN_QUERY, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{row}]) > 0 THEN {w} ELSE 0 END)".format(
+            row=", ".join(f"{h:.1f}" for h in planes[p]), w=1 << p
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+        SELECT vec_id, round(cosine, 4) AS cosine FROM (
+          SELECT vec_id, list_cosine_similarity(v, {_ANN_SQL_VEC}) AS cosine,
+                 ({bucket}) AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        ) WHERE bucket = {qb}
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _lang_id_sql() -> str:
+    from licenta_crawler_spark.functions.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    counts = ",\n                 ".join(
+        "len(list_intersect(words, [{words}])) AS {lang}".format(
+            words=", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    # replicate the UDF's first-wins argmax: iterate profiles in order,
+    # switch only on a STRICTLY greater count, need >= 1 to beat 'und'
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang} >= 1"]
+        conds += [f"{lang} > {prev}" for prev in langs[:i]]
+        conds += [f"{nxt} <= {lang}" for nxt in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n               ".join(cases)
+    return f"""
+        SELECT doc_id,
+               CASE {case_sql}
+               ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id,
+                 {counts}
+          FROM (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(lower(text), '\\s+')) AS words
+            FROM documents WHERE doc_id < 2000
+          )
+        )
+    """
+
 
 ORACLE_SQL = {
     "q1_pricing_summary": """
@@ -669,8 +863,13 @@ ORACLE_SQL = {
           )
         ) WHERE rn = 1
     """,
-    # ann_lsh_topk / ann_ivf_topk: approximate by design -> rows-only
-    # (recall vs brute force is asserted in tests/test_ann.py instead)
+    # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
+    # sensitive across engines; recall is asserted in tests/test_ann.py)
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "minhash_lsh_pairs": _minhash_pairs_sql(),
+    "simhash_groups": _simhash_groups_sql(),
+    "simhash_near_groups": _simhash_near_sql(),
+    "lang_id": _lang_id_sql(),
     "ann_bruteforce_topk": f"""
         SELECT vec_id, round(cosine, 4) AS cosine FROM (
           SELECT vec_id,
@@ -689,6 +888,4 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
         WHERE a.vec_id < 100 AND b.vec_id < 100
     """,
-    # minhash_lsh_pairs / simhash_groups / lang_id: non-SQL-expressible
-    # (xxhash64 signatures, banded LSH, UDF language profiles) -> rows-only.
 }

@@ -46,6 +46,10 @@ class Page:
     spans: list[dict] = field(default_factory=list)        # ground-truth span sequence
     redirect_to: str | None = None
     status: int = 200
+    # first N fetch attempts return 503 (transient failure); the engine
+    # must retry up to the reference's cap (BrowserCrawler.java:46-47,197
+    # tolerates <=3 timeouts) and succeed on a later attempt (F6)
+    transient_failures: int = 0
 
 
 @dataclass
@@ -107,6 +111,7 @@ def corpus_to_resolver(corpus: "Corpus") -> dict[str, dict]:
             "kind": "page",
             "body": p.html if p.status == 200 else "",
             "content_encoding": None,
+            "transient_failures": p.transient_failures,
         }
     for url, s in corpus.sitemaps.items():
         res[url] = {
@@ -294,6 +299,11 @@ def build_corpus(
                         purls.append(purl)
                         hrefs.append(_variant_href(rng, purl, surl))
                     prev_products.extend(purls)
+                    if i == 0 and not is_mega and s == 0 and p == 0:
+                        # robots-disallowed link (host disallows /cart):
+                        # the parser extracts it, the crawler must never
+                        # log or fetch it
+                        hrefs.append("/cart/book-1")
                     nxt = shelf_urls[p + 1] if p + 1 < chain else None
                     pages[surl] = _shelf_page(rng, surl, host, p, hrefs, nxt)
                     for purl in purls:
@@ -335,8 +345,13 @@ def build_corpus(
                 if j == 1 and page_urls:
                     shared = page_urls[0]
                     urls.insert(2, shared)  # URL listed in two sitemaps (D1)
+                children = list(urls)
+                if i == 0 and j == 0:
+                    # robots-disallowed URL listed in a sitemap (host
+                    # disallows /private): must never be logged or fetched
+                    children.insert(1, f"http://{host}/private/secret")
                 sitemaps[lurl] = Sitemap(
-                    url=lurl, is_index=False, children=urls, gzipped=(j == 0)
+                    url=lurl, is_index=False, children=children, gzipped=(j == 0)
                 )
                 page_urls.extend(urls)
             children = list(leaf_urls)
@@ -369,13 +384,30 @@ def build_corpus(
                     pages[cp] = _product_page(rng, cp, host, [])
             robots.append(
                 {"host": host, "user_agent": "*", "crawl_delay_ms": delay,
-                 "sitemaps": [root], "disallow": []}
+                 "sitemaps": [root], "disallow": ["/private"] if i == 0 else []}
             )
             seed_jobs.append(
                 {"job_id": f"job-{job_no:04d}", "homepage": homepage, "seeds": [homepage],
                  "additional_sitemaps": [], "disallow_cookies": False}
             )
             job_no += 1
+
+    # transient-failure stress shapes on browse host 0 (F6 retry requeue):
+    #   * the second shelf of seed 0 fails once then succeeds — the chain
+    #     must survive (engine requeues with retries+1);
+    #   * one product fails once then succeeds (doc arrives on attempt 2);
+    #   * one product fails more times than the retry cap — permanently
+    #     dropped (frontier row ends FAILED, no document).
+    b0 = f"http://books-b0.example/shelf/0/page-1"
+    if b0 in pages:
+        pages[b0].transient_failures = 1
+    b0_products = sorted(
+        u for u, p in pages.items()
+        if p.host == "books-b0.example" and p.page_kind == "PRODUCT" and p.status == 200
+    )
+    if len(b0_products) >= 2:
+        pages[b0_products[0]].transient_failures = 1
+        pages[b0_products[1]].transient_failures = 5  # > retry cap -> dropped
 
     # invalid admission jobs (F1 seed-host mismatch, F3 duplicate host)
     seed_jobs.append(

@@ -86,34 +86,53 @@ def knn_join_bruteforce(
 
 
 # ------------------------------------------------------- hyperplane LSH
-def _pseudo_hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(<v, h_plane>) with h_plane[i] = ±1 from xxhash64(plane, i) —
-    deterministic hyperplanes without shipping a matrix."""
-    return (
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
-    ).cast("int")
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from an LCG. A tiny literal
+    (n_planes×dim) both engines can inline verbatim — the bucket of any
+    vector is therefore reproducible in a SQL oracle (list_dot_product
+    against the same literals), and at ingest it's an ordinary column."""
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (x >> 17) & 1 else -1.0)
+        out.append(row)
+    return out
 
 
 def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
-    """n_planes-bit bucket id."""
+    """n_planes-bit bucket id: bit p = sign(<v, hyperplane_p>)."""
+    planes = hyperplanes(n_planes, dim)
     bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket + F.shiftleft(_pseudo_hyperplane_sign(vec, p, dim), p)
+    for p, row in enumerate(planes):
+        sign = (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(h) for h in row]),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("int")
+        bucket = bucket + F.shiftleft(sign, p)
     return bucket
+
+
+def lsh_bucket_py(vec: list[float], n_planes: int) -> int:
+    """The same bucket computed driver-side (for literal query vectors)."""
+    planes = hyperplanes(n_planes, len(vec))
+    b = 0
+    for p, row in enumerate(planes):
+        s = 0.0
+        for x, h in zip(vec, row):
+            s += x * h
+        if s > 0:
+            b += 1 << p
+    return b
 
 
 # ----------------------------------------------------------------- IVF
@@ -285,16 +304,12 @@ def ann_topk_lsh(
     is the partition key at production scale."""
     dim = len(query)
     q = F.array(*[F.lit(float(x)) for x in query])
-    with_bucket = vectors.select(
+    qb = lsh_bucket_py([float(x) for x in query], n_planes)
+    cands = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
-    )
-    q_bucket = (
-        vectors.sparkSession.range(1)
-        .select(lsh_bucket_col(q, n_planes, dim).alias("qb"))
-    )
-    cands = with_bucket.join(F.broadcast(q_bucket), F.col("bucket") == F.col("qb"))
+    ).filter(F.col("bucket") == F.lit(qb))
     return (
         cands.select(
             "vec_id", cosine_col(F.col("v").cast("array<double>"), q).alias("cosine")

@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 from licenta_crawler_spark.functions.text import fingerprint_col, normalized_text_col
 
 
+# --------------------------------------------------- cross-engine hashing
+def md5_hash60_col(c) -> "F.Column":
+    """60-bit integer hash carved from the md5 hex — bit-for-bit
+    reproducible in any engine with md5 (DuckDB oracle:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``). The xxhash64 paths are
+    the production default (faster, JVM-native); the md5 paths exist so
+    the driver's DuckDB correctness gate can replay the exact pipeline."""
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def xor_seeds(n: int) -> list[int]:
+    """Deterministic 60-bit xor-mask family (LCG) — the per-permutation
+    'seeds' for md5-based minhash, literal-injected into both engines."""
+    out, x = [], 0x5DEECE66D
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 60)
+        out.append(x)
+    return out
+
+
 # ---------------------------------------------------------------- exact
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of exact (normalized) duplicates: fingerprint, n_docs,
@@ -76,20 +96,28 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig: array<long>[n_hashes]) — min over xxhash64(shingle, seed).
+    """(doc_id, sig: array<long>[n_hashes]) — min over h_i(shingle).
 
     Implementation: posexplode shingles, compute all n_hashes hashes as
     columns, groupBy(doc) with n min() aggs → one shuffle, all codegen.
+
+    ``hash_fn``: 'xxhash64' (default, fastest) uses the seeded JVM hash;
+    'md5' uses a 60-bit md5-derived base hash xor'd with literal masks —
+    identical in DuckDB, so the whole pipeline is oracle-replayable.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    hashed = sh.select(
-        "doc_id",
-        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(n_hashes)],
-    )
+    if hash_fn == "md5":
+        base = md5_hash60_col(F.col("shingle"))
+        seeds = xor_seeds(n_hashes)
+        hcols = [base.bitwiseXOR(F.lit(seeds[i])).alias(f"h{i}") for i in range(n_hashes)]
+    else:
+        hcols = [F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    hashed = sh.select("doc_id", *hcols)
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -99,19 +127,35 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4,
+    band_key: str = "hash",
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    ``band_key``: 'hash' (default) joins on hash(band, slice) — compact
+    shuffle keys; 'concat' joins on the literal 'b:v,v,..' string, which a
+    SQL oracle can reproduce verbatim."""
+    if band_key == "concat":
+        key = lambda b: F.concat_ws(  # noqa: E731
+            ":",
+            b.cast("string"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+        )
+    else:
+        key = lambda b: F.hash(  # noqa: E731
+            b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        ).cast("string")
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.hash(
-                    b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), key)
         ).alias("band", "bucket"),
     )
     a = banded.alias("a")
@@ -163,44 +207,112 @@ def minhash_lsh_dedup(
     n_bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    band_key: str = "hash",
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH buckets → exact-Jaccard verify."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n, hash_fn)
+    pairs = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands, band_key)
     return verify_jaccard(pairs, docs, id_col, text_col, shingle_n, threshold)
 
 
 # ----------------------------------------------------------------- simhash
+SIMHASH_BITS = 64  # md5 variant effectively uses the low 60 (hash width)
+
+
 def simhash_col_df(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash: long) — classic 64-bit simhash, fully native:
-    explode tokens → xxhash64 → per-bit ±1 contributions summed via one
-    groupBy → sign bits packed back into a long."""
+    explode tokens → token hash → per-bit ±1 contributions summed via one
+    groupBy → sign bits packed back into a long. ``hash_fn='md5'`` swaps
+    the token hash for the 60-bit md5-derived one (DuckDB-replayable)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalized_text_col(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    h = md5_hash60_col(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
+    toks = toks.withColumn("h", h)
     # per-bit contribution: +1 if bit set else -1
     bit_cols = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_cols)
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         packed = packed.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     return (
-        simhash_col_df(docs, id_col, text_col)
+        simhash_col_df(docs, id_col, text_col, hash_fn)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs_from_hashes(
+    sig: DataFrame, k: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Hamming-distance≤k near-dup pairs from (doc_id, simhash) rows via
+    banded LSH: the 64-bit fingerprint splits into ``n_bands`` contiguous
+    bands; two docs within hamming distance n_bands-1 must agree on at
+    least one whole band (pigeonhole), so the band equi-self-join finds
+    every such pair; candidates are verified with bit_count(xor) ≤ k —
+    the same band→bucket→verify shape as the MinHash pipeline, no
+    all-pairs product anywhere."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= k)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs at hamming distance ≤ k (k < n_bands for
+    guaranteed recall): simhash → banded LSH → hamming verify."""
+    return simhash_near_pairs_from_hashes(
+        simhash_col_df(docs, id_col, text_col, hash_fn), k, n_bands
     )

@@ -30,12 +30,17 @@ REDIRECT_STATUSES = {301, 302, 303}  # SitemapSaxCrawler.java:134-138
 
 FETCHED_SCHEMA = (
     "url string, final_url string, status int, body_kind string, "
-    "body string, n_redirects int"
+    "body string, n_redirects int, cookies_blocked boolean"
 )
 
 
-def _resolve(resolver: dict, url: str) -> tuple[str, int, str, str, int]:
-    """Follow the redirect chain; returns (final_url, status, kind, body, hops)."""
+def _resolve(resolver: dict, url: str, attempt: int = 0) -> tuple[str, int, str, str, int]:
+    """Follow the redirect chain; returns (final_url, status, kind, body, hops).
+
+    ``attempt`` is the zero-based retry count of this fetch: the synthetic
+    corpus models transient failures (timeouts in the reference,
+    BrowserCrawler.java:175,197) as the first N attempts returning 503 —
+    the wave engine requeues 5xx rows with retries+1 up to the cap (F6)."""
     # scheduled URLs are already canonical — probe first, canonicalize only
     # on a miss (the canonicalizer is the expensive part of this kernel)
     cur = url if url in resolver else canonicalize_url(url)
@@ -47,6 +52,8 @@ def _resolve(resolver: dict, url: str) -> tuple[str, int, str, str, int]:
             nxt = entry["redirect_to"]
             cur = nxt if nxt in resolver else canonicalize_url(nxt)  # S2+S3
             continue
+        if attempt < (entry.get("transient_failures") or 0):
+            return cur, 503, "transient", "", hops
         body = entry["body"]
         if isinstance(body, (bytes, bytearray)):
             if entry.get("content_encoding") == "gzip" or body[:2] == b"\x1f\x8b":
@@ -68,14 +75,27 @@ def fetch_batches(df: DataFrame, resolver_bc) -> DataFrame:
     )
     schema = FETCHED_SCHEMA + (", " + pass_schema if pass_schema else "")
 
+    use_attempt = "retries" in df.columns
+    use_cookies = "disallow_cookies" in df.columns
+
     def run(it):
         resolver = resolver_bc.value
         for pdf in it:
             rows = []
-            for url in pdf["url"]:
-                rows.append((url, *_resolve(resolver, url)))
+            attempts = pdf["retries"] if use_attempt else None
+            # F7 cookie policy (BrowserCrawler.java:86-88): in production
+            # this is where the per-partition HTTP session's cookie jar is
+            # disabled per host; the sandbox resolver is stateless, so the
+            # honored policy is recorded in the fetched-page metadata
+            cookies = pdf["disallow_cookies"] if use_cookies else None
+            for i, url in enumerate(pdf["url"]):
+                a = int(attempts.iloc[i]) if attempts is not None else 0
+                blocked = bool(cookies.iloc[i]) if cookies is not None else False
+                rows.append((url, *_resolve(resolver, url, a), blocked))
             out = pd.DataFrame(
-                rows, columns=["url", "final_url", "status", "body_kind", "body", "n_redirects"]
+                rows,
+                columns=["url", "final_url", "status", "body_kind", "body",
+                         "n_redirects", "cookies_blocked"],
             )
             for c in passthrough:
                 out[c] = pdf[c].to_numpy()

@@ -29,11 +29,24 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass, field
+from urllib.parse import urlsplit
 
 from licenta_crawler_spark.fixtures.corpus import Corpus
 from licenta_crawler_spark.functions.urlnorm import canonicalize_url, url_sha1_hex
 
 MAX_REDIRECTS = 5  # SitemapSaxCrawler.java:102
+# F6: at most 3 total attempts per page — transient (5xx) failures retry,
+# others are terminal (BrowserCrawler.java:46-47,197 timeout tolerance)
+MAX_FETCH_RETRIES = 3
+
+
+def _attempts_and_success(page) -> tuple[int, bool]:
+    """(number of fetch attempts made, did the page eventually 200)."""
+    for a in range(MAX_FETCH_RETRIES):
+        if a < page.transient_failures:
+            continue  # 503 this attempt -> retry
+        return a + 1, page.status == 200
+    return MAX_FETCH_RETRIES, False  # cap exhausted -> dropped
 
 
 @dataclass
@@ -71,17 +84,25 @@ def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleRes
     rejected: dict[str, str] = {}
     active_hosts: set[str] = set()
 
+    disallow_by_host = {r["host"]: list(r.get("disallow") or []) for r in corpus.robots}
+
     def upsert(host: str, url: str, referer: str | None, page_type: str) -> bool:
+        canon = canonicalize_url(url)
+        # robots disallow (S7): never log or fetch a disallowed path
+        path = urlsplit(canon).path or "/"
+        if any(path.startswith(d) for d in disallow_by_host.get(host, [])):
+            return False
         key = url_sha1_hex(url)
         if key in seen:
             return False
         seen.add(key)
-        log.setdefault(host, []).append((canonicalize_url(url), referer, page_type))
+        log.setdefault(host, []).append((canon, referer, page_type))
         return True
 
     def record_doc(canon_url: str) -> None:
         page = corpus.pages.get(canon_url)
-        if page is not None and page.status == 200:
+        if page is not None and page.status == 200 \
+                and page.transient_failures < MAX_FETCH_RETRIES:
             documents[url_sha1_hex(canon_url)] = page.spans
 
     for job in corpus.seed_jobs:
@@ -126,7 +147,10 @@ def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleRes
                         upsert(host, purl, "sitemap", "sitemap")
             if fetch_product_docs:
                 for canon, _, _ in log.get(host, []):
-                    fetch_tick()
+                    p = corpus.pages.get(canon)
+                    n_att = _attempts_and_success(p)[0] if p is not None else 1
+                    for _ in range(n_att):
+                        fetch_tick()
                     record_doc(canon)
         else:
             # EP3: paginated browse, seeds sequential
@@ -139,7 +163,12 @@ def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleRes
                     if target is None:
                         break
                     page = corpus.pages[target]
-                    if page.status != 200:
+                    # F6: transient 5xx attempts retry up to the cap; the
+                    # first tick above was attempt 1
+                    n_att, ok = _attempts_and_success(page)
+                    for _ in range(n_att - 1):
+                        fetch_tick()
+                    if not ok:
                         break
                     new_products = []
                     for purl in page.product_urls:
@@ -152,7 +181,10 @@ def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleRes
             if fetch_product_docs:
                 for canon, _, ptype in list(log.get(host, [])):
                     if ptype == "PRODUCT":
-                        fetch_tick()
+                        p = corpus.pages.get(canon)
+                        n_att = _attempts_and_success(p)[0] if p is not None else 1
+                        for _ in range(n_att):
+                            fetch_tick()
                         record_doc(canon)
         fetch_times[host] = times
 

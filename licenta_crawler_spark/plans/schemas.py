@@ -54,6 +54,9 @@ NAV = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("prev_shelf", T.StringType()),
         T.StructField("state", T.StringType(), False),  # QUEUED|FETCHED|DONE|FAILED
+        # F6: transient (5xx) shelf fetches requeue with retries+1 up to
+        # MAX_FETCH_RETRIES total attempts (BrowserCrawler.java:46-47,197)
+        T.StructField("retries", T.IntegerType(), False),
     ]
 )
 

@@ -41,6 +41,32 @@ from licenta_crawler_spark.plans import schemas
 
 SHELF_LAST = 1 << 30  # shelf sorts after its products (P3 batch order)
 
+# F6 retry cap: at most 3 total attempts per URL — transient (>=500)
+# failures requeue with retries+1, anything else is terminal. Mirrors the
+# reference's <=3 tolerated timeouts per page (BrowserCrawler.java:46-47,197).
+MAX_FETCH_RETRIES = 3
+
+
+def _retry_state_col(status_col, retries_col):
+    """QUEUED-with-retry / FETCHED / FAILED from a fetch status (F6):
+    5xx is retryable below the cap; 200 done; anything else terminal."""
+    return (
+        F.when(status_col == 200, F.lit("FETCHED"))
+        .when(
+            (status_col >= 500) & (retries_col + 1 < MAX_FETCH_RETRIES),
+            F.lit("QUEUED"),
+        )
+        .otherwise(F.lit("FAILED"))
+    )
+
+
+def _retry_count_col(status_col, retries_col):
+    return (
+        F.when(status_col == 200, retries_col)
+        .otherwise(retries_col + 1)
+        .cast("int")
+    )
+
 # hive-partition the work tables by lifecycle state: every wave filters
 # state='QUEUED', so partition pruning skips the (ever-growing) FETCHED
 # files entirely instead of scanning and filtering them
@@ -105,6 +131,12 @@ class CrawlEngine:
         # scratch dir for per-wave state truncation when no durable
         # checkpointer is configured (see _checkpoint for why parquet)
         self._scratch = tempfile.mkdtemp(prefix="lcs-state-")
+        # monotonically increasing scratch-file id: paths must NEVER be
+        # keyed by (table, wave) — two commits of the same table in one
+        # wave (e.g. streaming _admit_merge followed by the wave body)
+        # would overwrite the parquet path the merged plan is reading
+        # from, which Spark rejects mid-job
+        self._mat_seq = 0
 
     def __del__(self):
         try:  # shutil may already be torn down at interpreter exit
@@ -179,6 +211,7 @@ class CrawlEngine:
                 F.lit(0).alias("page_index"), "url",
                 F.lit(None).cast("string").alias("prev_shelf"),
                 F.lit("QUEUED").alias("state"),
+                F.lit(0).alias("retries"),
             )
         )
         # sitemap FIFO queues for SITEMAP jobs
@@ -207,17 +240,30 @@ class CrawlEngine:
             engine=self,
         )
         # snapshot the admitted state (wave -1) so a crawl killed before its
-        # first post-admission checkpoint still resumes with its nav chains
-        # and sitemap queues intact
+        # first post-admission checkpoint still resumes with its nav chains,
+        # sitemap queues, AND job statuses intact — jobs must be committed
+        # too, or a restarted service loses RUNNING/REJECTED statuses and
+        # the cross-batch one-active-job-per-host check (F3) silently
+        # admits duplicates
         if self.cfg.checkpointer is not None:
-            for name in ("nav", "sitemap_queue", "fetch_frontier", "crawl_log",
-                         "documents", "host_clocks"):
+            for name in ("jobs", "nav", "sitemap_queue", "fetch_frontier",
+                         "crawl_log", "documents", "host_clocks"):
                 setattr(st, name, self._materialize(name, getattr(st, name), -1))
         return st
 
     # ------------------------------------------------------------- helpers
     def _seq_base(self, st: CrawlState) -> DataFrame:
         return st.crawl_log.groupBy("host").agg((F.max("seq") + 1).alias("seq_base"))
+
+    def _fetch_policy(self, st: CrawlState) -> DataFrame:
+        """Per-host fetch options from the owning job (F7 cookie policy,
+        BrowserCrawler.java:86-88): broadcast-joined onto every fetch
+        batch so the fetch UDF can configure its session per host."""
+        return (
+            st.jobs.filter(F.col("status") == "RUNNING")
+            .select(F.col("domain").alias("host"), "disallow_cookies")
+            .dropDuplicates(["host"])
+        )
 
     def _append_discoveries(self, st: CrawlState, cands: DataFrame, wave: int):
         """cands: host, url(raw), referer, page_type, ord0 long, ord1 long.
@@ -232,6 +278,20 @@ class CrawlEngine:
         ).withColumn(
             "url_sha1", F.sha1(F.encode(F.col("url_canon"), "UTF-8"))
         ).localCheckpoint()
+        # robots disallow enforcement (S7): a candidate whose canonical
+        # path starts with any of its host's disallow prefixes is rejected
+        # before it is logged or scheduled — it must never be fetched.
+        # The robots table is a broadcast dim; the filter is native.
+        dis = self.robots.select("host", F.col("disallow").alias("_dis"))
+        c = (
+            c.join(F.broadcast(dis), "host", "left")
+            .withColumn("_path", F.parse_url(F.col("url_canon"), F.lit("PATH")))
+            .filter(
+                F.col("_dis").isNull()
+                | ~F.exists("_dis", lambda d: F.col("_path").startswith(d))
+            )
+            .drop("_dis", "_path")
+        )
         c = first_discovery(c, [F.col("ord0"), F.col("ord1")])  # D2
         new = filter_unseen(c, st.crawl_log, self.bloom if self.cfg.use_bloom else None)  # D1
         w = Window.partitionBy("host").orderBy("ord0", "ord1")
@@ -268,7 +328,8 @@ class CrawlEngine:
         k = max(self.cfg.full_materialize_every, 1)
         if wave >= 0 and wave % k != k - 1:
             return df.localCheckpoint()
-        path = f"{self._scratch}/{name}-w{wave}"
+        self._mat_seq += 1
+        path = f"{self._scratch}/{name}-m{self._mat_seq:06d}"
         writer = df.write.mode("overwrite")
         if part:
             writer = writer.partitionBy(*part)
@@ -300,6 +361,8 @@ class CrawlEngine:
 
         fetched = fetch_batches(
             sched.select("url", "host", F.col("prio1").alias("queue_pos"), "scheduled_at")
+            .join(F.broadcast(self._fetch_policy(st)), "host", "left")
+            .fillna({"disallow_cookies": False})
             .repartition(self.spark.sparkContext.defaultParallelism),
             self.resolver_bc,
         )
@@ -409,8 +472,19 @@ class CrawlEngine:
         if n_sched == 0:
             return False
 
+        # attach the per-row retry count so the fetch stage knows which
+        # attempt this is (transient-failure modelling, F6)
+        retry_src = active.select(
+            "host", "url", F.lit("SHELF").alias("kind"), "retries"
+        ).unionByName(
+            products.select("host", "url", F.lit("PRODUCT").alias("kind"), "retries")
+        )
         fetched = fetch_batches(
             sched.select("url", "host", "kind", "scheduled_at")
+            .join(retry_src, ["host", "url", "kind"], "left")
+            .fillna({"retries": 0})
+            .join(F.broadcast(self._fetch_policy(st)), "host", "left")
+            .fillna({"disallow_cookies": False})
             .repartition(self.spark.sparkContext.defaultParallelism),
             self.resolver_bc,
         )
@@ -486,7 +560,8 @@ class CrawlEngine:
             .join(fetched_nav.alias("f"), ["host", "seed_index", "page_index"], "inner")
             .select(
                 "n.job_id", "host", "seed_index", "page_index", "n.url", "n.prev_shelf",
-                F.when(F.col("f._status") == 200, "FETCHED").otherwise("FAILED").alias("state"),
+                _retry_state_col(F.col("f._status"), F.col("n.retries")).alias("state"),
+                _retry_count_col(F.col("f._status"), F.col("n.retries")).alias("retries"),
             )
         )
         nav_next = (
@@ -497,6 +572,7 @@ class CrawlEngine:
                 F.col("_next").alias("url"),
                 F.col("_final").alias("prev_shelf"),
                 F.lit("QUEUED").alias("state"),
+                F.lit(0).alias("retries"),
             )
         )
 
@@ -514,8 +590,8 @@ class CrawlEngine:
             )
             .select(
                 "host", "url", "url_sha1", "seq",
-                F.when(F.col("_status") == 200, "FETCHED").otherwise("FAILED").alias("state"),
-                "retries",
+                _retry_state_col(F.col("_status"), F.col("retries")).alias("state"),
+                _retry_count_col(F.col("_status"), F.col("retries")).alias("retries"),
             )
         )
 
@@ -595,7 +671,7 @@ class CrawlEngine:
             .withColumnRenamed("host", "domain")
             .withColumn("_active", F.lit(1))
         )
-        st.jobs = (
+        jobs = (
             st.jobs.join(F.broadcast(remaining), "domain", "left")
             .withColumn(
                 "status",
@@ -605,8 +681,13 @@ class CrawlEngine:
                 ).otherwise(F.col("status")),
             )
             .drop("_active")
-            .localCheckpoint()
         )
+        # job lifecycle transitions are state like any other (K2): commit
+        # through the checkpointer so resume() recovers FINISHED statuses
+        if self.cfg.checkpointer is not None:
+            st.jobs = self._materialize("jobs", jobs, st.wave)
+        else:
+            st.jobs = jobs.localCheckpoint()
 
     def run_from(self, st: CrawlState, max_waves: int | None = None) -> CrawlState:
         budget = max_waves if max_waves is not None else self.cfg.max_waves

@@ -81,10 +81,10 @@ class StreamingCrawlService:
             inc = eng.admit(allowed)
         finally:
             eng.cfg.checkpointer = cp
-        st.jobs = st.jobs.unionByName(inc.jobs).unionByName(rejected)
         eng._checkpoint(
             st,
             {
+                "jobs": st.jobs.unionByName(inc.jobs).unionByName(rejected),
                 "nav": st.nav.unionByName(inc.nav),
                 "sitemap_queue": st.sitemap_queue.unionByName(inc.sitemap_queue),
             },

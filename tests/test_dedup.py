@@ -1,0 +1,102 @@
+"""Dedup operators (SURVEY §2.4 + training-data pipeline): SimHash
+hamming≤k banded LSH guarantees, md5/xxhash hash-variant agreement on
+exact duplicates, and MinHash-LSH true-near-dup recovery."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    simhash_col_df,
+    simhash_near_dup_pairs,
+    simhash_near_pairs_from_hashes,
+)
+
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, simhash long")
+
+
+def test_simhash_near_one_bit_flip_found(spark):
+    """A 1-bit-flipped fingerprint is always recovered (hamming=1)."""
+    x = 0x0123456789ABCDE7
+    out = simhash_near_pairs_from_hashes(
+        _sig_df(spark, [("a", x), ("b", x ^ 1)]), k=3, n_bands=4
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [("a", "b", 1)]
+
+
+def test_simhash_near_pigeonhole_guarantee(spark):
+    """Any pair within hamming n_bands-1 shares at least one intact band
+    and must be found; flips in EVERY band defeat the banding (by design,
+    which is why k < n_bands)."""
+    x = 0x00FF00FF00FF00FF
+    # 3 flips in 3 different bands -> band 3 intact -> found, hamming 3
+    y = x ^ (1 << 0) ^ (1 << 16) ^ (1 << 32)
+    # 4 flips, one per band -> no shared band -> LSH miss even with k=4
+    z = x ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)
+    found = simhash_near_pairs_from_hashes(
+        _sig_df(spark, [("a", x), ("b", y)]), k=3, n_bands=4
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in found] == [("a", "b", 3)]
+    missed = simhash_near_pairs_from_hashes(
+        _sig_df(spark, [("a", x), ("c", z)]), k=4, n_bands=4
+    ).collect()
+    assert missed == []
+
+
+def test_simhash_hamming_filter(spark):
+    """Candidates sharing a band but beyond k are filtered by the verify."""
+    x = 0x0F0F0F0F0F0F0F0F
+    y = x ^ 0xFF  # 8 flips, all inside band 0 -> bands 1-3 shared
+    out = simhash_near_pairs_from_hashes(
+        _sig_df(spark, [("a", x), ("b", y)]), k=3, n_bands=4
+    ).collect()
+    assert out == []
+
+
+def test_simhash_exact_dups_identical_under_both_hashes(spark):
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "The quick brown fox --- jumps over the lazy dog!!"),
+         ("c", "a completely different document about spark engines")],
+        "doc_id string, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        sh = {r.doc_id: r.simhash for r in simhash_col_df(docs, hash_fn=hash_fn).collect()}
+        # normalized-identical docs -> identical fingerprint, any hash
+        assert sh["a"] == sh["b"], hash_fn
+        assert sh["a"] != sh["c"], hash_fn
+
+
+def test_simhash_near_dup_from_text(spark):
+    """A single changed word in a long doc lands within hamming<=k and is
+    found end-to-end (text -> simhash -> banded LSH -> verify)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten") * 3
+    near = base.replace("omicron", "omikron", 1)
+    docs = spark.createDataFrame(
+        [("a", base), ("b", near)], "doc_id string, text string"
+    )
+    out = simhash_near_dup_pairs(docs, k=8, n_bands=16, hash_fn="md5").collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [("a", "b")]
+
+
+def test_minhash_variants_find_true_near_dup(spark):
+    words = [f"w{i}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[:-3] + ["x1", "x2", "x3"])  # high-jaccard near-dup
+    c = " ".join(f"z{i}" for i in range(60))       # unrelated
+    docs = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string"
+    )
+    for hash_fn, band_key in (("xxhash64", "hash"), ("md5", "concat")):
+        out = minhash_lsh_dedup(
+            docs, n_hashes=16, n_bands=8, threshold=0.5,
+            hash_fn=hash_fn, band_key=band_key,
+        ).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in out}
+        assert pairs == {("a", "b")}, (hash_fn, band_key)
+        assert all(0.5 <= r.jaccard <= 1.0 for r in out)

@@ -1,0 +1,58 @@
+"""F7 cookie/image policy plumb-through (SURVEY §2.3 F7): the job's
+``disallow_cookies`` flag (BrowserCrawler.java:86-88) must reach the fetch
+UDF's per-host session options and be honored/recorded in the fetched-page
+metadata. Images are already refs-only (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus, corpus_to_resolver
+from licenta_crawler_spark.operators.fetch import fetch_batches
+from licenta_crawler_spark.plans import schemas
+from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+
+def _corpus():
+    return build_corpus(
+        n_browse_hosts=2, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+
+
+def test_fetch_udf_honors_cookie_policy(spark):
+    corpus = _corpus()
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    urls = sorted(corpus.pages)[:6]
+    df = spark.createDataFrame(
+        [(u, i % 2 == 0) for i, u in enumerate(urls)],
+        "url string, disallow_cookies boolean",
+    )
+    out = {r.url: r.cookies_blocked for r in fetch_batches(df, resolver_bc).collect()}
+    for i, u in enumerate(urls):
+        assert out[u] == (i % 2 == 0), u
+
+
+def test_engine_policy_matches_jobs(spark):
+    """After admission, the per-host fetch policy equals each accepted
+    job's disallow_cookies flag — the option the fetch stage consumes."""
+    corpus = _corpus()
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    engine = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=4, bloom_shards=2, bloom_bits=1 << 14),
+    )
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    st = engine.admit(seed_jobs)
+    got = {r.host: r.disallow_cookies for r in engine._fetch_policy(st).collect()}
+    exp = {}
+    for r in st.jobs.filter(F.col("status") == "RUNNING").collect():
+        exp[r.domain] = r.disallow_cookies
+    assert got == exp
+    # the corpus really exercises both polarities
+    assert set(exp.values()) == {True, False}

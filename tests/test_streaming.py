@@ -116,3 +116,60 @@ def test_finished_jobs_and_repost_idempotence(spark, streamed):
     assert statuses["repost-1"] == "FINISHED"
     assert _log_tuples(st) == before
     assert st.documents.count() == n_docs_before
+
+
+def test_admit_merge_on_full_materialize_wave(spark, tmp_path_factory):
+    """Scratch-path regression: with full_materialize_every=1 every wave
+    parquet-round-trips state, so the second batch's _admit_merge commit
+    lands on a table whose current plan is reading a scratch file — paths
+    keyed by (table, wave) would be overwritten mid-read and crash."""
+    corpus = _corpus()
+    jobs = _good_jobs(corpus)
+    jobs_dir = tmp_path_factory.mktemp("jobs_fm")
+    ckpt_dir = tmp_path_factory.mktemp("stream_fm_ckpt")
+    eng = _mk_engine(spark, corpus)
+    eng.cfg.full_materialize_every = 1
+    svc = StreamingCrawlService(eng)
+
+    (jobs_dir / "b1.json").write_text(json.dumps(jobs[0]) + "\n")
+    _drain(spark, svc, str(jobs_dir), str(ckpt_dir))
+    (jobs_dir / "b2.json").write_text(
+        "\n".join(json.dumps(j) for j in jobs[1:]) + "\n"
+    )
+    _drain(spark, svc, str(jobs_dir), str(ckpt_dir))
+    assert {r.status for r in svc.state.jobs.collect()} == {"FINISHED"}
+
+
+def test_restart_resume_preserves_job_statuses(spark, tmp_path_factory):
+    """A restarted service must recover the jobs table from the
+    checkpointer: a host with an in-flight RUNNING job stays protected by
+    the cross-batch F3 check after restart (REJECTED_ACTIVE_ON_HOST), and
+    pre-restart statuses survive."""
+    from licenta_crawler_spark.sources.checkpoint import IcebergLayoutCatalog
+
+    corpus = _corpus()
+    jobs = _good_jobs(corpus)
+    jobs_dir = tmp_path_factory.mktemp("jobs_rs")
+    ckpt_dir = tmp_path_factory.mktemp("stream_rs_ckpt")
+    cat = IcebergLayoutCatalog(tmp_path_factory.mktemp("state_cat"))
+
+    eng1 = _mk_engine(spark, corpus)
+    eng1.cfg.checkpointer = cat
+    # 1 wave per batch: job 0's crawl is deliberately left unfinished
+    svc1 = StreamingCrawlService(eng1, max_waves_per_batch=1)
+    (jobs_dir / "b1.json").write_text(json.dumps(jobs[0]) + "\n")
+    _drain(spark, svc1, str(jobs_dir), str(ckpt_dir))
+    st1 = {r.job_id: r.status for r in svc1.state.jobs.collect()}
+    assert st1[jobs[0]["job_id"]] == "RUNNING"
+
+    # "restart": a brand-new engine + service on the same catalog
+    eng2 = _mk_engine(spark, corpus)
+    eng2.cfg.checkpointer = cat
+    svc2 = StreamingCrawlService(eng2)
+    dup = dict(jobs[0], job_id="dup-on-running-host")
+    (jobs_dir / "b2.json").write_text(json.dumps(dup) + "\n")
+    _drain(spark, svc2, str(jobs_dir), str(ckpt_dir))
+
+    statuses = {r.job_id: r.status for r in svc2.state.jobs.collect()}
+    assert statuses["dup-on-running-host"] == "REJECTED_ACTIVE_ON_HOST"
+    assert jobs[0]["job_id"] in statuses  # pre-restart row survived the restart

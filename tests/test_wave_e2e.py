@@ -128,6 +128,77 @@ def test_admission_rejections(engine_run):
     assert {r["status"] for r in accepted.collect()} == {"FINISHED"}
 
 
+def test_retry_requeue_f6(engine_run):
+    """F6 fetch-retry: transient (503) fetches requeue with retries+1 and
+    recover; pages failing more than the cap are terminally FAILED with
+    exactly MAX_FETCH_RETRIES attempts and produce no document."""
+    from licenta_crawler_spark.functions.urlnorm import url_sha1_hex
+    from licenta_crawler_spark.plans.wave import MAX_FETCH_RETRIES
+
+    corpus, oracle, state = engine_run
+    recovered = [
+        u for u, p in corpus.pages.items()
+        if p.page_kind == "PRODUCT" and p.transient_failures == 1
+    ]
+    dropped = [
+        u for u, p in corpus.pages.items()
+        if p.transient_failures >= MAX_FETCH_RETRIES
+    ]
+    assert recovered and dropped  # corpus stress shapes present
+    fr = {r.url: (r.state, r.retries) for r in state.fetch_frontier.collect()}
+    for u in recovered:
+        assert fr[u] == ("FETCHED", 1), u
+    for u in dropped:
+        assert fr[u] == ("FAILED", MAX_FETCH_RETRIES), u
+    doc_ids = {r.doc_id for r in state.documents.select("doc_id").collect()}
+    for u in recovered:
+        assert url_sha1_hex(u) in doc_ids
+    for u in dropped:
+        assert url_sha1_hex(u) not in doc_ids
+    # the transient SHELF recovered too: its nav row is FETCHED after one
+    # retry and the chain advanced past it (its successor was discovered)
+    tshelves = [
+        u for u, p in corpus.pages.items()
+        if p.page_kind == "SHELF" and p.transient_failures == 1
+    ]
+    assert tshelves
+    nav = {r.url: (r.state, r.retries) for r in state.nav.collect()}
+    seen_urls = {r.url for r in state.crawl_log.select("url").collect()}
+    for u in tshelves:
+        assert nav[u] == ("FETCHED", 1), u
+        nxt = corpus.pages[u].next_url
+        if nxt:
+            assert nxt in seen_urls
+
+
+def test_robots_disallow_never_fetched(engine_run):
+    """S7 robots disallow: URLs under a disallowed path prefix are linked
+    (browse) and sitemap-listed, but never logged, queued, or fetched."""
+    corpus, oracle, state = engine_run
+    # the corpus really does link/list disallowed URLs
+    linked = [
+        u for p in corpus.pages.values() for u in p.product_urls if "/cart" in u
+    ]
+    listed = [
+        u for s in corpus.sitemaps.values() for u in s.children if "/private" in u
+    ]
+    assert linked and listed
+    for df, col in [
+        (state.crawl_log, "url"),
+        (state.fetch_frontier, "url"),
+        (state.schedule_log, "url"),
+        (state.documents, "url"),
+    ]:
+        bad = df.filter(
+            F.col(col).contains("/cart") | F.col(col).contains("/private")
+        ).count()
+        assert bad == 0, col
+    # oracle agrees (its log is already compared elsewhere; double-check)
+    for rows in oracle.discovery_log.values():
+        for u, _, _ in rows:
+            assert "/cart" not in u and "/private" not in u
+
+
 def test_documents_schema_matches_input_hint(engine_run):
     _, _, state = engine_run
     f = {x.name: x.dataType for x in state.documents.schema.fields}
