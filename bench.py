@@ -88,7 +88,40 @@ def main() -> None:
         "total bench sec (frontier.urls_per_sec / pages_per_sec carry the "
         "BASELINE.json throughput metric)"
     )
+    out.update(_deltas_vs_prev_round(queries))
     print(json.dumps(out))
+
+
+def _deltas_vs_prev_round(queries: dict[str, float]) -> dict:
+    """Self-reported round-over-round regression guard: compare per-query
+    seconds against the newest BENCH_r*.json the driver recorded and flag
+    queries >1.5x slower (and >0.5s absolute, to ignore timer noise)."""
+    import glob
+    import re
+
+    paths = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        return {}
+    try:
+        prev_doc = json.load(open(paths[-1]))
+        prev = (prev_doc.get("parsed") or prev_doc).get("queries") or {}
+    except Exception:
+        return {}
+    deltas = {
+        name: round(sec - prev[name], 3) for name, sec in queries.items() if name in prev
+    }
+    regressions = sorted(
+        name for name, d in deltas.items()
+        if d > 0.5 and prev[name] > 0 and queries[name] / prev[name] > 1.5
+    )
+    return {
+        "prev_round": os.path.basename(paths[-1]),
+        "deltas_vs_prev": deltas,
+        "regressions": regressions,
+    }
 
 
 if __name__ == "__main__":

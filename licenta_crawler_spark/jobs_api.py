@@ -1,0 +1,138 @@
+"""Driver-side job-admission API (SURVEY §2.1 K3) — the graft's
+equivalent of the reference's REST resource (CrawlJobResource.java:39-94),
+minus HTTP: same request fields, same admission semantics, same response
+codes surfaced as plain dicts:
+
+  * 202 + the job record       — accepted, crawl runs (async in the
+    reference via its thread pool; synchronous here by default, or
+    deferred with ``run=False`` for the caller to drive)
+  * 400                        — malformed homepage/seed URLs (F2) or a
+    seed whose host differs from the homepage host (F1)
+  * 409 + Location(job_id)     — the host already has a RUNNING job (F3,
+    ``JobActiveOnHost`` in the reference)
+
+``list_jobs`` is the reference's ``GET /jobs`` (F4): active CRAWL jobs.
+
+State lives in the shared CrawlState, merged through the same path the
+Structured Streaming façade uses — a submit here and a job file on the
+stream are interchangeable intake routes over one engine.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.plans.wave import CrawlEngine
+from licenta_crawler_spark.streaming.facade import (
+    JOB_REQUEST_SCHEMA,
+    StreamingCrawlService,
+)
+
+
+def _host_of(url: str) -> str | None:
+    try:
+        h = urlsplit(url).hostname
+        return h.lower() if h else None
+    except ValueError:
+        return None
+
+
+class CrawlJobService:
+    """Owns a CrawlEngine + live CrawlState across submissions."""
+
+    def __init__(self, engine: CrawlEngine, max_waves_per_submit: int | None = None):
+        self._svc = StreamingCrawlService(engine, max_waves_per_submit)
+        self._counter = 0
+
+    @property
+    def state(self):
+        return self._svc.state
+
+    # ------------------------------------------------------------- submit
+    def submit(
+        self,
+        spark: SparkSession,
+        homepage: str,
+        seeds: list[str] | None = None,
+        additional_sitemaps: list[str] | None = None,
+        disallow_cookies: bool = False,
+        job_id: str | None = None,
+        run: bool = True,
+    ) -> dict:
+        """POST /jobs (CrawlJobResource.java:53-94). Returns
+        ``{"status": 202|400|409, "job": ..., "location": ..., "error": ...}``."""
+        seeds = list(seeds or [])
+        sitemaps = list(additional_sitemaps or [])
+
+        # F2: malformed values -> 400 (CrawlJobResource.java:83-85,97-100)
+        domain = _host_of(homepage)
+        if not domain:
+            return {"status": 400, "error": f"malformed homepage: {homepage!r}",
+                    "job": None, "location": None}
+        for s in seeds + sitemaps:
+            if not _host_of(s):
+                return {"status": 400, "error": f"malformed url: {s!r}",
+                        "job": None, "location": None}
+        # F1: every seed host must equal the homepage host (":74-76,121-139")
+        bad = [s for s in seeds if _host_of(s) != domain]
+        if bad:
+            return {"status": 400,
+                    "error": f"seed host differs from homepage host: {bad[0]!r}",
+                    "job": None, "location": None}
+
+        # F3: one active job per host -> 409 + Location (":86-90")
+        st = self._svc.state
+        if st is not None:
+            active = (
+                st.jobs.filter((F.col("status") == "RUNNING") & (F.col("domain") == domain))
+                .select("job_id").limit(1).collect()
+            )
+            if active:
+                return {"status": 409, "location": active[0]["job_id"],
+                        "error": "job already active on host", "job": None}
+
+        if job_id is None:
+            self._counter += 1
+            job_id = f"api-{self._counter:06d}"
+        batch = spark.createDataFrame(
+            [(job_id, homepage, seeds, sitemaps, bool(disallow_cookies))],
+            JOB_REQUEST_SCHEMA,
+        )
+        self._svc._admit_merge(batch)
+        if run:
+            self._svc.engine.run_from(self._svc.state, self._svc.max_waves_per_batch)
+        row = (
+            self._svc.state.jobs.filter(F.col("job_id") == job_id)
+            .orderBy("job_id").limit(1).collect()
+        )
+        job = row[0].asDict() if row else None
+        # first-submission path has no prior state for the 409 pre-check;
+        # the engine-side F3 window still rejects duplicates within a batch
+        if job and job["status"] == "REJECTED_ACTIVE_ON_HOST":
+            return {"status": 409, "location": None,
+                    "error": "job already active on host", "job": None}
+        if job and job["status"] == "REJECTED_SEED_HOST":
+            return {"status": 400, "error": "seed host differs from homepage host",
+                    "job": None, "location": None}
+        return {"status": 202, "job": job, "location": None, "error": None}
+
+    # -------------------------------------------------------------- reads
+    def list_jobs(self, active_only: bool = True) -> list[dict]:
+        """GET /jobs (CrawlJobResource.java:39-44, F4): active crawl jobs."""
+        st = self._svc.state
+        if st is None:
+            return []
+        df = st.jobs
+        if active_only:
+            df = df.filter(F.col("status") == "RUNNING")
+        return [r.asDict() for r in df.orderBy("job_id").collect()]
+
+    def get_job(self, job_id: str) -> dict | None:
+        st = self._svc.state
+        if st is None:
+            return None
+        rows = st.jobs.filter(F.col("job_id") == job_id).limit(1).collect()
+        return rows[0].asDict() if rows else None

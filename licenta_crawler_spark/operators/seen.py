@@ -4,17 +4,24 @@ The reference's entire dedup story is "upsert keyed by URL"
 (BrowserCrawler.java:145, SitemapSaxCrawler.java:86 — SURVEY §2.4 D1/D2).
 At 10^10-URL frontier scale an exact join against the full seen table every
 wave is the dominant shuffle, so the north rule prescribes a partitioned
-Bloom pre-filter:
+Bloom pre-filter. The directory is FULLY DISTRIBUTED — no process ever
+holds all shards:
 
   * the seen table's sha1 keys are hashed into ``n_shards`` shards
     (``h1 % n_shards``); each shard is an ``m_bits`` Bloom bitmap built
-    *distributed* via ``applyInPandas`` (numpy-vectorized, one group per
-    shard) and OR-merged;
-  * the shard directory (dict shard->bytes) is broadcast; candidates probe
-    it inside one Arrow-vectorized ``mapInPandas`` pass;
+    via ``applyInPandas`` (numpy-vectorized, one group per shard) and kept
+    as a DataFrame row ``(shard, bits)`` — executor-resident
+    (``localCheckpoint``), never collected to the driver;
+  * incremental builds OR-merge the new bitmaps with the existing shard
+    rows in a second per-shard ``applyInPandas`` — still distributed;
+  * candidates are probed with a *cogrouped* ``applyInPandas``: they
+    shuffle once on their shard id and each task receives exactly the one
+    bitmap slice its group probes. At 10^10 keys (~12.5 GB of bitmap over
+    1024 shards) a task holds one ~12 MB slice — the design the module
+    always promised, now the implementation;
   * probe-negative rows are **definitely new** (Bloom has no false
-    negatives) and skip the shuffle entirely; probe-positive rows go to the
-    exact ``left_anti`` join, so false positives can never drop a URL.
+    negatives) and skip the exact join entirely; probe-positive rows go to
+    the exact ``left_anti`` join, so false positives can never drop a URL.
 
 The two 60-bit hash inputs (h1, h2) are carved natively out of the sha1
 hex with ``conv``/``substring`` — the sha1 is already a cryptographic
@@ -22,10 +29,7 @@ hash, so double hashing ``(h1 + i*h2) % m`` gives the k Bloom probes
 without any Python-side hashing. All Python here is numpy array math over
 Arrow batches; no per-row Python.
 
-Sizing: with ``bits_per_key ≈ 10`` and ``k = 7`` the FPP is ~0.8%. At
-10^10 keys that is ~12.5 GB of bitmap total — sharded (e.g. 1024 shards of
-~12 MB) so an executor only holds the shards its partition probes; in the
-sandbox we broadcast the whole directory (small corpora).
+Sizing: with ``bits_per_key ≈ 10`` and ``k = 7`` the FPP is ~0.8%.
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+SHARD_SCHEMA = "shard int, bits binary"
+
 
 def with_hash_cols(df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
     """Derive h1/h2 (60-bit longs) + shard natively from the sha1 hex."""
@@ -43,19 +49,50 @@ def with_hash_cols(df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
     return df.withColumn("_h1", h1).withColumn("_h2", h2)
 
 
-class BloomShardSet:
-    """Immutable directory of Bloom shards: shard_id -> bitmap bytes."""
+def _probe_hits(bits: np.ndarray | None, h1: np.ndarray, h2: np.ndarray,
+                m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership test of (h1, h2) rows against one shard slice."""
+    if bits is None:
+        return np.zeros(len(h1), dtype=bool)  # empty shard -> definitely unseen
+    hit = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return hit
 
-    def __init__(self, n_shards: int = 8, m_bits: int = 1 << 16, k: int = 7):
+
+class BloomShardSet:
+    """Immutable distributed directory of Bloom shards: a DataFrame of
+    ``(shard int, bits binary)`` rows, one per non-empty shard."""
+
+    def __init__(self, n_shards: int = 8, m_bits: int = 1 << 16, k: int = 7,
+                 shards_df: DataFrame | None = None):
         assert m_bits % 8 == 0
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
-        self.shards: dict[int, bytes] = {}
+        self.shards_df = shards_df  # None == empty set
+
+    def _with_shard(self, df: DataFrame, sha1_col: str) -> DataFrame:
+        return with_hash_cols(df, sha1_col).withColumn(
+            "_shard", F.pmod(F.col("_h1"), F.lit(self.n_shards)).cast("int")
+        )
 
     # ---------------------------------------------------------------- build
-    def build(self, df: DataFrame, sha1_col: str = "url_sha1") -> "BloomShardSet":
-        """Distributed build: one applyInPandas group per shard."""
+    def build(self, df: DataFrame, sha1_col: str = "url_sha1",
+              materialize: str = "checkpoint") -> "BloomShardSet":
+        """Distributed build: one applyInPandas group per shard; incremental
+        calls OR-merge with the existing shard rows per shard — the bitmaps
+        never leave the executors (no driver collect, no broadcast).
+
+        ``materialize``: 'checkpoint' (default) eagerly localCheckpoints
+        the merged shard rows — right for one-shot builds; 'none' returns
+        the raw merged plan so an iterative caller can truncate it its own
+        way (the wave engine parquet-round-trips it per wave: a
+        localCheckpoint chain carries *estimated* sizeInBytes that
+        compounds geometrically across waves, the same pathology the state
+        tables avoid via parquet — see plans/wave.py _materialize)."""
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -69,58 +106,60 @@ class BloomShardSet:
             shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
             return pd.DataFrame({"shard": [shard], "bits": [bits.tobytes()]})
 
-        hashed = with_hash_cols(df, sha1_col).withColumn(
-            "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
-        )
-        rows = (
-            hashed.select("_h1", "_h2", "_shard")
+        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for b in pdf["bits"].iloc[1:]:
+                out |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                                 "bits": [out.tobytes()]})
+
+        fresh = (
+            self._with_shard(df, sha1_col)
+            .select("_h1", "_h2", "_shard")
             .groupBy("_shard")
-            .applyInPandas(build_shard, schema="shard int, bits binary")
-            .collect()
+            .applyInPandas(build_shard, schema=SHARD_SCHEMA)
         )
-        new = BloomShardSet(n_shards, m_bits, k)
-        new.shards = dict(self.shards)
-        for r in rows:
-            if r["shard"] in new.shards:
-                old = np.frombuffer(new.shards[r["shard"]], dtype=np.uint8)
-                add = np.frombuffer(r["bits"], dtype=np.uint8)
-                new.shards[r["shard"]] = np.bitwise_or(old, add).tobytes()
-            else:
-                new.shards[r["shard"]] = r["bits"]
-        return new
+        merged = (
+            fresh if self.shards_df is None
+            else self.shards_df.unionByName(fresh)
+            .groupBy("shard")
+            .applyInPandas(or_merge, schema=SHARD_SCHEMA)
+        )
+        # executor-resident materialization (n_shards tiny rows) — never a
+        # driver collect either way
+        out = merged.localCheckpoint() if materialize == "checkpoint" else merged
+        return BloomShardSet(n_shards, m_bits, k, shards_df=out)
 
     # ---------------------------------------------------------------- probe
     def maybe_seen_col(self, df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
-        """Adds boolean ``_maybe_seen`` via one vectorized mapInPandas pass."""
+        """Adds boolean ``_maybe_seen`` via a cogrouped applyInPandas pass:
+        candidates shuffle once on shard id, and each task probes only its
+        own shard's bitmap slice (the co-partitioned join of the north
+        rule) — the full directory is never assembled anywhere."""
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(self.shards)
         cols = df.columns
-        hashed = with_hash_cols(df, sha1_col)
+        if self.shards_df is None:
+            return df.withColumn("_maybe_seen", F.lit(False))
+        hashed = self._with_shard(df, sha1_col)
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + ", _maybe_seen boolean"
 
-        def probe(it):
-            shards = {s: np.frombuffer(b, dtype=np.uint8) for s, b in bc.value.items()}
-            for pdf in it:
-                h1 = pdf["_h1"].to_numpy(dtype=np.uint64)
-                h2 = pdf["_h2"].to_numpy(dtype=np.uint64)
-                shard_ids = (h1 % np.uint64(n_shards)).astype(np.int64)
-                out = np.zeros(len(pdf), dtype=bool)
-                for s in np.unique(shard_ids):
-                    bits = shards.get(int(s))
-                    if bits is None:
-                        continue  # empty shard -> definitely unseen
-                    mask = shard_ids == s
-                    hit = np.ones(mask.sum(), dtype=bool)
-                    for i in range(k):
-                        idx = (h1[mask] + np.uint64(i) * h2[mask]) % np.uint64(m_bits)
-                        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
-                        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-                    out[mask] = hit
-                yield pdf.drop(columns=["_h1", "_h2"]).assign(_maybe_seen=out)
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            bits = (
+                np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+                if len(right) else None
+            )
+            h1 = left["_h1"].to_numpy(dtype=np.uint64)
+            h2 = left["_h2"].to_numpy(dtype=np.uint64)
+            hit = _probe_hits(bits, h1, h2, m_bits, k)
+            return left.drop(columns=["_h1", "_h2", "_shard"]).assign(_maybe_seen=hit)
 
-        out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-        return hashed.mapInPandas(probe, schema=out_schema + ", _maybe_seen boolean").select(
-            *cols, "_maybe_seen"
+        return (
+            hashed.groupBy("_shard")
+            .cogroup(self.shards_df.groupBy("shard"))
+            .applyInPandas(probe, schema=out_schema)
+            .select(*cols, "_maybe_seen")
         )
 
 
@@ -135,11 +174,14 @@ def filter_unseen(
     Bloom-negative rows bypass the join; Bloom-positive rows are confirmed
     with an exact left_anti join (no false drops possible).
     """
-    if bloom is None or not bloom.shards:
+    if bloom is None or bloom.shards_df is None:
         return candidates.join(
             seen.select(sha1_col).distinct(), on=sha1_col, how="left_anti"
         )
-    probed = bloom.maybe_seen_col(candidates, sha1_col)
+    # materialize the probe output once (executor-resident): both branches
+    # below read it, and in an iterative caller an un-truncated cogroup
+    # plan would re-evaluate per branch and chain across waves
+    probed = bloom.maybe_seen_col(candidates, sha1_col).localCheckpoint()
     fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed = suspect.join(

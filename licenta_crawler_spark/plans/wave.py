@@ -255,6 +255,21 @@ class CrawlEngine:
     def _seq_base(self, st: CrawlState) -> DataFrame:
         return st.crawl_log.groupBy("host").agg((F.max("seq") + 1).alias("seq_base"))
 
+    def _advance_bloom(self, log_rows: DataFrame, wave: int) -> None:
+        """Merge this wave's keys into the shard directory and truncate it
+        through a parquet round-trip EVERY wave (tiny: n_shards rows). A
+        localCheckpoint chain here re-creates the compounding-sizeInBytes
+        pathology _materialize documents — the bloom participates in every
+        wave's probe plan, so its carried stats multiply into every join
+        tree. Parquet gives honest physical stats at constant cost; with a
+        checkpointer configured the directory also becomes resumable state."""
+        built = self.bloom.build(log_rows.select("url_sha1"), materialize="none")
+        shards = self._materialize("bloom_shards", built.shards_df, wave,
+                                   force_parquet=True)
+        self.bloom = BloomShardSet(
+            built.n_shards, built.m_bits, built.k, shards_df=shards
+        )
+
     def _fetch_policy(self, st: CrawlState) -> DataFrame:
         """Per-host fetch options from the owning job (F7 cookie policy,
         BrowserCrawler.java:86-88): broadcast-joined onto every fetch
@@ -306,7 +321,8 @@ class CrawlEngine:
         )
         return log_rows
 
-    def _materialize(self, name: str, df: DataFrame, wave: int) -> DataFrame:
+    def _materialize(self, name: str, df: DataFrame, wave: int,
+                     force_parquet: bool = False) -> DataFrame:
         """Truncate a state table's plan through a parquet round-trip.
 
         NOT ``localCheckpoint()``: Spark carries the *estimated*
@@ -326,7 +342,7 @@ class CrawlEngine:
             snap = self.cfg.checkpointer.commit_table(name, df, wave, partition_by=part)
             return self.cfg.checkpointer.load(self.spark, name, snap)
         k = max(self.cfg.full_materialize_every, 1)
-        if wave >= 0 and wave % k != k - 1:
+        if wave >= 0 and wave % k != k - 1 and not force_parquet:
             return df.localCheckpoint()
         self._mat_seq += 1
         path = f"{self._scratch}/{name}-m{self._mat_seq:06d}"
@@ -416,7 +432,7 @@ class CrawlEngine:
         )
         n_new = log_rows.count()
         if self.cfg.use_bloom and n_new:
-            self.bloom = self.bloom.build(log_rows.select("url_sha1"))
+            self._advance_bloom(log_rows, wave)
         self._checkpoint(
             st,
             {
@@ -598,7 +614,7 @@ class CrawlEngine:
         n_new = log_rows.count()
         n_docs = docs.count()
         if self.cfg.use_bloom and n_new:
-            self.bloom = self.bloom.build(log_rows.select("url_sha1"))
+            self._advance_bloom(log_rows, wave)
         self._checkpoint(
             st,
             {

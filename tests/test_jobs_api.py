@@ -1,0 +1,85 @@
+"""K3 driver-side job-admission API (jobs_api.py): the reference's
+CrawlJobResource semantics — 202 accept, 400 validation, 409 + Location
+on an active host, GET /jobs listing (F4)."""
+
+from __future__ import annotations
+
+from licenta_crawler_spark.fixtures.corpus import build_corpus, corpus_to_resolver
+from licenta_crawler_spark.jobs_api import CrawlJobService
+from licenta_crawler_spark.plans import schemas
+from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+
+def _mk_service(spark, max_waves=None):
+    corpus = build_corpus(
+        n_browse_hosts=2, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    engine = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=8, bloom_shards=2, bloom_bits=1 << 14),
+    )
+    return corpus, CrawlJobService(engine, max_waves_per_submit=max_waves)
+
+
+def test_submit_accepts_and_crawls(spark):
+    corpus, svc = _mk_service(spark)
+    host = corpus.hosts[0]
+    res = svc.submit(
+        spark, f"http://{host}/", seeds=[f"http://{host}/shelf/0/page-0"]
+    )
+    assert res["status"] == 202
+    assert res["job"]["domain"] == host
+    assert res["job"]["status"] == "FINISHED"  # synchronous run drained it
+    assert svc.state.crawl_log.count() > 0
+
+
+def test_submit_400_on_malformed_and_seed_host_mismatch(spark):
+    corpus, svc = _mk_service(spark)
+    host = corpus.hosts[0]
+    assert svc.submit(spark, "not a url")["status"] == 400
+    assert svc.submit(spark, f"http://{host}/", seeds=["::bad::"])["status"] == 400
+    res = svc.submit(
+        spark, f"http://{host}/", seeds=["http://other.example/shelf"]
+    )
+    assert res["status"] == 400
+    assert "seed host" in res["error"]
+
+
+def test_submit_409_with_location_on_active_host(spark):
+    corpus, svc = _mk_service(spark, max_waves=1)  # leave the crawl running
+    host = corpus.hosts[0]
+    first = svc.submit(
+        spark, f"http://{host}/", seeds=[f"http://{host}/shelf/0/page-0"],
+        job_id="first", run=True,
+    )
+    assert first["status"] == 202
+    assert first["job"]["status"] == "RUNNING"  # 1 wave budget: unfinished
+    dup = svc.submit(
+        spark, f"http://{host}/", seeds=[f"http://{host}/shelf/0/page-0"]
+    )
+    assert dup["status"] == 409
+    assert dup["location"] == "first"  # Location header of the active job
+    # a different host is admissible concurrently
+    other = corpus.hosts[1]
+    ok = svc.submit(
+        spark, f"http://{other}/", seeds=[f"http://{other}/shelf/0/page-0"],
+        run=False,
+    )
+    assert ok["status"] == 202
+
+
+def test_list_jobs_active_filter(spark):
+    corpus, svc = _mk_service(spark, max_waves=1)
+    h0, h1 = corpus.hosts[0], corpus.hosts[1]
+    svc.submit(spark, f"http://{h0}/", seeds=[f"http://{h0}/shelf/0/page-0"],
+               job_id="a", run=True)
+    svc.submit(spark, f"http://{h1}/", seeds=[f"http://{h1}/shelf/0/page-0"],
+               job_id="b", run=False)
+    active = {j["job_id"] for j in svc.list_jobs()}
+    assert active == {"a", "b"}
+    assert {j["status"] for j in svc.list_jobs()} == {"RUNNING"}
+    assert svc.get_job("a")["domain"] == h0
+    assert svc.get_job("nope") is None

@@ -54,6 +54,24 @@ def test_filter_unseen_exact(spark):
     assert got2 == got
 
 
+def test_build_probe_without_driver_collect(spark, monkeypatch):
+    """The shard directory is fully distributed: build and probe must
+    complete without ever collecting a DataFrame to the driver (the
+    bitmaps stay executor-resident; the probe is a cogrouped per-shard
+    pass). Guards against regressing to a driver-materialized directory."""
+    df = spark.createDataFrame([(_sha(f"url-{i}"),) for i in range(1500)], ["url_sha1"])
+
+    def boom(self):
+        raise AssertionError("driver collect during bloom build/probe")
+
+    monkeypatch.setattr(type(df), "collect", boom)
+    bloom = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5).build(df)
+    probed = bloom.maybe_seen_col(df)
+    monkeypatch.undo()
+    rows = probed.collect()
+    assert len(rows) == 1500 and all(r["_maybe_seen"] for r in rows)
+
+
 def test_first_discovery_keeps_min_order_key(spark):
     rows = [
         (_sha("x"), "x", 2, 5),

@@ -31,10 +31,11 @@ def _mem_burn(q):
     import numpy as np
 
     b = np.arange(64_000_000, dtype=np.uint8)
+    b += 1  # warm-up pass: fault every page in before timing
     t0 = time.time()
     n = 0
     while time.time() - t0 < 3.0:
-        _ = b + 1  # 64MB read + 64MB write per pass
+        b += 1  # in-place: 64MB read + 64MB write, no allocator traffic
         n += 1
     q.put(n)
 
