@@ -42,12 +42,20 @@ from licenta_crawler_spark.operators.ann import (
     hyperplanes,
     lsh_bucket_py,
 )
+from licenta_crawler_spark.operators.ann import cosine_near_dup_pairs, table_seed
 from licenta_crawler_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_dup_groups,
     simhash_near_dup_pairs,
     xor_seeds,
+)
+from licenta_crawler_spark.operators.relational import (
+    asof_join,
+    range_join_bucketed,
+    session_bounds,
+    sessionize,
 )
 
 # deterministic literal query vector (dim 64), identical in Spark + SQL
@@ -467,6 +475,95 @@ def lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id_udf(F.col("text")).alias("lang_pred"))
 
 
+def jaccard_ngram_pairs(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index join — the
+    no-approximation baseline the MinHash pipeline is judged against)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def embed_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH +
+    exact-cosine verify (threshold on the 4-dp rounding both engines
+    agree on)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.4, n_tables=6, n_planes=4)
+
+
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest click
+    at-or-before it (union-tag + window carry — one shuffle, no
+    nested-loop inequality join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id",
+        right_cols=["event_id"], right_seq="event_id",
+    )
+    # null-free output (-1 = no prior click) for cross-engine hash safety
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.coalesce(F.col("right_event_id"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(
+            F.unix_millis(F.col("right_ts").cast("timestamp")), F.lit(-1)
+        ).alias("click_ts_ms"),
+    )
+
+
+def range_join_value_bands(spark, sf_dir):
+    """Range join (bucketed equi-join form): event values into literal
+    [lo, hi) bands, aggregated per band."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 2.0), ("mid", 2.0, 5.0), ("high", 5.0, 8.0), ("vhigh", 8.0, 600.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join_bucketed(
+        ev.select("event_id", "value"), bands, "value", bucket_width=2.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) collapsed to
+    per-session bounds."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    return session_bounds(s, key="user_id", ts_col="ts").select(
+        "user_id",
+        "session_id",
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("end_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def w_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour window aggregation via F.window — the batch twin
+    of the streaming watermark+window path in streaming/windowed.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -505,6 +602,12 @@ QUERIES = {
     "simhash_groups": simhash_groups,
     "simhash_near_groups": simhash_near_groups,
     "lang_id": lang_id,
+    "jaccard_ngram_pairs": jaccard_ngram_pairs,
+    "embed_near_dup_pairs": embed_near_dup_pairs,
+    "asof_join_events": asof_join_events,
+    "range_join_value_bands": range_join_value_bands,
+    "sessionize_events": sessionize_events,
+    "w_tumbling_counts": w_tumbling_counts,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -638,6 +741,112 @@ def _ann_lsh_sql(n_planes=6, dim=64, k=10) -> str:
         ) WHERE bucket = {qb}
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
+
+
+def _jaccard_pairs_sql(threshold=0.5) -> str:
+    """Exact inverted-index n-gram Jaccard — the same join shape as the
+    Spark operator, no approximation to replay."""
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 2000
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM docs)
+        ),
+        counts AS (SELECT doc_id, len(shingles) AS n_sh FROM shs),
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shs),
+        ix AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+        FROM ix
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= {threshold}
+    """
+
+
+def _embed_near_sql(n_tables=4, n_planes=8, dim=64, threshold=0.9) -> str:
+    """Replay the multi-table hyperplane buckets with the same literal
+    planes, then the exact-cosine verify at the same 4-dp rounding."""
+    selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, seed=table_seed(t))
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{row}]) > 0 THEN {w} ELSE 0 END)".format(
+                row=", ".join(f"{h:.1f}" for h in planes[p]), w=1 << p
+            )
+            for p in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tab, ({bucket}) AS bucket FROM v")
+    banded = "\n          UNION ALL\n          ".join(selects)
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        banded AS (
+          {banded}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+        FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+        WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= {threshold}
+    """
+
+
+_ASOF_SQL = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id AS r_eid,
+             NULL::BIGINT AS l_eid, ts AS r_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, NULL
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, ts, side, l_eid,
+        last_value(r_eid IGNORE NULLS) OVER win AS click_event_id,
+        last_value(r_ts IGNORE NULLS) OVER win AS click_ts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_eid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, l_eid AS purchase_event_id, epoch_ms(ts)::BIGINT AS ts_ms,
+           coalesce(click_event_id, -1) AS click_event_id,
+           coalesce(epoch_ms(click_ts)::BIGINT, -1) AS click_ts_ms
+    FROM m WHERE side = 1
+"""
+
+
+_SESSIONIZE_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           epoch_ms(min(ts))::BIGINT AS start_ms,
+           epoch_ms(max(ts))::BIGINT AS end_ms,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY 1, 2
+"""
 
 
 def _lang_id_sql() -> str:
@@ -865,6 +1074,24 @@ ORACLE_SQL = {
     """,
     # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
     # sensitive across engines; recall is asserted in tests/test_ann.py)
+    "jaccard_ngram_pairs": _jaccard_pairs_sql(),
+    "embed_near_dup_pairs": _embed_near_sql(n_tables=6, n_planes=4, threshold=0.4),
+    "asof_join_events": _ASOF_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "range_join_value_bands": """
+        SELECT band, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+        FROM events
+        JOIN (VALUES ('low', 0.0, 2.0), ('mid', 2.0, 5.0),
+                     ('high', 5.0, 8.0), ('vhigh', 8.0, 600.0)) AS bands(band, lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    "w_tumbling_counts": """
+        SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_ms,
+               event_type, count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
     "ann_lsh_topk": _ann_lsh_sql(),
     "minhash_lsh_pairs": _minhash_pairs_sql(),
     "simhash_groups": _simhash_groups_sql(),

@@ -86,12 +86,16 @@ def knn_join_bruteforce(
 
 
 # ------------------------------------------------------- hyperplane LSH
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(
+    n_planes: int, dim: int, seed: int = 0x9E3779B97F4A7C15
+) -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix from an LCG. A tiny literal
     (n_planes×dim) both engines can inline verbatim — the bucket of any
     vector is therefore reproducible in a SQL oracle (list_dot_product
-    against the same literals), and at ingest it's an ordinary column."""
-    out, x = [], 0x9E3779B97F4A7C15
+    against the same literals), and at ingest it's an ordinary column.
+    ``seed`` selects an independent family (multi-table LSH uses one
+    family per table)."""
+    out, x = [], seed
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
@@ -101,9 +105,11 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return out
 
 
-def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
+def lsh_bucket_col(
+    vec: Column, n_planes: int, dim: int, seed: int = 0x9E3779B97F4A7C15
+) -> Column:
     """n_planes-bit bucket id: bit p = sign(<v, hyperplane_p>)."""
-    planes = hyperplanes(n_planes, dim)
+    planes = hyperplanes(n_planes, dim, seed)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         sign = (
@@ -122,9 +128,77 @@ def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
     return bucket
 
 
-def lsh_bucket_py(vec: list[float], n_planes: int) -> int:
+def table_seed(t: int) -> int:
+    """Independent LCG seed for multi-table LSH family ``t`` (t=0 is the
+    default single-table family)."""
+    if t == 0:
+        return 0x9E3779B97F4A7C15
+    return (0x9E3779B97F4A7C15 + 0x6C62272E07BB0143 * t) % (1 << 63)
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) via
+    multi-table hyperplane LSH + exact-cosine verify — the embedding-space
+    analog of the MinHash/SimHash near-dup pipelines.
+
+    ``n_tables`` independent hyperplane families each bucket every vector
+    into an ``n_planes``-bit signature; a pair is a candidate iff it
+    collides in at least one table (P(collide per table) =
+    (1 - θ/π)^n_planes for angle θ, so recall = 1-(1-p)^T — more tables
+    buy recall, more planes buy precision). Candidates — and only
+    candidates — get the exact cosine, filtered at ``threshold`` on the
+    4-dp rounding both engines agree on.
+
+    Scale shape: bucket columns are ingest-computable; the self-join is a
+    (table, bucket) equi-join (shuffle-hash, AQE-skew-splittable), never
+    an all-pairs product. At 10^9 vectors the candidate count is bounded
+    by bucket occupancy, the same contract as the MinHash band join."""
+    v = F.col(vec_col).cast("array<double>")
+    # band join shuffles (id, tab, bucket) only — vectors re-join for the
+    # verify so the wide arrays never ride the candidate shuffle
+    banded = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(*[
+                lsh_bucket_col(v, n_planes, dim, seed=table_seed(t))
+                for t in range(n_tables)
+            ])
+        ).alias("tab", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    vecs = vectors.select(F.col(id_col).alias("_id"), v.alias("_vec"))
+    scored = (
+        cand.join(vecs.withColumnsRenamed({"_id": "id_a", "_vec": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_vec": "vb"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def lsh_bucket_py(vec: list[float], n_planes: int, seed: int = 0x9E3779B97F4A7C15) -> int:
     """The same bucket computed driver-side (for literal query vectors)."""
-    planes = hyperplanes(n_planes, len(vec))
+    planes = hyperplanes(n_planes, len(vec), seed)
     b = 0
     for p, row in enumerate(planes):
         s = 0.0

@@ -89,6 +89,58 @@ def shingles_col(text_col, n: int = 3):
     )
 
 
+# ------------------------------------------------- exact n-gram jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold, via an
+    inverted-index equi-join — no LSH approximation, no all-pairs product.
+
+    Shape: explode distinct shingles -> self-join on the shingle (only
+    docs sharing >=1 shingle ever pair) -> count co-occurrences per pair
+    (the intersection size) -> join per-doc shingle counts -> jaccard =
+    |A∩B| / (|A| + |B| - |A∩B|).
+
+    Every stage is shuffle-on-key with map-side partial agg. The scale
+    cost is ubiquitous shingles (a shingle in d docs emits d(d-1)/2 pair
+    rows); AQE's skew-join split absorbs moderate skew, and at corpus
+    scale the standard mitigations compose here directly: drop shingles
+    with document frequency above a cap (position-filtering changes
+    recall only for pairs *below* any threshold > cap-fraction), or use
+    the MinHash-LSH path (:func:`minhash_lsh_dedup`) as the candidate
+    generator and this as the verifier."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(counts.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(counts.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ------------------------------------------------------------ minhash lsh
 def minhash_signatures(
     docs: DataFrame,

@@ -1,0 +1,209 @@
+"""Relational operators Spark lacks as built-ins, composed scale-first.
+
+Reference scope note: mcdobr/licenta-crawler has no temporal joins — these
+are the graft-mandate additions a training-data pipeline needs when
+joining crawl/event telemetry at 100 TB (e.g. "price at crawl time",
+"session the fetch belonged to", "latency band of each request").
+
+  * as-of join — the classic time-series join (each left row matched to
+    the latest right row at-or-before its timestamp). NOT implemented as
+    an inequality join (Spark plans those as BroadcastNestedLoop / a
+    cartesian — quadratic per key): both sides are union-tagged and a
+    single per-key window carries the last-seen right payload forward.
+    One shuffle on the key, linear work, survives any key cardinality.
+  * range join — fact value joined into intervals. Small interval sets
+    broadcast; the big-big path buckets both sides on a fixed width so
+    the join is an equi-join on the bucket id (each interval explodes to
+    the buckets it covers), then the exact range predicate filters.
+  * sessionization — gap-based session ids per key via lag + running
+    sum of session-break flags; the batch analog of
+    ``F.session_window`` with explicit, engine-portable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ as-of join
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_seq: str | None = None,
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the columns of the
+    single ``right`` row with the greatest ``right_ts <= left_ts`` for the
+    same ``on`` key (null columns when no prior right row exists).
+
+    Ties on ``right_ts`` are broken by ``right_seq`` ascending (latest
+    wins) when given — making the result deterministic even with
+    duplicate right timestamps.
+
+    Plan shape: union-tag both sides → one window per key ordered by
+    (ts, side, seq) with ``last(..., ignorenulls=True)`` over the
+    unbounded-preceding frame → filter back to left rows. Exactly one
+    shuffle (on ``on``), no nested-loop join, linear in rows per key —
+    the formulation that survives 10^9 rows per side where an
+    inequality-join plan would go quadratic.
+
+    ``tolerance_ms``: when set, matches older than ``left_ts -
+    tolerance_ms`` are nulled out (pandas ``merge_asof(tolerance=...)``
+    semantics), applied post-window so the plan is unchanged.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    seq = right_seq or (rcols[0] if rcols else right_ts)
+
+    lp = [c for c in left.columns if c not in (on, left_ts)]
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(seq).alias("_seq"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(right_ts).alias("_r_ts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lp],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[seq].dataType).alias("_seq"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[F.col(c).alias(f"_l_{c}") for c in lp],
+    )
+    # right rows (side 0) sort before left rows at equal ts -> inclusive
+    # (<=) match; _seq breaks right-side ts ties deterministically
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", F.col("_seq").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tagged.unionByName(l_tagged).select(
+        "_k",
+        "_ts",
+        "_side",
+        *[F.col(f"_l_{c}") for c in lp],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in rcols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        if dict(left.dtypes)[left_ts].startswith("timestamp"):
+            delta_ms = (F.col("_ts").cast("double") - F.col("_m_ts").cast("double")) * 1000
+        else:
+            delta_ms = F.col("_ts") - F.col("_m_ts")
+        in_tol = delta_ms <= F.lit(tolerance_ms)
+        out = out.select(
+            "_k", "_ts", *[f"_l_{c}" for c in lp],
+            *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in rcols],
+            F.when(in_tol, F.col("_m_ts")).alias("_m_ts"),
+        )
+    return out.select(
+        F.col("_k").alias(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_l_{c}").alias(c) for c in lp],
+        *[F.col(f"_m_{c}").alias(f"right_{c}") for c in rcols],
+        F.col("_m_ts").alias(f"right_{right_ts}"),
+    )
+
+
+# ------------------------------------------------------------ range join
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows into [lo, hi) intervals as an EQUI-join.
+
+    Each interval row is exploded to every ``bucket_width``-sized bucket
+    it overlaps; each fact row computes its single bucket — the join key
+    is the bucket id, so Catalyst plans a shuffle-hash/sort-merge join
+    (or broadcast under AQE when the exploded side is small) instead of
+    the BroadcastNestedLoop it produces for a raw inequality predicate.
+    The exact ``lo <= v < hi`` filter runs post-join. Pick
+    ``bucket_width`` near the median interval width: the exploded size is
+    sum(ceil(width/bucket_width)+1) rows, and each fact hits exactly one
+    bucket. ``how='left'``: facts with no interval survive with nulls
+    (implemented as inner + anti union so the equi-join shape is kept).
+    """
+    inv = 1.0 / bucket_width
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) * inv).cast("long"),
+                F.floor((F.col(hi_col)) * inv).cast("long"),
+            )
+        ),
+    )
+    fv = facts.withColumn("_bucket", F.floor(F.col(value_col) * inv).cast("long"))
+    matched = (
+        fv.join(iv, "_bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_bucket")
+    )
+    if how == "left":
+        unmatched = facts.join(
+            matched.select(*facts.columns), facts.columns, "left_anti"
+        )
+        null_iv = [
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+        ]
+        return matched.unionByName(unmatched.select(*facts.columns, *null_iv))
+    return matched
+
+
+# --------------------------------------------------------- sessionization
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts whenever the
+    time since the key's previous event exceeds ``gap_seconds``. Adds
+    ``session_id`` (0-based per key). One shuffle on the key; both the
+    lag and the running sum share the same window ordering so Spark
+    evaluates them in a single Window exec."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # integer microseconds for timestamps: exact, engine-portable gap math
+    if dict(events.dtypes)[ts_col].startswith("timestamp"):
+        t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        thresh = F.lit(int(gap_seconds) * 1_000_000)
+    else:
+        t = F.col(ts_col).cast("double")
+        thresh = F.lit(float(gap_seconds))
+    gap = t - F.lag(t).over(w)
+    new_s = F.when(gap.isNull() | (gap > thresh), 1).otherwise(0)
+    return events.withColumn(
+        "session_id", (F.sum(new_s).over(run) - 1).cast("long")
+    )
+
+
+def session_bounds(
+    sessions: DataFrame, key: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Collapse sessionized rows to one row per (key, session_id):
+    start/end timestamps and event count. Map-side partial agg applies;
+    same partitioning as :func:`sessionize`, so with AQE the shuffle is
+    reused."""
+    return sessions.groupBy(key, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

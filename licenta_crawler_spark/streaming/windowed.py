@@ -1,0 +1,99 @@
+"""Structured Streaming analytics over event streams: watermarked window
+aggregation and a custom stateful operator (applyInPandasWithState).
+
+Graft-mandate additions beyond the reference (whose only unbounded input
+is the job-request intake, see streaming/facade.py): a 100 TB crawl emits
+telemetry (fetch events, page metrics) as a stream, and the two canonical
+streaming shapes over it are
+
+  * tumbling-window aggregation with a watermark — late events inside the
+    watermark still land in their window; state for closed windows is
+    dropped, so executor state is bounded by (watermark / window) × keys,
+    not by stream length;
+  * custom per-key stateful processing — running totals via
+    ``applyInPandasWithState`` with a GroupState timeout, the PySpark
+    mechanism for operators the built-in aggregations can't express.
+
+Both take any streaming DataFrame; tests drive them with a file source
+over parquet drops and an in-memory sink, and the batch twin of the
+window path is the ``w_tumbling_counts`` oracle-checked query."""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data handling.
+
+    Works identically on a batch or streaming DataFrame (the batch run is
+    the oracle for the streaming run in tests). The watermark bounds
+    state: windows older than max(event time) - watermark are finalized
+    and evicted."""
+    # file-source parquet surfaces TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    src = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    return (
+        src.groupBy(F.window("_ts", window).alias("w"), F.col(type_col))
+        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 2).alias("total_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            F.col(type_col),
+            "n",
+            "total_value",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "n long, total double"
+RUNNING_OUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _running_totals_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum) across micro-batches. State survives
+    between batches in the state store; each batch emits the updated
+    totals for keys that received data."""
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count and value
+    sum, maintained in the streaming state store via
+    ``applyInPandasWithState`` (Arrow-batched — the sanctioned Python
+    path for stateful logic Spark's built-ins can't express). Output mode
+    'update': each micro-batch emits rows only for users seen in it."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_OUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

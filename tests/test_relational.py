@@ -1,0 +1,216 @@
+"""Unit tests for operators/relational.py (as-of join, range join,
+sessionization) and the new dedup pair-finders — each checked against an
+independent driver-side reference implementation."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.ann import cosine_near_dup_pairs
+from licenta_crawler_spark.operators.dedup import ngram_jaccard_pairs
+from licenta_crawler_spark.operators.relational import (
+    asof_join,
+    range_join_bucketed,
+    session_bounds,
+    sessionize,
+)
+
+
+# ------------------------------------------------------------- as-of join
+def test_asof_basic_and_ties(spark):
+    right = spark.createDataFrame(
+        [("h", 10, 100), ("h", 20, 101), ("h", 20, 102), ("h", 40, 103)],
+        "k string, ts long, rid long",
+    )
+    left = spark.createDataFrame(
+        [("h", 5, 1), ("h", 20, 2), ("h", 30, 3), ("h", 50, 4)],
+        "k string, ts long, lid long",
+    )
+    out = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(left, right, on="k", right_seq="rid").collect()
+    }
+    assert out[1] is None          # before any right row
+    assert out[2] == 102           # inclusive <=; tie on ts=20 -> max rid wins
+    assert out[3] == 102           # carries forward
+    assert out[4] == 103
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    rng = random.Random(7)
+    rights = [(f"k{rng.randrange(5)}", rng.randrange(1000), i) for i in range(300)]
+    lefts = [(f"k{rng.randrange(6)}", rng.randrange(1000), i) for i in range(200)]
+    # unique (k, ts) on the right so pandas/Spark tie rules can't diverge
+    seen = set()
+    rights = [r for r in rights if not (r[:2] in seen or seen.add(r[:2]))]
+    r = spark.createDataFrame(rights, "k string, ts long, rid long")
+    l = spark.createDataFrame(lefts, "k string, ts long, lid long")
+    got = {
+        (row["k"], row["lid"]): row["right_rid"]
+        for row in asof_join(l, r, on="k", right_seq="rid").collect()
+    }
+    pr = pd.DataFrame(rights, columns=["k", "ts", "rid"]).sort_values("ts")
+    pl = pd.DataFrame(lefts, columns=["k", "ts", "lid"]).sort_values("ts")
+    exp = pd.merge_asof(pl, pr, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[(row["k"], int(row["lid"]))] == want
+
+
+def test_asof_tolerance(spark):
+    right = spark.createDataFrame([("h", 10, 1)], "k string, ts long, rid long")
+    left = spark.createDataFrame(
+        [("h", 12, 1), ("h", 500, 2)], "k string, ts long, lid long"
+    )
+    out = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="k", right_seq="rid", tolerance_ms=100
+        ).collect()
+    }
+    assert out[1] == 1
+    assert out[2] is None  # 490 > 100 tolerance
+
+
+# ------------------------------------------------------------- range join
+def test_range_join_boundaries_and_left(spark):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 1.99), (3, 2.0), (4, 7.5), (5, -3.0)],
+        "fid long, value double",
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 2.0), ("b", 2.0, 5.0), ("c", 5.0, 8.0)],
+        "band string, lo double, hi double",
+    )
+    inner = {
+        r["fid"]: r["band"]
+        for r in range_join_bucketed(facts, iv, "value", bucket_width=2.0).collect()
+    }
+    assert inner == {1: "a", 2: "a", 3: "b", 4: "c"}  # lo inclusive, hi exclusive
+    left = range_join_bucketed(facts, iv, "value", bucket_width=2.0, how="left")
+    rows = {r["fid"]: r["band"] for r in left.collect()}
+    assert rows[5] is None and len(rows) == 5
+
+
+def test_range_join_matches_inequality_join(spark):
+    rng = random.Random(11)
+    facts = spark.createDataFrame(
+        [(i, rng.uniform(-5, 50)) for i in range(500)], "fid long, value double"
+    )
+    iv = spark.createDataFrame(
+        [(f"b{i}", float(i * 7), float(i * 7 + rng.uniform(1, 9))) for i in range(8)],
+        "band string, lo double, hi double",
+    )
+    got = sorted(
+        (r["fid"], r["band"])
+        for r in range_join_bucketed(facts, iv, "value", bucket_width=3.0).collect()
+    )
+    want = sorted(
+        (r["fid"], r["band"])
+        for r in facts.join(
+            iv, (facts.value >= iv.lo) & (facts.value < iv.hi)
+        ).collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------- sessionization
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [("u", 0.0, 1), ("u", 1800.0, 2), ("u", 3601.0, 3), ("u", 3700.0, 4), ("v", 9.0, 5)],
+        "user_id string, ts double, event_id long",
+    )
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    by_eid = {r["event_id"]: r["session_id"] for r in s.collect()}
+    # gap == 1800 does NOT break; 1801 does
+    assert by_eid[1] == 0 and by_eid[2] == 0 and by_eid[3] == 1 and by_eid[4] == 1
+    assert by_eid[5] == 0
+    b = session_bounds(s, key="user_id", ts_col="ts")
+    rows = {(r["user_id"], r["session_id"]): r["n_events"] for r in b.collect()}
+    assert rows[("u", 0)] == 2 and rows[("u", 1)] == 2 and rows[("v", 0)] == 1
+    assert sum(rows.values()) == 5
+
+
+def test_sessionize_timestamp_microsecond_gap(spark):
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00.000001", 1), ("u", "2024-01-01 00:30:00.000001", 2),
+         ("u", "2024-01-01 00:30:00.000002", 3)],
+        "user_id string, t string, event_id long",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "event_id")
+    s = sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
+    by_eid = {r["event_id"]: r["session_id"] for r in s.collect()}
+    assert by_eid == {1: 0, 2: 0, 3: 0}  # exactly 1800.000000s -> same session
+
+
+# --------------------------------------------------- exact n-gram jaccard
+def _py_jaccard_pairs(docs: list[tuple[str, str]], n=3, threshold=0.5):
+    def sh(text):
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if t]
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    sets = {d: sh(t) for d, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= threshold:
+                out[(a, b)] = round(inter / uni, 4)
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    rng = random.Random(3)
+    vocab = "spark table row scan hash join sort agg key value".split()
+    docs = []
+    for i in range(40):
+        docs.append((f"d{i:02d}", " ".join(rng.choice(vocab) for _ in range(30))))
+    # plant a near-dup pair
+    docs.append(("d90", docs[0][1] + " extra"))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    want = _py_jaccard_pairs(docs, threshold=0.3)
+    assert got.keys() == want.keys() and len(want) >= 1
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
+# ------------------------------------------------- embedding-cosine dedup
+def test_cosine_near_dup_exactness_and_recall(spark):
+    rng = random.Random(5)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    vecs = []
+    for i, v in enumerate(base):
+        vecs.append((i, [float(x) for x in v]))
+        # a jittered near-dup of each base vector
+        vecs.append((100 + i, [float(x + rng.gauss(0, 0.05)) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = cosine_near_dup_pairs(
+        df, threshold=0.98, n_tables=8, n_planes=4, dim=16
+    ).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vd = dict(vecs)
+    # exactness: every emitted pair truly clears the threshold
+    for r in out:
+        assert round(cos(vd[r["id_a"]], vd[r["id_b"]]), 4) >= 0.98
+    # recall: the planted jitter pairs are overwhelmingly recovered
+    planted = {(i, 100 + i) for i in range(30)
+               if round(cos(vd[i], vd[100 + i]), 4) >= 0.98}
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(planted & found) >= 0.8 * len(planted) and len(planted) >= 20

@@ -1,0 +1,115 @@
+"""Streaming windowed aggregation + custom stateful operator tests:
+file-source micro-batches -> memory sink, compared against the batch run
+of the same plan (the oracle) and hand-computed running totals."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.streaming.windowed import (
+    running_user_totals,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = "event_id long, ts string, user_id long, event_type string, value double"
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, v) for i, (ts, uid, et, v) in enumerate(rows)],
+        EVENTS_SCHEMA,
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="lcs-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmpdirs):
+    rows = [
+        ("2024-01-01 00:05:00", 1, "click", 1.0),
+        ("2024-01-01 00:55:00", 2, "click", 2.0),
+        ("2024-01-01 01:10:00", 1, "purchase", 5.0),
+        ("2024-01-01 02:20:00", 3, "click", 3.0),
+        # late event (within 2h watermark of max seen so far)
+        ("2024-01-01 01:30:00", 2, "click", 4.0),
+    ]
+    src = f"{tmpdirs}/src"
+    batch1 = _mk_events(spark, rows[:3])
+    batch2 = _mk_events(spark, rows[3:])
+    batch1.write.parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.table("wincounts").collect()
+        )
+    finally:
+        q.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in windowed_event_counts(
+            _mk_events(spark, rows), window="1 hour"
+        ).collect()
+    )
+    assert got == want and len(want) == 4
+
+
+def test_running_user_totals_state_across_batches(spark, tmpdirs):
+    src = f"{tmpdirs}/src"
+    b1 = _mk_events(spark, [
+        ("2024-01-01 00:00:01", 1, "click", 1.5),
+        ("2024-01-01 00:00:02", 1, "click", 2.5),
+        ("2024-01-01 00:00:03", 2, "view", 10.0),
+    ])
+    b2 = _mk_events(spark, [
+        ("2024-01-01 00:01:01", 1, "click", 6.0),
+        ("2024-01-01 00:01:02", 3, "view", 7.0),
+    ])
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("runtotals")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["user_id"]: (r["n"], r["total"])
+                 for r in spark.table("runtotals").collect()}
+        assert first[1] == (2, 4.0) and first[2] == (1, 10.0)
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table("runtotals").collect()
+    finally:
+        q.stop()
+    # latest emission per user reflects accumulated cross-batch state
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n"], r["total"])
+    assert latest[1] == (3, 10.0)   # 2 events batch1 + 1 in batch2
+    assert latest[2] == (1, 10.0)   # untouched by batch2
+    assert latest[3] == (1, 7.0)    # new key in batch2
