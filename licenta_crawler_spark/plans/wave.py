@@ -84,6 +84,14 @@ class EngineConfig:
     bloom_bits: int = 1 << 18
     bloom_k: int = 7
     use_bloom: bool = True
+    # adaptive engagement: below this many seen URLs the exact anti-join
+    # is cheaper than building+probing the shard directory (2 extra Spark
+    # jobs per wave), so D1 runs join-only; crossing the threshold
+    # triggers a one-time catch-up build over the full seen set, after
+    # which the directory advances incrementally. At production scale the
+    # threshold is crossed in the first waves; on tiny corpora it never
+    # is and the wave loop stays lean. 0 = always engage (tests).
+    bloom_min_seen: int = 100_000
     track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
@@ -137,6 +145,8 @@ class CrawlEngine:
         # would overwrite the parquet path the merged plan is reading
         # from, which Spark rejects mid-job
         self._mat_seq = 0
+        # cumulative seen-set size for adaptive Bloom engagement
+        self._seen_count = 0
 
     def __del__(self):
         try:  # shutil may already be torn down at interpreter exit
@@ -269,6 +279,25 @@ class CrawlEngine:
         self.bloom = BloomShardSet(
             built.n_shards, built.m_bits, built.k, shards_df=shards
         )
+
+    def _note_new_seen(self, st: CrawlState, log_rows: DataFrame,
+                       n_new: int, wave: int) -> None:
+        """Adaptive D1 Bloom engagement (see EngineConfig.bloom_min_seen):
+        count the seen set; once it crosses the threshold, catch-up-build
+        the directory from the full crawl_log + this wave's rows, then
+        advance incrementally every subsequent wave."""
+        self._seen_count += n_new
+        if self._seen_count < self.cfg.bloom_min_seen:
+            return  # exact-anti-join regime; bloom.shards_df stays None
+        if self.bloom.shards_df is None and self._seen_count - n_new > 0:
+            self._advance_bloom(
+                st.crawl_log.select("url_sha1").unionByName(
+                    log_rows.select("url_sha1")
+                ),
+                wave,
+            )
+        else:
+            self._advance_bloom(log_rows, wave)
 
     def _fetch_policy(self, st: CrawlState) -> DataFrame:
         """Per-host fetch options from the owning job (F7 cookie policy,
@@ -432,7 +461,7 @@ class CrawlEngine:
         )
         n_new = log_rows.count()
         if self.cfg.use_bloom and n_new:
-            self._advance_bloom(log_rows, wave)
+            self._note_new_seen(st, log_rows, n_new, wave)
         self._checkpoint(
             st,
             {
@@ -614,7 +643,7 @@ class CrawlEngine:
         n_new = log_rows.count()
         n_docs = docs.count()
         if self.cfg.use_bloom and n_new:
-            self._advance_bloom(log_rows, wave)
+            self._note_new_seen(st, log_rows, n_new, wave)
         self._checkpoint(
             st,
             {
@@ -666,10 +695,12 @@ class CrawlEngine:
             wave=wave,
             engine=self,
         )
-        if self.cfg.use_bloom and not st.crawl_log.isEmpty():
-            self.bloom = BloomShardSet(
-                self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
-            ).build(st.crawl_log.select("url_sha1"))
+        if self.cfg.use_bloom:
+            self._seen_count = st.crawl_log.count()
+            if self._seen_count >= self.cfg.bloom_min_seen:
+                self.bloom = BloomShardSet(
+                    self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
+                ).build(st.crawl_log.select("url_sha1"))
         return st
 
     # ---------------------------------------------------------------- run

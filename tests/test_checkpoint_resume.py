@@ -27,7 +27,7 @@ def _mk_engine(spark, corpus, checkpointer=None):
     return CrawlEngine(
         spark, resolver_bc, robots,
         EngineConfig(max_per_host=5, bloom_shards=4, bloom_bits=1 << 16,
-                     checkpointer=checkpointer),
+                     bloom_min_seen=0, checkpointer=checkpointer),
     )
 
 

@@ -85,3 +85,35 @@ def test_first_discovery_keeps_min_order_key(spark):
         for r in first_discovery(df, [F.col("wave"), F.col("seq")]).collect()
     }
     assert got == {("x", 1, 3), ("y", 7, 0)}
+
+
+def test_adaptive_bloom_engagement(spark):
+    """Engine-level adaptive D1: below bloom_min_seen the directory stays
+    empty (exact anti-join regime); crossing the threshold catch-up-builds
+    over ALL seen keys, not just the crossing wave's."""
+    from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+    robots = spark.createDataFrame(
+        [], "host string, sitemaps array<string>, delay_ms long, disallow array<string>"
+    )
+    eng = CrawlEngine(
+        spark, None, robots,
+        EngineConfig(bloom_shards=2, bloom_bits=1 << 12, bloom_min_seen=10),
+    )
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(_sha(f"u{i}"),) for i in range(lo, hi)], "url_sha1 string"
+        )
+
+    class St:  # only the field _note_new_seen touches
+        crawl_log = rows(0, 4)
+
+    eng._note_new_seen(St, rows(0, 4), 4, wave=0)
+    assert eng.bloom.shards_df is None  # 4 < 10: join-only regime
+    St.crawl_log = rows(0, 4)
+    eng._note_new_seen(St, rows(4, 12), 8, wave=1)
+    assert eng.bloom.shards_df is not None  # 12 >= 10: engaged
+    # catch-up covered the pre-threshold keys too (no false negatives)
+    probed = eng.bloom.maybe_seen_col(rows(0, 12)).collect()
+    assert all(r["_maybe_seen"] for r in probed)

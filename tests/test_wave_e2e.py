@@ -40,7 +40,8 @@ def engine_run(spark):
     )
     engine = CrawlEngine(
         spark, resolver_bc, robots,
-        EngineConfig(max_per_host=7, bloom_shards=4, bloom_bits=1 << 16),
+        EngineConfig(max_per_host=7, bloom_shards=4, bloom_bits=1 << 16,
+                     bloom_min_seen=0),
     )
     state = engine.run(seed_jobs)
     return corpus, oracle, state
