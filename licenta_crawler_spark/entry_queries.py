@@ -51,6 +51,8 @@ from licenta_crawler_spark.operators.dedup import (
     simhash_near_dup_pairs,
     xor_seeds,
 )
+from licenta_crawler_spark.operators.graph import dedup_components
+from licenta_crawler_spark.operators.sketch import kmv_distinct_estimate
 from licenta_crawler_spark.operators.relational import (
     asof_join,
     range_join_bucketed,
@@ -475,6 +477,100 @@ def lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id_udf(F.col("text")).alias("lang_pred"))
 
 
+def pct_value_by_type(spark, sf_dir):
+    """Exact percentiles per group (SURVEY §2.7 agg surface): linear-
+    interpolated p25/p50/p90 of event value per type — the distributed
+    sort-based exact percentile, not the approx sketch."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def pivot_event_cohorts(spark, sf_dir):
+    """Pivot (long->wide): per user-cohort counts, one column per event
+    type. Explicit pivot values = one pass, no distinct-scan."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.withColumn("cohort", F.pmod("user_id", F.lit(10)).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+    )
+    return p.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets: all 4 subtotal combinations over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n", "total",
+        )
+    )
+
+
+def sample_deterministic(spark, sf_dir):
+    """Corpus subsampling the 100 TB way: a hash-threshold Bernoulli
+    sample (md5(doc_id) % 100 < 10 => ~10%) — deterministic, partition-
+    local, re-runnable, and joinable (the same doc always samples the
+    same way), unlike rand()-based .sample()."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return d.filter(h < 10).select("doc_id", "source", "n_chars")
+
+
+def sample_stratified(spark, sf_dir):
+    """Stratified (balanced) sampling: at most 20 docs per source, chosen
+    by deterministic hash order — the per-domain / per-language quota
+    sampling a training-corpus build runs. One shuffle on the stratum."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.withColumn("_h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def kmv_distinct_users(spark, sf_dir):
+    """KMV sketch distinct-count: estimated unique users per event type
+    (k=64 minimum md5 hashes — deterministic, mergeable, oracle-replayable
+    unlike HLL)."""
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, "event_type", "user_id", k=64, hash_fn="md5")
+
+
+def dedup_components_minhash(spark, sf_dir):
+    """Near-dup pairs -> clusters: connected components (min-label
+    propagation, parquet-truncated rounds) over the MinHash-LSH edge set;
+    component = canonical survivor doc."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_dedup(
+        d, n_hashes=16, n_bands=4, threshold=0.5, hash_fn="md5", band_key="concat"
+    )
+    return dedup_components(pairs)
+
+
 def jaccard_ngram_pairs(spark, sf_dir):
     """EXACT n-gram Jaccard near-dup pairs (inverted-index join — the
     no-approximation baseline the MinHash pipeline is judged against)."""
@@ -602,6 +698,13 @@ QUERIES = {
     "simhash_groups": simhash_groups,
     "simhash_near_groups": simhash_near_groups,
     "lang_id": lang_id,
+    "kmv_distinct_users": kmv_distinct_users,
+    "dedup_components_minhash": dedup_components_minhash,
+    "pct_value_by_type": pct_value_by_type,
+    "pivot_event_cohorts": pivot_event_cohorts,
+    "cube_status_priority": cube_status_priority,
+    "sample_deterministic": sample_deterministic,
+    "sample_stratified": sample_stratified,
     "jaccard_ngram_pairs": jaccard_ngram_pairs,
     "embed_near_dup_pairs": embed_near_dup_pairs,
     "asof_join_events": asof_join_events,
@@ -849,6 +952,48 @@ _SESSIONIZE_SQL = """
 """
 
 
+_KMV_SQL = """
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS grp,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= 64)
+    SELECT grp AS event_type,
+           (CASE WHEN max(CASE WHEN rn = 64 THEN h END) IS NULL THEN count(*)
+                 ELSE round(63.0 * 1152921504606846976
+                            / max(CASE WHEN rn = 64 THEN h END))
+            END)::BIGINT AS est_distinct
+    FROM kept GROUP BY grp
+"""
+
+
+def _dedup_components_sql() -> str:
+    """Recursive-CTE transitive closure over the same MinHash-LSH pairs
+    the Spark pipeline emits; component = min reachable doc id."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          {_minhash_pairs_sql()}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    """
+
+
 def _lang_id_sql() -> str:
     from licenta_crawler_spark.functions.text import _LANG_PROFILES
 
@@ -1074,6 +1219,45 @@ ORACLE_SQL = {
     """,
     # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
     # sensitive across engines; recall is asserted in tests/test_ann.py)
+    "kmv_distinct_users": _KMV_SQL,
+    "dedup_components_minhash": _dedup_components_sql(),
+    "pct_value_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type
+    """,
+    "pivot_event_cohorts": """
+        SELECT (user_id % 10)::BIGINT AS cohort,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view
+        FROM events GROUP BY 1
+    """,
+    "cube_status_priority": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "sample_deterministic": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+    """,
+    "sample_stratified": """
+        SELECT doc_id, source, rn::BIGINT AS rn FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                            doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 20
+    """,
     "jaccard_ngram_pairs": _jaccard_pairs_sql(),
     "embed_near_dup_pairs": _embed_near_sql(n_tables=6, n_planes=4, threshold=0.4),
     "asof_join_events": _ASOF_SQL,

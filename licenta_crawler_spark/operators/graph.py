@@ -1,0 +1,109 @@
+"""Connected components over near-duplicate pair edges.
+
+Pair-finders (MinHash/SimHash/cosine LSH) emit EDGES; a corpus build needs
+CLUSTERS (keep one doc per component). This is min-label propagation as an
+iterative DataFrame job:
+
+  label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. Per round: one join (labels onto the undirected edge
+list) + one groupBy-min + one equi-join to detect convergence — all
+shuffle-on-key, no driver-side graph. Rounds = graph diameter; dedup
+clusters are near-cliques (diameter ~1-2 after LSH banding), so this
+converges in 2-3 rounds in practice. For adversarial long-path graphs the
+known O(log n)-round alternative is star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature); the per-round dataflow below is the same building block.
+
+Iteration state is truncated through a parquet round-trip every round —
+NEVER localCheckpoint in a loop (carried sizeInBytes estimates compound
+geometrically across rounds; see plans/wave.py _materialize).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component
+    = the minimum node id reachable from it (ids compared with their
+    column's natural ordering)."""
+    spark = edges.sparkSession
+    scratch = tempfile.mkdtemp(prefix="lcs-cc-")
+
+    def truncate(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(scratch, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        und = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        und = truncate(und, "edges")
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+        labels = truncate(labels, "labels-0")
+        for i in range(max_iter):
+            nbr_min = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_comp").alias("min_nbr"))
+            )
+            new = (
+                labels.join(
+                    nbr_min.select(F.col("a").alias("node"), "min_nbr"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+            new = truncate(new, f"labels-{i + 1}")
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        # copy out of the scratch dir before it is deleted
+        return labels.localCheckpoint()
+    finally:
+        # labels was localCheckpoint'ed off the scratch files above
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def dedup_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Near-dup pair edges -> (doc_id, component) cluster assignment;
+    component = min doc id in the cluster (the canonical survivor)."""
+    return connected_components(pairs, src=id_a, dst=id_b).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -1,0 +1,62 @@
+"""Cardinality sketching: KMV (k-minimum-values) distinct-count estimate.
+
+The approx-distinct shape a 100 TB pipeline needs (how many unique URLs /
+users / shingles per partition?) implemented deterministically: hash each
+value, keep the k smallest distinct hashes per group, estimate
+``(k-1) / (kth_min / 2^60)``. Unlike ``approx_count_distinct`` (HLL++,
+whose register layout is engine-private) every step here is plain column
+algebra over an md5/xxhash64 integer — so the whole sketch replays
+bit-for-bit in the DuckDB oracle, and sketches are mergeable by unioning
+hash sets and re-taking the k minima (the property that lets partial
+sketches combine map-side at scale).
+
+Plan shape: distinct on (group, hash) -> one window per group ordered by
+hash (row_number <= k) -> per-group agg. One shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+HASH_SPACE = 1 << 60  # md5-derived 60-bit hash domain
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group KMV distinct estimate: ``(group, est_distinct, n_exactish)``.
+
+    Groups with fewer than k distinct hashes report the exact distinct
+    hash count (the sketch IS the value set there); larger groups report
+    ``round((k-1) * 2^60 / kth_min)``. ``hash_fn='md5'`` is the
+    oracle-replayable variant; 'xxhash64' the production default."""
+    v = F.col(value_col).cast("string")
+    h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
+        F.xxhash64(v), F.lit(HASH_SPACE)
+    )
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.when(F.col("kth").isNull(), F.col("n_kept"))
+            .otherwise(
+                F.round(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth"))
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )

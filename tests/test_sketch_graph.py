@@ -1,0 +1,121 @@
+"""KMV distinct sketch + connected components unit tests, plus the
+native-F.session_window equivalence check for the sessionize operator."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.graph import connected_components, dedup_components
+from licenta_crawler_spark.operators.relational import session_bounds, sessionize
+from licenta_crawler_spark.operators.sketch import kmv_distinct_estimate
+
+
+def test_kmv_small_groups_exact(spark):
+    df = spark.createDataFrame(
+        [("g1", i % 10) for i in range(100)] + [("g2", i % 3) for i in range(30)],
+        "grp string, v long",
+    )
+    got = {r["grp"]: r["est_distinct"]
+           for r in kmv_distinct_estimate(df, "grp", "v", k=64).collect()}
+    # below k distinct values the sketch IS the value set -> exact
+    assert got == {"g1": 10, "g2": 3}
+
+
+def test_kmv_estimate_accuracy(spark):
+    rng = random.Random(13)
+    rows = [("g", rng.randrange(5000)) for _ in range(20000)]
+    true_distinct = len({v for _, v in rows})
+    df = spark.createDataFrame(rows, "grp string, v long")
+    est = kmv_distinct_estimate(df, "grp", "v", k=256).collect()[0]["est_distinct"]
+    # KMV relative error ~ 1/sqrt(k) ≈ 6% at k=256; allow 3 sigma
+    assert abs(est - true_distinct) / true_distinct < 0.2
+
+
+def test_kmv_hash_fn_variants_agree_on_exact_path(spark):
+    df = spark.createDataFrame([("g", i) for i in range(20)], "grp string, v long")
+    for fn in ("md5", "xxhash64"):
+        got = kmv_distinct_estimate(df, "grp", "v", k=64, hash_fn=fn).collect()
+        assert got[0]["est_distinct"] == 20, fn
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")],
+        "src string, dst string",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a",
+                    "x": "x", "y": "x",
+                    "p": "p", "q": "p", "r": "p"}
+
+
+def test_connected_components_long_path(spark):
+    # path graph: worst case for min-label propagation (diameter rounds)
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "src string, dst string"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n00"} and len(comp) == n + 1
+
+
+def test_dedup_components_matches_python_union_find(spark):
+    rng = random.Random(17)
+    ids = [f"d{i:02d}" for i in range(30)]
+    pairs = {tuple(sorted(rng.sample(ids, 2))) for _ in range(25)}
+    df = spark.createDataFrame(sorted(pairs), "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["component"] for r in dedup_components(df).collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids if any(i in p for p in pairs)}
+    assert got == want
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-validation: gap-session bounds from the explicit lag+sum
+    formulation equal Spark's built-in F.session_window aggregation."""
+    rng = random.Random(23)
+    base = 1704067200  # 2024-01-01 UTC
+    rows = []
+    for uid in range(8):
+        t = base + rng.randrange(3600)
+        for i in range(rng.randrange(3, 30)):
+            t += rng.randrange(1, 4000)
+            rows.append((uid, t))
+    ev = spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.col("epoch").cast("timestamp").alias("ts")
+    )
+    ours = session_bounds(
+        sessionize(ev, gap_seconds=1800), key="user_id", ts_col="ts"
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        "n_events",
+    )
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+            "n_events",
+        )
+    )
+    a = sorted(tuple(r) for r in ours.collect())
+    b = sorted(tuple(r) for r in native.collect())
+    # session_window closes at gap > g with an EXCLUSIVE end bound; starts
+    # and event counts must agree exactly with the lag formulation
+    assert a == b and len(a) >= 8
