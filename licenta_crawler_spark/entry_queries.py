@@ -30,6 +30,7 @@ from licenta_crawler_spark.operators.seen import BloomShardSet, filter_unseen
 from licenta_crawler_spark.functions.text import (
     fingerprint_col,
     lang_id_udf,
+    normalized_text_col,
     quality_flags_col,
     token_count_col,
 )
@@ -550,6 +551,54 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+def unpivot_order_flags(spark, sf_dir):
+    """UNPIVOT (wide->long): order metric columns melted to (key, metric,
+    value) rows — the inverse of the pivot query."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        "o_orderkey", ["totalprice", "custkey"], "metric", "val"
+    ).select("o_orderkey", "metric", F.round("val", 2).alias("val"))
+
+
+def w_ntile_quartiles(spark, sf_dir):
+    """ntile + percent_rank windows (SURVEY §2.7 ranking surface):
+    order-value quartile and exact percent rank per priority class."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def top_bigrams(spark, sf_dir):
+    """Corpus n-gram statistics: the 20 most frequent word bigrams — the
+    explode -> count -> top-k shape of corpus token analytics (map-side
+    partial agg; top-k via TakeOrdered, no full sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text_col(F.col("text")), " ")
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_bi - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    return (
+        d.select(F.explode(bi).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def kmv_distinct_users(spark, sf_dir):
     """KMV sketch distinct-count: estimated unique users per event type
     (k=64 minimum md5 hashes — deterministic, mergeable, oracle-replayable
@@ -700,6 +749,9 @@ QUERIES = {
     "lang_id": lang_id,
     "kmv_distinct_users": kmv_distinct_users,
     "dedup_components_minhash": dedup_components_minhash,
+    "unpivot_order_flags": unpivot_order_flags,
+    "w_ntile_quartiles": w_ntile_quartiles,
+    "top_bigrams": top_bigrams,
     "pct_value_by_type": pct_value_by_type,
     "pivot_event_cohorts": pivot_event_cohorts,
     "cube_status_priority": cube_status_priority,
@@ -1219,6 +1271,30 @@ ORACLE_SQL = {
     """,
     # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
     # sensitive across engines; recall is asserted in tests/test_ann.py)
+    "unpivot_order_flags": """
+        SELECT o_orderkey, metric, round(val, 2) AS val FROM (
+          SELECT o_orderkey, 'totalprice' AS metric, o_totalprice::DOUBLE AS val
+          FROM orders WHERE o_orderkey < 2000
+          UNION ALL
+          SELECT o_orderkey, 'custkey', o_custkey::DOUBLE
+          FROM orders WHERE o_orderkey < 2000
+        )
+    """,
+    "w_ntile_quartiles": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w::BIGINT AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders WHERE o_orderkey < 5000
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    "top_bigrams": f"""
+        SELECT bigram, count(*)::BIGINT AS n FROM (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 0)),
+            i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+          FROM (SELECT {_NORM_TOKS_SQL} AS toks FROM documents)
+        ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
     "kmv_distinct_users": _KMV_SQL,
     "dedup_components_minhash": _dedup_components_sql(),
     "pct_value_by_type": """

@@ -81,10 +81,14 @@ def shingles_col(text_col, n: int = 3):
     tokens -> transform over index -> slice+join."""
     toks = F.split(normalized_text_col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # guard: F.sequence(0, -1) produces a DESCENDING [0, -1] (Spark infers
+    # step -1 when start > stop), so short docs need an explicit empty
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
     )
 
