@@ -371,19 +371,35 @@ def ann_topk_lsh(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
-    """ANN top-k: only vectors in the query's hyperplane bucket are scored
-    (recall < 1.0 by design; multi-probe = union of neighbor buckets would
-    raise it). The bucket column is computable incrementally at ingest and
-    is the partition key at production scale."""
+    """ANN top-k: only vectors in the query's hyperplane bucket(s) are
+    scored. The bucket column is computable incrementally at ingest and
+    is the partition key at production scale.
+
+    ``n_probe_bits=0`` probes the exact bucket (recall < 1.0 by design —
+    the oracle-checked configuration). ``n_probe_bits=b`` is multi-probe:
+    also scan every bucket within hamming distance b of the query's
+    (1 + n_planes + C(n_planes,2) + ... buckets) — the standard recall
+    knob that trades a bounded widening of the scan (still a tiny
+    fraction of the table) for recall, with NO extra index state."""
+    from itertools import combinations
+
     dim = len(query)
     q = F.array(*[F.lit(float(x)) for x in query])
     qb = lsh_bucket_py([float(x) for x in query], n_planes)
+    probe = {qb}
+    for d in range(1, n_probe_bits + 1):
+        for bits in combinations(range(n_planes), d):
+            flipped = qb
+            for p in bits:
+                flipped ^= 1 << p
+            probe.add(flipped)
     cands = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
-    ).filter(F.col("bucket") == F.lit(qb))
+    ).filter(F.col("bucket").isin(*sorted(probe)))
     return (
         cands.select(
             "vec_id", cosine_col(F.col("v").cast("array<double>"), q).alias("cosine")

@@ -1,0 +1,47 @@
+"""Bucketed parquet sink: shuffle-free co-located joins at read time.
+
+The 100 TB join strategy the brief's scale rules prescribe: write both
+sides of a recurring big-big join bucketed (and sorted) by the join key,
+and every subsequent join on that key is a zero-Exchange sort-merge —
+the shuffle is paid ONCE at write time, amortized over every downstream
+read. This is the static complement to AQE's runtime choices; the crawl
+state tables use hive state-partitioning (plans/wave.py), while analytic
+tables that join repeatedly on a stable key (url_sha1, user_id, doc
+fingerprint) belong in bucketed layout.
+
+Spark requires bucketed data to live in a catalog table (the bucket
+spec travels in table metadata, not the files), hence ``saveAsTable``
+with an explicit ``path`` (external table — the warehouse dir is never
+written implicitly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external bucketed (+optionally sorted) parquet
+    table. ``n_buckets`` should divide evenly into the cluster's
+    parallelism and keep each bucket file in the 100 MB-1 GB band at the
+    target scale."""
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -99,3 +99,22 @@ def test_knn_join_ranks(vectors):
         ranks.sort()
         assert [r for r, _ in ranks] == [1, 2, 3]
         assert all(a[1] >= b[1] for a, b in zip(ranks, ranks[1:]))
+
+
+def test_lsh_multiprobe_raises_recall(vectors):
+    """Multi-probe (hamming<=b neighbor buckets) must dominate single-probe
+    recall and reach the exact top-k at full probe width."""
+    df, centers = vectors
+    q = centers[1]
+    exact = set(r.vec_id for r in brute_force_topk(df, q, k=10).collect())
+
+    def recall(b):
+        got = set(
+            r.vec_id
+            for r in ann_topk_lsh(df, q, k=10, n_planes=4, n_probe_bits=b).collect()
+        )
+        return len(exact & got) / 10
+
+    r0, r1, r4 = recall(0), recall(1), recall(4)
+    assert r0 <= r1 <= r4  # widening probes never loses candidates
+    assert r4 == 1.0       # hamming<=n_planes == scan everything == exact

@@ -1,0 +1,59 @@
+"""Bucketed sink: the write-once-shuffle, join-forever-free contract —
+a join of two tables bucketed on the key must plan with ZERO Exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.sources.bucketed import drop_table, write_bucketed
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="lcs-bucket-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmpdir):
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("vb")
+    )
+    write_bucketed(a, "t_bk_a", f"{tmpdir}/a", ["k"], n_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "t_bk_b", f"{tmpdir}/b", ["k"], n_buckets=4, sort_cols=["k"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bk_a").join(spark.table("t_bk_b"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # bucket-co-located SMJ
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # and the join is actually correct
+        n = joined.count()
+        assert n == len(range(0, 10_000, 3))
+        # contrast: the same join from plain parquet DOES shuffle
+        a.write.parquet(f"{tmpdir}/plain_a")
+        b.write.parquet(f"{tmpdir}/plain_b")
+        plain = spark.read.parquet(f"{tmpdir}/plain_a").join(
+            spark.read.parquet(f"{tmpdir}/plain_b"), "k"
+        )
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_table(spark, "t_bk_a")
+        drop_table(spark, "t_bk_b")

@@ -113,3 +113,44 @@ def test_running_user_totals_state_across_batches(spark, tmpdirs):
     assert latest[1] == (3, 10.0)   # 2 events batch1 + 1 in batch2
     assert latest[2] == (1, 10.0)   # untouched by batch2
     assert latest[3] == (1, 7.0)    # new key in batch2
+
+
+def test_stream_dedup_within_watermark(spark, tmpdirs):
+    """Streaming D1 analog: dropDuplicatesWithinWatermark drops re-seen
+    keys across micro-batches while state stays bounded by the watermark
+    (the streaming twin of the batch Bloom+anti-join seen set)."""
+    src = f"{tmpdirs}/src"
+    b1 = _mk_events(spark, [
+        ("2024-01-01 00:00:01", 1, "click", 1.0),
+        ("2024-01-01 00:00:02", 2, "click", 2.0),
+    ])
+    # batch 2 re-delivers event at 00:00:01 (same user+ts = same key)
+    b2 = _mk_events(spark, [
+        ("2024-01-01 00:00:01", 1, "click", 1.0),
+        ("2024-01-01 00:10:00", 3, "click", 3.0),
+    ])
+    b1.write.parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "ts"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table("dedupstream").collect()
+    finally:
+        q.stop()
+    keys = sorted((r["user_id"], str(r["ts"])) for r in rows)
+    # the re-delivered (1, 00:00:01) appears exactly once
+    assert keys == [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02"),
+                    (3, "2024-01-01 00:10:00")]
