@@ -950,10 +950,16 @@ def _embed_near_sql(n_tables=4, n_planes=8, dim=64, threshold=0.9) -> str:
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM banded a JOIN banded b
             ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        u AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(
+                   list_aggregate(list_transform(v, y -> y * y), 'sum'))) AS uv
+          FROM v
         )
-        SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
-        FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
-        WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= {threshold}
+        SELECT id_a, id_b, round(list_dot_product(ua.uv, ub.uv), 4) AS cosine
+        FROM cand JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b
+        WHERE round(list_dot_product(ua.uv, ub.uv), 4) >= {threshold}
     """
 
 

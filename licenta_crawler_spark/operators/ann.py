@@ -184,13 +184,21 @@ def cosine_near_dup_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    vecs = vectors.select(F.col(id_col).alias("_id"), v.alias("_vec"))
+    # verify on PRE-NORMALIZED vectors: the norm is computed once per
+    # vector (not twice per candidate pair), so each verify is a single
+    # dot — at millions of candidates this is the 3x that matters, and
+    # it is the production layout (store unit vectors at ingest)
+    nrm = norm_col(v)
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x / nrm).alias("_u"),
+    )
     scored = (
-        cand.join(vecs.withColumnsRenamed({"_id": "id_a", "_vec": "va"}), "id_a")
-        .join(vecs.withColumnsRenamed({"_id": "id_b", "_vec": "vb"}), "id_b")
+        cand.join(unit.withColumnsRenamed({"_id": "id_a", "_u": "ua"}), "id_a")
+        .join(unit.withColumnsRenamed({"_id": "id_b", "_u": "ub"}), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            F.round(dot_col(F.col("ua"), F.col("ub")), 4).alias("cosine"),
         )
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
