@@ -43,7 +43,13 @@ from licenta_crawler_spark.operators.ann import (
     hyperplanes,
     lsh_bucket_py,
 )
-from licenta_crawler_spark.operators.ann import cosine_near_dup_pairs, table_seed
+from licenta_crawler_spark.operators.ann import (
+    ann_topk_ivf_pinned,
+    cosine_near_dup_pairs,
+    ivf_probe_cells,
+    table_seed,
+    unit_centroids,
+)
 from licenta_crawler_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_dedup,
@@ -439,6 +445,60 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 
+# Pinned IVF centroids: a fixed model artifact trained once driver-side
+# from the sf0.01 embeddings (deterministic sample + one numpy Lloyd
+# pass), injected as LITERALS into both the Spark plan and the DuckDB
+# oracle — the "centroids persisted with the table at ingest" deployment.
+# Falls back to LCG pseudo-centroids if the testdata file is absent
+# (contract parity is unaffected: both engines share whatever literals
+# this returns).
+_PINNED_IVF: dict = {}
+
+
+def _pinned_ivf_centroids(n_cells: int = 16, dim: int = 64) -> list[list[float]]:
+    key = (n_cells, dim)
+    if key in _PINNED_IVF:
+        return _PINNED_IVF[key]
+    try:
+        import duckdb
+        import numpy as np
+
+        rows = duckdb.sql(
+            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            "ORDER BY vec_id LIMIT 4096"
+        ).fetchall()
+        m = np.asarray([r[0] for r in rows], dtype=np.float64)
+        seeds = m[:n_cells]
+        norms = np.linalg.norm(seeds, axis=1)
+        norms[norms == 0] = 1.0
+        cells = np.argmax(m @ (seeds / norms[:, None]).T, axis=1)
+        cents = []
+        for i in range(n_cells):
+            sel = m[cells == i]
+            cents.append([float(x) for x in (sel.mean(axis=0) if len(sel) else seeds[i])])
+    except Exception:
+        x, cents = 0x2545F4914F6CDD1D, []
+        for _ in range(n_cells):
+            row = []
+            for _ in range(dim):
+                x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                row.append(((x >> 20) % 2001 - 1000) / 1000.0)
+            cents.append(row)
+    _PINNED_IVF[key] = cents
+    return cents
+
+
+def ann_ivf_pinned_topk(spark, sf_dir):
+    """IVF serving path with ingest-pinned centroid literals — fully
+    SQL-replayable (assignment = array_position of array_max over unit-
+    centroid dots, probe cells chosen driver-side from the same
+    literals)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf_pinned(
+        e, ANN_QUERY, _pinned_ivf_centroids(), k=10, n_probe=4
+    )
+
+
 def minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -741,6 +801,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_pinned_topk": ann_ivf_pinned_topk,
     "embedding_norms": embedding_norms,
     "knn_self_similarity": knn_self_similarity,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1052,6 +1113,28 @@ def _dedup_components_sql() -> str:
     """
 
 
+def _ann_ivf_pinned_sql(n_probe=4, k=10) -> str:
+    cents = _pinned_ivf_centroids()
+    units = unit_centroids(cents)
+    probe = ivf_probe_cells(cents, ANN_QUERY, n_probe)
+    ds = ", ".join(
+        "list_dot_product(v, [{row}])".format(row=", ".join(f"{x!r}" for x in u))
+        for u in units
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT vec_id, v, [{ds}] AS ds FROM v),
+        c AS (
+          SELECT vec_id, v,
+                 list_position(ds, list_aggregate(ds, 'max')) - 1 AS cell
+          FROM a
+        )
+        SELECT vec_id, round(list_cosine_similarity(v, {_ANN_SQL_VEC}), 4) AS cosine
+        FROM c WHERE cell IN ({", ".join(str(p) for p in probe)})
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
 def _lang_id_sql() -> str:
     from licenta_crawler_spark.functions.text import _LANG_PROFILES
 
@@ -1359,6 +1442,7 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
     "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_ivf_pinned_topk": _ann_ivf_pinned_sql(),
     "minhash_lsh_pairs": _minhash_pairs_sql(),
     "simhash_groups": _simhash_groups_sql(),
     "simhash_near_groups": _simhash_near_sql(),

@@ -304,6 +304,70 @@ def train_ivf_centroids(
     return refined
 
 
+def unit_centroids(centroids: list[list[float]]) -> list[list[float]]:
+    """Row-normalized centroids via SEQUENTIAL python float math — shared
+    by the pinned-IVF operator and its SQL-oracle generator so both
+    engines receive bit-identical literals."""
+    import math
+
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        out.append([x / n for x in c])
+    return out
+
+
+def ivf_probe_cells(
+    centroids: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The query's n_probe nearest cells (driver math, ties -> lowest)."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    return sorted(
+        range(len(centroids)), key=lambda i: (-cos(query, centroids[i]), i)
+    )[:n_probe]
+
+
+def ann_topk_ivf_pinned(
+    vectors: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving path with PINNED centroids (trained at ingest and
+    persisted with the table — the production deployment): cell
+    assignment is pure column algebra against the centroid literals
+    (array_position of array_max over the per-cell dot products with
+    unit centroids), so the whole query — assignment, probe-cell choice,
+    scoring — replays bit-for-bit in a SQL oracle. Ties in the argmax go
+    to the lowest cell id in both engines (first-position semantics)."""
+    units = unit_centroids(centroids)
+    probe = ivf_probe_cells(centroids, query, n_probe)
+
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[
+        dot_col(v, F.array(*[F.lit(x) for x in u])) for u in units
+    ])
+    cell = F.array_position(dots, F.array_max(dots)) - 1
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), v.alias("v"), cell.alias("cell"))
+        .filter(F.col("cell").isin(*[int(p) for p in probe]))
+        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 # session-lifetime centroid cache: (table_key, n_cells) -> centroids.
 # Keyed by the caller-supplied table identity (e.g. the parquet path) so
 # repeated queries — the driver/bench run each query more than once —

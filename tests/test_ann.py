@@ -118,3 +118,22 @@ def test_lsh_multiprobe_raises_recall(vectors):
     r0, r1, r4 = recall(0), recall(1), recall(4)
     assert r0 <= r1 <= r4  # widening probes never loses candidates
     assert r4 == 1.0       # hamming<=n_planes == scan everything == exact
+
+
+def test_ivf_pinned_matches_trainer_path_and_recall(vectors):
+    """The pinned-literal serving path (expression argmax assignment) must
+    agree with the matmul trainer path given the same centroids, and keep
+    IVF-level recall."""
+    from licenta_crawler_spark.operators.ann import ann_topk_ivf_pinned
+
+    df, centers = vectors
+    q = centers[2]
+    cents = train_ivf_centroids(df, n_cells=8)
+    pinned = [r.vec_id for r in
+              ann_topk_ivf_pinned(df, q, cents, k=10, n_probe=3).collect()]
+    trainer = [r.vec_id for r in
+               ann_topk_ivf(df, q, k=10, n_cells=8, n_probe=3,
+                            centroids=cents).collect()]
+    assert pinned == trainer  # same cells, same scores, same order
+    exact = set(r.vec_id for r in brute_force_topk(df, q, k=10).collect())
+    assert len(exact & set(pinned)) / 10 >= 0.8
