@@ -49,6 +49,15 @@ def main() -> None:
     if mode in ("all", "queries"):
         from licenta_crawler_spark.entry_queries import QUERIES
 
+        # warm the session once (JVM, codegen, parquet footer cache, Arrow
+        # workers) so the first timed query measures the query, not startup
+        spark.range(1 << 20).selectExpr("sum(id)").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -36,14 +36,16 @@ def asof_join(
     right_cols: list[str] | None = None,
     right_seq: str | None = None,
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains the columns of the
-    single ``right`` row with the greatest ``right_ts <= left_ts`` for the
-    same ``on`` key (null columns when no prior right row exists).
+    """As-of join: every ``left`` row gains the columns of the single
+    matching ``right`` row — ``direction='backward'`` (default) takes the
+    greatest ``right_ts <= left_ts``; ``'forward'`` the smallest
+    ``right_ts >= left_ts`` (null columns when no match exists).
 
-    Ties on ``right_ts`` are broken by ``right_seq`` ascending (latest
-    wins) when given — making the result deterministic even with
-    duplicate right timestamps.
+    Ties on ``right_ts`` are broken by ``right_seq`` (closest-to-the-left
+    row wins: max seq backward, min seq forward) when given — making the
+    result deterministic even with duplicate right timestamps.
 
     Plan shape: union-tag both sides → one window per key ordered by
     (ts, side, seq) with ``last(..., ignorenulls=True)`` over the
@@ -79,10 +81,15 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lp],
     )
     # right rows (side 0) sort before left rows at equal ts -> inclusive
-    # (<=) match; _seq breaks right-side ts ties deterministically
+    # match; _seq breaks right-side ts ties deterministically. Forward
+    # direction is the same carry with the time axis reversed.
+    if direction == "forward":
+        order = [F.desc("_ts"), F.asc("_side"), F.col("_seq").desc_nulls_last()]
+    else:
+        order = [F.asc("_ts"), F.asc("_side"), F.col("_seq").asc_nulls_last()]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", F.col("_seq").asc_nulls_last())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r_tagged.unionByName(l_tagged).select(
@@ -99,6 +106,8 @@ def asof_join(
             delta_ms = (F.col("_ts").cast("double") - F.col("_m_ts").cast("double")) * 1000
         else:
             delta_ms = F.col("_ts") - F.col("_m_ts")
+        if direction == "forward":
+            delta_ms = -delta_ms
         in_tol = delta_ms <= F.lit(tolerance_ms)
         out = out.select(
             "_k", "_ts", *[f"_l_{c}" for c in lp],

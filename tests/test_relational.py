@@ -214,3 +214,47 @@ def test_cosine_near_dup_exactness_and_recall(spark):
                if round(cos(vd[i], vd[100 + i]), 4) >= 0.98}
     found = {(r["id_a"], r["id_b"]) for r in out}
     assert len(planted & found) >= 0.8 * len(planted) and len(planted) >= 20
+
+
+def test_asof_forward_direction(spark):
+    right = spark.createDataFrame(
+        [("h", 10, 100), ("h", 30, 101), ("h", 30, 102)],
+        "k string, ts long, rid long",
+    )
+    left = spark.createDataFrame(
+        [("h", 5, 1), ("h", 10, 2), ("h", 20, 3), ("h", 40, 4)],
+        "k string, ts long, lid long",
+    )
+    out = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="k", right_seq="rid", direction="forward"
+        ).collect()
+    }
+    assert out[1] == 100   # earliest right at-or-after ts=5
+    assert out[2] == 100   # inclusive >=
+    assert out[3] == 101   # tie at ts=30 -> min rid wins (earliest)
+    assert out[4] is None  # nothing after ts=40
+
+
+def test_asof_forward_matches_pandas(spark):
+    rng = random.Random(29)
+    rights, seen = [], set()
+    for i in range(250):
+        r = (f"k{rng.randrange(5)}", rng.randrange(1000), i)
+        if r[:2] not in seen:
+            seen.add(r[:2]); rights.append(r)
+    lefts = [(f"k{rng.randrange(5)}", rng.randrange(1000), i) for i in range(150)]
+    r = spark.createDataFrame(rights, "k string, ts long, rid long")
+    l = spark.createDataFrame(lefts, "k string, ts long, lid long")
+    got = {
+        (row["k"], row["lid"]): row["right_rid"]
+        for row in asof_join(l, r, on="k", right_seq="rid",
+                             direction="forward").collect()
+    }
+    pr = pd.DataFrame(rights, columns=["k", "ts", "rid"]).sort_values("ts")
+    pl = pd.DataFrame(lefts, columns=["k", "ts", "lid"]).sort_values("ts")
+    exp = pd.merge_asof(pl, pr, on="ts", by="k", direction="forward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[(row["k"], int(row["lid"]))] == want
