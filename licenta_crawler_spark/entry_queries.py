@@ -56,8 +56,10 @@ from licenta_crawler_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dup_groups,
     simhash_near_dup_pairs,
+    winnowing_fingerprints,
     xor_seeds,
 )
+from licenta_crawler_spark.functions.text import bpe_token_count_col
 from licenta_crawler_spark.operators.graph import dedup_components
 from licenta_crawler_spark.operators.sketch import kmv_distinct_estimate
 from licenta_crawler_spark.operators.relational import (
@@ -659,6 +661,23 @@ def top_bigrams(spark, sf_dir):
     )
 
 
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (letter/digit/punct runs) — the corpus
+    token-budget metric, pure regex, codegen-native."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+def winnowing_fps(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS): distinct window-min
+    k-gram hashes per doc — shared substrings of length >= k+w-1
+    guarantee a shared fingerprint."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnowing_fingerprints(d, k=5, w=4, hash_fn="md5")
+
+
 def kmv_distinct_users(spark, sf_dir):
     """KMV sketch distinct-count: estimated unique users per event type
     (k=64 minimum md5 hashes — deterministic, mergeable, oracle-replayable
@@ -810,6 +829,8 @@ QUERIES = {
     "lang_id": lang_id,
     "kmv_distinct_users": kmv_distinct_users,
     "dedup_components_minhash": dedup_components_minhash,
+    "text_bpe_tokens": text_bpe_tokens,
+    "winnowing_fps": winnowing_fps,
     "unpivot_order_flags": unpivot_order_flags,
     "w_ntile_quartiles": w_ntile_quartiles,
     "top_bigrams": top_bigrams,
@@ -1360,6 +1381,45 @@ ORACLE_SQL = {
     """,
     # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
     # sensitive across engines; recall is asserted in tests/test_ann.py)
+    "text_bpe_tokens": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
+                 AS n_bpe_tokens
+        FROM documents
+    """,
+    "winnowing_fps": """
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+          FROM documents WHERE doc_id < 300
+        ),
+        grams AS (
+          SELECT doc_id,
+                 generate_subscripts(g, 1) - 1 AS pos,
+                 unnest(g) AS gram,
+                 greatest(length(t) - 4, 0) AS n
+          FROM (
+            SELECT doc_id, t,
+                   CASE WHEN length(t) < 5 THEN []::VARCHAR[]
+                        ELSE list_transform(
+                          generate_series(1, length(t) - 4),
+                          i -> substr(t, i, 5))
+                   END AS g
+            FROM norm
+          )
+        ),
+        hashed AS (
+          SELECT doc_id, pos, n,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+          FROM grams
+        ),
+        mins AS (
+          SELECT doc_id, pos, n,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM hashed
+        )
+        SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 4
+    """,
     "unpivot_order_flags": """
         SELECT o_orderkey, metric, round(val, 2) AS val FROM (
           SELECT o_orderkey, 'totalprice' AS metric, o_totalprice::DOUBLE AS val

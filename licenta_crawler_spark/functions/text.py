@@ -61,6 +61,18 @@ def fingerprint_col(text: Column) -> Column:
     return F.sha2(normalized_text_col(text), 256)
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, and punctuation runs
+    each count as (at least) one token — the cheap upper-structure of a
+    byte-pair tokenizer, good enough for corpus token budgeting without
+    shipping a vocab. Pure regex (same semantics in Java regex and RE2,
+    so the DuckDB oracle replays it verbatim), native codegen."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 # ------------------------------------------------------------- language id
 # tiny deterministic stopword profiles (public-knowledge function words)
 _LANG_PROFILES: dict[str, set[str]] = {

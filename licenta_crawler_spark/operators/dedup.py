@@ -93,6 +93,56 @@ def shingles_col(text_col, n: int = 3):
     )
 
 
+# ----------------------------------------------------------- winnowing
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (the rolling-hash document
+    fingerprint): hash every char k-gram of the normalized text, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum —
+    the classic guarantee that any shared substring of length >= k+w-1
+    between two documents yields at least one shared fingerprint.
+
+    Returns distinct ``(doc_id, fp)`` rows. Fully native: char k-grams
+    via substring-over-sequence, one posexplode, one sliding-frame
+    window min per doc — a single shuffle on the doc id. ``hash_fn='md5'``
+    is the 60-bit oracle-replayable variant."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    norm = normalized_text_col(F.col(text_col))
+    n_g = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    grams = F.when(n_g <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: F.substring(norm, i + 1, F.lit(k)),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+        n_g.alias("_n"),
+    )
+    h = md5_hash60_col(F.col("gram")) if hash_fn == "md5" else F.xxhash64("gram")
+    g = g.withColumn("h", h)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        # only full windows (pos + w <= n_grams) define fingerprints
+        .filter(F.col("pos") <= F.col("_n") - w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 # ------------------------------------------------- exact n-gram jaccard
 def ngram_jaccard_pairs(
     docs: DataFrame,

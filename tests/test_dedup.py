@@ -100,3 +100,23 @@ def test_minhash_variants_find_true_near_dup(spark):
         pairs = {(r.doc_a, r.doc_b) for r in out}
         assert pairs == {("a", "b")}, (hash_fn, band_key)
         assert all(0.5 <= r.jaccard <= 1.0 for r in out)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """MOSS guarantee: two docs sharing a substring of length >= k+w-1
+    (here 5+4-1=8 normalized chars) share at least one fingerprint;
+    disjoint docs share none."""
+    from licenta_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [("a", f"XX {shared} YY"), ("b", f"zz {shared} qq"),
+         ("c", "completely different words here entirely")],
+        "doc_id string, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc["a"] & by_doc["b"]          # shared substring -> shared fp
+    assert not (by_doc["a"] & by_doc["c"])    # disjoint text -> disjoint fps
