@@ -150,6 +150,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs >= threshold, via an
     inverted-index equi-join — no LSH approximation, no all-pairs product.
@@ -166,12 +167,29 @@ def ngram_jaccard_pairs(
     with document frequency above a cap (position-filtering changes
     recall only for pairs *below* any threshold > cap-fraction), or use
     the MinHash-LSH path (:func:`minhash_lsh_dedup`) as the candidate
-    generator and this as the verifier."""
+    generator and this as the verifier.
+
+    ``max_doc_freq``: the df-cap mitigation, in code. Shingles occurring
+    in more than this many docs are dropped from the PAIRING join only
+    (per-doc set sizes |A|, |B| stay exact). The intersection count can
+    only shrink, so the reported jaccard is a LOWER BOUND — a pair is
+    never falsely promoted above the threshold, and a true pair is
+    missed only if > (1-threshold) fraction of its union is capped
+    shingles. Candidate pair volume drops from sum(df^2) to
+    sum(min(df, cap)^2)."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

@@ -35,10 +35,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     = the minimum node id reachable from it (ids compared with their
-    column's natural ordering)."""
+    column's natural ordering).
+
+    ``algorithm='minlabel'`` (default): O(diameter) rounds — right for
+    near-dup cluster graphs (diameter ~1-2). ``'star'``: alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14) —
+    O(log n) rounds, the upgrade path for long-path/adversarial graphs."""
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
     spark = edges.sparkSession
     scratch = tempfile.mkdtemp(prefix="lcs-cc-")
 
@@ -98,6 +106,83 @@ def connected_components(
         return labels.localCheckpoint()
     finally:
         # labels was localCheckpoint'ed off the scratch files above
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star contraction.
+
+    large-star: every node u points its LARGER neighbors at
+    m = min(N(u) ∪ {u}); small-star: u points its smaller-or-equal
+    neighbors (and itself) at the minimum of that set. Each round is a
+    groupBy-min + join — shuffle-on-key, O(log n) rounds to a forest of
+    depth-1 stars, at which point the edge list IS the (node, component)
+    map. Per-round state truncates through parquet (never a
+    localCheckpoint chain)."""
+    spark = edges.sparkSession
+    scratch = tempfile.mkdtemp(prefix="lcs-ccstar-")
+
+    def truncate(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(scratch, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    try:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+        e = truncate(e, "e0")
+        all_nodes = e.select(F.col("a").alias("node")).unionByName(
+            e.select(F.col("b").alias("node"))
+        ).distinct()
+        all_nodes = truncate(all_nodes, "nodes")
+
+        for i in range(max_iter):
+            # ---- large-star: group ALL neighbors per node
+            adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            m = adj.groupBy("a").agg(F.min("b").alias("_mn")).select(
+                "a", F.least(F.col("_mn"), F.col("a")).alias("m")
+            )
+            ls = (
+                adj.join(m, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            ls = truncate(ls, f"ls-{i}")
+            # ---- small-star: orient edges large->small, group smaller nbrs
+            dir_ = ls.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            ).distinct()
+            m2 = dir_.groupBy("a").agg(F.min("b").alias("m"))
+            ss = (
+                dir_.join(m2, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .unionByName(m2.select(F.col("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            new = truncate(ss, f"ss-{i}")
+            changed = (
+                new.exceptAll(e).limit(1).count() + e.exceptAll(new).limit(1).count()
+            )
+            e = new
+            if changed == 0:
+                break
+        # at convergence e is (node -> component-min) for non-root nodes;
+        # roots (and isolated-after-contraction nodes) map to themselves
+        labels = (
+            all_nodes.join(
+                e.select(F.col("a").alias("node"), F.col("b").alias("comp")),
+                "node",
+                "left",
+            )
+            .groupBy("node")
+            .agg(F.min(F.coalesce("comp", F.col("node"))).alias("comp"))
+        )
+        return labels.localCheckpoint()
+    finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
 

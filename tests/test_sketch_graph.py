@@ -119,3 +119,50 @@ def test_sessionize_matches_native_session_window(spark):
     # session_window closes at gap > g with an EXCLUSIVE end bound; starts
     # and event counts must agree exactly with the lag formulation
     assert a == b and len(a) >= 8
+
+
+def _py_components(edges):
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_star_matches_union_find(spark):
+    rng = random.Random(31)
+    cases = [
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)],          # path
+        [("a", "b"), ("c", "d"), ("e", "f"), ("b", "c")],             # merge
+        [(f"x{i}", f"x{j}") for i in range(6) for j in range(i)],     # clique
+        {tuple(sorted(rng.sample([f"r{i:02d}" for i in range(40)], 2)))
+         for _ in range(45)},                                          # random
+    ]
+    for edges in cases:
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["comp"]
+               for r in connected_components(df, algorithm="star").collect()}
+        assert got == _py_components(edges), edges[:5]
+
+
+def test_cc_star_log_rounds_on_path(spark):
+    """Star contraction must finish a 64-node path well inside O(log n)
+    rounds — the case where min-label needs 64."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], "src string, dst string"
+    )
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(edges, algorithm="star",
+                                          max_iter=10).collect()}
+    assert set(comp.values()) == {"n000"} and len(comp) == n + 1
