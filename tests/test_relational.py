@@ -258,3 +258,28 @@ def test_asof_forward_matches_pandas(spark):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["rid"]) else int(row["rid"])
         assert got[(row["k"], int(row["lid"]))] == want
+
+
+def test_ngram_jaccard_df_cap_lower_bound(spark):
+    """With max_doc_freq: reported jaccard never exceeds the exact value
+    (lower bound — no false positives), and pairs whose overlap is in
+    rare shingles still surface."""
+    docs = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+        # flood: the same common trigram in many docs
+    ] + [(f"f{i}", "common filler words common filler words") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=3).collect()
+    }
+    assert ("a", "b") in capped                      # rare-shingle pair survives
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9                  # lower bound property
+    # the flooded filler pairs used only capped shingles -> pruned
+    assert not any(k[0].startswith("f") for k in capped)
