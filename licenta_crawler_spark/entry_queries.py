@@ -774,6 +774,34 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+def purchase_session_attribution(spark, sf_dir):
+    """Cross-operator composition: attribute every purchase to the
+    gap-session containing it — sessionize + per-key equi-join with a
+    containment filter (the interval-join shape over co-keyed data:
+    sessions per user are few, so the user_id equi-join bounds the
+    candidates and no range bucketing is needed)."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    bounds = session_bounds(s, key="user_id", ts_col="ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        purchases.join(bounds, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("session_start"))
+            & (F.col("ts") <= F.col("session_end"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "session_id",
+            F.col("n_events").cast("long").alias("session_n_events"),
+        )
+    )
+
+
 def w_tumbling_counts(spark, sf_dir):
     """Tumbling 1-hour window aggregation via F.window — the batch twin
     of the streaming watermark+window path in streaming/windowed.py."""
@@ -844,6 +872,7 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "range_join_value_bands": range_join_value_bands,
     "sessionize_events": sessionize_events,
+    "purchase_session_attribution": purchase_session_attribution,
     "w_tumbling_counts": w_tumbling_counts,
 }
 
@@ -1487,6 +1516,33 @@ ORACLE_SQL = {
     "embed_near_dup_pairs": _embed_near_sql(n_tables=6, n_planes=4, threshold=0.4),
     "asof_join_events": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "purchase_session_attribution": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+          FROM o
+        ),
+        bounds AS (
+          SELECT user_id, session_id, min(ts) AS session_start,
+                 max(ts) AS session_end, count(*)::BIGINT AS session_n_events
+          FROM s GROUP BY 1, 2
+        )
+        SELECT p.user_id, p.event_id AS purchase_event_id,
+               b.session_id, b.session_n_events
+        FROM events p JOIN bounds b
+          ON p.user_id = b.user_id
+         AND p.ts >= b.session_start AND p.ts <= b.session_end
+        WHERE p.event_type = 'purchase'
+    """,
     "range_join_value_bands": """
         SELECT band, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
         FROM events
