@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from licenta_crawler_spark.entry_queries import ORACLE_SQL, QUERIES
+from licenta_crawler_spark.entry_queries import QUERIES, get_oracle_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,4 +26,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return get_oracle_sql()

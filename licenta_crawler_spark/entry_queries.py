@@ -28,6 +28,7 @@ from licenta_crawler_spark.functions.urlnorm import canonicalize_url_col
 from licenta_crawler_spark.operators.politeness import schedule_fetches
 from licenta_crawler_spark.operators.seen import BloomShardSet, filter_unseen
 from licenta_crawler_spark.functions.text import (
+    bpe_token_count_col,
     fingerprint_col,
     lang_id_udf,
     normalized_text_col,
@@ -36,17 +37,15 @@ from licenta_crawler_spark.functions.text import (
 )
 from licenta_crawler_spark.operators.ann import (
     ann_topk_ivf,
+    ann_topk_ivf_pinned,
     ann_topk_lsh,
     brute_force_topk,
     cached_ivf_centroids,
     cosine_col,
-    hyperplanes,
-    lsh_bucket_py,
-)
-from licenta_crawler_spark.operators.ann import (
-    ann_topk_ivf_pinned,
     cosine_near_dup_pairs,
+    hyperplanes,
     ivf_probe_cells,
+    lsh_bucket_py,
     table_seed,
     unit_centroids,
 )
@@ -59,7 +58,6 @@ from licenta_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
     xor_seeds,
 )
-from licenta_crawler_spark.functions.text import bpe_token_count_col
 from licenta_crawler_spark.operators.graph import dedup_components
 from licenta_crawler_spark.operators.sketch import kmv_distinct_estimate
 from licenta_crawler_spark.operators.relational import (
@@ -478,7 +476,14 @@ def _pinned_ivf_centroids(n_cells: int = 16, dim: int = 64) -> list[list[float]]
         for i in range(n_cells):
             sel = m[cells == i]
             cents.append([float(x) for x in (sel.mean(axis=0) if len(sel) else seeds[i])])
-    except Exception:
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            f"pinned-IVF centroid training fell back to LCG pseudo-centroids "
+            f"({type(exc).__name__}: {exc}); results remain engine-consistent "
+            f"but differ from data-trained centroids"
+        )
         x, cents = 0x2545F4914F6CDD1D, []
         for _ in range(n_cells):
             row = []
@@ -1558,7 +1563,6 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
     "ann_lsh_topk": _ann_lsh_sql(),
-    "ann_ivf_pinned_topk": _ann_ivf_pinned_sql(),
     "minhash_lsh_pairs": _minhash_pairs_sql(),
     "simhash_groups": _simhash_groups_sql(),
     "simhash_near_groups": _simhash_near_sql(),
@@ -1582,3 +1586,18 @@ ORACLE_SQL = {
         WHERE a.vec_id < 100 AND b.vec_id < 100
     """,
 }
+
+
+# Oracles whose generation costs I/O (pinned-IVF trains its centroid
+# literals from the testdata parquet) are deferred to first access so
+# importing this module stays side-effect free.
+_LAZY_ORACLES = {
+    "ann_ivf_pinned_topk": _ann_ivf_pinned_sql,
+}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    out = dict(ORACLE_SQL)
+    for name, gen in _LAZY_ORACLES.items():
+        out[name] = gen()
+    return out

@@ -112,8 +112,6 @@ def winnowing_fingerprints(
     via substring-over-sequence, one posexplode, one sliding-frame
     window min per doc — a single shuffle on the doc id. ``hash_fn='md5'``
     is the 60-bit oracle-replayable variant."""
-    from licenta_crawler_spark.functions.text import normalized_text_col
-
     norm = normalized_text_col(F.col(text_col))
     n_g = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     grams = F.when(n_g <= 0, F.array().cast("array<string>")).otherwise(

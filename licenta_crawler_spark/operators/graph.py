@@ -67,6 +67,7 @@ def connected_components(
             .withColumn("comp", F.col("node"))
         )
         labels = truncate(labels, "labels-0")
+        converged = False
         for i in range(max_iter):
             nbr_min = (
                 und.join(
@@ -101,7 +102,14 @@ def connected_components(
             )
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components(minlabel) did not converge in "
+                f"{max_iter} rounds (graph diameter exceeds max_iter); "
+                f"use algorithm='star' (O(log n) rounds) or raise max_iter"
+            )
         # copy out of the scratch dir before it is deleted
         return labels.localCheckpoint()
     finally:
@@ -128,15 +136,18 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         return spark.read.parquet(path)
 
     try:
-        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-            F.col("a") != F.col("b")
-        ).distinct()
-        e = truncate(e, "e0")
-        all_nodes = e.select(F.col("a").alias("node")).unionByName(
-            e.select(F.col("b").alias("node"))
+        raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        # node universe from RAW edges: a node whose only edges are
+        # self-loops is a singleton component, not absent (parity with
+        # the minlabel variant)
+        all_nodes = raw.select(F.col("a").alias("node")).unionByName(
+            raw.select(F.col("b").alias("node"))
         ).distinct()
         all_nodes = truncate(all_nodes, "nodes")
+        e = raw.filter(F.col("a") != F.col("b")).distinct()
+        e = truncate(e, "e0")
 
+        star_converged = False
         for i in range(max_iter):
             # ---- large-star: group ALL neighbors per node
             adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -169,7 +180,13 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
             )
             e = new
             if changed == 0:
+                star_converged = True
                 break
+        if not star_converged:
+            raise RuntimeError(
+                f"connected_components(star) did not converge in "
+                f"{max_iter} rounds; raise max_iter"
+            )
         # at convergence e is (node -> component-min) for non-root nodes;
         # roots (and isolated-after-contraction nodes) map to themselves
         labels = (

@@ -35,7 +35,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     right_seq: str | None = None,
-    tolerance_ms: int | None = None,
+    tolerance: int | None = None,
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: every ``left`` row gains the columns of the single
@@ -54,9 +54,11 @@ def asof_join(
     the formulation that survives 10^9 rows per side where an
     inequality-join plan would go quadratic.
 
-    ``tolerance_ms``: when set, matches older than ``left_ts -
-    tolerance_ms`` are nulled out (pandas ``merge_asof(tolerance=...)``
-    semantics), applied post-window so the plan is unchanged.
+    ``tolerance``: when set, matches farther than this from ``left_ts``
+    are nulled out (pandas ``merge_asof(tolerance=...)`` semantics),
+    applied post-window so the plan is unchanged. Units: MILLISECONDS
+    when the ts columns are timestamps; the ts column's OWN units when
+    they are numeric (epoch-seconds columns get a seconds tolerance).
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     seq = right_seq or (rcols[0] if rcols else right_ts)
@@ -101,14 +103,14 @@ def asof_join(
         F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
     )
     out = carried.filter(F.col("_side") == 1)
-    if tolerance_ms is not None:
+    if tolerance is not None:
         if dict(left.dtypes)[left_ts].startswith("timestamp"):
-            delta_ms = (F.col("_ts").cast("double") - F.col("_m_ts").cast("double")) * 1000
+            delta = (F.col("_ts").cast("double") - F.col("_m_ts").cast("double")) * 1000
         else:
-            delta_ms = F.col("_ts") - F.col("_m_ts")
+            delta = F.col("_ts") - F.col("_m_ts")
         if direction == "forward":
-            delta_ms = -delta_ms
-        in_tol = delta_ms <= F.lit(tolerance_ms)
+            delta = -delta
+        in_tol = delta <= F.lit(tolerance)
         out = out.select(
             "_k", "_ts", *[f"_l_{c}" for c in lp],
             *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in rcols],
@@ -163,9 +165,15 @@ def range_join_bucketed(
         .drop("_bucket")
     )
     if how == "left":
-        unmatched = facts.join(
-            matched.select(*facts.columns), facts.columns, "left_anti"
-        )
+        # null-SAFE anti-join: a plain column-list anti join treats NULL
+        # != NULL, so matched fact rows containing any NULL would also
+        # reappear as "unmatched" (verified failure mode)
+        m = matched.select(*facts.columns)
+        cond = None
+        for c in facts.columns:
+            eq = facts[c].eqNullSafe(m[c])
+            cond = eq if cond is None else (cond & eq)
+        unmatched = facts.join(m, cond, "left_anti")
         null_iv = [
             F.lit(None).cast(intervals.schema[c].dataType).alias(c)
             for c in intervals.columns

@@ -70,7 +70,7 @@ def test_asof_tolerance(spark):
     out = {
         r["lid"]: r["right_rid"]
         for r in asof_join(
-            left, right, on="k", right_seq="rid", tolerance_ms=100
+            left, right, on="k", right_seq="rid", tolerance=100
         ).collect()
     }
     assert out[1] == 1
@@ -283,3 +283,19 @@ def test_ngram_jaccard_df_cap_lower_bound(spark):
         assert v <= exact[k] + 1e-9                  # lower bound property
     # the flooded filler pairs used only capped shingles -> pruned
     assert not any(k[0].startswith("f") for k in capped)
+
+
+def test_range_join_left_with_null_fact_columns(spark):
+    """Regression: a matched fact row carrying a NULL column must not
+    reappear as an unmatched duplicate (the anti-join is null-safe)."""
+    facts = spark.createDataFrame(
+        [(1, 1.0, None), (2, 99.0, "t")], "fid long, value double, tag string"
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 2.0)], "band string, lo double, hi double"
+    )
+    rows = range_join_bucketed(facts, iv, "value", bucket_width=2.0,
+                               how="left").collect()
+    assert len(rows) == 2
+    by_fid = {r["fid"]: r["band"] for r in rows}
+    assert by_fid == {1: "a", 2: None}

@@ -206,3 +206,42 @@ def test_documents_schema_matches_input_hint(engine_run):
     assert isinstance(f["spans"], T.ArrayType)
     span = f["spans"].elementType
     assert [s.name for s in span.fields] == ["kind", "text", "media_ref", "offset"]
+
+
+def test_adaptive_bloom_crossing_mid_crawl(spark):
+    """Engine-level adaptive D1: a crawl whose seen set crosses
+    bloom_min_seen MID-RUN (join-only waves -> catch-up build -> Bloom
+    waves) must produce the identical crawl_log to an always-engaged run
+    on the same corpus — no seen-set false negatives across the regime
+    switch, with the real wave ordering (crawl_log updated after
+    _note_new_seen)."""
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+
+    def crawl(min_seen):
+        eng = CrawlEngine(
+            spark, resolver_bc, robots,
+            EngineConfig(max_per_host=4, bloom_shards=2, bloom_bits=1 << 14,
+                         bloom_min_seen=min_seen),
+        )
+        st = eng.run(seed_jobs)
+        rows = sorted(
+            (r["host"], r["seq"], r["url"], r["url_sha1"])
+            for r in st.crawl_log.collect()
+        )
+        return eng, rows
+
+    eng_adaptive, log_adaptive = crawl(min_seen=10)   # crosses mid-crawl
+    eng_always, log_always = crawl(min_seen=0)
+    assert len(log_adaptive) > 10                      # threshold actually crossed
+    assert eng_adaptive.bloom.shards_df is not None    # bloom did engage
+    assert log_adaptive == log_always

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
-from licenta_crawler_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E402
+from licenta_crawler_spark.entry_queries import QUERIES, get_oracle_sql  # noqa: E402
 from licenta_crawler_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -39,10 +39,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    oracles = get_oracle_sql()
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        sql = ORACLE_SQL.get(name)
+        sql = oracles.get(name)
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         if sql is None:
