@@ -58,6 +58,75 @@ def windowed_event_counts(
     )
 
 
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+SESSION_OUT_SCHEMA = "user_id long, start_ms long, end_ms long, n_events long"
+
+
+def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
+                         watermark: str = "0 seconds") -> DataFrame:
+    """Streaming gap-sessionization with EVENT-TIME timeouts: the
+    streaming twin of operators/relational.sessionize. Per user, an open
+    session lives in the state store; a closed session is emitted when
+    (a) a later event arrives past the gap (intra/inter-batch), or
+    (b) the watermark passes last_event + gap with no new data — the
+    state times out (``GroupStateTimeout.EventTimeTimeout``), so state
+    size is bounded by ACTIVE sessions, not stream history.
+
+    Emits (user_id, start_ms, end_ms, n_events) per CLOSED session."""
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start_us, last_us, n) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]], "start_ms": [start_us // 1000],
+                "end_ms": [last_us // 1000], "n_events": [n],
+            })
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["_ts"]))
+        ts_us.sort()
+        (start_us, last_us, n) = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # close when the watermark passes last + gap (must stay above the
+        # current watermark or Spark rejects the timestamp)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(closed),
+                "start_ms": [s // 1000 for s, _, _ in closed],
+                "end_ms": [e // 1000 for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            })
+
+    return (
+        events.withColumn("_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 RUNNING_STATE_SCHEMA = "n long, total double"
 RUNNING_OUT_SCHEMA = "user_id long, n long, total double"
 

@@ -154,3 +154,52 @@ def test_stream_dedup_within_watermark(spark, tmpdirs):
     # the re-delivered (1, 00:00:01) appears exactly once
     assert keys == [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02"),
                     (3, "2024-01-01 00:10:00")]
+
+
+def test_streaming_sessionize_event_time_timeout(spark, tmpdirs):
+    """Streaming gap-sessionizer: intra-batch splits emit immediately;
+    idle sessions close via EVENT-TIME timeout once the watermark passes
+    last_event + gap (state bounded by active sessions)."""
+    from licenta_crawler_spark.streaming.windowed import streaming_sessionize
+
+    src = f"{tmpdirs}/src"
+    b1 = _mk_events(spark, [
+        ("2024-01-01 00:00:00", 1, "click", 0.0),
+        ("2024-01-01 00:10:00", 1, "click", 0.0),
+        ("2024-01-01 00:05:00", 2, "view", 0.0),
+    ])
+    # user1 returns much later -> closes their first session on arrival;
+    # also advances the watermark past user2's timeout
+    b2 = _mk_events(spark, [("2024-01-01 03:00:00", 1, "click", 0.0)])
+    # dummy batch so the post-b2 watermark gets a trigger to fire timeouts
+    b3 = _mk_events(spark, [("2024-01-01 09:00:00", 99, "view", 0.0)])
+
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("streamsessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        b3.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+                for r in spark.table("streamsessions").collect()}
+    finally:
+        q.stop()
+
+    def ms(s):
+        import datetime
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1000)
+
+    # user1's first session closed by the 03:00 arrival (gap split)
+    assert (1, ms("2024-01-01 00:00:00"), ms("2024-01-01 00:10:00"), 2) in rows
+    # user2's idle session closed by event-time timeout
+    assert (2, ms("2024-01-01 00:05:00"), ms("2024-01-01 00:05:00"), 1) in rows
