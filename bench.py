@@ -108,15 +108,36 @@ def _deltas_vs_prev_round(queries: dict[str, float]) -> dict:
     import glob
     import re
 
+    def round_no(p):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     paths = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (
+            p
+            for p in glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+            )
+            if round_no(p) is not None  # ignore non-numeric suffixes
+        ),
+        key=round_no,
     )
     if not paths:
         return {}
     try:
         prev_doc = json.load(open(paths[-1]))
-        prev = (prev_doc.get("parsed") or prev_doc).get("queries") or {}
+        prev_doc = prev_doc.get("parsed") or prev_doc
+        prev = prev_doc.get("queries") or {}
+        # only comparable runs: a different sf or parallelism makes every
+        # delta meaningless (2-core runs would flag everything)
+        cur_sf = float(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+                       .rstrip("/").rsplit("sf", 1)[-1])
+        cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        if (prev_doc.get("sf") not in (None, cur_sf)
+                or prev_doc.get("cpus") not in (None, cur_cpus)):
+            return {"prev_round": os.path.basename(paths[-1]),
+                    "deltas_vs_prev": {}, "regressions": [],
+                    "prev_round_skipped": "sf/cpus mismatch"}
     except Exception:
         return {}
     deltas = {

@@ -51,6 +51,22 @@ class CrawlJobService:
     def state(self):
         return self._svc.state
 
+    def _next_job_id(self) -> str:
+        """Monotonic auto ids that survive a checkpointer restart: the
+        counter seeds from the max existing ``api-NNNNNN`` id in the
+        resumed jobs table (a fresh service would otherwise re-mint
+        api-000001 and collide with pre-restart jobs)."""
+        st = self._svc.state
+        if self._counter == 0 and st is not None:
+            prev = (
+                st.jobs.filter(F.col("job_id").rlike(r"^api-\d{6}$"))
+                .agg(F.max("job_id").alias("m")).collect()[0]["m"]
+            )
+            if prev:
+                self._counter = int(prev.split("-")[1])
+        self._counter += 1
+        return f"api-{self._counter:06d}"
+
     # ------------------------------------------------------------- submit
     def submit(
         self,
@@ -95,8 +111,7 @@ class CrawlJobService:
                         "error": "job already active on host", "job": None}
 
         if job_id is None:
-            self._counter += 1
-            job_id = f"api-{self._counter:06d}"
+            job_id = self._next_job_id()
         batch = spark.createDataFrame(
             [(job_id, homepage, seeds, sitemaps, bool(disallow_cookies))],
             JOB_REQUEST_SCHEMA,
@@ -111,8 +126,17 @@ class CrawlJobService:
         job = row[0].asDict() if row else None
         # first-submission path has no prior state for the 409 pre-check;
         # the engine-side F3 window still rejects duplicates within a batch
+        # (and cross-batch after a checkpointer restart). Location must
+        # carry the ACTIVE job's id in that path too (CrawlJobResource
+        # Location semantics) — look it up from the merged state.
         if job and job["status"] == "REJECTED_ACTIVE_ON_HOST":
-            return {"status": 409, "location": None,
+            winner = (
+                self._svc.state.jobs.filter(
+                    (F.col("domain") == domain) & (F.col("status") == "RUNNING")
+                ).select("job_id").orderBy("job_id").limit(1).collect()
+            )
+            return {"status": 409,
+                    "location": winner[0]["job_id"] if winner else None,
                     "error": "job already active on host", "job": None}
         if job and job["status"] == "REJECTED_SEED_HOST":
             return {"status": 400, "error": "seed host differs from homepage host",

@@ -218,16 +218,22 @@ def lsh_bucket_py(vec: list[float], n_planes: int, seed: int = 0x9E3779B97F4A7C1
 
 
 # ----------------------------------------------------------------- IVF
+def _np_unit_cols(centroids: list[list[float]]) -> "np.ndarray":
+    """dim × cells matrix of row-normalized centroids (shared by trainer
+    and serving UDF so their cell assignments cannot diverge)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1)
+    norms[norms == 0] = 1.0
+    return (c / norms[:, None]).T
+
+
 def nearest_cell_udf(centroids: list[list[float]]):
     """Arrow-vectorized cell assignment: one numpy matmul per batch
     against the (row-normalized) centroid matrix. Replaces the older
     n_cells×dim literal cosine expression tree, whose plan size grew with
     the configuration and which Catalyst re-analyzed per stage — the
     matmul is O(batch × cells × dim) flops with no plan growth."""
-    c = np.asarray(centroids, dtype=np.float64)
-    norms = np.linalg.norm(c, axis=1)
-    norms[norms == 0] = 1.0
-    c_unit = (c / norms[:, None]).T  # dim × cells
+    c_unit = _np_unit_cols(centroids)  # dim × cells
 
     @F.pandas_udf(T.IntegerType())
     def _nearest(vecs: pd.Series) -> pd.Series:
@@ -267,11 +273,8 @@ def train_ivf_centroids(
         src = src.orderBy("_id").limit(max(sample_n, n_cells))
     seeds = [[float(x) for x in r["_v"]]
              for r in src.orderBy("_id").limit(n_cells).collect()]
-    c = np.asarray(seeds, dtype=np.float64)
-    norms = np.linalg.norm(c, axis=1)
-    norms[norms == 0] = 1.0
-    c_unit = (c / norms[:, None]).T
-    dim = c.shape[1]
+    c_unit = _np_unit_cols(seeds)
+    dim = c_unit.shape[0]
 
     def partials(it):
         counts = np.zeros(len(seeds), dtype=np.int64)
@@ -371,8 +374,15 @@ def ann_topk_ivf_pinned(
 # session-lifetime centroid cache: (table_key, n_cells) -> centroids.
 # Keyed by the caller-supplied table identity (e.g. the parquet path) so
 # repeated queries — the driver/bench run each query more than once —
-# train exactly once per table instead of per execution.
+# train exactly once per table instead of per execution. NO invalidation:
+# if the data at table_key is rewritten in the same driver session, call
+# clear_centroid_cache() (or pass a versioned key) — stale centroids
+# would silently degrade recall, never correctness (scores stay exact).
 _CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def clear_centroid_cache() -> None:
+    _CENTROID_CACHE.clear()
 
 
 def cached_ivf_centroids(

@@ -518,15 +518,22 @@ class CrawlEngine:
             return False
 
         # attach the per-row retry count so the fetch stage knows which
-        # attempt this is (transient-failure modelling, F6)
+        # attempt this is (transient-failure modelling, F6). The backlog
+        # (all QUEUED nav + frontier rows) must NOT shuffle for this: the
+        # scheduled batch's keys broadcast INTO the backlog scan (map-side
+        # broadcast hash join filters it to <= n_sched rows), and only
+        # that small hit set joins back to the schedule.
         retry_src = active.select(
             "host", "url", F.lit("SHELF").alias("kind"), "retries"
         ).unionByName(
             products.select("host", "url", F.lit("PRODUCT").alias("kind"), "retries")
         )
+        retry_hits = retry_src.join(
+            F.broadcast(sched.select("host", "url", "kind")), ["host", "url", "kind"]
+        )
         fetched = fetch_batches(
             sched.select("url", "host", "kind", "scheduled_at")
-            .join(retry_src, ["host", "url", "kind"], "left")
+            .join(F.broadcast(retry_hits), ["host", "url", "kind"], "left")
             .fillna({"retries": 0})
             .join(F.broadcast(self._fetch_policy(st)), "host", "left")
             .fillna({"disallow_cookies": False})
@@ -698,9 +705,23 @@ class CrawlEngine:
         if self.cfg.use_bloom:
             self._seen_count = st.crawl_log.count()
             if self._seen_count >= self.cfg.bloom_min_seen:
-                self.bloom = BloomShardSet(
-                    self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
-                ).build(st.crawl_log.select("url_sha1"))
+                # prefer the committed shard directory (the whole point of
+                # checkpointing it every wave): loading n_shards tiny rows
+                # beats re-hashing the full seen set, which at 10^10-key
+                # scale is a full-corpus pass per restart
+                try:
+                    shards = catalog.load(spark, "bloom_shards").localCheckpoint()
+                    probe = shards.limit(1).collect()
+                    if probe and len(probe[0]["bits"]) * 8 != self.cfg.bloom_bits:
+                        raise KeyError("bloom config changed; rebuild")
+                    self.bloom = BloomShardSet(
+                        self.cfg.bloom_shards, self.cfg.bloom_bits,
+                        self.cfg.bloom_k, shards_df=shards,
+                    )
+                except KeyError:
+                    self.bloom = BloomShardSet(
+                        self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
+                    ).build(st.crawl_log.select("url_sha1"))
         return st
 
     # ---------------------------------------------------------------- run
