@@ -545,6 +545,34 @@ def lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id_udf(F.col("text")).alias("lang_pred"))
 
 
+def json_props_stats(spark, sf_dir):
+    """JSON column surface (S11 wire-format analog): parse the event
+    props JSON with a typed from_json (schema'd, codegen) and aggregate
+    the extracted field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+def orders_by_month(spark, sf_dir):
+    """Calendar rollup via date_trunc (scalar date/time surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.unix_millis(
+                F.date_trunc("month", F.col("o_orderdate")).cast("timestamp")
+            ).alias("month_ms")
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
 def pct_value_by_type(spark, sf_dir):
     """Exact percentiles per group (SURVEY §2.7 agg surface): linear-
     interpolated p25/p50/p90 of event value per type — the distributed
@@ -867,6 +895,8 @@ QUERIES = {
     "unpivot_order_flags": unpivot_order_flags,
     "w_ntile_quartiles": w_ntile_quartiles,
     "top_bigrams": top_bigrams,
+    "json_props_stats": json_props_stats,
+    "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
     "pivot_event_cohorts": pivot_event_cohorts,
     "cube_status_priority": cube_status_priority,
@@ -1480,6 +1510,22 @@ ORACLE_SQL = {
     """,
     "kmv_distinct_users": _KMV_SQL,
     "dedup_components_minhash": _dedup_components_sql(),
+    "json_props_stats": """
+        SELECT event_type,
+               count(k)::BIGINT AS n_with_k,
+               sum(k)::BIGINT AS sum_k,
+               min(k)::BIGINT AS min_k,
+               max(k)::BIGINT AS max_k
+        FROM (
+          SELECT event_type, json_extract(props, '$.k')::INTEGER AS k FROM events
+        ) GROUP BY event_type
+    """,
+    "orders_by_month": """
+        SELECT epoch_ms(date_trunc('month', o_orderdate))::BIGINT AS month_ms,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1
+    """,
     "pct_value_by_type": """
         SELECT event_type,
                round(quantile_cont(value, 0.25), 4) AS p25,
