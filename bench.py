@@ -97,11 +97,11 @@ def main() -> None:
         "total bench sec (frontier.urls_per_sec / pages_per_sec carry the "
         "BASELINE.json throughput metric)"
     )
-    out.update(_deltas_vs_prev_round(queries))
+    out.update(_deltas_vs_prev_round(queries, sf, cpus))
     print(json.dumps(out))
 
 
-def _deltas_vs_prev_round(queries: dict[str, float]) -> dict:
+def _deltas_vs_prev_round(queries: dict[str, float], sf: float, cpus: int) -> dict:
     """Self-reported round-over-round regression guard: compare per-query
     seconds against the newest BENCH_r*.json the driver recorded and flag
     queries >1.5x slower (and >0.5s absolute, to ignore timer noise)."""
@@ -130,11 +130,8 @@ def _deltas_vs_prev_round(queries: dict[str, float]) -> dict:
         prev = prev_doc.get("queries") or {}
         # only comparable runs: a different sf or parallelism makes every
         # delta meaningless (2-core runs would flag everything)
-        cur_sf = float(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-                       .rstrip("/").rsplit("sf", 1)[-1])
-        cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        if (prev_doc.get("sf") not in (None, cur_sf)
-                or prev_doc.get("cpus") not in (None, cur_cpus)):
+        if (prev_doc.get("sf") not in (None, sf)
+                or prev_doc.get("cpus") not in (None, cpus)):
             return {"prev_round": os.path.basename(paths[-1]),
                     "deltas_vs_prev": {}, "regressions": [],
                     "prev_round_skipped": "sf/cpus mismatch"}

@@ -51,6 +51,7 @@ from licenta_crawler_spark.operators.ann import (
 )
 from licenta_crawler_spark.operators.dedup import (
     exact_dup_groups,
+    md5_hash60_col,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dup_groups,
@@ -621,11 +622,7 @@ def sample_deterministic(spark, sf_dir):
     local, re-runnable, and joinable (the same doc always samples the
     same way), unlike rand()-based .sample()."""
     d = _t(spark, sf_dir, "documents")
-    h = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    h = F.pmod(md5_hash60_col(F.col("doc_id").cast("string")), F.lit(100))
     return d.filter(h < 10).select("doc_id", "source", "n_chars")
 
 
@@ -634,9 +631,7 @@ def sample_stratified(spark, sf_dir):
     by deterministic hash order — the per-domain / per-language quota
     sampling a training-corpus build runs. One shuffle on the stratum."""
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_hash60_col(F.col("doc_id").cast("string"))
     w = Window.partitionBy("source").orderBy(h, "doc_id")
     return (
         d.withColumn("_h", h)

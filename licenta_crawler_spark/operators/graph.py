@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _scratch_truncate(spark):
+    """(truncate, cleanup) pair over a fresh scratch dir: the load-bearing
+    parquet round-trip (see module docstring) shared by both CC
+    algorithms."""
+    scratch = tempfile.mkdtemp(prefix="lcs-cc-")
+
+    def truncate(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(scratch, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def cleanup() -> None:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    return truncate, cleanup
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -47,14 +64,7 @@ def connected_components(
     O(log n) rounds, the upgrade path for long-path/adversarial graphs."""
     if algorithm == "star":
         return _cc_star(edges, src, dst, max_iter)
-    spark = edges.sparkSession
-    scratch = tempfile.mkdtemp(prefix="lcs-cc-")
-
-    def truncate(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(scratch, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
+    truncate, cleanup = _scratch_truncate(edges.sparkSession)
     try:
         und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         und = und.unionByName(
@@ -114,7 +124,7 @@ def connected_components(
         return labels.localCheckpoint()
     finally:
         # labels was localCheckpoint'ed off the scratch files above
-        shutil.rmtree(scratch, ignore_errors=True)
+        cleanup()
 
 
 def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
@@ -127,14 +137,7 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     depth-1 stars, at which point the edge list IS the (node, component)
     map. Per-round state truncates through parquet (never a
     localCheckpoint chain)."""
-    spark = edges.sparkSession
-    scratch = tempfile.mkdtemp(prefix="lcs-ccstar-")
-
-    def truncate(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(scratch, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
+    truncate, cleanup = _scratch_truncate(edges.sparkSession)
     try:
         raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         # node universe from RAW edges: a node whose only edges are
@@ -200,7 +203,7 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         )
         return labels.localCheckpoint()
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        cleanup()
 
 
 def dedup_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:

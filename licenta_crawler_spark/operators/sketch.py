@@ -41,7 +41,14 @@ def kmv_distinct_estimate(
     h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
         F.xxhash64(v), F.lit(HASH_SPACE)
     )
-    hashed = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    # NULL values hash to NULL; drop them (Spark would rank the NULL
+    # hash FIRST while SQL engines rank it last — and a NULL is not a
+    # distinct value for counting purposes anyway)
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("h")
     ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return (

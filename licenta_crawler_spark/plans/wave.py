@@ -274,11 +274,20 @@ class CrawlEngine:
         tree. Parquet gives honest physical stats at constant cost; with a
         checkpointer configured the directory also becomes resumable state."""
         built = self.bloom.build(log_rows.select("url_sha1"), materialize="none")
-        shards = self._materialize("bloom_shards", built.shards_df, wave,
+        shards = self._materialize(self._bloom_table(), built.shards_df, wave,
                                    force_parquet=True)
         self.bloom = BloomShardSet(
             built.n_shards, built.m_bits, built.k, shards_df=shards
         )
+
+    def _bloom_table(self) -> str:
+        """Committed shard-directory table name, keyed by the Bloom
+        CONFIG: a resumed engine with a different (shards, bits, k) gets
+        a clean KeyError -> full rebuild instead of silently probing a
+        directory hashed under different parameters (which would create
+        Bloom false negatives -> re-crawled URLs)."""
+        return (f"bloom_shards_{self.cfg.bloom_shards}"
+                f"x{self.cfg.bloom_bits}x{self.cfg.bloom_k}")
 
     def _note_new_seen(self, st: CrawlState, log_rows: DataFrame,
                        n_new: int, wave: int) -> None:
@@ -710,7 +719,9 @@ class CrawlEngine:
                 # beats re-hashing the full seen set, which at 10^10-key
                 # scale is a full-corpus pass per restart
                 try:
-                    shards = catalog.load(spark, "bloom_shards").localCheckpoint()
+                    shards = catalog.load(
+                        spark, self._bloom_table()
+                    ).localCheckpoint()
                     probe = shards.limit(1).collect()
                     if probe and len(probe[0]["bits"]) * 8 != self.cfg.bloom_bits:
                         raise KeyError("bloom config changed; rebuild")

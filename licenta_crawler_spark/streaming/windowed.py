@@ -98,7 +98,13 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
                 closed.append((start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # late (within-watermark) events from earlier batches
+                # merge into the open session: bounds only EXPAND, so a
+                # cross-batch straggler can never drag end_ms backwards
+                # or split a true session
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         state.update((start_us, last_us, n))
         # close when the watermark passes last + gap (must stay above the
         # current watermark or Spark rejects the timestamp)

@@ -166,3 +166,13 @@ def test_cc_star_log_rounds_on_path(spark):
             for r in connected_components(edges, algorithm="star",
                                           max_iter=10).collect()}
     assert set(comp.values()) == {"n000"} and len(comp) == n + 1
+
+
+def test_kmv_ignores_null_values(spark):
+    """NULL values are not distinct values: they must not shift the
+    k-th-minimum rank (Spark's nulls-first default would otherwise
+    diverge from the SQL oracle's nulls-last)."""
+    rows = [("g", i) for i in range(10)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = kmv_distinct_estimate(df, "grp", "v", k=64).collect()
+    assert got[0]["est_distinct"] == 10

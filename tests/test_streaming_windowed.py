@@ -203,3 +203,47 @@ def test_streaming_sessionize_event_time_timeout(spark, tmpdirs):
     assert (1, ms("2024-01-01 00:00:00"), ms("2024-01-01 00:10:00"), 2) in rows
     # user2's idle session closed by event-time timeout
     assert (2, ms("2024-01-01 00:05:00"), ms("2024-01-01 00:05:00"), 1) in rows
+
+
+def test_streaming_sessionize_late_event_merges(spark, tmpdirs):
+    """Regression: a late (within-watermark) event from a later batch
+    merges into the open session — bounds only expand; the session must
+    not split or report a dragged-back end time."""
+    from licenta_crawler_spark.streaming.windowed import streaming_sessionize
+
+    src = f"{tmpdirs}/src"
+    b1 = _mk_events(spark, [
+        ("2024-01-01 10:00:00", 1, "click", 0.0),
+        ("2024-01-01 10:20:00", 1, "click", 0.0),
+    ])
+    # late event at 10:05 + a follow-up at 10:40 (within gap of 10:20)
+    b2 = _mk_events(spark, [
+        ("2024-01-01 10:05:00", 1, "click", 0.0),
+        ("2024-01-01 10:40:00", 1, "click", 0.0),
+    ])
+    # far-future event to time the session out
+    b3 = _mk_events(spark, [("2024-01-01 20:00:00", 99, "view", 0.0)])
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="2 hours")
+        .writeStream.format("memory").queryName("latesessions")
+        .outputMode("append").option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        for b in (b2, b3):
+            q.processAllAvailable()
+            b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = [(r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+                for r in spark.table("latesessions").collect() if r["user_id"] == 1]
+    finally:
+        q.stop()
+    import datetime
+
+    def ms(s):
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1000)
+
+    # ONE session for user 1: 10:00 .. 10:40 with all 4 events
+    assert rows == [(1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:40:00"), 4)]
