@@ -46,6 +46,7 @@ from licenta_crawler_spark.operators.ann import (
     hyperplanes,
     ivf_probe_cells,
     lsh_bucket_py,
+    nearest_cell_udf,
     table_seed,
     unit_centroids,
 )
@@ -60,6 +61,10 @@ from licenta_crawler_spark.operators.dedup import (
     xor_seeds,
 )
 from licenta_crawler_spark.operators.graph import dedup_components
+from licenta_crawler_spark.operators.pagerank import (
+    pagerank_fixed_point,
+    pagerank_sql_unrolled,
+)
 from licenta_crawler_spark.operators.sketch import kmv_distinct_estimate
 from licenta_crawler_spark.operators.relational import (
     asof_join,
@@ -844,6 +849,175 @@ def w_tumbling_counts(spark, sf_dir):
     )
 
 
+# ------------------------- frontier prioritization / corpus analytics 2
+def pagerank_links(spark, sf_dir):
+    """Frontier prioritization: 5 rounds of fixed-point PageRank over the
+    customer<->supplier link graph (orders ⋈ lineitem as the edge list;
+    undirected doubling so no node dangles). Integer fixed-point ranks
+    hash-compare exactly against the unrolled-CTE DuckDB replay — see
+    operators/pagerank.py for the scale + exactness design."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=5)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_fp",
+    )
+
+
+def ann_ivf_full_probe(spark, sf_dir):
+    """IVF exhaustiveness invariant, oracle-checked: probing ALL cells of
+    the TRAINED index must return exactly the brute-force top-k — the
+    trained cells partition the table (no vector lost or double-assigned
+    by the numpy cell-assignment UDF), independent of centroid float
+    values. This puts the trainer+assignment machinery of `ann_ivf_topk`
+    (rows-only, float-sensitive) under an independent exact oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = cached_ivf_centroids(e, table_key=f"{sf_dir}/embeddings", n_cells=16)
+    q = F.array(*[F.lit(float(x)) for x in ANN_QUERY])
+    v = F.col("embedding").cast("array<double>")
+    scored = (
+        e.select("vec_id", v.alias("v"), nearest_cell_udf(cents)(v).alias("cell"))
+        .filter(F.col("cell").isin(*range(16)))  # probe list = every cell
+        .select("vec_id", F.round(cosine_col(F.col("v"), q), 4).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 salient terms by fixed-point tf·(N/df) rarity
+    weighting — the inverted-index shape (explode → tf per (doc,term) →
+    df per term → join → per-doc top-k window). Integer scoring
+    (score_fp = tf * ((N * 10^6) div df)) keeps the cross-engine compare
+    exact where log-idf floats would drift. At 100 TB the df table is the
+    skew risk (stopword terms): the df join is shuffle-on-term with
+    map-side partial aggs; stopword-scale terms score near zero and never
+    survive the top-k, so a df-cap pre-filter is a pure optimization."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text_col(F.col("text")), " ")
+    words = d.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * ((n_docs * 1000000) div df)").alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score_fp", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate-
+    word fraction (1 - distinct/total) and top-bigram mass fraction —
+    the standard pretraining-corpus repetition filters. All counts are
+    exact integers; the two final divisions are single IEEE ops, so the
+    oracle compare is exact at 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text_col(F.col("text")), " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    words = base.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wstats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.count("*").alias("n_uniq"),
+    )
+    n_bi = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
+    bi = F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_bi - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
+        )
+    )
+    bf = (
+        base.select("doc_id", F.explode(bi).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("bc"))
+        .groupBy("doc_id")
+        .agg(F.max("bc").alias("top_bc"), F.sum("bc").alias("n_bi"))
+    )
+    return (
+        wstats.join(bf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(1.0 - F.col("n_uniq") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bc") / F.col("n_bi"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling: per-host change-rate estimation (user_id as
+    the host proxy) — median inter-event gap via exact interpolated
+    percentile over lag() deltas; next_due = last_seen + median gap
+    (default 24 h for single-observation hosts). The incremental-crawl
+    planner every production crawler runs on top of its frontier."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("gap_ms"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.max("ts_ms").alias("last_ms"),
+            F.round(
+                F.coalesce(
+                    F.percentile("gap_ms", F.lit(0.5)), F.lit(86400000.0)
+                ),
+                1,
+            ).alias("median_gap_ms"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "last_ms",
+            "median_gap_ms",
+            F.round(F.col("last_ms") + F.col("median_gap_ms"), 1).alias(
+                "next_due_ms"
+            ),
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -904,6 +1078,11 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "w_tumbling_counts": w_tumbling_counts,
+    "pagerank_links": pagerank_links,
+    "ann_ivf_full_probe": ann_ivf_full_probe,
+    "tfidf_top_terms": tfidf_top_terms,
+    "text_repetition": text_repetition,
+    "recrawl_schedule": recrawl_schedule,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -1625,6 +1804,90 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
         WHERE a.vec_id < 100 AND b.vec_id < 100
+    """,
+    "pagerank_links": f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               node // 2 AS entity_key, rank_fp
+        FROM ({pagerank_sql_unrolled('''
+            SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION
+            SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', iterations=5)})
+    """,
+    "ann_ivf_full_probe": f"""
+        SELECT vec_id, round(cosine, 4) AS cosine FROM (
+          SELECT vec_id,
+                 list_cosine_similarity(embedding::DOUBLE[], {_ANN_SQL_VEC}) AS cosine
+          FROM embeddings
+        ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "tfidf_top_terms": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM words WHERE term <> '' GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 (tf * ((n_docs * 1000000) // df))::BIGINT AS score_fp
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, score_fp, rn FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_fp DESC, term ASC
+          )::BIGINT AS rn FROM scored
+        ) WHERE rn <= 3
+    """,
+    "text_repetition": f"""
+        WITH base AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM base
+          ) WHERE term <> '' GROUP BY doc_id, term
+        ),
+        wstats AS (
+          SELECT doc_id, sum(tf)::BIGINT AS n_words, count(*)::BIGINT AS n_uniq
+          FROM tf GROUP BY doc_id
+        ),
+        bc AS (
+          SELECT doc_id, bigram, count(*)::BIGINT AS bc FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+            FROM base
+          ) GROUP BY doc_id, bigram
+        ),
+        bf AS (
+          SELECT doc_id, max(bc)::BIGINT AS top_bc, sum(bc)::BIGINT AS n_bi
+          FROM bc GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.n_words,
+               round(1.0 - w.n_uniq / w.n_words::DOUBLE, 6) AS dup_word_frac,
+               round(COALESCE(b.top_bc / b.n_bi::DOUBLE, 0.0), 6) AS top_bigram_frac
+        FROM wstats w LEFT JOIN bf b ON w.doc_id = b.doc_id
+    """,
+    "recrawl_schedule": """
+        WITH gaps AS (
+          SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+                 epoch_ms(ts)::BIGINT - lag(epoch_ms(ts)::BIGINT) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap_ms
+          FROM events
+        )
+        SELECT user_id, max(ts_ms)::BIGINT AS last_ms,
+               round(COALESCE(quantile_cont(gap_ms, 0.5), 86400000.0), 1)
+                 AS median_gap_ms,
+               round(max(ts_ms)
+                     + COALESCE(quantile_cont(gap_ms, 0.5), 86400000.0), 1)
+                 AS next_due_ms,
+               count(*)::BIGINT AS n_events
+        FROM gaps GROUP BY user_id
     """,
 }
 

@@ -1,0 +1,150 @@
+"""Fixed-point PageRank over a link graph — frontier prioritization.
+
+A crawl scheduler at 10^10-URL scale ranks the frontier so high-value
+hosts/pages are fetched first (the reference crawls FIFO within a host —
+`SitemapSaxCrawler.java` queue order; a distributed frontier adds
+importance ordering on top). PageRank is the canonical importance score.
+
+Design decisions for exactness AND scale:
+
+* **Integer fixed-point arithmetic.** Ranks are BIGINT multiples of
+  ``1/scale`` (default scale = 10^12). Every step is integer math:
+  ``contrib = rank div out_degree`` and
+  ``new = (scale * (den-num)) div den + (num * inc_sum) div den``
+  with damping ``num/den`` (default 85/100). Integer sums are
+  associative/commutative with NO float summation-order sensitivity, so
+  the same result materializes on any partitioning, any engine — a
+  DuckDB oracle replays the iteration bit-for-bit (floating-point
+  PageRank cannot be hash-compared across engines; see
+  entry_queries.py's conventions header). Mass lost to floor division
+  (< n_edges ulps per round) is deterministic and identical in both
+  engines.
+* **One shuffle per iteration.** ``contrib`` is edges ⋈ ranks on src
+  (shuffle-on-key or broadcast when ranks fit), then groupBy dst with
+  map-side partial sums. Out-degrees are computed once before the loop.
+* **Per-round state truncation.** Each iteration's ranks round-trip
+  through parquet (graph.py `_scratch_truncate`): never a
+  localCheckpoint chain, never a 5-deep join tree whose sizeInBytes
+  estimate compounds (see plans/wave.py `_materialize`).
+* **Overflow headroom.** Total mass stays ~n_nodes * scale; the damping
+  multiply bounds intermediates by ``den * n_nodes * scale``. With
+  scale=10^12 that caps n_nodes at ~9*10^4 before int64 overflow in the
+  worst all-mass-on-one-node case; callers at 10^10 nodes pass
+  scale=10^5 (still 5 significant digits of rank). The realistic bound
+  is per-node rank, not total mass — but we document the conservative
+  one.
+* **Dangling nodes** (no out-links) keep receiving rank but their mass
+  exits the system (the simplified/"pruned" PageRank variant — same
+  choice as the original Google paper's crawl-ordering use). Callers
+  wanting strict mass conservation can add reverse edges (the
+  undirected doubling the entry query uses) so no node dangles.
+
+Reference parity: the reference has no ranking (single host, FIFO);
+this is graft-mandate scope — frontier prioritization for the
+distributed crawl (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.graph import _scratch_truncate
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank_fp) after ``iterations`` synchronous PageRank rounds.
+
+    ``rank_fp`` is the fixed-point rank: BIGINT, units of 1/scale, every
+    node initialized to ``scale`` (i.e. 1.0). Self-loops and duplicate
+    edges are honored as given (dedup upstream if unwanted)."""
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ),
+            "edges",
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nodes = truncate(nodes, "nodes")
+        deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        deg = truncate(deg, "deg")
+
+        ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_fp"))
+        ranks = truncate(ranks, "ranks-0")
+        base = (int(scale) * (damping_den - damping_num)) // damping_den
+        for i in range(iterations):
+            inc = (
+                e.join(ranks.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div out_deg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("inc_sum"))
+            )
+            ranks = nodes.join(inc, "node", "left").select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            ranks = truncate(ranks, f"ranks-{i + 1}")
+        return ranks.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def pagerank_sql_unrolled(
+    edges_sql: str,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """The DuckDB oracle: the SAME fixed-point iteration unrolled as a
+    CTE chain (r0..rN). ``edges_sql`` must yield columns (src, dst)."""
+    base = (int(scale) * (damping_den - damping_num)) // damping_den
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {int(scale)}::BIGINT AS rank_fp FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT n.node,
+                     ({base}::BIGINT
+                      + ({damping_num} * COALESCE(s.inc_sum, 0)) // {damping_den}
+                     )::BIGINT AS rank_fp
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(r{i}.rank_fp // deg.out_deg)::BIGINT AS inc_sum
+                FROM e
+                JOIN r{i} ON e.src = r{i}.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s ON n.node = s.node
+            )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iterations}"

@@ -1,0 +1,85 @@
+"""Fixed-point PageRank: exact equivalence against a pure-Python replay
+of the same integer iteration, plus structural sanity (hubs outrank
+leaves) and the DuckDB-unrolled-CTE oracle used by the entry query."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from licenta_crawler_spark.operators.pagerank import (
+    pagerank_fixed_point,
+    pagerank_sql_unrolled,
+)
+
+
+def _py_pagerank(edges, iterations=5, scale=10**12, num=85, den=100):
+    """Reference replay: same integer fixed-point iteration, plain dicts."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(iterations):
+        inc: dict[int, int] = {}
+        for a, b in edges:
+            inc[b] = inc.get(b, 0) + rank[a] // deg[a]
+        rank = {n: base + (num * inc.get(n, 0)) // den for n in nodes}
+    return rank
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_replay_random_graph(spark):
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    assert _spark_ranks(spark, edges) == _py_pagerank(edges)
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # undirected star: leaves 1..8 <-> hub 0
+    edges = [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)]
+    got = _spark_ranks(spark, edges, iterations=10)
+    assert got == _py_pagerank(edges, iterations=10)
+    hub, leaf = got[0], got[1]
+    assert hub > 3 * leaf  # the hub concentrates the rank mass
+    assert len({got[i] for i in range(1, 9)}) == 1  # leaves symmetric
+
+
+def test_pagerank_dangling_mass_drains(spark):
+    # 0 -> 1 -> 2 (2 dangles): total mass must shrink each round but
+    # every rank stays >= the teleport base
+    edges = [(0, 1), (1, 2)]
+    got = _spark_ranks(spark, edges, iterations=3)
+    assert got == _py_pagerank(edges, iterations=3)
+    base = (10**12 * 15) // 100
+    assert all(v >= base for v in got.values())
+    assert sum(got.values()) < 3 * 10**12
+
+
+def test_pagerank_sql_unrolled_matches_python(spark):
+    rng = random.Random(21)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE el (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO el VALUES (?, ?)", edges)
+    sql = pagerank_sql_unrolled("SELECT src, dst FROM el", iterations=5)
+    got = {int(n): int(r) for n, r in con.sql(sql).fetchall()}
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_custom_scale_and_damping(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0)]
+    kw = dict(iterations=4, scale=10**6, damping_num=9, damping_den=10)
+    assert _spark_ranks(spark, edges, **kw) == _py_pagerank(
+        edges, iterations=4, scale=10**6, num=9, den=10
+    )
