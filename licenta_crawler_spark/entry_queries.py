@@ -869,7 +869,10 @@ def pagerank_links(spark, sf_dir):
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank_fixed_point(edges, iterations=5)
+    # rank state here is tiny (|customers|+|suppliers| rows) and rounds
+    # are fixed at 5: run the loop as one lazy plan (materialize_every=0);
+    # a 10^10-node frontier uses the default per-round truncation
+    ranks = pagerank_fixed_point(edges, iterations=5, materialize_every=0)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -60,14 +60,31 @@ def pagerank_fixed_point(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    materialize_every: int = 1,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` synchronous PageRank rounds.
 
     ``rank_fp`` is the fixed-point rank: BIGINT, units of 1/scale, every
     node initialized to ``scale`` (i.e. 1.0). Self-loops and duplicate
-    edges are honored as given (dedup upstream if unwanted)."""
+    edges are honored as given (dedup upstream if unwanted).
+
+    ``materialize_every``: parquet-truncate the rank state every k
+    rounds. 1 (default) is the 10^10-node configuration — rank state
+    exceeds memory, and cutting lineage per round is also the fault-
+    recovery boundary. 0 = never: the whole loop stays ONE lazy plan
+    (5 chained shuffle stages, zero intermediate I/O) — strictly faster
+    when ranks fit comfortably in executor memory and rounds are few;
+    identical results (integer math — no path sensitivity)."""
     spark = edges.sparkSession
     truncate, cleanup = _scratch_truncate(spark)
+    lazy = materialize_every <= 0
+    if lazy:
+        # single-plan mode: no intermediate actions at all — repeated
+        # subplans (nodes, e_deg) are deduplicated by Spark's
+        # ReuseExchange, so each shuffles once despite appearing in
+        # every iteration of the final plan
+        def truncate(df, name):  # noqa: F811 — intentional shadow
+            return df
     try:
         e = truncate(
             edges.select(
@@ -82,16 +99,20 @@ def pagerank_fixed_point(
             .distinct()
         )
         nodes = truncate(nodes, "nodes")
-        deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-        deg = truncate(deg, "deg")
+        # out-degree rides the edge list (joined ONCE, not per round) —
+        # at scale this is the ingest-time layout: edges partitioned by
+        # src with the degree denormalized on
+        e_deg = e.join(
+            e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"
+        )
+        e_deg = truncate(e_deg, "edges-deg")
 
         ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_fp"))
         ranks = truncate(ranks, "ranks-0")
         base = (int(scale) * (damping_den - damping_num)) // damping_den
         for i in range(iterations):
             inc = (
-                e.join(ranks.withColumnRenamed("node", "src"), "src")
-                .join(deg, "src")
+                e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.expr("rank_fp div out_deg").alias("contrib"),
@@ -108,8 +129,9 @@ def pagerank_fixed_point(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            ranks = truncate(ranks, f"ranks-{i + 1}")
-        return ranks.localCheckpoint()
+            if not lazy and (i + 1) % materialize_every == 0:
+                ranks = truncate(ranks, f"ranks-{i + 1}")
+        return ranks if lazy else ranks.localCheckpoint()
     finally:
         cleanup()
 

@@ -42,7 +42,11 @@ def _spark_ranks(spark, edges, **kw):
 def test_pagerank_matches_python_replay_random_graph(spark):
     rng = random.Random(7)
     edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
-    assert _spark_ranks(spark, edges) == _py_pagerank(edges)
+    expect = _py_pagerank(edges)
+    # per-round truncation (scale path) and the single lazy plan
+    # (materialize_every=0) must both equal the replay exactly
+    assert _spark_ranks(spark, edges) == expect
+    assert _spark_ranks(spark, edges, materialize_every=0) == expect
 
 
 def test_pagerank_star_hub_dominates(spark):
