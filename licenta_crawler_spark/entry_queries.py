@@ -882,6 +882,48 @@ def pagerank_links(spark, sf_dir):
     )
 
 
+def priority_frontier_schedule(spark, sf_dir):
+    """The full prioritized-frontier composition in ONE plan: fixed-point
+    PageRank scores feed the politeness scheduler's priority tuple
+    (highest-rank sources first within each host), per-host emission is
+    budget-capped and virtual clocks are spaced crawl-delay apart — i.e.
+    prioritize → politeness → schedule, the distributed replacement for
+    the reference's FIFO-per-host order (BrowserCrawler.java:32-39). The
+    oracle replays PageRank (unrolled CTEs) AND the schedule's
+    closed-form (rank-1)*delay, end to end."""
+    ranks = pagerank_links(spark, sf_dir)
+    cust_rank = ranks.filter(F.col("kind") == "customer").select(
+        F.col("entity_key").alias("o_custkey"), "rank_fp"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    cand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_rank), "o_custkey")
+        .select(
+            F.col("l_suppkey").cast("string").alias("host"),
+            F.concat(
+                F.lit("o/"), F.col("o_orderkey").cast("string"),
+                F.lit("/"), F.col("l_linenumber").cast("string"),
+            ).alias("url"),
+            F.lit("L").alias("kind"),
+            (-F.col("rank_fp")).cast("long").alias("prio0"),
+            F.col("o_orderkey").cast("long").alias("prio1"),
+            F.col("l_linenumber").cast("long").alias("prio2"),
+        )
+    )
+    robots = cand.select("host").distinct().withColumn(
+        "crawl_delay_ms", F.lit(100).cast("long")
+    )
+    clocks = spark.createDataFrame([], "host string, clock_ms long")
+    sched = schedule_fetches(cand, robots, clocks, max_per_host=5)
+    return sched.select("host", "url", "scheduled_at")
+
+
 def ann_ivf_full_probe(spark, sf_dir):
     """IVF exhaustiveness invariant, oracle-checked: probing ALL cells of
     the TRAINED index must return exactly the brute-force top-k — the
@@ -1082,6 +1124,7 @@ QUERIES = {
     "purchase_session_attribution": purchase_session_attribution,
     "w_tumbling_counts": w_tumbling_counts,
     "pagerank_links": pagerank_links,
+    "priority_frontier_schedule": priority_frontier_schedule,
     "ann_ivf_full_probe": ann_ivf_full_probe,
     "tfidf_top_terms": tfidf_top_terms,
     "text_repetition": text_repetition,
@@ -1818,6 +1861,35 @@ ORACLE_SQL = {
             SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ''', iterations=5)})
+    """,
+    "priority_frontier_schedule": f"""
+        WITH pr AS ({pagerank_sql_unrolled('''
+            SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION
+            SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', iterations=5)}),
+        cand AS (
+          SELECT l_suppkey AS hostk, o_orderkey, l_linenumber,
+                 -pr.rank_fp AS prio0
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN pr ON pr.node = 2 * o_custkey
+          WHERE o_orderkey < 20000
+        ),
+        ranked AS (
+          SELECT hostk, o_orderkey, l_linenumber,
+                 row_number() OVER (
+                   PARTITION BY hostk
+                   ORDER BY prio0, o_orderkey, l_linenumber
+                 ) AS rn
+          FROM cand
+        )
+        SELECT hostk::VARCHAR AS host,
+               'o/' || o_orderkey || '/' || l_linenumber AS url,
+               ((rn - 1) * 100)::BIGINT AS scheduled_at
+        FROM ranked WHERE rn <= 5
     """,
     "ann_ivf_full_probe": f"""
         SELECT vec_id, round(cosine, 4) AS cosine FROM (
