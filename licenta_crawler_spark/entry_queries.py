@@ -37,6 +37,7 @@ from licenta_crawler_spark.functions.text import (
 )
 from licenta_crawler_spark.operators.ann import (
     ann_topk_ivf,
+    ann_topk_ivf_fp,
     ann_topk_ivf_pinned,
     ann_topk_lsh,
     brute_force_topk,
@@ -76,6 +77,11 @@ from licenta_crawler_spark.operators.relational import (
 # deterministic literal query vector (dim 64), identical in Spark + SQL
 ANN_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 _ANN_SQL_VEC = "[" + ", ".join(f"{x:.1f}" for x in ANN_QUERY) + "]::DOUBLE[]"
+# fixed-point twin: the same double ops (multiply, trunc toward zero) the
+# engines apply to the embeddings, evaluated once in python — int()
+# truncates toward zero exactly like Spark's cast and DuckDB's trunc()
+ANN_QUERY_INT = [int(float(x) * 1000.0) for x in ANN_QUERY]
+_ANN_QSS = sum(v * v for v in ANN_QUERY_INT)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -443,9 +449,24 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def ann_ivf_topk(spark, sf_dir):
+    """FULL IVF pipeline (train + assign + probe + top-k) — oracle-checked
+    end to end via the fixed-point trainer (integer-quantized vectors,
+    exact integer centroid sums, single correctly-rounded float ops at
+    comparison points — the fixed-point-PageRank trick applied to Lloyd).
+    The float Arrow-matmul trainer (``train_ivf_centroids``) remains the
+    production default; its recall is asserted in tests/test_ann.py and
+    its trained output is oracle-checked as literals via
+    ``ann_ivf_pinned_topk`` / ``ann_ivf_full_probe``."""
     e = _t(spark, sf_dir, "embeddings")
-    # centroids train once per (table, n_cells) and are cached for the
-    # session — the serving path never retrains per query
+    return ann_topk_ivf_fp(e, ANN_QUERY_INT, k=10, n_cells=8, n_probe=3, sample_n=256)
+
+
+def ann_ivf_float_topk(spark, sf_dir):
+    """The float production trainer+serving path (rows-only: centroid
+    refinement is float-summation-order sensitive across engines;
+    tests/test_ann.py asserts recall >= 0.8 instead). Centroids train
+    once per (table, n_cells) and are cached for the session."""
+    e = _t(spark, sf_dir, "embeddings")
     cents = cached_ivf_centroids(e, table_key=f"{sf_dir}/embeddings", n_cells=16)
     return ann_topk_ivf(e, ANN_QUERY, k=10, n_cells=16, n_probe=4, centroids=cents)
 
@@ -1095,6 +1116,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_float_topk": ann_ivf_float_topk,
     "ann_ivf_pinned_topk": ann_ivf_pinned_topk,
     "embedding_norms": embedding_norms,
     "knn_self_similarity": knn_self_similarity,
@@ -1663,8 +1685,85 @@ ORACLE_SQL = {
           )
         ) WHERE rn = 1
     """,
-    # ann_ivf_topk: rows-only (centroid refinement is float-summation-order
-    # sensitive across engines; recall is asserted in tests/test_ann.py)
+    # ann_ivf_float_topk: rows-only (float centroid refinement is
+    # summation-order sensitive across engines; recall is asserted in
+    # tests/test_ann.py). The oracle-checked IVF pipeline is ann_ivf_topk.
+    "ann_ivf_topk": f"""
+        WITH qlit AS (
+          SELECT * FROM (VALUES {", ".join(f"({i}, {v})" for i, v in enumerate(ANN_QUERY_INT))})
+            AS t(pos, qx)
+        ),
+        qe AS (
+          SELECT vec_id::BIGINT AS vid,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 trunc(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qx
+          FROM embeddings
+        ),
+        seedss AS (
+          SELECT vid AS cell, sum(qx*qx) AS ss FROM qe WHERE vid < 8
+          GROUP BY vid HAVING sum(qx*qx) > 0
+        ),
+        seede AS (SELECT vid AS cell, pos, qx AS sx FROM qe WHERE vid < 8),
+        sa AS (
+          SELECT s.vid, d.cell, sum(s.qx * d.sx) AS dot
+          FROM qe s JOIN seede d USING (pos)
+          WHERE s.vid < 256
+          GROUP BY s.vid, d.cell
+        ),
+        a1 AS (
+          SELECT vid, cell FROM (
+            SELECT sa.vid, sa.cell,
+                   row_number() OVER (
+                     PARTITION BY sa.vid
+                     ORDER BY sa.dot / sqrt(ss.ss) DESC, sa.cell) AS rn
+            FROM sa JOIN seedss ss USING (cell)
+          ) WHERE rn = 1
+        ),
+        cent AS (
+          SELECT a1.cell, qe.pos, sum(qe.qx) AS sd
+          FROM a1 JOIN qe USING (vid) GROUP BY a1.cell, qe.pos
+        ),
+        centss AS (
+          SELECT cell, sum(sd*sd) AS ss FROM cent
+          GROUP BY cell HAVING sum(sd*sd) > 0
+        ),
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell,
+                   row_number() OVER (ORDER BY qs.qs / sqrt(c.ss) DESC, c.cell) AS rn
+            FROM centss c JOIN (
+              SELECT cent.cell, sum(q.qx * cent.sd) AS qs
+              FROM cent JOIN qlit q USING (pos) GROUP BY cent.cell
+            ) qs USING (cell)
+          ) WHERE rn <= 3
+        ),
+        fd AS (
+          SELECT qe.vid, cent.cell, sum(qe.qx * cent.sd) AS dot
+          FROM qe JOIN cent USING (pos) GROUP BY qe.vid, cent.cell
+        ),
+        a2 AS (
+          SELECT vid, cell FROM (
+            SELECT fd.vid, fd.cell,
+                   row_number() OVER (
+                     PARTITION BY fd.vid
+                     ORDER BY fd.dot / sqrt(c.ss) DESC, fd.cell) AS rn
+            FROM fd JOIN centss c USING (cell)
+          ) WHERE rn = 1
+        ),
+        vstat AS (
+          SELECT qe.vid, sum(qe.qx * qe.qx) AS ssv, sum(qe.qx * q.qx) AS qd
+          FROM qe JOIN qlit q USING (pos) GROUP BY qe.vid
+        ),
+        sc AS (
+          SELECT v.vid, v.qd / sqrt(({_ANN_QSS}::BIGINT * v.ssv)::DOUBLE) AS c
+          FROM vstat v
+          JOIN a2 USING (vid)
+          JOIN probe ON a2.cell = probe.cell
+          WHERE v.ssv > 0
+        )
+        SELECT vid AS vec_id, round(c, 4) AS cosine
+        FROM sc ORDER BY c DESC, vid LIMIT 10
+    """,
     "text_bpe_tokens": r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT

@@ -490,3 +490,140 @@ def ann_topk_lsh(
         .limit(k)
         .select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------- fixed-point
+def quantize_col(vec: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long> via trunc-toward-zero of x*scale.
+
+    Every step is engine-portable-exact: float32->double widening is
+    exact, the double multiply is IEEE correctly rounded (identical in
+    the JVM, numpy and DuckDB given identical inputs), and the cast to
+    long truncates toward zero in both Spark and DuckDB ``trunc()``."""
+    return F.transform(vec, lambda x: (x.cast("double") * F.lit(float(scale))).cast("long"))
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns (associative —
+    partition-order independent by construction)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_topk_ivf_fp(
+    vectors: DataFrame,
+    q_int: list[int],
+    *,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    sample_n: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULL IVF pipeline — train (seed + one Lloyd pass), assign, probe,
+    exact top-k — in fixed-point arithmetic so the whole thing is
+    bit-replayable by a SQL oracle on ANY partitioning.
+
+    Why fixed point: the float trainer (``train_ivf_centroids``) sums
+    vectors in partition order, and float addition is not associative —
+    its centroids are run-dependent at the last ulp. Here vectors are
+    quantized to integers (``quantize_col``), every dot product and
+    centroid component is an exact integer SUM (associative), and floats
+    appear only as single correctly-rounded ops (one divide by one sqrt)
+    at comparison points — IEEE guarantees those are bit-identical across
+    the JVM, numpy and DuckDB. Same trick as the fixed-point PageRank.
+
+    Trainer semantics: cell c is seeded by the vector with id c (c <
+    n_cells); the sample (id < sample_n) is assigned to seed cells by
+    cosine (tie -> lowest cell), and the centroid of a cell is the
+    INTEGER SUM of its members (cosine against a sum equals cosine
+    against the mean — the member count cancels). Seeds are sample
+    members and, by Cauchy-Schwarz, assign to their own cells, so no
+    cell is ever empty and there is no fallback branch to mirror.
+
+    Serving: every vector is assigned to its nearest trained centroid
+    (the ingest-time partition key at scale); the query probes the
+    ``n_probe`` nearest cells and ranks candidates by exact quantized
+    cosine. Overflow headroom: |q_int| <= scale, dims <= 64, sample <=
+    4096 keeps every product < 2^53 (exact even through double sums).
+
+    Reference for the IVF shape: operators/ann.py:249 (float trainer);
+    the production serving path stays ``ann_topk_ivf`` (Arrow matmul
+    assignment) — this variant is the oracle-replayable twin, like the
+    md5/literal-hyperplane variants of minhash/simhash."""
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in q_int])
+    qss = int(sum(int(v) * int(v) for v in q_int))
+    qv = vectors.select(
+        F.col(id_col).cast("long").alias("vid"),
+        quantize_col(F.col(vec_col), scale).alias("qv"),
+    )
+    seeds = (
+        qv.filter(F.col("vid") < n_cells)
+        .select(F.col("vid").alias("cell"), F.col("qv").alias("sv"))
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+    samp = qv.filter(F.col("vid") < sample_n)
+
+    def _argmin_cell(scored: DataFrame, extra: list[str]) -> DataFrame:
+        # argmax score (tie -> lowest cell) as a map-side-combinable
+        # min(struct(-score, cell, ...)) — no per-key window sort.
+        m = scored.groupBy("vid").agg(
+            F.min(F.struct((-F.col("score")).alias("ns"), F.col("cell"), *[F.col(c) for c in extra])).alias("m")
+        )
+        return m.select("vid", F.col("m.cell").alias("cell"), *[F.col(f"m.{c}").alias(c) for c in extra])
+
+    a1 = _argmin_cell(
+        samp.crossJoin(F.broadcast(seeds)).select(
+            "vid", "cell", "qv",
+            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        ),
+        ["qv"],
+    )
+    cent = (
+        a1.select("cell", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("sd"))
+    )
+    cvec = (
+        cent.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
+            ).alias("sv")
+        )
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+    probe = (
+        cvec.withColumn("score", dot_long(F.col("sv"), qlit) / F.sqrt(F.col("ss")))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("cell"))))
+        .filter(F.col("rn") <= n_probe)
+        .select("cell")
+    )
+    a2 = _argmin_cell(
+        qv.crossJoin(F.broadcast(cvec)).select(
+            "vid", "cell", "qv",
+            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        ),
+        ["qv"],
+    )
+    hits = a2.join(F.broadcast(probe), "cell")
+    scored = hits.select(
+        F.col("vid").alias("vec_id"),
+        (
+            dot_long(F.col("qv"), qlit)
+            / F.sqrt((F.lit(qss).cast("long") * dot_long(F.col("qv"), F.col("qv"))).cast("double"))
+        ).alias("c"),
+        dot_long(F.col("qv"), F.col("qv")).alias("ssv"),
+    ).filter(F.col("ssv") > 0)
+    return (
+        scored.orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("c", 4).alias("cosine"))
+    )

@@ -137,3 +137,35 @@ def test_ivf_pinned_matches_trainer_path_and_recall(vectors):
     assert pinned == trainer  # same cells, same scores, same order
     exact = set(r.vec_id for r in brute_force_topk(df, q, k=10).collect())
     assert len(exact & set(pinned)) / 10 >= 0.8
+
+
+def test_ivf_fp_partition_independent_and_sane(vectors):
+    """The fixed-point IVF pipeline must return IDENTICAL rows on any
+    input partitioning (the property the float trainer lacks), and its
+    top-k must overlap the exact quantized brute force heavily (probe=all
+    cells would be exact; 3/8 cells is the recall knob)."""
+    from licenta_crawler_spark.operators.ann import ann_topk_ivf_fp
+
+    df, _ = vectors
+    q = [((i * 29) % 17 - 8) / 10.0 for i in range(DIM)]
+    q_int = [int(float(x) * 1000.0) for x in q]
+    runs = [
+        ann_topk_ivf_fp(df.repartition(p), q_int, k=10, n_cells=8, n_probe=3,
+                        sample_n=128).collect()
+        for p in (1, 7)
+    ]
+    as_tuples = [sorted((r["vec_id"], r["cosine"]) for r in rows) for rows in runs]
+    assert as_tuples[0] == as_tuples[1]
+    assert len(as_tuples[0]) == 10
+
+    # full probe (n_probe = n_cells) must equal quantized brute force
+    full = ann_topk_ivf_fp(df, q_int, k=10, n_cells=8, n_probe=8, sample_n=128).collect()
+    rows = [(r["vec_id"], [int(float(x) * 1000.0) for x in r["embedding"]])
+            for r in df.collect()]
+
+    def cos_q(v):
+        d = sum(a * b for a, b in zip(v, q_int))
+        return d / math.sqrt(sum(a * a for a in q_int) * sum(a * a for a in v))
+
+    exact = sorted(rows, key=lambda r: (-cos_q(r[1]), r[0]))[:10]
+    assert sorted(r["vec_id"] for r in full) == sorted(i for i, _ in exact)
