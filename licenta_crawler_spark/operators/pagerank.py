@@ -71,10 +71,14 @@ def pagerank_fixed_point(
     ``materialize_every``: parquet-truncate the rank state every k
     rounds. 1 (default) is the 10^10-node configuration — rank state
     exceeds memory, and cutting lineage per round is also the fault-
-    recovery boundary. 0 = never: the whole loop stays ONE lazy plan
-    (5 chained shuffle stages, zero intermediate I/O) — strictly faster
-    when ranks fit comfortably in executor memory and rounds are few;
-    identical results (integer math — no path sensitivity)."""
+    recovery boundary. k = iterations truncates only the loop-INVARIANT
+    inputs (edges / degrees / nodes) and keeps the whole rank chain one
+    lazy plan — the fastest small-graph mode (measured 4.6s vs 8.1s
+    fully-lazy at sf0.1/5 rounds). 0 = never materialize anything: the
+    edge-building subplan is then repeated per round and AQE defeats
+    ReuseExchange's dedup of it — only sensible when ``edges`` is already
+    a bare table scan. Identical results in every mode (integer math —
+    no path sensitivity)."""
     spark = edges.sparkSession
     truncate, cleanup = _scratch_truncate(spark)
     lazy = materialize_every <= 0

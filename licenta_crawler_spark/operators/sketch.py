@@ -1,17 +1,33 @@
-"""Cardinality sketching: KMV (k-minimum-values) distinct-count estimate.
+"""Cardinality sketching: KMV and fixed-point HyperLogLog.
 
 The approx-distinct shape a 100 TB pipeline needs (how many unique URLs /
-users / shingles per partition?) implemented deterministically: hash each
-value, keep the k smallest distinct hashes per group, estimate
-``(k-1) / (kth_min / 2^60)``. Unlike ``approx_count_distinct`` (HLL++,
-whose register layout is engine-private) every step here is plain column
-algebra over an md5/xxhash64 integer — so the whole sketch replays
+users / shingles per partition?) implemented deterministically.
+
+KMV: hash each value, keep the k smallest distinct hashes per group,
+estimate ``(k-1) / (kth_min / 2^60)``. Unlike ``approx_count_distinct``
+(HLL++, whose register layout is engine-private) every step is plain
+column algebra over an md5/xxhash64 integer — so the whole sketch replays
 bit-for-bit in the DuckDB oracle, and sketches are mergeable by unioning
 hash sets and re-taking the k minima (the property that lets partial
 sketches combine map-side at scale).
-
 Plan shape: distinct on (group, hash) -> one window per group ordered by
 hash (row_number <= k) -> per-group agg. One shuffle on the group key.
+
+HLL (``hll_distinct_estimate``): the classic Flajolet et al. sketch, but
+every step in INTEGER arithmetic so it too replays bit-for-bit in SQL —
+registers are ``max(rho)`` per (group, bucket) where
+``rho = leading-zero-count + 1`` of the non-bucket hash bits (computed
+via ``length(bin(x))``, identical in Spark and DuckDB), the harmonic
+mean's ``sum(2^-rho)`` is an exact BIGINT ``sum(1 << (RHO_CAP - rho))``
+(powers of two — no float summation-order sensitivity), and both the
+bias constant alpha_m and the linear-counting small-range correction
+``m*ln(m/V)`` are literal-injected integer constants (a 1..m lookup
+table), so the whole estimate is engine-independent. Mergeability is the
+register max — partial sketches combine map-side, O(m) state per group
+no matter the input size (the property KMV's k-set shares but exact
+distinct does not).
+Plan shape: groupBy (grp, bucket) max -> groupBy grp sum. Two shuffles,
+both with map-side partial aggregation; register state is m rows/group.
 """
 
 from __future__ import annotations
@@ -66,4 +82,102 @@ def kmv_distinct_estimate(
             .cast("long")
             .alias("est_distinct"),
         )
+    )
+
+
+# --- fixed-point HyperLogLog -------------------------------------------------
+
+RHO_CAP = 32  # rho is clamped here in BOTH engines: keeps 1<<(RHO_CAP-rho)
+# exact in BIGINT with huge headroom; clamp fires with prob 2^-32 per value
+# and fires identically everywhere, so determinism is unaffected.
+
+
+def _hll_alpha_num_den(m: int) -> tuple[int, int]:
+    """alpha_m = 0.7213/(1+1.079/m) as an integer ratio with 6 digits —
+    a literal constant, computed once in Python, injected into both
+    engines (never float arithmetic at query time)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return round(alpha * 10**6), 10**6
+
+
+def _hll_lc_table(m: int) -> list[int]:
+    """Linear-counting table: entry V (1-based) = round(m * ln(m/V)) for
+    V = 1..m empty buckets. Python-evaluated literal ints — the ln never
+    runs inside an engine, so Spark and DuckDB agree bit-for-bit."""
+    import math
+
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group fixed-point HLL distinct estimate: ``(group, est_distinct)``.
+
+    m = 2^p buckets; bucket = hash mod m, rho = clz(hash div m) + 1 over
+    the remaining 60-p hash bits. Raw estimate
+    ``alpha_m * m^2 / sum(2^-rho)`` evaluated as
+    ``(ALPHA_NUM * ((m*m << RHO_CAP) div S)) div ALPHA_DEN`` where
+    ``S = sum(1 << (RHO_CAP - rho)) + n_empty << RHO_CAP`` — all BIGINT
+    (worst-case S >= m so the numerator stays < 2^60). Small-range
+    correction: when empty buckets exist and 2*raw <= 5*m, linear
+    counting via the literal-injected ``round(m*ln(m/V))`` table.
+    ``hash_fn='md5'`` replays in the DuckDB oracle; 'xxhash64' is the
+    production default."""
+    m = 1 << p
+    rem_bits = 60 - p
+    alpha_num, alpha_den = _hll_alpha_num_den(m)
+    lc = _hll_lc_table(m)
+
+    v = F.col(value_col).cast("string")
+    h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
+        F.xxhash64(v), F.lit(HASH_SPACE)
+    )
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    # integer `div` throughout — h is up to 2^60, past float53 exactness
+    bucketed = hashed.select(
+        "grp",
+        F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
+        F.expr(f"h div {m}").alias("rest"),
+    ).select(
+        "grp",
+        "bucket",
+        F.least(
+            F.when(F.col("rest") == 0, F.lit(rem_bits + 1)).otherwise(
+                F.lit(rem_bits + 1) - F.length(F.bin(F.col("rest")))
+            ),
+            F.lit(RHO_CAP),
+        ).alias("rho"),
+    )
+    regs = bucketed.groupBy("grp", "bucket").agg(F.max("rho").alias("mrho"))
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - mrho)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(1 << RHO_CAP)
+    ).alias("s_total")
+    withs = agg.select("grp", "n_present", s_total)
+    raw_i = F.expr(
+        f"(CAST({alpha_num} AS BIGINT) * (CAST({m * m} AS BIGINT) "
+        f"* CAST({1 << RHO_CAP} AS BIGINT) div s_total)) div {alpha_den}"
+    ).alias("raw_i")
+    n_empty = (F.lit(m) - F.col("n_present")).cast("int")
+    lc_est = F.element_at(F.array(*[F.lit(x) for x in lc]), n_empty)
+    est = F.when(
+        (n_empty > 0) & (F.col("raw_i") * 2 <= 5 * m), lc_est.cast("long")
+    ).otherwise(F.col("raw_i"))
+    return (
+        withs.select("grp", "n_present", raw_i)
+        .select(F.col("grp").alias(group_col), est.alias("est_distinct"))
     )

@@ -176,3 +176,53 @@ def test_kmv_ignores_null_values(spark):
     df = spark.createDataFrame(rows, "grp string, v string")
     got = kmv_distinct_estimate(df, "grp", "v", k=64).collect()
     assert got[0]["est_distinct"] == 10
+
+
+def test_hll_estimate_accuracy(spark):
+    from licenta_crawler_spark.operators.sketch import hll_distinct_estimate
+
+    rng = random.Random(7)
+    rows = [("g", rng.randrange(50000)) for _ in range(40000)]
+    true_distinct = len({v for _, v in rows})
+    df = spark.createDataFrame(rows, "grp string, v long")
+    est = hll_distinct_estimate(df, "grp", "v", p=8).collect()[0]["est_distinct"]
+    # HLL relative error ~ 1.04/sqrt(m) ≈ 6.5% at m=256; allow 3 sigma
+    assert abs(est - true_distinct) / true_distinct < 0.2
+
+
+def test_hll_linear_counting_small_range(spark):
+    from licenta_crawler_spark.operators.sketch import hll_distinct_estimate
+
+    # far below m distinct values -> linear-counting branch; near-exact
+    df = spark.createDataFrame([("g", i % 25) for i in range(500)], "grp string, v long")
+    est = hll_distinct_estimate(df, "grp", "v", p=8).collect()[0]["est_distinct"]
+    assert abs(est - 25) <= 2
+
+
+def test_hll_registers_merge_as_max(spark):
+    """Mergeability: sketching the union == taking per-bucket max of the
+    halves' registers — asserted via estimate equality (the estimate is a
+    pure function of the registers)."""
+    from licenta_crawler_spark.operators.sketch import hll_distinct_estimate
+
+    rows = [("g", i) for i in range(4000)]
+    whole = spark.createDataFrame(rows, "grp string, v long")
+    half1 = spark.createDataFrame(rows[:2500], "grp string, v long")
+    half2 = spark.createDataFrame(rows[1500:], "grp string, v long")  # overlap
+    est_whole = hll_distinct_estimate(whole, "grp", "v").collect()[0]["est_distinct"]
+    est_union = hll_distinct_estimate(half1.unionByName(half2), "grp", "v").collect()[0][
+        "est_distinct"
+    ]
+    assert est_whole == est_union
+
+
+def test_hll_hash_fn_variants_close(spark):
+    from licenta_crawler_spark.operators.sketch import hll_distinct_estimate
+
+    df = spark.createDataFrame([("g", i) for i in range(3000)], "grp string, v long")
+    ests = {
+        fn: hll_distinct_estimate(df, "grp", "v", hash_fn=fn).collect()[0]["est_distinct"]
+        for fn in ("md5", "xxhash64")
+    }
+    for fn, est in ests.items():
+        assert abs(est - 3000) / 3000 < 0.25, (fn, est)
