@@ -61,7 +61,7 @@ from licenta_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
     xor_seeds,
 )
-from licenta_crawler_spark.operators.graph import dedup_components
+from licenta_crawler_spark.operators.graph import dedup_components, triangle_counts
 from licenta_crawler_spark.operators.pagerank import (
     pagerank_fixed_point,
     pagerank_sql_unrolled,
@@ -746,6 +746,32 @@ def kmv_distinct_users(spark, sf_dir):
     return kmv_distinct_estimate(ev, "event_type", "user_id", k=64, hash_fn="md5")
 
 
+def triangles_supplier_coorder(spark, sf_dir):
+    """Exact per-node triangle counts over the supplier co-order graph
+    (suppliers are adjacent when they serve the same order) — the
+    community-structure primitive for link-graph analysis (host clique
+    detection, spam-farm fingerprints). Degree-ordered orientation bounds
+    wedge fan-out by O(sqrt(m)) under hub skew; see
+    operators/graph.py:triangle_counts. Fully replayed in the oracle."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 8000)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("supp_key"), "n_triangles"
+    )
+
+
 def hll_distinct_users(spark, sf_dir):
     """Fixed-point HyperLogLog distinct-count: estimated unique users per
     event type (m=256 integer registers, BIGINT harmonic sum, literal
@@ -1145,6 +1171,7 @@ QUERIES = {
     "lang_id": lang_id,
     "kmv_distinct_users": kmv_distinct_users,
     "hll_distinct_users": hll_distinct_users,
+    "triangles_supplier_coorder": triangles_supplier_coorder,
     "dedup_components_minhash": dedup_components_minhash,
     "text_bpe_tokens": text_bpe_tokens,
     "winnowing_fps": winnowing_fps,
@@ -1892,6 +1919,47 @@ ORACLE_SQL = {
     """,
     "kmv_distinct_users": _KMV_SQL,
     "hll_distinct_users": _hll_sql(p=8),
+    "triangles_supplier_coorder": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_orderkey < 8000
+        ),
+        raw_e AS (
+          SELECT x.l_suppkey::VARCHAR AS a, y.l_suppkey::VARCHAR AS b
+          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                    AND x.l_suppkey < y.l_suppkey
+        ),
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM raw_e WHERE a <> b
+        ),
+        deg AS (
+          SELECT node,
+                 lpad(count(*)::VARCHAR, 12, '0') || '|' || node AS okey
+          FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ),
+        oriented AS (
+          SELECT CASE WHEN da.okey < db.okey THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.okey < db.okey THEN u.b ELSE u.a END AS v,
+                 CASE WHEN da.okey < db.okey THEN db.okey ELSE da.okey END AS kv
+          FROM und u
+          JOIN deg da ON u.a = da.node
+          JOIN deg db ON u.b = db.node
+        ),
+        tris AS (
+          SELECT e1.u, e1.v AS v1, e2.v AS v2
+          FROM oriented e1
+          JOIN oriented e2 ON e1.u = e2.u AND e1.kv < e2.kv
+          WHERE EXISTS (SELECT 1 FROM oriented c
+                        WHERE c.u = e1.v AND c.v = e2.v)
+        )
+        SELECT node::BIGINT AS supp_key, count(*)::BIGINT AS n_triangles
+        FROM (SELECT u AS node FROM tris
+              UNION ALL SELECT v1 FROM tris
+              UNION ALL SELECT v2 FROM tris)
+        GROUP BY node
+    """,
     "dedup_components_minhash": _dedup_components_sql(),
     "json_props_stats": """
         SELECT event_type,

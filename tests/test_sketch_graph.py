@@ -226,3 +226,39 @@ def test_hll_hash_fn_variants_close(spark):
     }
     for fn, est in ests.items():
         assert abs(est - 3000) / 3000 < 0.25, (fn, est)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from licenta_crawler_spark.operators.graph import triangle_counts
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(spark.createDataFrame(k4, "src string, dst string")).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    # path graph: no triangles -> empty result
+    path = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    assert triangle_counts(
+        spark.createDataFrame(path, "src string, dst string")
+    ).count() == 0
+
+    # two triangles sharing edge (b,c); dirty input: dupes, reverses, self-loop
+    g = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "c"),
+         ("b", "a"), ("a", "b"), ("x", "x")]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(spark.createDataFrame(g, "src string, dst string")).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_counts_hub_skew(spark):
+    """Star + one rim edge: the hub has huge degree but only 1 triangle;
+    orientation means the hub enumerates ZERO wedges (every neighbor
+    outranks nothing — the hub is the highest-(deg,id) endpoint of all
+    its edges, so it has no out-edges)."""
+    from licenta_crawler_spark.operators.graph import triangle_counts
+
+    star = [(f"leaf{i:03d}", "hub") for i in range(200)] + [("leaf000", "leaf001")]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(spark.createDataFrame(star, "src string, dst string")).collect()}
+    assert got == {"hub": 1, "leaf000": 1, "leaf001": 1}
