@@ -396,6 +396,39 @@ def multimodal_byte_len(spark, sf_dir):
     )
 
 
+def media_decode_pipeline(spark, sf_dir):
+    """Full multimodal pipeline over the interleaved-span shape
+    (BASELINE.json input_hint): synthesize spans -> explode media refs ->
+    fetch binary payloads (mapInPandas, partition-parallel) -> decode
+    header metadata + feature vector (Arrow batches) -> resize plan
+    (native integer column math). Single pass, no joins: each stage
+    appends columns. The fake transport writes sha256(ref) as the payload
+    header, so the DuckDB oracle replays every byte from hex SQL; the
+    feature floats are byte/256 (exact in float32) surfaced as the
+    recovered byte string."""
+    from licenta_crawler_spark.operators.multimodal import (
+        decode_media,
+        fetch_media,
+        media_refs_from_documents,
+        resize_plan,
+        synthesize_span_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = synthesize_span_documents(d)
+    refs = media_refs_from_documents(spans)
+    decoded = decode_media(fetch_media(refs))
+    resized = resize_plan(decoded, max_side=128)
+    byte_of = F.transform(
+        F.col("feature"), lambda x: (x * 256).cast("int").cast("string")
+    )
+    return resized.select(
+        "media_ref", "doc_id", "kind", "n_bytes", "width", "height",
+        "n_channels", "format", "target_width", "target_height",
+        F.concat_ws(",", byte_of).alias("feature_key"),
+    )
+
+
 def ann_bruteforce_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(e, ANN_QUERY, k=10)
@@ -1157,6 +1190,7 @@ QUERIES = {
     "text_quality": text_quality,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_byte_len": multimodal_byte_len,
+    "media_decode_pipeline": media_decode_pipeline,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1757,6 +1791,49 @@ ORACLE_SQL = {
     """,
     "multimodal_byte_len": """
         SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents
+    """,
+    # Replays the whole media pipeline from hex SQL: the fake transport's
+    # payload header IS sha256(media_ref), so every decoded field is a
+    # function of digest bytes b_i = ('0x'||substr(hex,1+2i,2))::INT.
+    "media_decode_pipeline": """
+        WITH refs AS (
+            SELECT doc_id::VARCHAR AS doc_id, 'image' AS kind,
+                   'img://' || doc_id::VARCHAR AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id::VARCHAR, 'video', 'vid://' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 3 = 0
+        ), hashed AS (
+            SELECT doc_id, kind, media_ref, sha256(media_ref) AS hex FROM refs
+        ), decoded AS (
+            SELECT doc_id, kind, media_ref,
+                   (256 + ('0x' || substr(hex, 1, 2))::INT * 16)::BIGINT AS n_bytes,
+                   (64 + ('0x' || substr(hex, 3, 2))::INT % 192)::INT AS width,
+                   (64 + ('0x' || substr(hex, 5, 2))::INT % 192)::INT AS height,
+                   (CASE WHEN kind = 'audio' THEN 1 ELSE 3 END)::INT AS n_channels,
+                   CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
+                             WHEN 'video' THEN 'mkv' ELSE 'bin' END AS format,
+                   concat_ws(',',
+                       ('0x' || substr(hex,  1, 2))::INT,
+                       ('0x' || substr(hex,  3, 2))::INT,
+                       ('0x' || substr(hex,  5, 2))::INT,
+                       ('0x' || substr(hex,  7, 2))::INT,
+                       ('0x' || substr(hex,  9, 2))::INT,
+                       ('0x' || substr(hex, 11, 2))::INT,
+                       ('0x' || substr(hex, 13, 2))::INT,
+                       ('0x' || substr(hex, 15, 2))::INT) AS feature_key
+            FROM hashed
+        )
+        SELECT media_ref, doc_id, kind, n_bytes, width, height, n_channels,
+               format,
+               (CASE WHEN greatest(width, height) <= 128 THEN width
+                     ELSE (width * 128) // greatest(width, height) END)::INT
+                   AS target_width,
+               (CASE WHEN greatest(width, height) <= 128 THEN height
+                     ELSE (height * 128) // greatest(width, height) END)::INT
+                   AS target_height,
+               feature_key
+        FROM decoded
     """,
     "pipeline_clean_corpus": """
         SELECT doc_id, fp, n_tokens FROM (

@@ -31,9 +31,36 @@ MEDIA_SCHEMA = (
 )
 
 DECODED_SCHEMA = (
-    "media_ref string, doc_id string, kind string, width int, height int, "
-    "n_channels int, format string, feature array<float>"
+    "media_ref string, doc_id string, kind string, n_bytes long, width int, "
+    "height int, n_channels int, format string, feature array<float>"
 )
+
+
+def synthesize_span_documents(documents: DataFrame) -> DataFrame:
+    """Interleaved text+media span documents (the BASELINE.json
+    input_hint shape: ``spans array<struct<kind,text,media_ref,offset>>``)
+    synthesized deterministically from the flat testdata documents table:
+    every doc gets [text, image] spans, every third doc appends a video
+    span. Pure column ops — no UDF, no data movement."""
+    did = F.col("doc_id").cast("string")
+
+    def _span(kind: str, text, media_ref, offset: int):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text"),
+            (media_ref if media_ref is not None else F.lit(None).cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(offset).cast("int").alias("offset"),
+        )
+
+    text_s = _span("text", F.col("text"), None, 0)
+    img_s = _span("image", None, F.concat(F.lit("img://"), did), 1)
+    vid_s = _span("video", None, F.concat(F.lit("vid://"), did), 2)
+    spans = F.when(
+        F.col("doc_id") % 3 == 0, F.array(text_s, img_s, vid_s)
+    ).otherwise(F.array(text_s, img_s))
+    return documents.select(did.alias("doc_id"), spans.alias("spans"))
 
 
 def media_refs_from_documents(documents: DataFrame) -> DataFrame:
@@ -83,15 +110,19 @@ def fetch_media(refs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, str, list[float]]:
-    """Deterministic stand-in for an image/audio decoder: metadata and a
-    small feature vector derived purely from the payload bytes."""
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[1] % 192
-    height = 64 + h[2] % 192
+    """Deterministic stand-in for an image/audio decoder: like a real
+    codec it READS THE CONTAINER HEADER — the payload's first 32 bytes
+    (the transport's digest block) — rather than hashing the body.
+    Features are header bytes normalized by 256 (a power-of-two divide:
+    EXACT in float32 and float64 alike, so the values replay bit-for-bit
+    in the DuckDB oracle via hex-string byte extraction)."""
+    hdr = payload[:32]
+    width = 64 + hdr[1] % 192
+    height = 64 + hdr[2] % 192
     channels = 1 if kind == "audio" else 3
     fmt = {"image": "png", "audio": "wav", "video": "mkv"}.get(kind, "bin")
-    arr = np.frombuffer(h[:32], dtype=np.uint8).astype(np.float32)
-    feature = (arr / 255.0).tolist()[:8]
+    arr = np.frombuffer(hdr[:8], dtype=np.uint8).astype(np.float32)
+    feature = (arr / 256.0).tolist()
     return width, height, channels, fmt, feature
 
 
@@ -108,15 +139,16 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     def run(it):
         for pdf in it:
             rows = []
-            for ref, doc_id, kind, payload in zip(
-                pdf["media_ref"], pdf["doc_id"], pdf["kind"], pdf["payload"]
+            for ref, doc_id, kind, n_bytes, payload in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["kind"], pdf["n_bytes"],
+                pdf["payload"],
             ):
                 w, hgt, c, fmt, feat = _fake_decode(bytes(payload), kind)
-                rows.append((ref, doc_id, kind, w, hgt, c, fmt, feat))
+                rows.append((ref, doc_id, kind, int(n_bytes), w, hgt, c, fmt, feat))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_ref", "doc_id", "kind", "width", "height",
+                    "media_ref", "doc_id", "kind", "n_bytes", "width", "height",
                     "n_channels", "format", "feature",
                 ],
             )
@@ -126,15 +158,18 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
 
 def resize_plan(decoded: DataFrame, max_side: int = 128) -> DataFrame:
     """Resize planning is pure column math (native, no UDF): target dims
-    preserving aspect ratio, capped at ``max_side``."""
-    scale = F.least(
-        F.lit(1.0),
-        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
-    )
-    return decoded.select(
-        "media_ref", "doc_id", "kind", "width", "height",
-        F.round(F.col("width") * scale).cast("int").alias("target_width"),
-        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    preserving aspect ratio, capped at ``max_side``. Appends
+    ``target_width``/``target_height`` so the pipeline stays single-pass.
+    Integer floor division (``x*max_side DIV m``) rather than float
+    round: exact, so the plan replays bit-for-bit in a SQL oracle."""
+    m = F.greatest(F.col("width"), F.col("height"))
+
+    def target(side: str):
+        scaled = F.expr(f"CAST((({side} * {max_side}) DIV greatest(width, height)) AS INT)")
+        return F.when(m <= max_side, F.col(side)).otherwise(scaled)
+
+    return decoded.withColumns(
+        {"target_width": target("width"), "target_height": target("height")}
     )
 
 

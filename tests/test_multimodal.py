@@ -12,6 +12,7 @@ from licenta_crawler_spark.operators.multimodal import (
     frame_sample_plan,
     media_refs_from_documents,
     resize_plan,
+    synthesize_span_documents,
 )
 from licenta_crawler_spark.plans import schemas
 
@@ -86,6 +87,32 @@ def test_resize_plan_native_column_math(documents):
             assert r.target_width >= r.target_height
         else:
             assert r.target_height >= r.target_width
+
+
+def test_synthesize_span_documents_shape(spark):
+    flat = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.spans for r in synthesize_span_documents(flat).collect()}
+    assert set(rows) == {"1", "2", "3"}
+    # every doc: [text, image]; doc_id % 3 == 0 appends a video span
+    assert [s.kind for s in rows["1"]] == ["text", "image"]
+    assert [s.kind for s in rows["3"]] == ["text", "image", "video"]
+    assert rows["2"][0].text == "beta" and rows["2"][0].media_ref is None
+    assert rows["2"][1].media_ref == "img://2"
+    assert rows["3"][2].media_ref == "vid://3"
+    assert [s.offset for s in rows["3"]] == [0, 1, 2]
+
+
+def test_resize_plan_exact_integer_division(documents):
+    decoded = decode_media(fetch_media(media_refs_from_documents(documents)))
+    for r in resize_plan(decoded, max_side=100).collect():
+        m = max(r.width, r.height)
+        if m <= 100:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+        else:
+            assert r.target_width == r.width * 100 // m
+            assert r.target_height == r.height * 100 // m
 
 
 def test_frame_sample_plan(documents):
