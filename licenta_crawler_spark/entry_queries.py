@@ -71,6 +71,10 @@ from licenta_crawler_spark.operators.sketch import (
     hll_distinct_estimate,
     _hll_alpha_num_den,
     _hll_lc_table,
+    cms_estimate,
+    cms_sketch,
+    log_histogram_quantiles,
+    log_histogram_sketch,
 )
 from licenta_crawler_spark.operators.relational import (
     asof_join,
@@ -779,6 +783,36 @@ def kmv_distinct_users(spark, sf_dir):
     return kmv_distinct_estimate(ev, "event_type", "user_id", k=64, hash_fn="md5")
 
 
+def ddq_price_quantiles(spark, sf_dir):
+    """DDSketch-style log-histogram quantiles: p50/p95/p99 of order value
+    per status from a mergeable bucket-count sketch (power-of-two bins cut
+    by integer bit arithmetic — length(bin(v)) exponent + top mantissa
+    bits — so bucket ids AND reconstructed midpoints replay bit-for-bit
+    in SQL; relative error <= 2^-6). The 100 TB quantile plan: one
+    map-side-combined groupBy on (group, bucket) with ~2.5k buckets of
+    state per group, vs exact percentiles shuffling every value."""
+    o = _t(spark, sf_dir, "orders")
+    sk = log_histogram_sketch(o, "o_orderstatus", "o_totalprice")
+    return log_histogram_quantiles(sk).select(
+        F.col("grp").alias("o_orderstatus"), "q_permille", "est_value", "n"
+    )
+
+
+def cms_user_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates: per-user event counts read
+    back from a 4x1024-counter sketch (disjoint 10-bit slices of one md5
+    hash as the row hashes — replays exactly in SQL). est >= true always
+    (one-sided CMS bound; tests assert it). The 100 TB frequency plan:
+    sketch state is 4096 counters regardless of key cardinality and
+    merges by addition; the probe side broadcasts the sketch."""
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=1024)
+    keys = ev.select("user_id").distinct()
+    return cms_estimate(sk, keys, "user_id", depth=4, width=1024).select(
+        F.col("key").alias("user_id"), "est_count"
+    )
+
+
 def triangles_supplier_coorder(spark, sf_dir):
     """Exact per-node triangle counts over the supplier co-order graph
     (suppliers are adjacent when they serve the same order) — the
@@ -1205,6 +1239,8 @@ QUERIES = {
     "lang_id": lang_id,
     "kmv_distinct_users": kmv_distinct_users,
     "hll_distinct_users": hll_distinct_users,
+    "ddq_price_quantiles": ddq_price_quantiles,
+    "cms_user_counts": cms_user_counts,
     "triangles_supplier_coorder": triangles_supplier_coorder,
     "dedup_components_minhash": dedup_components_minhash,
     "text_bpe_tokens": text_bpe_tokens,
@@ -1996,6 +2032,71 @@ ORACLE_SQL = {
     """,
     "kmv_distinct_users": _KMV_SQL,
     "hll_distinct_users": _hll_sql(p=8),
+    # Log-histogram quantile sketch replay: v = floor(price * 2^8),
+    # bucket = bitlen(v) * 2^6 + (v >> max(bitlen(v)-6, 0)); quantile =
+    # first bucket whose cumulative count reaches ceil(q*n); estimate =
+    # exact power-of-two bucket midpoint.
+    "ddq_price_quantiles": """
+        WITH vals AS (
+            SELECT o_orderstatus AS grp,
+                   CAST(floor(o_totalprice * 256) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice >= 0
+        ), bucketed AS (
+            SELECT grp,
+                   length(bin(v))::BIGINT * 64
+                     + v // (1::BIGINT << greatest(length(bin(v)) - 6, 0))
+                       AS bucket
+            FROM vals
+        ), counts AS (
+            SELECT grp, bucket, count(*)::BIGINT AS cnt
+            FROM bucketed GROUP BY 1, 2
+        ), cum AS (
+            SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp) AS n
+            FROM counts
+        ), q AS (
+            SELECT * FROM cum
+            CROSS JOIN (VALUES (500), (950), (990)) AS qs(q_permille)
+        ), hit AS (
+            SELECT grp, q_permille, min(bucket) AS bucket, max(n) AS n
+            FROM q WHERE cum >= (n * q_permille + 999) // 1000
+            GROUP BY 1, 2
+        )
+        SELECT grp AS o_orderstatus, q_permille,
+               CAST(((2 * (bucket % 64) + 1)
+                     << greatest((bucket // 64)::INT - 6, 0)) AS DOUBLE)
+                 / 512.0 AS est_value,
+               n::BIGINT AS n
+        FROM hit
+    """,
+    # Count-min replay: row j's hash is bits [10j, 10j+10) of the shared
+    # 60-bit md5 hash; sketch counts ALL events, probe estimates per
+    # distinct key as min over the 4 rows.
+    "cms_user_counts": """
+        WITH hashed AS (
+            SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), rows_ AS (
+            SELECT * FROM (VALUES (0), (1), (2), (3)) AS r(row_j)
+        ), sketch AS (
+            SELECT row_j,
+                   ((h // (1::BIGINT << (10 * row_j))) % 1024)::INT AS cell,
+                   count(*)::BIGINT AS cnt
+            FROM hashed CROSS JOIN rows_ GROUP BY 1, 2
+        ), keys AS (
+            SELECT DISTINCT user_id AS key,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), kc AS (
+            SELECT key, row_j,
+                   ((h // (1::BIGINT << (10 * row_j))) % 1024)::INT AS cell
+            FROM keys CROSS JOIN rows_
+        )
+        SELECT key AS user_id, min(cnt)::BIGINT AS est_count
+        FROM kc JOIN sketch USING (row_j, cell)
+        GROUP BY 1
+    """,
     "triangles_supplier_coorder": """
         WITH li AS (
           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem

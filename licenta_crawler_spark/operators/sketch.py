@@ -1,4 +1,5 @@
-"""Cardinality sketching: KMV and fixed-point HyperLogLog.
+"""Sketching: KMV + fixed-point HyperLogLog (cardinality), log-histogram
+quantiles (DDSketch-style), and count-min (heavy hitters).
 
 The approx-distinct shape a 100 TB pipeline needs (how many unique URLs /
 users / shingles per partition?) implemented deterministically.
@@ -180,4 +181,176 @@ def hll_distinct_estimate(
     return (
         withs.select("grp", "n_present", raw_i)
         .select(F.col("grp").alias(group_col), est.alias("est_distinct"))
+    )
+
+
+# --- log-histogram quantile sketch (DDSketch-style) --------------------------
+#
+# DDSketch (Masson et al., VLDB'19) buckets values into log-spaced bins so
+# the quantile estimate carries a RELATIVE error bound with O(log range)
+# state. The float formulation (bucket = ceil(log_gamma(x))) is engine-
+# dependent at bin boundaries; this variant uses power-of-two bins cut by
+# INTEGER bit arithmetic — fixed-point value v = floor(x * 2^scale_bits),
+# exponent e = bitlength(v) via length(bin(v)) (identical in Spark and
+# DuckDB), mantissa m = top (mantissa_bits+1) bits — so bucket ids and the
+# reconstructed midpoints replay bit-for-bit in the SQL oracle.
+# Relative error <= 2^-(mantissa_bits+1); state <= 2^(mantissa_bits+1)
+# buckets per octave. Sketches merge by summing bucket counts (the additive
+# property that makes this the 100 TB quantile plan: one map-side-combined
+# groupBy on (group, bucket), tiny state, no global sort — vs exact
+# percentiles which shuffle every value).
+
+
+def log_histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale_bits: int = 8,
+    mantissa_bits: int = 5,
+) -> DataFrame:
+    """Mergeable per-group quantile sketch state: ``(grp, bucket, cnt)``.
+
+    Non-negative values only (sign-split upstream if needed; the crawl
+    metrics this serves — latencies, sizes, prices — are nonnegative).
+    bucket = e * 2^(mb+1) + m orders numerically by value."""
+    mb1 = mantissa_bits + 1
+    v = F.floor(F.col(value_col) * F.lit(1 << scale_bits)).cast("long")
+    e = F.length(F.bin(F.col("v")))
+    m = F.expr("v div shiftleft(CAST(1 AS BIGINT), greatest(length(bin(v)) - %d, 0))" % (mantissa_bits + 1))
+    bucket = (e.cast("long") * F.lit(1 << mb1) + m).alias("bucket")
+    return (
+        df.filter(F.col(value_col) >= 0)
+        .select(F.col(group_col).alias("grp"), v.alias("v"))
+        .select("grp", bucket)
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def log_histogram_quantiles(
+    sketch: DataFrame,
+    quantiles_permille: tuple[int, ...] = (500, 950, 990),
+    scale_bits: int = 8,
+    mantissa_bits: int = 5,
+) -> DataFrame:
+    """Quantiles from sketch state: ``(grp, q_permille, est_value, n)``.
+
+    Rank r = ceil(q*n) in integer arithmetic; the answer bucket is the
+    first whose cumulative count reaches r; the estimate is the exact
+    power-of-two bucket midpoint ``((2m+1) << shift) / 2^(scale_bits+1)``
+    (integer numerator over a power-of-two literal — exact in double)."""
+    mb1 = mantissa_bits + 1
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in quantiles_permille])
+    ).alias("q_permille")
+    ranked = cum.select("grp", "bucket", "cum", "n", qs).withColumn(
+        "r", F.expr("(n * q_permille + 999) div 1000")
+    )
+    hit = ranked.filter(F.col("cum") >= F.col("r")).groupBy(
+        "grp", "q_permille"
+    ).agg(F.min("bucket").alias("bucket"), F.first("n").alias("n"))
+    est = F.expr(
+        "CAST(shiftleft(2 * (bucket % {mb2}) + 1, "
+        "greatest(CAST(bucket div {mb2} AS INT) - {mb1}, 0)) AS DOUBLE) "
+        "/ {den}".format(mb2=1 << mb1, mb1=mb1, den=float(1 << (scale_bits + 1)))
+    )
+    return hit.select(
+        "grp", "q_permille", est.alias("est_value"), F.col("n").cast("long").alias("n")
+    )
+
+
+# --- count-min sketch (heavy hitters) ----------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Count-min sketch state: ``(row_j, cell, cnt)`` — depth x width
+    counters TOTAL regardless of key cardinality, mergeable by addition.
+    The 100 TB frequency plan: the sketch is a map-side-combined groupBy
+    on (row, cell) — 4096 counters here — where an exact per-key count
+    over a heavy-tailed key column shuffles every distinct key.
+    Row j's hash is a DISJOINT log2(width)-bit slice of the shared
+    60-bit md5 hash (bits [j*b, (j+1)*b)) — pairwise-independent rows
+    from one hash evaluation; an xor-mask variant would alias every row
+    to the same low bits. depth*log2(width) must fit in 60 bits."""
+    b = (width - 1).bit_length()
+    if width != 1 << b or depth * b > 60:
+        raise ValueError("width must be a power of two with depth*log2(width) <= 60")
+    v = F.col(key_col).cast("string")
+    h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
+        F.xxhash64(v), F.lit(HASH_SPACE)
+    )
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("row_j"),
+                F.expr(f"CAST((h div {1 << (j * b)}) % {width} AS INT)")
+                .alias("cell"),
+            )
+            for j in range(depth)
+        ])
+    ).alias("rc")
+    return (
+        df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select(rows)
+        .select("rc.row_j", "rc.cell")
+        .groupBy("row_j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Point-estimate counts for ``keys``: ``(key, est_count)`` with the
+    CMS guarantee est >= true count (never under). The sketch side is
+    tiny (depth*width rows) — broadcast join, no shuffle of the keys."""
+    b = (width - 1).bit_length()
+    if width != 1 << b or depth * b > 60:
+        raise ValueError("width must be a power of two with depth*log2(width) <= 60")
+    v = F.col(key_col).cast("string")
+    h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
+        F.xxhash64(v), F.lit(HASH_SPACE)
+    )
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("row_j"),
+                F.expr(f"CAST((h div {1 << (j * b)}) % {width} AS INT)")
+                .alias("cell"),
+            )
+            for j in range(depth)
+        ])
+    ).alias("rc")
+    keyed = (
+        keys.select(F.col(key_col).alias("key"), h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .select("key", cells)
+        .select("key", "rc.row_j", "rc.cell")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row_j", "cell"])
+        .groupBy("key")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
     )

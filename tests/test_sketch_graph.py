@@ -262,3 +262,117 @@ def test_triangle_counts_hub_skew(spark):
     got = {r["node"]: r["n_triangles"]
            for r in triangle_counts(spark.createDataFrame(star, "src string, dst string")).collect()}
     assert got == {"hub": 1, "leaf000": 1, "leaf001": 1}
+
+
+# --- log-histogram quantile sketch -------------------------------------------
+
+
+def test_log_histogram_quantile_relative_error_bound(spark):
+    from licenta_crawler_spark.operators.sketch import (
+        log_histogram_quantiles,
+        log_histogram_sketch,
+    )
+
+    rng = random.Random(7)
+    rows = [("g", rng.uniform(0.5, 5e5)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    sk = log_histogram_sketch(df, "grp", "v", mantissa_bits=5)
+    got = {r.q_permille: r.est_value
+           for r in log_histogram_quantiles(sk).collect()}
+    vals = sorted(v for _, v in rows)
+    for q in (500, 950, 990):
+        exact = vals[-(-len(vals) * q // 1000) - 1]  # ceil-rank quantile
+        # bucket midpoint is within half a bucket: rel err <= 2^-(mb+1)
+        assert abs(got[q] - exact) / exact <= 2 ** -6 + 1e-9, q
+
+
+def test_log_histogram_sketch_merges_by_sum(spark):
+    from licenta_crawler_spark.operators.sketch import (
+        log_histogram_quantiles,
+        log_histogram_sketch,
+    )
+
+    rng = random.Random(11)
+    rows = [("g", rng.uniform(1.0, 9e4)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    a, b = df.limit(1500), df.subtract(df.limit(1500))
+    whole = log_histogram_sketch(df, "grp", "v")
+    merged = (
+        log_histogram_sketch(a, "grp", "v")
+        .unionByName(log_histogram_sketch(b, "grp", "v"))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    q_w = sorted(map(tuple, log_histogram_quantiles(whole).collect()))
+    q_m = sorted(map(tuple, log_histogram_quantiles(merged).collect()))
+    assert q_w == q_m
+
+
+def test_log_histogram_orders_buckets_by_value(spark):
+    from licenta_crawler_spark.operators.sketch import log_histogram_sketch
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [0.0, 0.3, 1.0, 2.0, 100.0, 3000.0, 3001.0]],
+        "grp string, v double",
+    )
+    rows = log_histogram_sketch(df, "grp", "v").collect()
+    # reconstruct per-value bucket: bucket id must be monotone in value
+    by_val = {}
+    for v in [0.0, 0.3, 1.0, 2.0, 100.0, 3000.0, 3001.0]:
+        one = log_histogram_sketch(
+            spark.createDataFrame([("g", v)], "grp string, v double"), "grp", "v"
+        ).collect()
+        by_val[v] = one[0].bucket
+    vals = sorted(by_val)
+    assert all(by_val[a] <= by_val[b] for a, b in zip(vals, vals[1:]))
+    assert sum(r.cnt for r in rows) == 7
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exactish(spark):
+    from licenta_crawler_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rng = random.Random(3)
+    # heavy-tailed: a few hot keys + long tail
+    rows = [(f"hot{i % 5}",) for i in range(5000)] + [
+        (f"cold{rng.randrange(400)}",) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", depth=4, width=1024)
+    assert sk.count() <= 4 * 1024
+    est = {r.key: r.est_count
+           for r in cms_estimate(sk, df.select("k").distinct(), "k").collect()}
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert all(est[k] >= c for k, c in exact.items())  # CMS one-sided bound
+    assert all(est[f"hot{i}"] == 1000 for i in range(5))  # hot keys exact here
+
+
+def test_cms_merges_by_sum(spark):
+    from licenta_crawler_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(f"k{i % 7}",) for i in range(700)], "k string")
+    a, b = df.limit(300), df.subtract(df.limit(300)).unionByName(
+        spark.createDataFrame([(f"k{i % 7}",) for i in range(400)], "k string")
+    ).limit(400)
+    merged = (
+        cms_sketch(a, "k").unionByName(cms_sketch(b, "k"))
+        .groupBy("row_j", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(a.unionByName(b), "k")
+    e_m = sorted(map(tuple, cms_estimate(merged, df.select("k").distinct(), "k").collect()))
+    e_w = sorted(map(tuple, cms_estimate(whole, df.select("k").distinct(), "k").collect()))
+    assert e_m == e_w
+
+
+def test_cms_rejects_bad_geometry(spark):
+    import pytest as _pytest
+
+    from licenta_crawler_spark.operators.sketch import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", depth=4, width=1000)  # not a power of two
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", depth=7, width=1024)  # 70 bits > 60
