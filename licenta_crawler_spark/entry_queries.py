@@ -79,6 +79,7 @@ from licenta_crawler_spark.operators.sketch import (
 from licenta_crawler_spark.operators.relational import (
     asof_join,
     range_join_bucketed,
+    salted_join,
     session_bounds,
     sessionize,
 )
@@ -922,6 +923,29 @@ def range_join_value_bands(spark, sf_dir):
     )
 
 
+def salted_supplier_revenue(spark, sf_dir):
+    """Skew-mitigated fact->dim join: lineitem salted over 8 sub-keys,
+    supplier replicated per salt, then per-nation revenue. Semantics are
+    exactly the plain join (the oracle is the unsalted SQL); the salt
+    only reshapes the shuffle so a hot supplier key spreads over 8
+    reducers — the static alternative to AQE's runtime skew split (see
+    operators/relational.salted_join)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, sup, "s_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap) collapsed to
     per-session bounds."""
@@ -962,6 +986,26 @@ def purchase_session_attribution(spark, sf_dir):
             "session_id",
             F.col("n_events").cast("long").alias("session_n_events"),
         )
+    )
+
+
+def stream_join_attribution(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming/windowed.interval_join_attribution): every purchase
+    attributed to each click by the same user in the preceding hour.
+    The streaming run of the SAME operator is equivalence-tested against
+    this plan in test_streaming_windowed; here the plan is a plain
+    shuffled equi-join on user_id with the time-range filter applied
+    post-join (per-user event counts are small, so the equi-join bounds
+    candidates — the bucketed range-join variant covers the skewed
+    case)."""
+    from licenta_crawler_spark.streaming.windowed import interval_join_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_delay_seconds=3600,
     )
 
 
@@ -1259,8 +1303,10 @@ QUERIES = {
     "embed_near_dup_pairs": embed_near_dup_pairs,
     "asof_join_events": asof_join_events,
     "range_join_value_bands": range_join_value_bands,
+    "salted_supplier_revenue": salted_supplier_revenue,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
+    "stream_join_attribution": stream_join_attribution,
     "w_tumbling_counts": w_tumbling_counts,
     "pagerank_links": pagerank_links,
     "priority_frontier_schedule": priority_frontier_schedule,
@@ -2222,6 +2268,21 @@ ORACLE_SQL = {
           ON p.user_id = b.user_id
          AND p.ts >= b.session_start AND p.ts <= b.session_end
         WHERE p.event_type = 'purchase'
+    """,
+    "stream_join_attribution": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_ms(c.ts)::BIGINT AS click_ms,
+               epoch_ms(p.ts)::BIGINT AS purchase_ms,
+               p.value AS amount
+        FROM events c JOIN events p ON p.user_id = c.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+    """,
+    "salted_supplier_revenue": """
+        SELECT s.s_nationkey, count(*)::BIGINT AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
     """,
     "range_join_value_bands": """
         SELECT band, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value

@@ -182,6 +182,49 @@ def range_join_bucketed(
     return matched
 
 
+# --------------------------------------------------------- skew mitigation
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: semantics of ``big.join(dim, on, how)``,
+    shuffle of a join on ``(key, salt)``.
+
+    A hot key sends ALL its rows to one reducer in a plain shuffled join
+    — the straggler that dominates wall-clock at 100 TB. Here the big
+    side gets a deterministic salt in [0, n_salts) (xxhash64 over the
+    full row, so the result is independent of partitioning and replays
+    under an oracle), and the dim side is replicated once per salt value;
+    the join key becomes (key, salt), so a hot key's rows spread over
+    ``n_salts`` reducers at the cost of an ``n_salts``× dim replication.
+
+    When to use instead of alternatives the engine already has:
+      * dim fits in memory → plain broadcast join, no shuffle at all;
+      * AQE skew-join handles sort-merge skew at RUNTIME by splitting
+        oversized partitions — but only for the join itself. Salting is
+        the static, plan-shape-stable form that also survives when the
+        downstream op must reuse the (key, salt) partitioning.
+
+    ``how``: 'inner' or 'left' (each big row carries exactly one salt, so
+    left semantics hold; 'right'/'outer' would duplicate unmatched dim
+    rows across salts and are rejected)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
+    )
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)])),
+    )
+    return b.join(d, keys + ["_salt"], how).drop("_salt")
+
+
 # --------------------------------------------------------- sessionization
 def sessionize(
     events: DataFrame,

@@ -133,6 +133,61 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
     )
 
 
+def interval_join_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user in the preceding ``max_delay_seconds``.
+
+    The canonical bounded-state join shape: equality on the user key
+    plus a TIME-RANGE predicate (purchase_ts in [click_ts, click_ts +
+    delay]). With watermarks on BOTH inputs Spark derives how long each
+    side's rows can still match — clicks are evicted once the purchase
+    watermark passes click_ts + delay, purchases once the click
+    watermark passes purchase_ts — so state is bounded by
+    (watermark + delay) x arrival rate, not stream length. Without the
+    range condition a stream-stream inner join must buffer both streams
+    forever; that is the difference between this and a batch join, and
+    why the predicate is part of the operator, not the caller's filter.
+
+    Works identically on batch inputs (no watermark applied) — the batch
+    run is the oracle for the streaming run in tests, and the
+    ``stream_join_attribution`` entry query replays it in DuckDB."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_millis(F.col("click_ts")).alias("click_ms"),
+        F.unix_millis(F.col("purchase_ts")).alias("purchase_ms"),
+        "amount",
+    )
+
+
 RUNNING_STATE_SCHEMA = "n long, total double"
 RUNNING_OUT_SCHEMA = "user_id long, n long, total double"
 

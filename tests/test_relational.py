@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from licenta_crawler_spark.operators.ann import cosine_near_dup_pairs
 from licenta_crawler_spark.operators.dedup import ngram_jaccard_pairs
 from licenta_crawler_spark.operators.relational import (
+    salted_join,
     asof_join,
     range_join_bucketed,
     session_bounds,
@@ -299,3 +300,58 @@ def test_range_join_left_with_null_fact_columns(spark):
     assert len(rows) == 2
     by_fid = {r["fid"]: r["band"] for r in rows}
     assert by_fid == {1: "a", 2: None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted skew-join equals the plain join (inner + left) on a skewed
+    input: one hot key owning 90% of the big side. Also checks the hot
+    key's rows actually spread over >1 salt (the whole point)."""
+    random.seed(7)
+    big = spark.createDataFrame(
+        [(i, 1 if i < 900 else random.randint(2, 50), float(i % 13))
+         for i in range(1000)],
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 40)], "k long, label string"
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(big, dim, "k", n_salts=8, how=how)
+            .select("k", "row_id", "v", "label").collect()
+        )
+        want = sorted(
+            tuple(r) for r in big.join(dim, "k", how)
+            .select("k", "row_id", "v", "label").collect()
+        )
+        # inner drops big rows whose key has no dim match (keys > 39);
+        # left keeps all 1000
+        assert got == want
+        assert len(want) == (1000 if how == "left" else 986)
+
+    # hot key rows land on multiple salts (deterministic row-hash spread)
+    salts = (
+        big.filter("k = 1")
+        .select(F.pmod(F.xxhash64("row_id", "k", "v"), F.lit(8)).alias("s"))
+        .distinct().count()
+    )
+    assert salts >= 4
+
+    with pytest.raises(ValueError):
+        salted_join(big, dim, "k", how="outer")
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    """The physical plan must shuffle on (key, salt), not key alone —
+    broadcast disabled so the shuffle path is actually exercised."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(100).selectExpr("id AS k", "id AS row_id")
+        dim = spark.range(10).selectExpr("id AS k", "id * 2 AS label")
+        plan = salted_join(big, dim, "k", n_salts=4)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning(k" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

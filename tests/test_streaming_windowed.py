@@ -156,6 +156,65 @@ def test_stream_dedup_within_watermark(spark, tmpdirs):
                     (3, "2024-01-01 00:10:00")]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmpdirs):
+    """Stream-stream interval join: clicks and purchases arrive as two
+    independent file streams across interleaved micro-batches; the
+    watermarked time-range join must emit exactly the batch result —
+    including a cross-batch match where the purchase arrives a batch
+    AFTER its click (the click row must still be buffered in state)."""
+    from licenta_crawler_spark.streaming.windowed import interval_join_attribution
+
+    clicks = [
+        ("2024-01-01 00:00:00", 1, "click", 0.0),
+        ("2024-01-01 00:40:00", 2, "click", 0.0),
+        ("2024-01-01 02:00:00", 1, "click", 0.0),
+    ]
+    purchases = [
+        ("2024-01-01 00:30:00", 1, "purchase", 9.5),   # matches click@00:00
+        ("2024-01-01 02:10:00", 1, "purchase", 4.0),   # matches click@02:00 only
+        ("2024-01-01 03:00:00", 2, "purchase", 7.0),   # >1h after click@00:40: no match
+    ]
+    csrc, psrc = f"{tmpdirs}/clicks", f"{tmpdirs}/purch"
+    # build each side ONCE so event_ids stay globally consistent, then
+    # split into micro-batches by id
+    call, pall = _mk_events(spark, clicks), _mk_events(spark, purchases)
+    cb1, cb2 = call.filter("event_id < 2"), call.filter("event_id >= 2")
+    pb1, pb2 = pall.filter("event_id < 1"), pall.filter("event_id >= 1")
+    cb1.write.parquet(csrc)
+    pb1.write.parquet(psrc)
+
+    cstream = spark.readStream.schema(cb1.schema).parquet(csrc)
+    pstream = spark.readStream.schema(pb1.schema).parquet(psrc)
+    q = (
+        interval_join_attribution(cstream, pstream, max_delay_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cb2.write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        pb2.write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.table("attrib").collect())
+    finally:
+        q.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in interval_join_attribution(
+            call, pall, max_delay_seconds=3600
+        ).collect()
+    )
+    assert got == want and len(want) == 2
+    # purchase@02:10 (id 1, delivered in batch 2) matched the click@02:00
+    # (id 2) that arrived on the OTHER stream in its own second batch
+    assert any(r[1] == 2 and r[2] == 1 for r in got)
+
+
 def test_streaming_sessionize_event_time_timeout(spark, tmpdirs):
     """Streaming gap-sessionizer: intra-batch splits emit immediately;
     idle sessions close via EVENT-TIME timeout once the watermark passes
