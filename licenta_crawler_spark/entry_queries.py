@@ -923,6 +923,29 @@ def range_join_value_bands(spark, sf_dir):
     )
 
 
+def chunk_documents_q(spark, sf_dir):
+    """Token-bounded chunking (64-token windows, stride 32) over the
+    documents table — the map-only explode every pretraining pipeline
+    runs after dedup (operators/corpus.chunk_documents)."""
+    from licenta_crawler_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+def pack_context_windows(spark, sf_dir):
+    """Sharded next-fit packing of documents into 256-token context
+    windows (operators/corpus.pack_sequences): sequential recurrence per
+    shard inside one Arrow group; the oracle replays it with a recursive
+    CTE."""
+    from licenta_crawler_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=256, n_shards=8
+    )
+
+
 def salted_supplier_revenue(spark, sf_dir):
     """Skew-mitigated fact->dim join: lineitem salted over 8 sub-keys,
     supplier replicated per salt, then per-nation revenue. Semantics are
@@ -1304,6 +1327,8 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "range_join_value_bands": range_join_value_bands,
     "salted_supplier_revenue": salted_supplier_revenue,
+    "chunk_documents": chunk_documents_q,
+    "pack_context_windows": pack_context_windows,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2277,6 +2302,47 @@ ORACLE_SQL = {
         FROM events c JOIN events p ON p.user_id = c.user_id
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+    """,
+    "chunk_documents": r"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 64 + 32 - 1, 0) + 1, 32))
+                   AS chunk_start
+          FROM d
+        )
+        SELECT doc_id,
+               (chunk_start // 32)::BIGINT AS chunk_id,
+               chunk_start::BIGINT AS chunk_start,
+               len(list_slice(toks, chunk_start + 1, chunk_start + 64))::BIGINT
+                 AS chunk_n_tokens,
+               array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ')
+                 AS chunk_text
+        FROM s
+    """,
+    "pack_context_windows": r"""
+        WITH RECURSIVE sized AS (
+          SELECT (doc_id % 8)::BIGINT AS shard, doc_id,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        packed AS (
+          SELECT shard, doc_id, n_tokens, rn,
+                 0::BIGINT AS bin_id, n_tokens AS bin_fill
+          FROM sized WHERE rn = 1
+          UNION ALL
+          SELECT s.shard, s.doc_id, s.n_tokens, s.rn,
+                 CASE WHEN p.bin_fill + s.n_tokens > 256
+                      THEN p.bin_id + 1 ELSE p.bin_id END,
+                 CASE WHEN p.bin_fill + s.n_tokens > 256
+                      THEN s.n_tokens ELSE p.bin_fill + s.n_tokens END
+          FROM packed p JOIN sized s ON s.shard = p.shard AND s.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
     """,
     "salted_supplier_revenue": """
         SELECT s.s_nationkey, count(*)::BIGINT AS n_items,

@@ -1,0 +1,127 @@
+"""Corpus shaping for LLM training-data pipelines: token-bounded document
+chunking and context-window sequence packing.
+
+Graft-mandate additions beyond the reference (mcdobr/licenta-crawler has no
+document post-processing; its output stops at page records,
+`VisitedProduct.java` / `MongoPage`): once a 100 TB crawl is deduped and
+quality-filtered, the two ops every pretraining pipeline runs next are
+
+  * **chunking** — split each document into overlapping windows of at most
+    ``chunk_tokens`` whitespace tokens, stride ``stride`` (HF
+    ``return_overflowing_tokens`` semantics): chunk i starts at token
+    i*stride; starts run while ``s < n - chunk + stride`` so the tail is
+    covered exactly once and no chunk is fully contained in its
+    predecessor. Fully native (split → sequence → explode → slice), one
+    map-side explode, no shuffle — embarrassingly parallel at any scale.
+
+  * **packing** — greedy NEXT-FIT assignment of whole documents into
+    fixed-capacity context windows (bins). Packing is inherently
+    sequential, so at scale it is sharded: docs land in
+    ``pmod(doc_id, n_shards)`` shards (deterministic, oracle-replayable),
+    and each shard packs independently in doc_id order inside one
+    Arrow-batched ``applyInPandas`` group — the sanctioned Python path
+    for a true sequential recurrence. State per task is one running
+    (bin, fill) pair; output is independent of input partitioning because
+    the group is sorted before the scan. A document longer than
+    ``capacity`` gets its own bin (next-fit closes the current bin, and
+    the oversized fill forces the following doc to open a fresh one).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.text import tokens_col
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into overlapping token windows.
+
+    Returns (id_col, chunk_id, chunk_start, chunk_n_tokens, chunk_text):
+    chunk_id is the 0-based window ordinal, chunk_start the token offset
+    (= chunk_id * stride), chunk_text the space-joined token slice. With
+    ``stride == chunk_tokens`` (default) chunks don't overlap."""
+    if stride is None:
+        stride = chunk_tokens
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # last valid start: the largest multiple of stride < n - chunk + stride
+    # (sequence is inclusive, so upper bound = n - chunk + stride - 1;
+    # clamped to 0 so every non-empty doc yields at least one chunk)
+    upper = F.greatest(n - F.lit(chunk_tokens) + F.lit(stride - 1), F.lit(0))
+    return (
+        docs.filter(n > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), upper, F.lit(stride))).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.size("_c").cast("long").alias("chunk_n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )
+
+
+PACK_OUT_SCHEMA = (
+    "shard long, doc_id long, n_tokens long, bin_id long, bin_fill long"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Next-fit pack documents into fixed-capacity token bins, sharded.
+
+    Returns (shard, doc_id, n_tokens, bin_id, bin_fill): bin_id is the
+    0-based bin ordinal WITHIN the shard, bin_fill the bin's running
+    token total after this doc. Shard = ``pmod(doc_id, n_shards)``;
+    within a shard docs pack in ascending doc_id order, so the result is
+    a pure function of the input rows (partition-order independent)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    sized = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for tok in pdf["n_tokens"]:
+            if fill > 0 and fill + tok > capacity:
+                bin_id += 1
+                fill = 0
+            fill += int(tok)
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    return sized.groupBy("shard").applyInPandas(pack, PACK_OUT_SCHEMA)

@@ -1,0 +1,124 @@
+"""Unit tests for operators/corpus.py (token chunking + sequence packing),
+each checked against an independent pure-python reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.corpus import chunk_documents, pack_sequences
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_chunks(text, chunk, stride):
+    toks = text.split()
+    if not toks:
+        return []
+    n = len(toks)
+    starts = list(range(0, max(n - chunk + stride - 1, 0) + 1, stride))
+    return [
+        (s // stride, s, toks[s:s + chunk]) for s in starts
+    ]
+
+
+def test_chunking_known_doc(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = sorted(
+        (r["chunk_id"], r["chunk_start"], r["chunk_n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            _docs(spark, [text]), chunk_tokens=8, stride=4
+        ).collect()
+    )
+    assert rows == [
+        (0, 0, 8, " ".join(f"t{i}" for i in range(8))),
+        (1, 4, 6, " ".join(f"t{i}" for i in range(4, 10))),
+    ]
+
+
+def test_chunking_matches_python_reference(spark):
+    rng = random.Random(13)
+    texts = [
+        " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40)))
+        for _ in range(60)
+    ] + ["", "   ", "one"]
+    got = {}
+    for r in chunk_documents(_docs(spark, texts), chunk_tokens=16, stride=8).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (
+            r["chunk_start"], r["chunk_n_tokens"], r["chunk_text"]
+        )
+    want = {}
+    for i, t in enumerate(texts):
+        for cid, s, toks in _py_chunks(t, 16, 8):
+            want[(i, cid)] = (s, len(toks), " ".join(toks))
+    assert got == want
+    # coverage: every token of every doc appears in some chunk
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        covered = set()
+        for (d, cid), (s, k, _) in want.items():
+            if d == i:
+                covered.update(range(s, s + k))
+        assert covered == set(range(n))
+
+
+def test_chunking_rejects_bad_stride(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["a b"]), chunk_tokens=4, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["a b"]), chunk_tokens=4, stride=8)
+
+
+def _py_pack(sizes, capacity):
+    """Next-fit reference: (bin_id, fill_after) per doc in order."""
+    out, bin_id, fill = [], 0, 0
+    for tok in sizes:
+        if fill > 0 and fill + tok > capacity:
+            bin_id, fill = bin_id + 1, 0
+        fill += tok
+        out.append((bin_id, fill))
+    return out
+
+
+def test_packing_matches_reference_and_respects_capacity(spark):
+    rng = random.Random(29)
+    texts = [" ".join("x" * 1 for _ in range(rng.randrange(1, 30)))
+             for _ in range(200)]
+    df = _docs(spark, texts)
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["bin_id"], r["bin_fill"])
+        for r in pack_sequences(df, capacity=64, n_shards=4).collect()
+    }
+    # replay per shard in doc_id order
+    for shard in range(4):
+        ids = [i for i in range(len(texts)) if i % 4 == shard]
+        sizes = [len(texts[i].split()) for i in ids]
+        for i, (b, fill) in zip(ids, _py_pack(sizes, 64)):
+            assert got[i] == (shard, len(texts[i].split()), b, fill)
+    # capacity respected for all bins (no oversized docs in this input)
+    assert all(fill <= 64 for _, _, _, fill in got.values())
+
+
+def test_packing_oversized_doc_gets_own_bin(spark):
+    texts = ["a b c", " ".join(["w"] * 50), "d e"]  # capacity 10
+    rows = {r["doc_id"]: (r["bin_id"], r["bin_fill"])
+            for r in pack_sequences(_docs(spark, texts), capacity=10,
+                                    n_shards=1).collect()}
+    assert rows[0] == (0, 3)
+    assert rows[1] == (1, 50)   # oversized: alone in its bin
+    assert rows[2] == (2, 2)    # fill=50 forces a fresh bin
+
+
+def test_packing_partition_order_independent(spark):
+    texts = [" ".join(["w"] * ((i * 7) % 23 + 1)) for i in range(100)]
+    df = _docs(spark, texts)
+    a = sorted(map(tuple, pack_sequences(df, capacity=48, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        df.repartition(13, "text"), capacity=48, n_shards=4).collect()))
+    assert a == b
