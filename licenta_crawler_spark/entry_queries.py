@@ -946,6 +946,34 @@ def pack_context_windows(spark, sf_dir):
     )
 
 
+def sample_weighted_priority(spark, sf_dir):
+    """Quality-weighted corpus sampling: priority sampling (w/u, top-k)
+    with n_chars as the weight — exact cross-engine because the only
+    rounded float op is one IEEE division (operators/corpus.
+    priority_sample; an A-ES pow/ln key would not replay)."""
+    from licenta_crawler_spark.operators.corpus import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
+def dataset_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment (md5 per-mille
+    buckets, no floats) rolled up to per-split doc/char counts."""
+    from licenta_crawler_spark.operators.corpus import split_assign_col
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(split_assign_col().alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def salted_supplier_revenue(spark, sf_dir):
     """Skew-mitigated fact->dim join: lineitem salted over 8 sub-keys,
     supplier replicated per salt, then per-nation revenue. Semantics are
@@ -1329,6 +1357,8 @@ QUERIES = {
     "salted_supplier_revenue": salted_supplier_revenue,
     "chunk_documents": chunk_documents_q,
     "pack_context_windows": pack_context_windows,
+    "sample_weighted_priority": sample_weighted_priority,
+    "dataset_split_counts": dataset_split_counts,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2343,6 +2373,30 @@ ORACLE_SQL = {
           FROM packed p JOIN sized s ON s.shard = p.shard AND s.rn = p.rn + 1
         )
         SELECT shard, doc_id, n_tokens, bin_id, bin_fill FROM packed
+    """,
+    "sample_weighted_priority": """
+        WITH u AS (
+          SELECT doc_id, n_chars::BIGINT AS weight,
+                 1 + (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 1073741824) AS u_int
+          FROM documents
+        )
+        SELECT doc_id, weight,
+               weight::DOUBLE / (u_int::DOUBLE / 1073741824.0) AS priority
+        FROM u ORDER BY priority DESC, doc_id LIMIT 100
+    """,
+    "dataset_split_counts": """
+        WITH b AS (
+          SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+                   AS bucket, n_chars
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 800 THEN 'train'
+                    WHEN bucket < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM b GROUP BY 1
     """,
     "salted_supplier_revenue": """
         SELECT s.s_nationkey, count(*)::BIGINT AS n_items,

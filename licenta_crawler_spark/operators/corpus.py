@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from licenta_crawler_spark.functions.text import tokens_col
+from licenta_crawler_spark.operators.dedup import md5_hash60_col
 
 
 def chunk_documents(
@@ -125,3 +126,65 @@ def pack_sequences(
         return pdf[["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
 
     return sized.groupBy("shard").applyInPandas(pack, PACK_OUT_SCHEMA)
+
+
+U_BITS = 30
+U_SPACE = 1 << U_BITS
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup 2005): u_i = deterministic uniform in (0, 1],
+    priority q_i = w_i / u_i, keep the k largest.
+
+    Inclusion probability rises with weight (min(1, w_i/tau) for
+    threshold tau = the (k+1)-th priority), and subset sums are unbiased
+    under the Horvitz-Thompson estimate w_hat = max(w_i, tau) — the
+    standard way to sample a corpus proportionally to a quality score.
+
+    Cross-engine exact by construction: u_i is a nonzero 30-bit integer
+    carved from md5(id) divided by 2^30 (a POWER-OF-TWO divisor, so the
+    double is exact), and the only rounding float op is the single
+    IEEE-correctly-rounded division w/u — identical in the JVM and the
+    DuckDB oracle. The exponential-key alternative (A-ES, u^(1/w))
+    needs pow/ln, which no two engines round identically; priority
+    sampling gives the same monotone-in-weight guarantee without a
+    transcendental. Distributed shape: map-side priority column +
+    TakeOrdered(k) — per-partition top-k then a k-row merge on the
+    driver, no full shuffle, no sort of the table."""
+    u_int = F.lit(1) + F.pmod(
+        md5_hash60_col(F.col(id_col).cast("string")), F.lit(U_SPACE)
+    )
+    prio = F.col(weight_col).cast("double") / (
+        u_int.cast("double") / F.lit(float(U_SPACE))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            prio.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def split_assign_col(id_col: str = "doc_id", permille=(800, 100, 100),
+                     names=("train", "val", "test")):
+    """Deterministic train/val/test assignment: md5(id) mod 1000 against
+    integer per-mille thresholds — stable across runs, partitionings and
+    engines (no floats anywhere)."""
+    if sum(permille) != 1000 or len(permille) != len(names):
+        raise ValueError(f"permille must sum to 1000, one per name: {permille}")
+    b = F.pmod(md5_hash60_col(F.col(id_col).cast("string")), F.lit(1000))
+    expr, acc = None, 0
+    for share, name in zip(permille, names):
+        acc += share
+        cond = b < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr

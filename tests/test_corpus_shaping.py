@@ -122,3 +122,51 @@ def test_packing_partition_order_independent(spark):
     b = sorted(map(tuple, pack_sequences(
         df.repartition(13, "text"), capacity=48, n_shards=4).collect()))
     assert a == b
+
+
+def _py_u30(i):
+    import hashlib
+    h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    return 1 + h % (1 << 30)
+
+
+def test_priority_sample_matches_python_replay(spark):
+    from licenta_crawler_spark.operators.corpus import priority_sample
+
+    rng = random.Random(41)
+    rows = [(i, rng.randrange(1, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r["doc_id"], r["weight"], r["priority"])
+           for r in priority_sample(df, 20, "w").collect()]
+    prios = sorted(
+        ((w / (_py_u30(i) / (1 << 30)), i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [(i, w, p) for p, i, w in prios[:20]]
+    assert got == want                      # bit-exact, order included
+    # inclusion is monotone in weight: a huge-weight doc always sampled
+    big = df.union(spark.createDataFrame([(999, 10**9)], "doc_id long, w long"))
+    assert 999 in {r["doc_id"] for r in priority_sample(big, 20, "w").collect()}
+
+
+def test_split_assign_proportions_and_determinism(spark):
+    from licenta_crawler_spark.operators.corpus import split_assign_col
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in df.select(split_assign_col().alias("split"))
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # deterministic under repartitioning
+    counts2 = {
+        r["split"]: r["n"]
+        for r in df.repartition(17).select(split_assign_col().alias("split"))
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == counts2
+    with pytest.raises(ValueError):
+        split_assign_col(permille=(500, 100, 100))
