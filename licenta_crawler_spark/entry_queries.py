@@ -1060,6 +1060,24 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def w_sliding_counts(spark, sf_dir):
+    """Sliding 1-hour window, 30-minute slide (each event lands in
+    window/slide = 2 windows) — the overlapping-window twin of
+    w_tumbling_counts; the oracle replays the window expansion with an
+    explicit per-event explode."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 def w_tumbling_counts(spark, sf_dir):
     """Tumbling 1-hour window aggregation via F.window — the batch twin
     of the streaming watermark+window path in streaming/windowed.py."""
@@ -1359,6 +1377,7 @@ QUERIES = {
     "pack_context_windows": pack_context_windows,
     "sample_weighted_priority": sample_weighted_priority,
     "dataset_split_counts": dataset_split_counts,
+    "w_sliding_counts": w_sliding_counts,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2417,6 +2436,17 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "w_sliding_counts": """
+        WITH e AS (
+          SELECT event_type, value,
+                 epoch_ms(time_bucket(INTERVAL '30 minutes', ts))::BIGINT
+                   - unnest(range(0, 2)) * 1800000 AS window_start_ms
+          FROM events
+        )
+        SELECT window_start_ms, event_type, count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY 1, 2
     """,
     "ann_lsh_topk": _ann_lsh_sql(),
     "minhash_lsh_pairs": _minhash_pairs_sql(),
