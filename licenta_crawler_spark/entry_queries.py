@@ -1060,6 +1060,25 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def zorder_event_keys(spark, sf_dir):
+    """Morton z-order keys over (user_id, floor(value)) — the layout key
+    `sources/layout.write_zordered` sorts by so multi-dimensional box
+    filters prune parquet files/row-groups on every dimension at once.
+    Pure bit arithmetic; the oracle evaluates the identical interleave
+    expression (sources/layout.zorder_sql)."""
+    from licenta_crawler_spark.sources.layout import zorder_value_col
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.floor("value").cast("long").alias("y"),
+    ).select(
+        "event_id", "x", "y",
+        zorder_value_col(["x", "y"], bits=10),
+    )
+
+
 def w_sliding_counts(spark, sf_dir):
     """Sliding 1-hour window, 30-minute slide (each event lands in
     window/slide = 2 windows) — the overlapping-window twin of
@@ -1378,6 +1397,7 @@ QUERIES = {
     "sample_weighted_priority": sample_weighted_priority,
     "dataset_split_counts": dataset_split_counts,
     "w_sliding_counts": w_sliding_counts,
+    "zorder_event_keys": zorder_event_keys,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -1776,6 +1796,10 @@ def _lang_id_sql() -> str:
         )
     """
 
+
+from licenta_crawler_spark.sources.layout import zorder_sql as _zorder_sql
+
+_ZORDER_EXPR = _zorder_sql(["x", "y"], bits=10)
 
 ORACLE_SQL = {
     "q1_pricing_summary": """
@@ -2436,6 +2460,12 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "zorder_event_keys": f"""
+        WITH p AS (
+          SELECT event_id, user_id AS x, floor(value)::BIGINT AS y FROM events
+        )
+        SELECT event_id, x, y, ({_ZORDER_EXPR}) AS zval FROM p
     """,
     "w_sliding_counts": """
         WITH e AS (

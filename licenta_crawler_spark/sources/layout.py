@@ -1,0 +1,82 @@
+"""Z-order (Morton) data layout: multi-dimensional data skipping.
+
+At 100 TB the file layout IS the index: parquet footers carry per-file /
+per-row-group min-max stats, and the reader skips any unit whose stat
+range misses the filter — but min-max pruning only works along the sort
+order. Sorting by column A makes B-filters unprunable. Z-ordering
+interleaves the bits of several columns into one Morton key and sorts by
+THAT, so a small box in (A, B, ...) space touches a small number of
+z-runs — both (all) dimensions prune at once. This is the layout trick
+behind Delta's OPTIMIZE ZORDER BY and ClickHouse/DuckDB space-filling
+indexes, built here from native bit arithmetic only (shiftleft / & / |),
+so the exact key replays in the DuckDB oracle.
+
+``zorder_value_col`` is a pure column expression (map-only, codegen);
+``write_zordered`` pays one range-shuffle + in-partition sort at write
+time — amortized over every later multi-dimensional scan, exactly like
+the bucketed-join sink (sources/bucketed.py) amortizes its shuffle.
+The test demonstrates the skipping effect directly from the parquet
+footers: a 2-D box query intersects far fewer z-ordered files than
+single-column-sorted files."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value_col(cols: list[str | Column], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column into one
+    BIGINT: bit i of column j lands at position ``i * n_cols + j``.
+
+    Columns must be non-negative integers; values are masked to ``bits``
+    bits (callers quantize first — floats via ``floor(x / cell)``,
+    strings via a hash slice). ``n_cols * bits`` must stay under 63 so
+    the key fits a signed 64-bit int in every engine."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits = {n * bits} > 63 key bits")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    parts = []
+    for j, c in enumerate(cs):
+        masked = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            bit = F.shiftright(masked, i).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, i * n + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zval")
+
+
+def zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical Morton key as ANSI SQL (DuckDB oracle twin)."""
+    n = len(cols)
+    mask = (1 << bits) - 1
+    parts = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            parts.append(f"(((({c} & {mask}) >> {i}) & 1) << {i * n + j})")
+    return " | ".join(parts)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out along the Morton curve: range-partition by
+    the z-value into ``n_files`` output files and sort within each, so
+    every file (and row group) covers one tight z-run and its footer
+    min-max stats prune multi-dimensional box filters."""
+    z = df.withColumn("zval", zorder_value_col(cols, bits))
+    (
+        z.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,124 @@
+"""Z-order layout tests: Morton key correctness vs a python reference,
+and the data-skipping effect measured directly from parquet footers."""
+
+from __future__ import annotations
+
+import glob
+import random
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.sources.layout import (
+    write_zordered,
+    zorder_sql,
+    zorder_value_col,
+)
+
+
+def _py_morton(vals, bits):
+    z = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+@pytest.fixture()
+def tmpd():
+    d = tempfile.mkdtemp(prefix="lcs-layout-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_value_matches_python(spark):
+    rng = random.Random(17)
+    rows = [(rng.randrange(1 << 12), rng.randrange(1 << 12), rng.randrange(99))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long, q long")
+    got = [r["zval"] for r in
+           df.select(zorder_value_col(["x", "y"], bits=12)).collect()]
+    want = [_py_morton((x, y), 12) for x, y, _ in rows]
+    assert got == want
+    # 3-column interleave too
+    got3 = [r["zval"] for r in
+            df.select(zorder_value_col(["x", "y", "q"], bits=7)).collect()]
+    want3 = [_py_morton((x, y, q), 7) for x, y, q in rows]
+    assert got3 == want3
+    with pytest.raises(ValueError):
+        zorder_value_col(["x"], bits=8)
+    with pytest.raises(ValueError):
+        zorder_value_col(["x", "y"], bits=32)
+
+
+def _files_touched(path, box):
+    """Count data files whose per-file min/max stats intersect the box
+    ({col: (lo, hi)}) — exactly the pruning a stats-aware reader does."""
+    touched, total = 0, 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        total += 1
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        hit = True
+        for col, (lo, hi) in box.items():
+            ci = names.index(col)
+            mins = [md.row_group(g).column(ci).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max
+                    for g in range(md.num_row_groups)]
+            if min(mins) > hi or max(maxs) < lo:
+                hit = False
+                break
+        touched += hit
+    return touched, total
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmpd):
+    """256x256 grid written (a) z-ordered and (b) x-sorted, 16 files
+    each. A y-only filter prunes most z-ordered files but NO x-sorted
+    file; a 2-D box hits very few z-ordered files. Same rows read back
+    either way (layout never changes semantics)."""
+    pts = [(x, y) for x in range(256) for y in range(256)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    zpath, xpath = f"{tmpd}/z", f"{tmpd}/x"
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.parquet(xpath))
+
+    ybox = {"y": (100, 103)}
+    z_y, z_total = _files_touched(zpath, ybox)
+    x_y, x_total = _files_touched(xpath, ybox)
+    assert z_total == 16 and x_total == 16
+    assert z_y <= 4          # one quadrant row of the Morton split
+    assert x_y == 16         # y unsorted -> no file prunes
+
+    box = {"x": (100, 107), "y": (100, 107)}
+    z_b, _ = _files_touched(zpath, box)
+    assert z_b <= 2          # box lives in one 64x64 Morton quadrant
+
+    got = sorted(
+        (r["x"], r["y"]) for r in spark.read.parquet(zpath)
+        .filter("x BETWEEN 100 AND 107 AND y BETWEEN 100 AND 107")
+        .select("x", "y").collect()
+    )
+    assert got == [(x, y) for x in range(100, 108) for y in range(100, 108)]
+
+
+def test_zorder_sql_twin_matches(spark):
+    """The SQL twin produces the identical key (the oracle contract)."""
+    df = spark.createDataFrame(
+        [(i * 37 % 1024, i * 91 % 1024) for i in range(200)], "x long, y long"
+    )
+    df.createOrReplaceTempView("zt")
+    got = [r["zval"] for r in df.select(zorder_value_col(["x", "y"], 10)).collect()]
+    via_sql = [r["zval"] for r in spark.sql(
+        f"SELECT {zorder_sql(['x', 'y'], 10)} AS zval FROM zt"
+    ).collect()]
+    assert got == via_sql
