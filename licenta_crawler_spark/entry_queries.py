@@ -1060,6 +1060,31 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def scd2_user_state(spark, sf_dir):
+    """SCD2 change tracking: each user's event_type as a slowly-changing
+    attribute — runs of identical consecutive states collapse into one
+    version with a [valid_from, valid_to) window, open-ended on the
+    current one (operators/relational.scd2_chain; the merge-with-
+    existing-dimension path is unit-tested)."""
+    from licenta_crawler_spark.operators.relational import scd2_chain
+
+    ev = _t(spark, sf_dir, "events")
+    chain = scd2_chain(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        key="user_id", attrs=["event_type"], ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return chain.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("valid_from").cast("timestamp")).alias("valid_from_ms"),
+        F.coalesce(
+            F.unix_millis(F.col("valid_to").cast("timestamp")), F.lit(-1)
+        ).alias("valid_to_ms"),
+        "is_current",
+    )
+
+
 def zorder_event_keys(spark, sf_dir):
     """Morton z-order keys over (user_id, floor(value)) — the layout key
     `sources/layout.write_zordered` sorts by so multi-dimensional box
@@ -1398,6 +1423,7 @@ QUERIES = {
     "dataset_split_counts": dataset_split_counts,
     "w_sliding_counts": w_sliding_counts,
     "zorder_event_keys": zorder_event_keys,
+    "scd2_user_state": scd2_user_state,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2460,6 +2486,24 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "scd2_user_state": """
+        WITH runs AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        kept AS (
+          SELECT user_id, event_type, ts, event_id FROM runs
+          WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               epoch_ms(ts)::BIGINT AS valid_from_ms,
+               coalesce(epoch_ms(lead(ts) OVER w2)::BIGINT, -1) AS valid_to_ms,
+               (lead(ts) OVER w2 IS NULL) AS is_current
+        FROM kept
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "zorder_event_keys": f"""
         WITH p AS (

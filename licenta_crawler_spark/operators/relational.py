@@ -267,3 +267,80 @@ def session_bounds(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ------------------------------------------------------------ SCD2 history
+def scd2_chain(
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build an SCD2 (type-2 slowly-changing-dimension) validity chain
+    from an update stream: per key, order updates by ``order_cols``
+    (default: the timestamp), collapse runs of identical attribute
+    states (a no-op update creates no version), and stamp each surviving
+    version with [valid_from, valid_to) — ``valid_to`` NULL on the
+    current one.
+
+    Plan: two window passes over ONE key shuffle. lag(struct(attrs))
+    marks run-starts — comparing every row to its immediate predecessor
+    removes all non-first elements of a run in a single pass (null-safe
+    struct equality, so NULL attribute values neither crash nor
+    duplicate) — then lead(ts) over the survivors closes the intervals.
+    No joins, no iteration, linear per key."""
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    kept = (
+        updates.withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(state))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return kept.select(
+        key,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Merge a batch of updates into an SCD2 dimension table.
+
+    ``dim`` carries (key, attrs..., valid_from, valid_to, is_current)
+    with ``valid_to`` NULL on current rows. Closed rows are immutable
+    history and pass through untouched; each key's current row enters
+    the update stream as its earliest event (source-tagged, so an update
+    at the SAME timestamp supersedes it), and ``scd2_chain`` rebuilds the
+    open part of the chain. An update equal to the state in effect is a
+    no-op; a changed state closes the current row at the update's ts.
+    ``seq_col`` breaks same-ts ties among updates deterministically."""
+    closed = dim.filter(F.col("valid_to").isNotNull()).select(
+        key, *attrs, "valid_from", "valid_to", F.lit(False).alias("is_current")
+    )
+    seq = [seq_col] if seq_col else []
+    cur = dim.filter(F.col("valid_to").isNull()).select(
+        key, *attrs,
+        F.col("valid_from").alias("_ts"),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(updates.schema[s].dataType).alias(s) for s in seq],
+    )
+    upd = updates.select(
+        key, *attrs, F.col(ts_col).alias("_ts"), F.lit(1).alias("_src"), *seq
+    )
+    chain = scd2_chain(
+        cur.unionByName(upd), key=key, attrs=attrs, ts_col="_ts",
+        order_cols=["_ts", "_src", *seq],
+    )
+    return closed.unionByName(chain)

@@ -355,3 +355,89 @@ def test_salted_join_shuffles_on_key_plus_salt(spark):
         assert "_salt" in plan and "hashpartitioning(k" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_scd2_chain_collapses_runs(spark):
+    from licenta_crawler_spark.operators.relational import scd2_chain
+
+    ev = spark.createDataFrame(
+        [("u", 1, "A"), ("u", 2, "A"), ("u", 3, "B"), ("u", 4, "B"),
+         ("u", 5, "A"), ("v", 7, "C")],
+        "k string, ts long, state string",
+    )
+    rows = sorted(
+        tuple(r) for r in scd2_chain(ev, key="k", attrs=["state"]).collect()
+    )
+    assert rows == [
+        ("u", "A", 1, 3, False),
+        ("u", "A", 5, None, True),
+        ("u", "B", 3, 5, False),
+        ("v", "C", 7, None, True),
+    ]
+
+
+def test_scd2_merge_preserves_history_and_closes_current(spark):
+    from licenta_crawler_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [("u", "Z", -5, 0, False), ("u", "A", 0, None, True)],
+        "k string, state string, valid_from long, valid_to long, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [("u", 2, "A"), ("u", 4, "B"), ("w", 9, "N")],
+        "k string, ts long, state string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in scd2_merge(dim, upd, key="k", attrs=["state"]).collect()
+    )
+    assert rows == [
+        ("u", "A", 0, 4, False),      # noop update at ts=2 absorbed
+        ("u", "B", 4, None, True),
+        ("u", "Z", -5, 0, False),     # closed history untouched
+        ("w", "N", 9, None, True),    # brand-new key
+    ]
+
+
+def test_scd2_merge_same_ts_update_supersedes(spark):
+    from licenta_crawler_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [("u", "A", 0, None, True)],
+        "k string, state string, valid_from long, valid_to long, is_current boolean",
+    )
+    upd = spark.createDataFrame([("u", 0, "B")], "k string, ts long, state string")
+    rows = sorted(
+        tuple(r)
+        for r in scd2_merge(dim, upd, key="k", attrs=["state"]).collect()
+    )
+    # the old current closes as a zero-length version at its own ts
+    assert rows == [("u", "A", 0, 0, False), ("u", "B", 0, None, True)]
+
+
+def test_scd2_null_attrs_and_seq_tiebreak(spark):
+    from licenta_crawler_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [], "k string, state string, valid_from long, valid_to long, is_current boolean"
+    )
+    upd = spark.createDataFrame(
+        [("u", 1, 0, None), ("u", 1, 1, None), ("u", 2, 0, "X"),
+         ("u", 3, 0, None), ("u", 3, 1, "Y")],
+        "k string, ts long, seq long, state string",
+    )
+    rows = sorted(
+        (
+            (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_merge(dim, upd, key="k", attrs=["state"],
+                                seq_col="seq").collect()
+        ),
+        key=lambda t: (t[0], t[2], t[1] or ""),
+    )
+    # NULL==NULL collapses (null-safe); at ts=3 seq orders NULL then Y
+    assert rows == [
+        ("u", None, 1, 2, False),
+        ("u", "X", 2, 3, False),
+        ("u", None, 3, 3, False),
+        ("u", "Y", 3, None, True),
+    ]
