@@ -1060,6 +1060,28 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def label_centroids(spark, sf_dir):
+    """Per-class embedding centroids in fixed point: posexplode the
+    vector, quantize each component to trunc(x*1000) (the repo's
+    standard exact cross-engine convention, cf. the fixed-point IVF in
+    operators/ann.py), integer-sum per (label, dim) with map-side
+    partial aggregation — one shuffle whose key count is
+    labels × dims, independent of the number of vectors. sum_q and
+    n_vecs are exact BIGINTs; the float mean is sum_q / (1000 · n)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("dim_idx", "x"),
+        )
+        .groupBy("label", F.col("dim_idx").cast("long").alias("dim_idx"))
+        .agg(
+            F.sum((F.col("x").cast("double") * 1000.0).cast("long")).alias("sum_q"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
 def scd2_user_state(spark, sf_dir):
     """SCD2 change tracking: each user's event_type as a slowly-changing
     attribute — runs of identical consecutive states collapse into one
@@ -1424,6 +1446,7 @@ QUERIES = {
     "w_sliding_counts": w_sliding_counts,
     "zorder_event_keys": zorder_event_keys,
     "scd2_user_state": scd2_user_state,
+    "label_centroids": label_centroids,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2486,6 +2509,18 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "label_centroids": """
+        WITH u AS (
+          SELECT label::BIGINT AS label,
+                 unnest(range(0, len(embedding)))::BIGINT AS dim_idx,
+                 unnest(embedding) AS x
+          FROM embeddings
+        )
+        SELECT label, dim_idx,
+               sum(trunc(x::DOUBLE * 1000.0)::BIGINT)::BIGINT AS sum_q,
+               count(*)::BIGINT AS n_vecs
+        FROM u GROUP BY 1, 2
     """,
     "scd2_user_state": """
         WITH runs AS (

@@ -168,3 +168,75 @@ class IcebergLayoutCatalog:
             )
             snap_id = info["parent_snapshot_id"]
         return out
+
+    # -------------------------------------------------------------- append
+    def commit_append(self, table: str, df: DataFrame, batch_id: int) -> str:
+        """Iceberg-style APPEND commit: write ONLY the new rows as data
+        files and publish a snapshot whose manifest = parent's files +
+        the new ones. O(batch) work per commit regardless of table size
+        — the streaming-ingest path (commit_table rewrites the full
+        table and stays the batch/wave path). The snapshot records
+        ``batch_id`` so a replayed micro-batch (sink committed, Spark
+        offset checkpoint lost) is detectable and idempotently skipped
+        by the caller (see streaming/sink.py)."""
+        snap_id = f"a{batch_id:06d}-{uuid.uuid4().hex[:8]}"
+        tdir = self.root / table
+        data_dir = tdir / "data" / f"snap-{snap_id}"
+        meta_dir = tdir / "metadata"
+        meta_dir.mkdir(parents=True, exist_ok=True)
+
+        df.write.mode("overwrite").parquet(str(data_dir))
+        cat = self._catalog()
+        parent = cat["tables"].get(table, {}).get("current")
+        parent_files = []
+        if parent is not None:
+            pinfo = self.snapshot_info(table, parent)
+            parent_files = json.loads(
+                (self.root / pinfo["manifest"]).read_text()
+            )["files"]
+        new_files = []
+        for f in sorted(data_dir.rglob("*.parquet")):
+            md = pq.read_metadata(f)
+            new_files.append(
+                {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
+                 "bytes": f.stat().st_size,
+                 "partition_id": len(parent_files) + len(new_files),
+                 "partition": {}}
+            )
+        files = parent_files + new_files
+        manifest = {"snapshot": snap_id, "table": table, "files": files,
+                    "partition_by": []}
+        (meta_dir / f"manifest-{snap_id}.json").write_text(
+            json.dumps(manifest, indent=1)
+        )
+        snapshot = {
+            "snapshot_id": snap_id,
+            "wave": batch_id,
+            "batch_id": batch_id,
+            "operation": "append",
+            "parent_snapshot_id": parent,
+            "manifest": f"{table}/metadata/manifest-{snap_id}.json",
+            "data_dir": f"{table}/data/snap-{snap_id}",
+            "schema": df.schema.json(),
+            "summary": {"total_rows": sum(f["rows"] for f in files),
+                        "appended_rows": sum(f["rows"] for f in new_files),
+                        "n_files": len(files)},
+        }
+        (meta_dir / f"snap-{snap_id}.json").write_text(json.dumps(snapshot, indent=1))
+        entry = cat["tables"].setdefault(table, {"snapshots": []})
+        entry["snapshots"].append({"id": snap_id, "wave": batch_id})
+        entry["current"] = snap_id
+        self._write_catalog(cat)
+        return snap_id
+
+    def last_batch_id(self, table: str) -> int | None:
+        """Highest micro-batch id committed to ``table`` via
+        commit_append along the current snapshot chain (None if the
+        table has no append commits)."""
+        snap_id = self.current_snapshot(table)
+        while snap_id is not None:
+            info = self.snapshot_info(table, snap_id)
+            if "batch_id" in info:
+                return info["batch_id"]
+            snap_id = info["parent_snapshot_id"]
+        return None

@@ -1,0 +1,54 @@
+"""Streaming ingest into the Iceberg-layout catalog: a ``foreachBatch``
+sink with exactly-once batch commits.
+
+Structured Streaming's own sinks give at-least-once into plain files;
+exactly-once needs the SINK to be idempotent per micro-batch. Here each
+micro-batch lands as one catalog APPEND snapshot (O(batch) data files +
+a manifest referencing the parent's files — commit_append) stamped with
+Spark's epoch id; when a batch is REPLAYED after a restart that lost the
+offset checkpoint but not the sink commit, the stamp makes the replay
+detectable and the sink skips it — the classic transactional-sink
+contract (Delta/Iceberg ``txnAppId``/``txnVersion``), implemented on the
+repo's own snapshot layout.
+
+At 100 TB this is the telemetry/ingest path: micro-batches append files,
+never rewrite the table; snapshot manifests keep per-file lineage; and a
+compaction pass (batch job over the catalog) can later rewrite small
+files without changing the log's semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from licenta_crawler_spark.sources.checkpoint import IcebergLayoutCatalog
+
+
+def catalog_batch_committer(catalog: IcebergLayoutCatalog, table: str):
+    """The ``foreachBatch`` function: commit the micro-batch as an
+    append snapshot unless this epoch (or a later one) is already in the
+    snapshot chain — idempotent under replay. Exposed separately so
+    tests (and backfills) can drive it without a streaming query."""
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        last = catalog.last_batch_id(table)
+        if last is not None and epoch_id <= last:
+            return  # replayed micro-batch: already durable, skip
+        catalog.commit_append(table, batch_df, epoch_id)
+
+    return commit
+
+
+def stream_to_catalog(
+    stream: DataFrame,
+    catalog: IcebergLayoutCatalog,
+    table: str,
+    checkpoint_dir: str,
+):
+    """Start ingesting a streaming DataFrame into ``table``: one append
+    snapshot per micro-batch, exactly-once via the epoch-id stamp."""
+    return (
+        stream.writeStream.foreachBatch(catalog_batch_committer(catalog, table))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,88 @@
+"""Streaming-ingest sink tests: append snapshots per micro-batch,
+exactly-once under replay, snapshot time travel over the append chain."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.sources.checkpoint import IcebergLayoutCatalog
+from licenta_crawler_spark.streaming.sink import (
+    catalog_batch_committer,
+    stream_to_catalog,
+)
+
+SCHEMA = "event_id long, user_id long, value double"
+
+
+@pytest.fixture()
+def tmpd():
+    d = tempfile.mkdtemp(prefix="lcs-sink-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 0.5).alias("value"),
+    )
+
+
+def test_stream_appends_batches_as_snapshots(spark, tmpd):
+    src = f"{tmpd}/src"
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    _batch(spark, 0, 100).write.parquet(src)
+    stream = spark.readStream.schema(_batch(spark, 0, 1).schema).parquet(src)
+    q = stream_to_catalog(stream, cat, "telemetry", f"{tmpd}/ckpt")
+    try:
+        q.processAllAvailable()
+        _batch(spark, 100, 150).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert cat.load(spark, "telemetry").count() == 150
+    lin = cat.lineage("telemetry")             # current -> root
+    # one snapshot per micro-batch (the source MAY split a trigger, so
+    # assert the chain's invariants rather than an exact count)
+    assert len(lin) >= 2
+    assert lin[0]["summary"]["total_rows"] == 150
+    assert sum(s["summary"]["appended_rows"] for s in lin) == 150
+    # time travel: the root snapshot sees only its own appended rows
+    root = lin[-1]
+    assert root["summary"]["total_rows"] == root["summary"]["appended_rows"]
+    got = cat.load(spark, "telemetry", snapshot=root["snapshot_id"]).count()
+    assert got == root["summary"]["total_rows"] < 150
+
+
+def test_replayed_epoch_is_idempotent(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    commit(_batch(spark, 0, 10), 0)
+    commit(_batch(spark, 10, 30), 1)
+    assert cat.load(spark, "t").count() == 30
+    # restart-replay of epoch 1 (and a stale epoch 0): no duplicate rows
+    commit(_batch(spark, 10, 30), 1)
+    commit(_batch(spark, 0, 10), 0)
+    assert cat.load(spark, "t").count() == 30
+    assert cat.last_batch_id("t") == 1
+    # the next real epoch still lands
+    commit(_batch(spark, 30, 35), 2)
+    assert cat.load(spark, "t").count() == 35
+
+
+def test_append_and_full_commits_coexist(spark, tmpd):
+    """A wave-style full commit_table over an appended table replaces
+    state (its manifest has only its own files); last_batch_id still
+    finds the newest append stamp below it in the chain."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    commit(_batch(spark, 0, 10), 0)
+    cat.commit_table("t", _batch(spark, 0, 5), wave=7)
+    assert cat.load(spark, "t").count() == 5
+    assert cat.last_batch_id("t") == 0
