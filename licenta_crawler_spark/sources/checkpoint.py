@@ -240,3 +240,32 @@ class IcebergLayoutCatalog:
                 return info["batch_id"]
             snap_id = info["parent_snapshot_id"]
         return None
+
+    def compact(
+        self, spark: SparkSession, table: str, target_bytes: int = 128 << 20
+    ) -> str:
+        """Small-files compaction: rewrite the current snapshot's data
+        into ~``target_bytes`` files and commit the result as a new
+        snapshot (operation 'compact'). Semantics-free by construction —
+        same rows, new layout — and the snapshot log keeps the full
+        pre-compaction lineage, so time travel and the streaming sink's
+        epoch-stamp idempotence (last_batch_id walks PAST the compaction
+        to the newest append) both survive. This is the maintenance twin
+        of the append sink: ingest makes many small files cheaply,
+        compaction amortizes them into scan-efficient ones."""
+        snap_id = self.current_snapshot(table)
+        if snap_id is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        info = self.snapshot_info(table, snap_id)
+        manifest = json.loads((self.root / info["manifest"]).read_text())
+        total_bytes = sum(f["bytes"] for f in manifest["files"])
+        n_files = max(1, -(-total_bytes // target_bytes))  # ceil div
+        df = self.load(spark, table).coalesce(n_files)
+        new_id = self.commit_table(table, df, wave=info["wave"])
+        # mark the commit as a compaction (commit_table wrote the base)
+        meta = self.root / table / "metadata" / f"snap-{new_id}.json"
+        sinfo = json.loads(meta.read_text())
+        sinfo["operation"] = "compact"
+        sinfo["summary"]["compacted_from_files"] = len(manifest["files"])
+        meta.write_text(json.dumps(sinfo, indent=1))
+        return new_id

@@ -86,3 +86,28 @@ def test_append_and_full_commits_coexist(spark, tmpd):
     cat.commit_table("t", _batch(spark, 0, 5), wave=7)
     assert cat.load(spark, "t").count() == 5
     assert cat.last_batch_id("t") == 0
+
+
+def test_compaction_preserves_rows_and_epoch_stamps(spark, tmpd):
+    """Many small append batches -> compact -> fewer files, identical
+    rows, lineage intact, and the sink's replay protection still sees
+    the newest append epoch through the compaction snapshot."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    for e in range(6):
+        commit(_batch(spark, e * 10, e * 10 + 10), e)
+    pre = cat.lineage("t")[0]
+    assert pre["summary"]["n_files"] >= 6
+
+    cat.compact(spark, "t", target_bytes=1 << 30)   # everything -> 1 file
+    post = cat.lineage("t")[0]
+    assert post["summary"]["n_files"] == 1
+    assert post["summary"]["total_rows"] == 60
+    got = sorted(r["event_id"] for r in cat.load(spark, "t").collect())
+    assert got == list(range(60))
+    # replay of epoch 5 after compaction is still skipped
+    assert cat.last_batch_id("t") == 5
+    commit(_batch(spark, 50, 60), 5)
+    assert cat.load(spark, "t").count() == 60
+    # full history survives: pre-compaction snapshots still load
+    assert cat.load(spark, "t", snapshot=pre["snapshot_id"]).count() == 60
