@@ -1060,6 +1060,30 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H q17 shape): revenue from
+    line items whose quantity is below 20% of their part's average,
+    grouped by brand. Written as SQL so Catalyst's subquery
+    DECORRELATION does the rewrite — the physical plan is an aggregate
+    on l_partkey joined back to lineitem, not a per-row subquery
+    (exact: quantities are integer-valued doubles, so avg is one exact
+    sum + one correctly-rounded division in both engines)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_l")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q17_p")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+               count(*) AS n_items
+        FROM _q17_l l JOIN _q17_p p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM _q17_l l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
 def label_centroids(spark, sf_dir):
     """Per-class embedding centroids in fixed point: posexplode the
     vector, quantize each component to trunc(x*1000) (the repo's
@@ -1447,6 +1471,7 @@ QUERIES = {
     "zorder_event_keys": zorder_event_keys,
     "scd2_user_state": scd2_user_state,
     "label_centroids": label_centroids,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2509,6 +2534,16 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
     """,
     "label_centroids": """
         WITH u AS (
