@@ -306,3 +306,39 @@ def test_streaming_sessionize_late_event_merges(spark, tmpdirs):
 
     # ONE session for user 1: 10:00 .. 10:40 with all 4 events
     assert rows == [(1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:40:00"), 4)]
+
+
+def test_stream_static_join_enrichment(spark, tmpdirs):
+    """Stream-static join: each micro-batch enriches against a batch
+    dimension table (broadcast per batch, no stream state at all) —
+    the stateless lookup shape for dimension enrichment at ingest."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    src = f"{tmpdirs}/src"
+    b1 = _mk_events(spark, [
+        ("2024-01-01 00:00:01", 1, "click", 1.0),
+        ("2024-01-01 00:00:02", 3, "click", 2.0),   # no dim row
+    ])
+    b2 = _mk_events(spark, [("2024-01-01 00:00:03", 2, "view", 3.0)])
+    b1.write.parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema).parquet(src)
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("user_id", "event_type", "tier")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = sorted(tuple(r) for r in spark.table("enriched").collect())
+    finally:
+        q.stop()
+    assert rows == [(1, "click", "gold"), (2, "view", "silver"),
+                    (3, "click", None)]
