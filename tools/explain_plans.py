@@ -39,6 +39,8 @@ SHOW = [
     "stream_join_attribution", # interval-join batch twin: equi-join + range filter
     "chunk_documents",         # map-only explode/slice, no Exchange at all
     "pack_context_windows",    # single shard shuffle feeding ArrowEvalPython-free FlatMapGroups
+    "q17_small_quantity_revenue",  # correlated scalar subquery DECORRELATED to agg+join
+    "label_centroids",         # posexplode -> two-phase HashAggregate, map-side combine
 ]
 
 CHECKS = {
@@ -56,6 +58,8 @@ CHECKS = {
     "stream_join_attribution": ["HashJoin"],
     "chunk_documents": ["Generate"],
     "pack_context_windows": ["FlatMapGroupsInPandas"],
+    "q17_small_quantity_revenue": ["HashAggregate", "Join"],
+    "label_centroids": ["Generate", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -66,6 +70,8 @@ ANTI_CHECKS = {
     "sessionize_events": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "stream_join_attribution": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "chunk_documents": ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    # decorrelation must produce a relational plan, not a per-row subquery
+    "q17_small_quantity_revenue": ["BroadcastNestedLoopJoin", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
