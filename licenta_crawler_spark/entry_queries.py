@@ -1060,6 +1060,16 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: 3
+    pseudo-random non-self partners per doc, pure integer md5 arithmetic
+    over dense ids — map-only, no self-join (operators/corpus.
+    negative_pairs)."""
+    from licenta_crawler_spark.operators.corpus import negative_pairs
+
+    return negative_pairs(_t(spark, sf_dir, "documents"), m=3)
+
+
 def q17_small_quantity_revenue(spark, sf_dir):
     """Correlated scalar subquery (TPC-H q17 shape): revenue from
     line items whose quantity is below 20% of their part's average,
@@ -1472,6 +1482,7 @@ QUERIES = {
     "scd2_user_state": scd2_user_state,
     "label_centroids": label_centroids,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "contrastive_negatives": contrastive_negatives,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2534,6 +2545,16 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "contrastive_negatives": """
+        WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+        slots AS (SELECT unnest(range(0, 3))::BIGINT AS neg_rank)
+        SELECT d.doc_id, s.neg_rank,
+               (d.doc_id + 1 +
+                (('0x' || substr(md5(d.doc_id::VARCHAR || '|'
+                                     || s.neg_rank::VARCHAR), 1, 15))::BIGINT
+                 % (n.c - 1))) % n.c AS partner_id
+        FROM documents d, slots s, n
     """,
     "q17_small_quantity_revenue": """
         SELECT p.p_brand,

@@ -188,3 +188,42 @@ def split_assign_col(id_col: str = "doc_id", permille=(800, 100, 100),
         cond = b < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return expr
+
+
+def negative_pairs(
+    docs: DataFrame,
+    m: int = 3,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc gets ``m`` pseudo-random partner docs, partner_j(id) =
+    (id + 1 + (md5(id|j) mod (N-1))) mod N — the +1 and the mod-(N-1)
+    offset guarantee partner != id, and everything is integer md5
+    arithmetic, so the pairing replays exactly in SQL and is independent
+    of partitioning. Requires DENSE ids 0..N-1 (the corpus tables are;
+    after filtering, re-densify with row_number first). N is one
+    driver-side count() when not passed — a scalar, not a collect.
+
+    Map-only: explode over the m slots, no shuffle, no self-join — at
+    10^9 docs negative sampling must not pair via join, and this never
+    touches the partner row (pair construction only; a later co-keyed
+    join fetches features if needed)."""
+    n = n_docs if n_docs is not None else docs.count()
+    if n < 2:
+        raise ValueError("need at least 2 docs to sample negatives")
+    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    slot = F.explode(F.array(*[F.lit(j).cast("long") for j in range(m)]))
+    h = md5_hash60_col(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col("neg_rank").cast("string"))
+    )
+    return (
+        ids.select(id_col, slot.alias("neg_rank"))
+        .select(
+            id_col,
+            "neg_rank",
+            F.pmod(
+                F.col(id_col) + 1 + F.pmod(h, F.lit(n - 1)), F.lit(n)
+            ).alias("partner_id"),
+        )
+    )

@@ -170,3 +170,25 @@ def test_split_assign_proportions_and_determinism(spark):
     assert counts == counts2
     with pytest.raises(ValueError):
         split_assign_col(permille=(500, 100, 100))
+
+
+def test_negative_pairs_deterministic_and_distinct(spark):
+    from licenta_crawler_spark.operators.corpus import negative_pairs
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    rows = [(r["doc_id"], r["neg_rank"], r["partner_id"])
+            for r in negative_pairs(df, m=4).collect()]
+    assert len(rows) == 200
+    # no self-pairs, partners in range
+    assert all(p != i and 0 <= p < 50 for i, _, p in rows)
+    # python replay (same md5 arithmetic)
+    import hashlib
+    for i, j, p in rows:
+        h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:15], 16)
+        assert p == (i + 1 + h % 49) % 50
+    # repartition-independent
+    again = sorted(map(tuple, negative_pairs(
+        df.repartition(7), m=4).collect()))
+    assert again == sorted(rows)
+    with pytest.raises(ValueError):
+        negative_pairs(spark.range(1).withColumnRenamed("id", "doc_id"))
