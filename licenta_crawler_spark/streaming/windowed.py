@@ -227,3 +227,54 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SCHED_STATE_SCHEMA = "clock_ms long"
+SCHED_OUT_SCHEMA = "host string, url string, scheduled_at long"
+
+
+def streaming_politeness_schedule(candidates: DataFrame) -> DataFrame:
+    """Streaming twin of the batch politeness scheduler (operators/
+    politeness.schedule_fetches, reference invariant: one crawler per
+    host — BrowserCrawler.java:32-39): candidates arrive as a stream of
+    (host, url, prio0, prio1, prio2, crawl_delay_ms) rows (delay joined
+    upstream from robots via a stream-static join); per host, a virtual
+    clock lives in the STATE STORE and every emitted URL advances it by
+    the host's crawl delay — so spacing holds ACROSS micro-batches, not
+    just within one. Within a batch, rows schedule in the deterministic
+    priority-tuple order (the same data-property ordering the batch path
+    uses, so fetch order is identical under any partitioning).
+
+    Differences from the batch path, by design: no ``max_per_host`` cap
+    (a streaming row not emitted would be dropped, not requeued — the
+    frontier's backpressure lives upstream), and the clock starts at 0
+    for a host's first-ever candidate (the batch path seeds it from
+    ``host_clocks``). State per host: ONE long."""
+
+    def fn(key, pdfs, state: GroupState):
+        (clock,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["prio0", "prio1", "prio2", "url"], kind="mergesort"
+        )
+        scheds = []
+        for delay in rows["crawl_delay_ms"]:
+            scheds.append(clock)
+            clock += int(delay)
+        state.update((clock,))
+        yield pd.DataFrame({
+            "host": [key[0]] * len(rows),
+            "url": rows["url"].tolist(),
+            "scheduled_at": scheds,
+        })
+
+    return (
+        candidates.groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SCHED_OUT_SCHEMA,
+            stateStructType=SCHED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -342,3 +342,48 @@ def test_stream_static_join_enrichment(spark, tmpdirs):
         q.stop()
     assert rows == [(1, "click", "gold"), (2, "view", "silver"),
                     (3, "click", None)]
+
+
+def test_streaming_politeness_clock_spans_batches(spark, tmpdirs):
+    """Streaming politeness: per-host virtual clock persists in the
+    state store, so crawl-delay spacing holds across micro-batches and
+    within-batch order follows the deterministic priority tuple."""
+    from licenta_crawler_spark.streaming.windowed import (
+        streaming_politeness_schedule,
+    )
+
+    SCHEMA = ("host string, url string, prio0 long, prio1 long, "
+              "prio2 long, crawl_delay_ms long")
+    b1 = spark.createDataFrame([
+        ("a.com", "a/2", 0, 2, 0, 100),
+        ("a.com", "a/1", 0, 1, 0, 100),   # lower prio tuple -> first
+        ("b.com", "b/1", 0, 1, 0, 50),
+    ], SCHEMA)
+    b2 = spark.createDataFrame([
+        ("a.com", "a/3", 1, 0, 0, 100),
+        ("b.com", "b/2", 0, 2, 0, 50),
+    ], SCHEMA)
+    src = f"{tmpdirs}/src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_politeness_schedule(stream)
+        .writeStream.format("memory").queryName("polsched")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {r["url"]: (r["host"], r["scheduled_at"])
+                for r in spark.table("polsched").collect()}
+    finally:
+        q.stop()
+
+    assert rows == {
+        "a/1": ("a.com", 0), "a/2": ("a.com", 100),
+        "a/3": ("a.com", 200),            # batch-2 continues a.com's clock
+        "b/1": ("b.com", 0), "b/2": ("b.com", 50),
+    }
