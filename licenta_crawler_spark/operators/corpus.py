@@ -1,10 +1,11 @@
 """Corpus shaping for LLM training-data pipelines: token-bounded document
-chunking and context-window sequence packing.
+chunking, context-window sequence packing, weighted (priority) sampling,
+deterministic train/val/test splits, and contrastive negative sampling.
 
 Graft-mandate additions beyond the reference (mcdobr/licenta-crawler has no
 document post-processing; its output stops at page records,
 `VisitedProduct.java` / `MongoPage`): once a 100 TB crawl is deduped and
-quality-filtered, the two ops every pretraining pipeline runs next are
+quality-filtered, the first two ops every pretraining pipeline runs are
 
   * **chunking** — split each document into overlapping windows of at most
     ``chunk_tokens`` whitespace tokens, stride ``stride`` (HF
