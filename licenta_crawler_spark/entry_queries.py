@@ -740,15 +740,11 @@ def top_bigrams(spark, sf_dir):
     """Corpus n-gram statistics: the 20 most frequent word bigrams — the
     explode -> count -> top-k shape of corpus token analytics (map-side
     partial agg; top-k via TakeOrdered, no full sort)."""
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
     d = _t(spark, sf_dir, "documents")
     toks = F.split(normalized_text_col(F.col("text")), " ")
-    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
-    bi = F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_bi - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        )
-    )
+    bi = ngram_join_col(toks, 2)
     return (
         d.select(F.explode(bi).alias("bigram"))
         .groupBy("bigram")
@@ -1340,13 +1336,9 @@ def text_repetition(spark, sf_dir):
         F.sum("tf").alias("n_words"),
         F.count("*").alias("n_uniq"),
     )
-    n_bi = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
-    bi = F.when(n_bi <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_bi - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
-        )
-    )
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    bi = ngram_join_col(F.col("toks"), 2)
     bf = (
         base.select("doc_id", F.explode(bi).alias("bigram"))
         .groupBy("doc_id", "bigram")
