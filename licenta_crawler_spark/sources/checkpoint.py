@@ -129,8 +129,16 @@ class IcebergLayoutCatalog:
         return max(waves) if waves else None
 
     def load(
-        self, spark: SparkSession, table: str, snapshot: str | None = None
+        self, spark: SparkSession, table: str, snapshot: str | None = None,
+        partition_filter: dict | None = None,
     ) -> DataFrame:
+        """Read a snapshot. ``partition_filter`` ({col: value, ...})
+        prunes at the MANIFEST: only data files whose recorded partition
+        tuple matches are handed to the reader — Iceberg-style metadata
+        pruning, no directory listing and no footer reads for skipped
+        files. (A filter on the returned DataFrame prunes too, via hive
+        paths — manifest pruning moves the decision into the snapshot
+        metadata, which is what scales when one table has 10^5 files.)"""
         snap_id = snapshot or self.current_snapshot(table)
         if snap_id is None:
             raise KeyError(f"table {table!r} has no snapshot")
@@ -139,19 +147,32 @@ class IcebergLayoutCatalog:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(info["schema"]))
-        if not manifest["files"]:
+        files = manifest["files"]
+        if partition_filter:
+            unknown = set(partition_filter) - set(manifest.get("partition_by", []))
+            if unknown:
+                raise KeyError(
+                    f"not partition columns of {table!r}: {sorted(unknown)}"
+                )
+            files = [
+                f for f in files
+                if all(f["partition"].get(k) == str(v)
+                       for k, v in partition_filter.items())
+            ]
+        if not files:
             return spark.createDataFrame([], schema)
         if manifest.get("partition_by"):
-            # read the immutable snapshot dir so Spark recovers the
-            # hive-partition columns (and can prune on them)
+            # read the selected files with the snapshot dir as basePath so
+            # Spark recovers the hive-partition columns from the paths
             data_dir = str(self.root / info["data_dir"])
+            paths = [str(self.root / f["path"]) for f in files]
             return (
                 spark.read.schema(schema)
                 .option("basePath", data_dir)
-                .parquet(data_dir)
+                .parquet(*paths)
                 .select(*[f.name for f in schema.fields])
             )
-        paths = [str(self.root / f["path"]) for f in manifest["files"]]
+        paths = [str(self.root / f["path"]) for f in files]
         return spark.read.schema(schema).parquet(*paths)
 
     def lineage(self, table: str) -> list[dict]:

@@ -111,3 +111,33 @@ def test_compaction_preserves_rows_and_epoch_stamps(spark, tmpd):
     assert cat.load(spark, "t").count() == 60
     # full history survives: pre-compaction snapshots still load
     assert cat.load(spark, "t", snapshot=pre["snapshot_id"]).count() == 60
+
+
+def test_manifest_partition_pruning(spark, tmpd):
+    """partition_filter prunes at the MANIFEST: only matching data files
+    reach the reader (verified via the plan's file count), rows match a
+    post-hoc filter, and non-partition columns are rejected."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    df = _batch(spark, 0, 300).withColumn(
+        "state", F.when(F.col("event_id") % 3 == 0, "QUEUED")
+        .when(F.col("event_id") % 3 == 1, "FETCHED").otherwise("FAILED")
+    )
+    cat.commit_table("frontier", df, wave=0, partition_by=["state"])
+
+    pruned = cat.load(spark, "frontier", partition_filter={"state": "QUEUED"})
+    rows = pruned.collect()
+    assert len(rows) == 100 and all(r["state"] == "QUEUED" for r in rows)
+    # the pruned plan touches only QUEUED's data files
+    n_pruned_files = pruned.select(F.input_file_name()).distinct().count()
+    n_all_files = (cat.load(spark, "frontier")
+                   .select(F.input_file_name()).distinct().count())
+    import json as _json
+    man = _json.loads((cat.root / cat.snapshot_info(
+        "frontier", cat.current_snapshot("frontier"))["manifest"]).read_text())
+    q_files = [f for f in man["files"] if f["partition"] == {"state": "QUEUED"}]
+    assert n_pruned_files == len(q_files) < len(man["files"]) == n_all_files
+    # empty result for a partition value that exists nowhere
+    assert cat.load(spark, "frontier",
+                    partition_filter={"state": "NOPE"}).count() == 0
+    with pytest.raises(KeyError):
+        cat.load(spark, "frontier", partition_filter={"event_id": 1})
