@@ -1056,6 +1056,30 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def robots_parse(spark, sf_dir):
+    """Native robots.txt parsing (operators/parse.
+    parse_robots_directives): robots bodies synthesized deterministically
+    per supplier host (a decoy badbot section + the real '*' section),
+    then parsed with the window-carry section resolver — the oracle
+    replays BOTH the synthesis and the parse."""
+    from licenta_crawler_spark.operators.parse import parse_robots_directives
+
+    sup = _t(spark, sf_dir, "supplier")
+    txt = F.concat(
+        F.lit("User-agent: badbot\nCrawl-delay: 99\nDisallow: /all\n\n"
+              "User-agent: *\nCrawl-delay: "),
+        (F.col("s_nationkey") + 1).cast("string"),
+        F.lit("\nDisallow: /p"), (F.col("s_suppkey") % 5).cast("string"),
+        F.lit("\nDisallow: /q"), (F.col("s_suppkey") % 7).cast("string"),
+    )
+    return parse_robots_directives(
+        sup.select(
+            F.col("s_suppkey").cast("string").alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+
+
 def contrastive_negatives(spark, sf_dir):
     """Deterministic negative sampling for contrastive training: 3
     pseudo-random non-self partners per doc, pure integer md5 arithmetic
@@ -1480,6 +1504,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "contrastive_negatives": contrastive_negatives,
+    "robots_parse": robots_parse,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2542,6 +2567,45 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "robots_parse": r"""
+        WITH r AS (
+          SELECT s_suppkey::VARCHAR AS host,
+                 'User-agent: badbot' || chr(10) || 'Crawl-delay: 99'
+                 || chr(10) || 'Disallow: /all' || chr(10) || chr(10)
+                 || 'User-agent: *' || chr(10) || 'Crawl-delay: '
+                 || (s_nationkey + 1)::VARCHAR
+                 || chr(10) || 'Disallow: /p' || (s_suppkey % 5)::VARCHAR
+                 || chr(10) || 'Disallow: /q' || (s_suppkey % 7)::VARCHAR
+                   AS txt
+          FROM supplier
+        ),
+        l AS (
+          SELECT host,
+                 unnest(string_split(txt, chr(10))) AS line,
+                 unnest(range(0, len(string_split(txt, chr(10))))) AS line_no
+          FROM r
+        ),
+        sec AS (
+          SELECT host, line,
+                 last_value(
+                   nullif(regexp_extract(line, '^[Uu]ser-agent:\s*(\S+)\s*$', 1), '')
+                   IGNORE NULLS
+                 ) OVER (PARTITION BY host ORDER BY line_no
+                         ROWS UNBOUNDED PRECEDING) AS cur_ua
+          FROM l
+        )
+        SELECT host,
+               max(nullif(regexp_extract(line, '^[Cc]rawl-delay:\s*([0-9]+)\s*$', 1), '')::BIGINT)
+                 AS crawl_delay,
+               array_to_string(
+                 coalesce(
+                   list(nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), '')
+                        ORDER BY nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), ''))
+                     FILTER (WHERE nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), '') IS NOT NULL),
+                   []), ',') AS disallow_paths
+        FROM sec WHERE cur_ua = '*'
+        GROUP BY host
     """,
     "contrastive_negatives": """
         WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),

@@ -20,7 +20,8 @@ import re
 import xml.etree.ElementTree as ET
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from licenta_crawler_spark.functions.htmldom import (
     extract_next_url,
@@ -125,3 +126,62 @@ def parse_sitemaps(fetched: DataFrame, passthrough: list[str] | None = None) -> 
             yield out
 
     return fetched.mapInPandas(run, schema=SITEMAP_PARSED_SCHEMA + pass_schema)
+
+
+# ------------------------------------------------------------- robots.txt
+def parse_robots_directives(
+    robots_txt: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Native robots.txt directive parser (the graft's own replacement
+    for the `crummy`-style library the reference delegates to via its
+    `core` dependency — SitemapSaxCrawler.java:53 [inferred]).
+
+    Entirely column math, no UDF: split the body into lines, posexplode
+    with the line ordinal, and resolve each line's governing User-agent
+    SECTION with a `last(..., ignorenulls=True)` carry over the line
+    order — the same window-carry idiom as the as-of join. Directives
+    outside the matching section are dropped; the result is one row per
+    host: (host, crawl_delay, disallow_paths sorted-concatenated).
+    Missing sections/directives yield nulls, not errors.
+
+    Scale: map-side explode + one window + one groupBy per host —
+    robots bodies are tiny, hosts are many; everything shuffles on the
+    host key once."""
+    lines = robots_txt.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    ua = F.nullif(
+        F.regexp_extract(F.col("line"), r"^[Uu]ser-agent:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sectioned = lines.select(
+        "host", "line_no", "line",
+        F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
+    ).filter(F.col("cur_ua") == user_agent)
+    delay = F.nullif(
+        F.regexp_extract(F.col("line"), r"^[Cc]rawl-delay:\s*([0-9]+)\s*$", 1),
+        F.lit(""),
+    ).cast("long")
+    dis = F.nullif(
+        F.regexp_extract(F.col("line"), r"^[Dd]isallow:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    return (
+        sectioned.select("host", delay.alias("_delay"), dis.alias("_dis"))
+        .groupBy("host")
+        .agg(
+            F.max("_delay").alias("crawl_delay"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("_dis"))
+            ).alias("disallow_paths"),
+        )
+    )

@@ -56,3 +56,26 @@ def test_engine_policy_matches_jobs(spark):
     assert got == exp
     # the corpus really exercises both polarities
     assert set(exp.values()) == {True, False}
+
+
+def test_parse_robots_directives_sections(spark):
+    """Directives bind to their governing User-agent section; only the
+    requested agent's section survives; missing directives -> nulls;
+    hosts with no matching section emit no row."""
+    from licenta_crawler_spark.operators.parse import parse_robots_directives
+
+    txt = ("User-agent: badbot\nCrawl-delay: 99\nDisallow: /all\n\n"
+           "User-agent: *\ncrawl-delay: 3\nDisallow: /p1\nDisallow: /a0\n")
+    df = spark.createDataFrame(
+        [("h1", txt),
+         ("h2", "User-agent: *\nDisallow: /x\n"),
+         ("h3", "User-agent: badbot\nDisallow: /y\n"),
+         ("h4", "not a robots file")],
+        "host string, robots_txt string",
+    )
+    rows = {r["host"]: (r["crawl_delay"], r["disallow_paths"])
+            for r in parse_robots_directives(df).collect()}
+    assert rows == {
+        "h1": (3, "/a0,/p1"),     # '*' section only; sorted paths
+        "h2": (None, "/x"),       # no crawl-delay directive
+    }
