@@ -1056,6 +1056,26 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def q4_priority_with_returns(spark, sf_dir):
+    """Correlated EXISTS (TPC-H q4 shape, adapted to this schema's
+    columns): orders having at least one returned line item, counted per
+    priority. Written as SQL so Catalyst decorrelates the EXISTS into a
+    LEFT SEMI join (asserted in PLANS.md) — the other half of the
+    subquery surface next to q17's scalar subquery."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q4_o")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_l")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM _q4_o o
+        WHERE EXISTS (SELECT 1 FROM _q4_l l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
 def robots_parse(spark, sf_dir):
     """Native robots.txt parsing (operators/parse.
     parse_robots_directives): robots bodies synthesized deterministically
@@ -1505,6 +1525,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "contrastive_negatives": contrastive_negatives,
     "robots_parse": robots_parse,
+    "q4_priority_with_returns": q4_priority_with_returns,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2567,6 +2588,14 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "q4_priority_with_returns": """
+        SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
     """,
     "robots_parse": r"""
         WITH r AS (

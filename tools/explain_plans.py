@@ -40,6 +40,7 @@ SHOW = [
     "chunk_documents",         # map-only explode/slice, no Exchange at all
     "pack_context_windows",    # single shard shuffle feeding ArrowEvalPython-free FlatMapGroups
     "q17_small_quantity_revenue",  # correlated scalar subquery DECORRELATED to agg+join
+    "q4_priority_with_returns",    # correlated EXISTS -> LeftSemi join
     "label_centroids",         # posexplode -> two-phase HashAggregate, map-side combine
 ]
 
@@ -59,6 +60,7 @@ CHECKS = {
     "chunk_documents": ["Generate"],
     "pack_context_windows": ["FlatMapGroupsInPandas"],
     "q17_small_quantity_revenue": ["HashAggregate", "Join"],
+    "q4_priority_with_returns": ["LeftSemi"],
     "label_centroids": ["Generate", "HashAggregate"],
 }
 
@@ -72,6 +74,7 @@ ANTI_CHECKS = {
     "chunk_documents": ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     # decorrelation must produce a relational plan, not a per-row subquery
     "q17_small_quantity_revenue": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "q4_priority_with_returns": ["BroadcastNestedLoopJoin", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
