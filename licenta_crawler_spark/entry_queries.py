@@ -1091,6 +1091,8 @@ def robots_parse(spark, sf_dir):
         (F.col("s_nationkey") + 1).cast("string"),
         F.lit("\nDisallow: /p"), (F.col("s_suppkey") % 5).cast("string"),
         F.lit("\nDisallow: /q"), (F.col("s_suppkey") % 7).cast("string"),
+        F.lit("\nSitemap: https://s"), F.col("s_suppkey").cast("string"),
+        F.lit("/sitemap.xml"),
     )
     return parse_robots_directives(
         sup.select(
@@ -2606,6 +2608,8 @@ ORACLE_SQL = {
                  || (s_nationkey + 1)::VARCHAR
                  || chr(10) || 'Disallow: /p' || (s_suppkey % 5)::VARCHAR
                  || chr(10) || 'Disallow: /q' || (s_suppkey % 7)::VARCHAR
+                 || chr(10) || 'Sitemap: https://s' || s_suppkey::VARCHAR
+                 || '/sitemap.xml'
                    AS txt
           FROM supplier
         ),
@@ -2624,16 +2628,26 @@ ORACLE_SQL = {
                          ROWS UNBOUNDED PRECEDING) AS cur_ua
           FROM l
         )
+        , d AS (
+          SELECT host,
+                 CASE WHEN cur_ua = '*' THEN
+                   nullif(regexp_extract(line, '^[Cc]rawl-delay:\s*([0-9]+)\s*$', 1), '')::BIGINT
+                 END AS delay,
+                 CASE WHEN cur_ua = '*' THEN
+                   nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), '')
+                 END AS dis,
+                 nullif(regexp_extract(line, '^[Ss]itemap:\s*(\S+)\s*$', 1), '') AS sm
+          FROM sec
+        )
         SELECT host,
-               max(nullif(regexp_extract(line, '^[Cc]rawl-delay:\s*([0-9]+)\s*$', 1), '')::BIGINT)
-                 AS crawl_delay,
-               array_to_string(
-                 coalesce(
-                   list(nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), '')
-                        ORDER BY nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), ''))
-                     FILTER (WHERE nullif(regexp_extract(line, '^[Dd]isallow:\s*(\S+)\s*$', 1), '') IS NOT NULL),
-                   []), ',') AS disallow_paths
-        FROM sec WHERE cur_ua = '*'
+               max(delay) AS crawl_delay,
+               array_to_string(coalesce(
+                 list(dis ORDER BY dis) FILTER (WHERE dis IS NOT NULL), []), ',')
+                 AS disallow_paths,
+               array_to_string(coalesce(
+                 list(sm ORDER BY sm) FILTER (WHERE sm IS NOT NULL), []), ',')
+                 AS sitemap_urls
+        FROM d
         GROUP BY host
     """,
     "contrastive_negatives": """

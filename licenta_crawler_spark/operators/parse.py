@@ -166,22 +166,42 @@ def parse_robots_directives(
     sectioned = lines.select(
         "host", "line_no", "line",
         F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
-    ).filter(F.col("cur_ua") == user_agent)
-    delay = F.nullif(
-        F.regexp_extract(F.col("line"), r"^[Cc]rawl-delay:\s*([0-9]+)\s*$", 1),
-        F.lit(""),
-    ).cast("long")
-    dis = F.nullif(
-        F.regexp_extract(F.col("line"), r"^[Dd]isallow:\s*(\S+)\s*$", 1),
+    )
+    # Crawl-delay / Disallow bind to the requested agent's section;
+    # Sitemap is SECTION-INDEPENDENT per the robots spec, so it is
+    # extracted unconditionally. Every input host emits a row — a body
+    # with no matching section means "no restrictions", not "no host".
+    in_sec = F.col("cur_ua") == user_agent
+    delay = F.when(
+        in_sec,
+        F.nullif(
+            F.regexp_extract(F.col("line"), r"^[Cc]rawl-delay:\s*([0-9]+)\s*$", 1),
+            F.lit(""),
+        ).cast("long"),
+    )
+    dis = F.when(
+        in_sec,
+        F.nullif(
+            F.regexp_extract(F.col("line"), r"^[Dd]isallow:\s*(\S+)\s*$", 1),
+            F.lit(""),
+        ),
+    )
+    sm = F.nullif(
+        F.regexp_extract(F.col("line"), r"^[Ss]itemap:\s*(\S+)\s*$", 1),
         F.lit(""),
     )
     return (
-        sectioned.select("host", delay.alias("_delay"), dis.alias("_dis"))
+        sectioned.select(
+            "host", delay.alias("_delay"), dis.alias("_dis"), sm.alias("_sm")
+        )
         .groupBy("host")
         .agg(
             F.max("_delay").alias("crawl_delay"),
             F.concat_ws(
                 ",", F.array_sort(F.collect_list("_dis"))
             ).alias("disallow_paths"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("_sm"))
+            ).alias("sitemap_urls"),
         )
     )

@@ -65,17 +65,20 @@ def test_parse_robots_directives_sections(spark):
     from licenta_crawler_spark.operators.parse import parse_robots_directives
 
     txt = ("User-agent: badbot\nCrawl-delay: 99\nDisallow: /all\n\n"
-           "User-agent: *\ncrawl-delay: 3\nDisallow: /p1\nDisallow: /a0\n")
+           "User-agent: *\ncrawl-delay: 3\nDisallow: /p1\nDisallow: /a0\n"
+           "Sitemap: https://h1/sm2.xml\n")
     df = spark.createDataFrame(
         [("h1", txt),
-         ("h2", "User-agent: *\nDisallow: /x\n"),
+         ("h2", "Sitemap: https://h2/sm.xml\nUser-agent: *\nDisallow: /x\n"),
          ("h3", "User-agent: badbot\nDisallow: /y\n"),
          ("h4", "not a robots file")],
         "host string, robots_txt string",
     )
-    rows = {r["host"]: (r["crawl_delay"], r["disallow_paths"])
+    rows = {r["host"]: (r["crawl_delay"], r["disallow_paths"], r["sitemap_urls"])
             for r in parse_robots_directives(df).collect()}
     assert rows == {
-        "h1": (3, "/a0,/p1"),     # '*' section only; sorted paths
-        "h2": (None, "/x"),       # no crawl-delay directive
+        "h1": (3, "/a0,/p1", "https://h1/sm2.xml"),  # '*' section; sorted
+        "h2": (None, "/x", "https://h2/sm.xml"),     # sitemap pre-section
+        "h3": (None, "", ""),    # no '*' section -> unrestricted, no delay
+        "h4": (None, "", ""),    # not a robots file at all
     }
