@@ -1056,6 +1056,47 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def pipeline_training_shards(spark, sf_dir):
+    """The full training-data shaping pipeline composed end to end in
+    ONE plan: quality gate → exact dedup (keep min id per normalized
+    fingerprint) → 64-token chunking → deterministic train/val/test
+    split → per-(split, shard) next-fit packing into 256-token context
+    windows — rolled up to (split, shard, n_chunks, n_bins,
+    total_tokens). Every stage is an existing oracle-checked operator;
+    this query proves they COMPOSE, and the oracle replays the entire
+    chain (recursive CTE for the packing recurrence) in one SQL
+    statement."""
+    from licenta_crawler_spark.operators.corpus import (
+        chunk_documents, pack_sequences, split_assign_col,
+    )
+    from licenta_crawler_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = docs.filter(quality_flags_col(F.col("text")))
+    kept = dedup_exact(clean)
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"), chunk_tokens=64, stride=64
+    )
+    # chunk key: 1031 is prime and > the max chunks/doc (100k chars ->
+    # <=782 windows), so keys are unique AND pmod(key, n_shards) spreads
+    # over all shards (a power-of-two multiplier would alias shard to
+    # chunk_id % n_shards — every 1-chunk doc lands on shard 0)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1031 + F.col("chunk_id")).alias("chunk_key"),
+        split_assign_col("doc_id").alias("split"),
+        "chunk_n_tokens",
+    )
+    packed = pack_sequences(
+        keyed, capacity=256, n_shards=4, id_col="chunk_key",
+        n_tokens_col="chunk_n_tokens", group_cols=["split"],
+    )
+    return packed.groupBy("split", "shard").agg(
+        F.count("*").alias("n_chunks"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def q4_priority_with_returns(spark, sf_dir):
     """Correlated EXISTS (TPC-H q4 shape, adapted to this schema's
     columns): orders having at least one returned line item, counted per
@@ -1528,6 +1569,7 @@ QUERIES = {
     "contrastive_negatives": contrastive_negatives,
     "robots_parse": robots_parse,
     "q4_priority_with_returns": q4_priority_with_returns,
+    "pipeline_training_shards": pipeline_training_shards,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2590,6 +2632,65 @@ ORACLE_SQL = {
                event_type, count(*)::BIGINT AS n,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "pipeline_training_shards": r"""
+        WITH RECURSIVE clean AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) >= 20 AND length(text) <= 100000
+            AND len(string_split_regex(trim(text), '\s+')) >= 5
+            AND regexp_matches(text, '[A-Za-z]')
+        ),
+        fp AS (
+          SELECT doc_id, text,
+                 row_number() OVER (
+                   PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                           '[^a-z0-9]+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM clean
+        ),
+        kept AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM kept WHERE length(trim(text)) > 0
+        ),
+        ch AS (
+          SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 64 + 63, 0) + 1, 64)) AS cs
+          FROM toks
+        ),
+        chunks AS (
+          SELECT doc_id * 1031 + (cs // 64) AS chunk_key,
+                 CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 1000 < 800 THEN 'train'
+                      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 1000 < 900 THEN 'val'
+                      ELSE 'test' END AS split,
+                 len(list_slice(t, cs + 1, cs + 64))::BIGINT AS n_tokens
+          FROM ch
+        ),
+        seq AS (
+          SELECT split, (chunk_key % 4)::BIGINT AS shard, chunk_key, n_tokens,
+                 row_number() OVER (PARTITION BY split, chunk_key % 4
+                                    ORDER BY chunk_key) AS rn
+          FROM chunks WHERE n_tokens > 0
+        ),
+        packed AS (
+          SELECT split, shard, chunk_key, n_tokens, rn,
+                 0::BIGINT AS bin_id, n_tokens AS fill
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.split, s.shard, s.chunk_key, s.n_tokens, s.rn,
+                 CASE WHEN p.fill + s.n_tokens > 256
+                      THEN p.bin_id + 1 ELSE p.bin_id END,
+                 CASE WHEN p.fill + s.n_tokens > 256
+                      THEN s.n_tokens ELSE p.fill + s.n_tokens END
+          FROM packed p JOIN seq s
+            ON s.split = p.split AND s.shard = p.shard AND s.rn = p.rn + 1
+        )
+        SELECT split, shard, count(*)::BIGINT AS n_chunks,
+               (max(bin_id) + 1)::BIGINT AS n_bins,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM packed GROUP BY 1, 2
     """,
     "q4_priority_with_returns": """
         SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders

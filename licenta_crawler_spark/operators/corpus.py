@@ -95,21 +95,36 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Next-fit pack documents into fixed-capacity token bins, sharded.
 
-    Returns (shard, doc_id, n_tokens, bin_id, bin_fill): bin_id is the
-    0-based bin ordinal WITHIN the shard, bin_fill the bin's running
-    token total after this doc. Shard = ``pmod(doc_id, n_shards)``;
-    within a shard docs pack in ascending doc_id order, so the result is
-    a pure function of the input rows (partition-order independent)."""
+    Returns (group_cols..., shard, doc_id, n_tokens, bin_id, bin_fill):
+    bin_id is the 0-based bin ordinal WITHIN its (group, shard), bin_fill
+    the bin's running token total after this doc. Shard =
+    ``pmod(doc_id, n_shards)``; within a shard docs pack in ascending
+    doc_id order, so the result is a pure function of the input rows
+    (partition-order independent).
+
+    ``n_tokens_col``: use a precomputed token count instead of
+    tokenizing ``text_col`` (e.g. chunk rows that already carry one).
+    ``group_cols``: additional STRING pack-domain columns — e.g. a
+    train/val/test split — so bins never mix groups."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    gcols = list(group_cols or [])
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col
+        else F.size(tokens_col(F.col(text_col)))
+    )
     sized = docs.select(
+        *gcols,
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
+    out_schema = "".join(f"{c} string, " for c in gcols) + PACK_OUT_SCHEMA
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
@@ -124,9 +139,9 @@ def pack_sequences(
             fills.append(fill)
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
-        return pdf[["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+        return pdf[gcols + ["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
 
-    return sized.groupBy("shard").applyInPandas(pack, PACK_OUT_SCHEMA)
+    return sized.groupBy(*gcols, "shard").applyInPandas(pack, out_schema)
 
 
 U_BITS = 30
