@@ -1056,6 +1056,24 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def embed_projection(spark, sf_dir):
+    """JL random projection 64 -> 16 dims (operators/ann.
+    random_projection_cols): the ingest-time reducer in front of ANN.
+    Exploded to (vec_id, dim_idx, y) rows so the driver can hash it;
+    the oracle evaluates the identical literal ±1 dot products."""
+    from licenta_crawler_spark.operators.ann import random_projection_cols
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    comps = random_projection_cols(v, out_dim=16, in_dim=64)
+    return e.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.round(c, 4) for c in comps])).alias(
+            "dim_idx", "y"
+        ),
+    ).select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "y")
+
+
 def pipeline_training_shards(spark, sf_dir):
     """The full training-data shaping pipeline composed end to end in
     ONE plan: quality gate → exact dedup (keep min id per normalized
@@ -1570,6 +1588,7 @@ QUERIES = {
     "robots_parse": robots_parse,
     "q4_priority_with_returns": q4_priority_with_returns,
     "pipeline_training_shards": pipeline_training_shards,
+    "embed_projection": embed_projection,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -1972,6 +1991,30 @@ def _lang_id_sql() -> str:
 from licenta_crawler_spark.sources.layout import zorder_sql as _zorder_sql
 
 _ZORDER_EXPR = _zorder_sql(["x", "y"], bits=10)
+
+
+def _projection_sql() -> str:
+    """DuckDB replay of the JL projection: the SAME literal ±1 plane
+    rows (operators/ann.hyperplanes), dot products folded left-to-right,
+    exact 0.25 scale, 4-dp rounding — mirrors embed_projection."""
+    from licenta_crawler_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(16, 64)
+    comps = ", ".join(
+        "round(list_dot_product(v, [{row}]) * 0.25, 4)".format(
+            row=", ".join(f"{h:.1f}" for h in r)
+        )
+        for r in planes
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id, unnest(range(0, 16))::BIGINT AS dim_idx,
+               unnest([{comps}]) AS y
+        FROM e
+    """
 
 ORACLE_SQL = {
     "q1_pricing_summary": """
@@ -2633,6 +2676,7 @@ ORACLE_SQL = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """,
+    "embed_projection": _projection_sql(),
     "pipeline_training_shards": r"""
         WITH RECURSIVE clean AS (
           SELECT doc_id, text FROM documents

@@ -627,3 +627,26 @@ def ann_topk_ivf_fp(
         .limit(k)
         .select("vec_id", F.round("c", 4).alias("cosine"))
     )
+
+
+# ------------------------------------------------- JL random projection
+def random_projection_cols(
+    vec: Column, out_dim: int, in_dim: int, seed: int = 0x9E3779B97F4A7C15
+) -> list[Column]:
+    """Johnson-Lindenstrauss random projection: out_dim components
+    y_j = <v, h_j> / sqrt(out_dim) against the same deterministic ±1
+    hyperplane family the LSH index uses (Achlioptas: ±1 entries
+    satisfy the JL distance-preservation bound just like Gaussians).
+
+    The ingest-time dimensionality reducer in front of ANN: distances
+    are approximately preserved at out_dim/in_dim of the storage and
+    dot-product cost. Pure column math (one fold per output dim) —
+    map-only, and with a power-of-4 ``out_dim`` the 1/sqrt scale is an
+    exact float, so each component is a deterministic left-to-right fold
+    both engines replay."""
+    planes = hyperplanes(out_dim, in_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    return [
+        (dot_col(vec, F.array(*[F.lit(h) for h in row])) * F.lit(scale)).alias(f"y{j}")
+        for j, row in enumerate(planes)
+    ]

@@ -169,3 +169,56 @@ def test_ivf_fp_partition_independent_and_sane(vectors):
 
     exact = sorted(rows, key=lambda r: (-cos_q(r[1]), r[0]))[:10]
     assert sorted(r["vec_id"] for r in full) == sorted(i for i, _ in exact)
+
+
+def test_random_projection_replay_and_distance_preservation(spark):
+    """JL projection: bit-level python replay of the fold, plus the JL
+    property — pairwise squared distances in the 16-dim projection
+    correlate strongly with the 64-dim originals."""
+    import random as rnd
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from licenta_crawler_spark.operators.ann import (
+        hyperplanes,
+        random_projection_cols,
+    )
+
+    rng = rnd.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    comps = random_projection_cols(F.col("embedding"), 16, 64)
+    proj = {r["vec_id"]: [r[f"y{j}"] for j in range(16)]
+            for r in df.select("vec_id", *comps).collect()}
+    planes = hyperplanes(16, 64)
+    for i, v in enumerate(vecs):
+        for j, row in enumerate(planes):
+            # same left-to-right fold as F.aggregate -> bit-identical
+            acc = 0.0
+            for x, h in zip(v, row):
+                acc = acc + x * h
+            assert proj[i][j] == acc * 0.25
+
+    # JL property needs structured distances (uniform random vectors are
+    # near-equidistant by concentration of measure, so correlation would
+    # be meaningless): clustered points must stay clustered after
+    # projection — within-cluster distances separate from between.
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    cvecs = [
+        [c + rng.uniform(-0.05, 0.05) for c in centers[k % 4]]
+        for k in range(24)
+    ]
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cvecs)], "vec_id long, embedding array<double>"
+    )
+    cp = {r["vec_id"]: np.array([r[f"y{j}"] for j in range(16)])
+          for r in cdf.select("vec_id", *comps).collect()}
+    within, between = [], []
+    for i in range(24):
+        for j in range(i + 1, 24):
+            d = ((cp[i] - cp[j]) ** 2).sum()
+            (within if i % 4 == j % 4 else between).append(d)
+    assert max(within) < min(between)
