@@ -1056,6 +1056,33 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def kcore_part_copurchase(spark, sf_dir):
+    """Dense-substructure extraction: the 12-core of the part
+    co-purchase graph (parts adjacent when bought in the same order) —
+    iterative degree peeling until every survivor has >= 12 in-core
+    neighbors (operators/graph.k_core; the web-graph analog is hub/
+    spam-farm district extraction). The oracle unrolls the peel as
+    fixed CTE rounds — more rounds than the measured depth, so the
+    trailing rounds are no-ops and both engines land on the fixpoint."""
+    from licenta_crawler_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return k_core(edges, k=12, max_rounds=12)
+
+
 def embed_projection(spark, sf_dir):
     """JL random projection 64 -> 16 dims (operators/ann.
     random_projection_cols): the ingest-time reducer in front of ANN.
@@ -1589,6 +1616,7 @@ QUERIES = {
     "q4_priority_with_returns": q4_priority_with_returns,
     "pipeline_training_shards": pipeline_training_shards,
     "embed_projection": embed_projection,
+    "kcore_part_copurchase": kcore_part_copurchase,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -1991,6 +2019,39 @@ def _lang_id_sql() -> str:
 from licenta_crawler_spark.sources.layout import zorder_sql as _zorder_sql
 
 _ZORDER_EXPR = _zorder_sql(["x", "y"], bits=10)
+
+
+def _kcore_sql(k: int = 12, rounds: int = 6) -> str:
+    """Unrolled CTE replay of the k-core peel: ``rounds`` fixed peeling
+    rounds (chosen above the measured depth, so trailing rounds are
+    no-ops and the result is the fixpoint k_core computes)."""
+    head = """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey < 4000
+        ),
+        und AS (
+          SELECT DISTINCT x.l_partkey AS s, y.l_partkey AS d
+          FROM li x JOIN li y USING (l_orderkey)
+          WHERE x.l_partkey < y.l_partkey
+        ),
+        e0 AS (SELECT s, d FROM und UNION ALL SELECT d AS s, s AS d FROM und)
+    """
+    body = ""
+    for r in range(1, rounds + 1):
+        body += f"""
+        , n{r} AS (SELECT s FROM e{r-1} GROUP BY s HAVING count(*) >= {k})
+        , e{r} AS (
+          SELECT e.s, e.d FROM e{r-1} e
+          JOIN n{r} a ON e.s = a.s JOIN n{r} b ON e.d = b.s
+        )"""
+    return (
+        head + body
+        + f"""
+        SELECT s AS node, count(*)::BIGINT AS core_degree
+        FROM e{rounds} GROUP BY s
+    """
+    )
 
 
 def _projection_sql() -> str:
@@ -2677,6 +2738,7 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
     "embed_projection": _projection_sql(),
+    "kcore_part_copurchase": _kcore_sql(),
     "pipeline_training_shards": r"""
         WITH RECURSIVE clean AS (
           SELECT doc_id, text FROM documents

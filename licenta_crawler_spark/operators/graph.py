@@ -293,3 +293,67 @@ def triangle_counts(
         )
     finally:
         cleanup()
+
+
+# ---------------------------------------------------------------- k-core
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes of
+    degree < k until none remain (every survivor has >= k neighbors
+    INSIDE the core — the standard dense-substructure extractor for link
+    graphs: hub districts of the web, tightly co-ordering supplier
+    groups). Returns (node, core_degree) for surviving nodes.
+
+    Per round: one groupBy-count for degrees, two semi-joins to keep
+    edges whose BOTH endpoints survive — state (the shrinking edge set)
+    is parquet-truncated each round via the shared scratch helper, the
+    same compounding-plan mitigation as connected_components. Rounds
+    needed = the peeling depth (<= graph degeneracy ordering length, in
+    practice a handful); raises if the peel hasn't converged within
+    ``max_rounds`` rather than returning a not-yet-core set.
+
+    Input edges may be directed pairs; they are symmetrized and
+    self-loops dropped (a self-loop would give a lone node degree 2 and
+    let it fake its way into the 2-core)."""
+    truncate, cleanup = _scratch_truncate(edges.sparkSession)
+    try:
+        und = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .select(
+                F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+            )
+            .distinct()
+        )
+        e = truncate(
+            und.unionByName(und.select(F.col("d").alias("s"), F.col("s").alias("d"))),
+            "e-init",
+        )
+        for r in range(max_rounds):
+            deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("s")
+            ne = (
+                e.join(keep, "s", "left_semi")
+                .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            )
+            ne = truncate(ne, f"e-{r:03d}")
+            ne_count, e_count = ne.count(), e.count()
+            e = ne
+            if ne_count == e_count:
+                return (
+                    e.groupBy("s")
+                    .agg(F.count("*").alias("core_degree"))
+                    .select(F.col("s").alias("node"), "core_degree")
+                    .localCheckpoint()
+                )
+        raise RuntimeError(
+            f"k_core(k={k}) did not converge in {max_rounds} rounds "
+            f"(peeling depth exceeds max_rounds); raise max_rounds"
+        )
+    finally:
+        cleanup()

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from licenta_crawler_spark.operators.graph import connected_components, dedup_components
@@ -376,3 +378,38 @@ def test_cms_rejects_bad_geometry(spark):
         cms_sketch(df, "k", depth=4, width=1000)  # not a power of two
     with _pytest.raises(ValueError):
         cms_sketch(df, "k", depth=7, width=1024)  # 70 bits > 60
+
+
+def test_k_core_known_graphs(spark):
+    from licenta_crawler_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = {r["node"]: r["core_degree"] for r in k_core(e, k=2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+    # K4 with k=3: everything survives at degree 3
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src long, dst long"
+    )
+    assert {r["node"]: r["core_degree"] for r in k_core(k4, k=3).collect()} \
+        == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a path has no 2-core: it unravels from both ends to empty
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert k_core(path, k=2).count() == 0
+    # self-loops must not fake degree (node 9 alone with a self-loop)
+    loop = spark.createDataFrame([(9, 9), (1, 2)], "src long, dst long")
+    assert k_core(loop, k=2).count() == 0
+
+
+def test_k_core_convergence_guard(spark):
+    from licenta_crawler_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        k_core(path, k=2, max_rounds=2)
