@@ -65,6 +65,7 @@ from licenta_crawler_spark.operators.graph import dedup_components, triangle_cou
 from licenta_crawler_spark.operators.pagerank import (
     pagerank_fixed_point,
     pagerank_sql_unrolled,
+    personalized_pagerank_sql_unrolled,
 )
 from licenta_crawler_spark.operators.sketch import (
     kmv_distinct_estimate,
@@ -1356,6 +1357,47 @@ def pagerank_links(spark, sf_dir):
     )
 
 
+def ppr_seeded_links(spark, sf_dir):
+    """Personalized PageRank over the customer<->supplier graph with a
+    deterministic seed set (every 10th customer): rank = proximity to
+    the seeds — the crawl-prioritization variant where discovery
+    radiates from trusted roots (operators/pagerank.
+    personalized_pagerank_fixed_point; same integer fixed-point
+    contract, replayed bit-for-bit by the unrolled-CTE oracle).
+    Seeds come from the customer TABLE, so seeds without orders
+    exercise the seeds-unioned-into-nodes path."""
+    from licenta_crawler_spark.operators.pagerank import (
+        personalized_pagerank_fixed_point,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    ranks = personalized_pagerank_fixed_point(edges, seeds, iterations=5)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_fp",
+    )
+
+
 def priority_frontier_schedule(spark, sf_dir):
     """The full prioritized-frontier composition in ONE plan: fixed-point
     PageRank scores feed the politeness scheduler's priority tuple
@@ -1622,6 +1664,7 @@ QUERIES = {
     "stream_join_attribution": stream_join_attribution,
     "w_tumbling_counts": w_tumbling_counts,
     "pagerank_links": pagerank_links,
+    "ppr_seeded_links": ppr_seeded_links,
     "priority_frontier_schedule": priority_frontier_schedule,
     "ann_ivf_full_probe": ann_ivf_full_probe,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2957,6 +3000,18 @@ ORACLE_SQL = {
             SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ''', iterations=5)})
+    """,
+    "ppr_seeded_links": f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               node // 2 AS entity_key, rank_fp
+        FROM ({personalized_pagerank_sql_unrolled('''
+            SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION
+            SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', 'SELECT 2 * c_custkey AS node FROM customer WHERE c_custkey % 10 = 0',
+        iterations=5)})
     """,
     "priority_frontier_schedule": f"""
         WITH pr AS ({pagerank_sql_unrolled('''

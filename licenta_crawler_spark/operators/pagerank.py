@@ -174,3 +174,146 @@ def pagerank_sql_unrolled(
             )"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iterations}"
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the teleport
+    mass lands ONLY on ``seeds`` instead of uniformly — rank measures
+    proximity/importance RELATIVE to the seed set. The crawl use: score
+    frontier URLs by closeness to the operator's seed list, so discovery
+    radiates outward from trusted roots instead of globally.
+
+    Same integer fixed-point contract as ``pagerank_fixed_point``
+    (BIGINT ranks, one shuffle per round, bit-replayable): the per-node
+    restart base becomes ``(n_nodes*scale*(1-d)) // (den*n_seeds)`` on
+    seeds and 0 elsewhere (total restart mass matches the uniform
+    variant, so magnitudes stay comparable), ranks warm-start uniform at
+    ``scale``. Seeds not present in the graph still receive their
+    restart mass (they are unioned into the node set). Always
+    per-round-truncated (the 10^10-node configuration)."""
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ),
+            "edges",
+        )
+        sd = truncate(
+            seeds.select(F.col(seed_col).cast("long").alias("node")).distinct(),
+            "seeds",
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .unionByName(sd.select("node"))
+            .distinct()
+        )
+        nodes = truncate(nodes, "nodes")
+        n_nodes, n_seeds = nodes.count(), sd.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        e_deg = truncate(
+            e.join(e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"),
+            "edges-deg",
+        )
+        seed_base = (
+            n_nodes * int(scale) * (damping_den - damping_num)
+        ) // (damping_den * n_seeds)
+        based = truncate(
+            nodes.join(sd.withColumn("_s", F.lit(1)), "node", "left").select(
+                "node",
+                F.when(F.col("_s").isNotNull(), F.lit(seed_base))
+                .otherwise(F.lit(0)).cast("long").alias("base_fp"),
+            ),
+            "bases",
+        )
+        ranks = based.select(
+            "node", F.lit(int(scale)).cast("long").alias("rank_fp")
+        )
+        ranks = truncate(ranks, "ranks-0")
+        for i in range(iterations):
+            inc = (
+                e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div out_deg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("inc_sum"))
+            )
+            ranks = based.join(inc, "node", "left").select(
+                "node",
+                (
+                    F.col("base_fp")
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            ranks = truncate(ranks, f"ranks-{i + 1}")
+        return ranks.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def personalized_pagerank_sql_unrolled(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """DuckDB oracle for the personalized variant: identical integer
+    iteration, seed-restricted restart base computed from the same
+    count scalars."""
+    ctes = [
+        f"e AS ({edges_sql})",
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e"
+        " UNION SELECT node FROM sd)",
+        "deg AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src)",
+        "cnt AS (SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,"
+        " (SELECT count(*) FROM sd)::BIGINT AS n_seeds)",
+        f"""bases AS (
+          SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL THEN
+                   (cnt.n_nodes * {int(scale)}::BIGINT
+                    * {damping_den - damping_num})
+                   // ({damping_den} * cnt.n_seeds)
+                 ELSE 0 END::BIGINT AS base_fp
+          FROM nodes n CROSS JOIN cnt LEFT JOIN sd s ON n.node = s.node
+        )""",
+        f"r0 AS (SELECT node, {int(scale)}::BIGINT AS rank_fp FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT b.node,
+                     (b.base_fp
+                      + ({damping_num} * COALESCE(s.inc_sum, 0)) // {damping_den}
+                     )::BIGINT AS rank_fp
+              FROM bases b LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(r{i}.rank_fp // deg.out_deg)::BIGINT AS inc_sum
+                FROM e
+                JOIN r{i} ON e.src = r{i}.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s ON b.node = s.node
+            )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iterations}"

@@ -87,3 +87,46 @@ def test_pagerank_custom_scale_and_damping(spark):
     assert _spark_ranks(spark, edges, **kw) == _py_pagerank(
         edges, iterations=4, scale=10**6, num=9, den=10
     )
+
+
+def test_personalized_pagerank_replay_and_proximity(spark):
+    from licenta_crawler_spark.operators.pagerank import (
+        personalized_pagerank_fixed_point,
+    )
+
+    # barbell: seed-side clique {0,1,2}, bridge 2-3, far clique {3,4,5};
+    # plus isolated seed 9 (tests seeds-without-edges path)
+    und = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    got = {r["node"]: r["rank_fp"] for r in
+           personalized_pagerank_fixed_point(
+               edges, seeds, iterations=5, scale=10**9).collect()}
+
+    # pure-python replay of the exact integer recurrence
+    nodes = sorted({n for e in und for n in e} | {9})
+    adj = {}
+    for a, b in und + [(b, a) for a, b in und]:
+        adj.setdefault(a, []).append(b)
+    scale, num, den = 10**9, 85, 100
+    n_nodes, n_seeds = len(nodes), 2
+    seed_base = (n_nodes * scale * (den - num)) // (den * n_seeds)
+    base = {n: (seed_base if n in (0, 9) else 0) for n in nodes}
+    rank = {n: scale for n in nodes}
+    for _ in range(5):
+        inc = {n: 0 for n in nodes}
+        for s, outs in adj.items():
+            c = rank[s] // len(outs)
+            for d in outs:
+                inc[d] += c
+        rank = {n: base[n] + (num * inc[n]) // den for n in nodes}
+    assert got == rank
+    # proximity: the seed-side clique outranks the far clique
+    assert got[1] > got[4] and got[2] > got[5]
+    # isolated seed keeps exactly its restart mass
+    assert got[9] == seed_base
+    with pytest.raises(ValueError):
+        personalized_pagerank_fixed_point(
+            edges, spark.createDataFrame([], "node long"))
