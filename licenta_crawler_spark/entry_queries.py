@@ -1057,6 +1057,39 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def bfs_depth_part_links(spark, sf_dir):
+    """Crawl-depth labeling: hop distance from seed parts (every 100th)
+    over the undirected part co-purchase graph, capped at 3 hops —
+    deeper/unreachable nodes absent by policy (operators/graph.
+    bfs_hops). The oracle unrolls the frontier expansion round by
+    round."""
+    from licenta_crawler_spark.operators.graph import bfs_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    und = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
 def kcore_part_copurchase(spark, sf_dir):
     """Dense-substructure extraction: the 12-core of the part
     co-purchase graph (parts adjacent when bought in the same order) —
@@ -1659,6 +1692,7 @@ QUERIES = {
     "pipeline_training_shards": pipeline_training_shards,
     "embed_projection": embed_projection,
     "kcore_part_copurchase": kcore_part_copurchase,
+    "bfs_depth_part_links": bfs_depth_part_links,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2062,6 +2096,42 @@ def _lang_id_sql() -> str:
 from licenta_crawler_spark.sources.layout import zorder_sql as _zorder_sql
 
 _ZORDER_EXPR = _zorder_sql(["x", "y"], bits=10)
+
+
+def _bfs_sql(max_hops: int = 3) -> str:
+    """Unrolled CTE replay of the BFS frontier expansion over the part
+    co-purchase graph (rounds past an empty frontier add nothing — same
+    fixpoint the operator's early break lands on)."""
+    head = """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey < 4000
+        ),
+        und AS (
+          SELECT DISTINCT x.l_partkey AS s, y.l_partkey AS d
+          FROM li x JOIN li y USING (l_orderkey)
+          WHERE x.l_partkey < y.l_partkey
+        ),
+        e AS (SELECT s AS src, d AS dst FROM und
+              UNION ALL SELECT d, s FROM und),
+        v0 AS (
+          SELECT p_partkey AS node, 0::BIGINT AS hops FROM part
+          WHERE p_partkey % 100 = 0
+        )
+    """
+    body = ""
+    for r in range(1, max_hops + 1):
+        body += f"""
+        , f{r} AS (
+          SELECT DISTINCT e.dst AS node, {r}::BIGINT AS hops
+          FROM e JOIN v{r-1} v ON e.src = v.node AND v.hops = {r-1}
+          WHERE e.dst NOT IN (SELECT node FROM v{r-1})
+        )
+        , v{r} AS (SELECT node, hops FROM v{r-1}
+                   UNION ALL SELECT node, hops FROM f{r})"""
+    return head + body + f"""
+        SELECT node, hops FROM v{max_hops}
+    """
 
 
 def _kcore_sql(k: int = 12, rounds: int = 6) -> str:
@@ -2782,6 +2852,7 @@ ORACLE_SQL = {
     """,
     "embed_projection": _projection_sql(),
     "kcore_part_copurchase": _kcore_sql(),
+    "bfs_depth_part_links": _bfs_sql(),
     "pipeline_training_shards": r"""
         WITH RECURSIVE clean AS (
           SELECT doc_id, text FROM documents

@@ -357,3 +357,65 @@ def k_core(
         )
     finally:
         cleanup()
+
+
+# ------------------------------------------------------------- BFS depth
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Hop distance from a seed set: (node, hops) with hops = length of
+    the shortest directed path from ANY seed (0 for seeds themselves);
+    unreachable nodes are absent. The crawl meaning is depth labeling —
+    how many link hops a page sits from the operator's seed list, the
+    number crawl frontier policies cap ("max depth 6") and quality
+    priors condition on.
+
+    Synchronous frontier expansion: round r joins the CURRENT frontier
+    (nodes first reached at r-1) against the edge list and anti-joins
+    the visited set — each round shuffles only the frontier, not the
+    visited set's history, and states are parquet-truncated per round
+    like every other iterative operator here. Rounds are capped by
+    ``max_hops`` BY DESIGN (not a convergence failure): deeper nodes are
+    reported absent exactly like unreachable ones, matching the crawl
+    policy semantics."""
+    truncate, cleanup = _scratch_truncate(edges.sparkSession)
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ).distinct(),
+            "edges",
+        )
+        visited = truncate(
+            seeds.select(F.col(seed_col).cast("long").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(0).cast("long")),
+            "visited-0",
+        )
+        frontier = visited
+        for r in range(1, max_hops + 1):
+            nxt = (
+                e.join(
+                    frontier.select(F.col("node").alias("src")), "src"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(r).cast("long"))
+            )
+            nxt = truncate(nxt, f"frontier-{r:03d}")
+            if nxt.count() == 0:
+                break
+            visited = truncate(
+                visited.unionByName(nxt), f"visited-{r:03d}"
+            )
+            frontier = nxt
+        return visited.localCheckpoint()
+    finally:
+        cleanup()

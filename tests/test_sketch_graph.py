@@ -413,3 +413,24 @@ def test_k_core_convergence_guard(spark):
     )
     with pytest.raises(RuntimeError):
         k_core(path, k=2, max_rounds=2)
+
+
+def test_bfs_hops_known_graph(spark):
+    from licenta_crawler_spark.operators.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3, plus shortcut 0 -> 2, disconnected 8 -> 9
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds).collect()}
+    # shortcut wins: 2 is at 1 hop, not 2; 8/9 unreachable -> absent
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+    # max_hops caps depth: with 1 hop, node 3 is absent
+    capped = {r["node"]: r["hops"]
+              for r in bfs_hops(e, seeds, max_hops=1).collect()}
+    assert capped == {0: 0, 1: 1, 2: 1}
+    # multi-seed: nearest seed wins
+    two = spark.createDataFrame([(0,), (3,)], "node long")
+    multi = {r["node"]: r["hops"] for r in bfs_hops(e, two).collect()}
+    assert multi[3] == 0 and multi[2] == 1
