@@ -1057,6 +1057,18 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user: stage i counts
+    only at-or-after the user's earliest completion of stage i-1
+    (operators/relational.funnel_counts — one shrinking min-aggregation
+    per stage, no whole-stream window)."""
+    from licenta_crawler_spark.operators.relational import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def bfs_depth_part_links(spark, sf_dir):
     """Crawl-depth labeling: hop distance from seed parts (every 100th)
     over the undirected part co-purchase graph, capped at 3 hops —
@@ -1693,6 +1705,7 @@ QUERIES = {
     "embed_projection": embed_projection,
     "kcore_part_copurchase": kcore_part_copurchase,
     "bfs_depth_part_links": bfs_depth_part_links,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2853,6 +2866,26 @@ ORACLE_SQL = {
     "embed_projection": _projection_sql(),
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
+    "funnel_view_click_purchase": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 1::BIGINT AS stage, 'view' AS stage_name,
+               (SELECT count(*) FROM s1)::BIGINT AS n_keys
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
     "pipeline_training_shards": r"""
         WITH RECURSIVE clean AS (
           SELECT doc_id, text FROM documents

@@ -344,3 +344,54 @@ def scd2_merge(
         order_cols=["_ts", "_src", *seq],
     )
     return closed.unionByName(chain)
+
+
+# ----------------------------------------------------------------- funnel
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many keys reached each stage,
+    where stage i counts only if an event of ``stages[i]`` occurs
+    AT-OR-AFTER the key's earliest completion of stage i-1 (the
+    standard product-analytics funnel — order matters, a purchase
+    before the first view does not convert).
+
+    Shape: one filtered min-aggregation per stage, each joined to the
+    previous stage's frontier time — ``len(stages)`` small shuffles on
+    the key, no window over the whole event stream, no explosion. The
+    per-stage frontier (one row per surviving key) is what rides each
+    join, so cost SHRINKS down the funnel. Returns (stage, stage_name,
+    n_keys) with stage 1-indexed."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    spark = events.sparkSession
+    frontier = None
+    out = []
+    for i, s in enumerate(stages):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(key).alias("_k"), F.col(ts_col).alias("_ts")
+        )
+        if frontier is None:
+            frontier = ev_s.groupBy("_k").agg(F.min("_ts").alias("_t"))
+        else:
+            frontier = (
+                ev_s.join(frontier, "_k")
+                .filter(F.col("_ts") >= F.col("_t"))
+                .groupBy("_k")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        out.append(
+            frontier.agg(F.count("*").alias("n_keys")).select(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(s).alias("stage_name"),
+                "n_keys",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

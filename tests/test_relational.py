@@ -441,3 +441,33 @@ def test_scd2_null_attrs_and_seq_tiebreak(spark):
         ("u", None, 3, 3, False),
         ("u", "Y", 3, None, True),
     ]
+
+
+def test_funnel_order_matters(spark):
+    from licenta_crawler_spark.operators.relational import funnel_counts
+
+    ev = spark.createDataFrame(
+        [
+            # u1 converts fully in order
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: purchase BEFORE any view -> only stage 1 counts later
+            (2, 5, "purchase"), (2, 10, "view"),
+            # u3: view then purchase but never clicks -> stops at stage 1
+            (3, 10, "view"), (3, 40, "purchase"),
+            # u4: same-ts view+click (>= boundary) then purchase
+            (4, 10, "view"), (4, 10, "click"), (4, 11, "purchase"),
+            # u5: clicks without ever viewing -> stage 0
+            (5, 10, "click"),
+        ],
+        "user_id long, ts long, event_type string",
+    )
+    rows = {r["stage"]: (r["stage_name"], r["n_keys"])
+            for r in funnel_counts(
+                ev, ["view", "click", "purchase"]).collect()}
+    assert rows == {
+        1: ("view", 4),       # u1 u2 u3 u4
+        2: ("click", 2),      # u1, u4 (same-ts inclusive)
+        3: ("purchase", 2),   # u1, u4
+    }
+    with pytest.raises(ValueError):
+        funnel_counts(ev, [])
