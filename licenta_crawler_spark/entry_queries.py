@@ -1057,6 +1057,41 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def cohort_weekly_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week offset they return in — two aggregations (first
+    week per user; distinct (user, week)) and one co-keyed join, all
+    map-side-combinable. The product-analytics staple next to the
+    funnel."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    user_weeks = ev.select("user_id", wk.alias("week")).distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def event_type_transitions(spark, sf_dir):
+    """Per-user event-type transition counts (the empirical Markov
+    chain): lag over (user, ts, event_id) pairs consecutive events —
+    one key shuffle, one window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user: stage i counts
     only at-or-after the user's earliest completion of stage i-1
@@ -1706,6 +1741,8 @@ QUERIES = {
     "kcore_part_copurchase": kcore_part_copurchase,
     "bfs_depth_part_links": bfs_depth_part_links,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cohort_weekly_retention": cohort_weekly_retention,
+    "event_type_transitions": event_type_transitions,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2866,6 +2903,29 @@ ORACLE_SQL = {
     "embed_projection": _projection_sql(),
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
+    "cohort_weekly_retention": """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 floor(epoch(ts) / 604800)::BIGINT AS week
+          FROM events
+        ),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT f.cohort_week,
+               (uw.week - f.cohort_week)::BIGINT AS week_offset,
+               count(*)::BIGINT AS n_users
+        FROM uw JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "event_type_transitions": """
+        WITH p AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events
+        )
+        SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+    """,
     "funnel_view_click_purchase": """
         WITH s1 AS (
           SELECT user_id, min(ts) AS t FROM events
