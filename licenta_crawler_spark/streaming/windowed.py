@@ -138,6 +138,7 @@ def interval_join_attribution(
     purchases: DataFrame,
     max_delay_seconds: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to every
     click by the same user in the preceding ``max_delay_seconds``.
@@ -155,7 +156,12 @@ def interval_join_attribution(
 
     Works identically on batch inputs (no watermark applied) — the batch
     run is the oracle for the streaming run in tests, and the
-    ``stream_join_attribution`` entry query replays it in DuckDB."""
+    ``stream_join_attribution`` entry query replays it in DuckDB.
+
+    ``how='left_outer'``: clicks with no purchase in their window emit
+    with null purchase columns — in streaming, only AFTER the purchase
+    watermark proves no match can still arrive (the row is held in
+    state until eviction time, then released unmatched)."""
     c = clicks.select(
         F.col("user_id"),
         F.col("ts").cast("timestamp").alias("click_ts"),
@@ -177,6 +183,7 @@ def interval_join_attribution(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts")
            <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")),
+        how,
     )
     return joined.select(
         "user_id",

@@ -387,3 +387,59 @@ def test_streaming_politeness_clock_spans_batches(spark, tmpdirs):
         "a/3": ("a.com", 200),            # batch-2 continues a.com's clock
         "b/1": ("b.com", 0), "b/2": ("b.com", 50),
     }
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmpdirs):
+    """LEFT OUTER stream-stream interval join: clicks with no purchase
+    inside the delay window must still emit (null purchase columns) —
+    but only once the watermark proves no match can arrive. The harder
+    streaming shape: the engine holds the click until eviction time,
+    then emits the unmatched row."""
+    from licenta_crawler_spark.streaming.windowed import interval_join_attribution
+
+    clicks = [
+        ("2024-01-01 00:00:00", 1, "click", 0.0),   # will match
+        ("2024-01-01 00:10:00", 2, "click", 0.0),   # never matches
+    ]
+    purchases = [
+        ("2024-01-01 00:30:00", 1, "purchase", 5.0),
+        # far-future purchase pushes the purchase-side watermark so
+        # click@00:10's window provably closed
+        ("2024-01-01 09:00:00", 99, "purchase", 1.0),
+    ]
+    csrc, psrc = f"{tmpdirs}/c", f"{tmpdirs}/p"
+    call, pall = _mk_events(spark, clicks), _mk_events(spark, purchases)
+    call.write.parquet(csrc)
+    pall.filter("event_id = 0").write.parquet(psrc)
+
+    cstream = spark.readStream.schema(call.schema).parquet(csrc)
+    pstream = spark.readStream.schema(pall.schema).parquet(psrc)
+    q = (
+        interval_join_attribution(
+            cstream, pstream, max_delay_seconds=3600,
+            watermark="10 minutes", how="left_outer",
+        )
+        .writeStream.format("memory").queryName("leftattrib")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pall.filter("event_id = 1").write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        # BOTH watermarks must pass the eviction point: the click-side
+        # watermark only advances when new clicks arrive, so feed a
+        # far-future click as well, then one more trigger to evict
+        _mk_events(spark, [("2024-01-01 09:00:00", 97, "click", 0.0)]) \
+            .write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        _mk_events(spark, [("2024-01-01 10:00:00", 98, "purchase", 0.0)]) \
+            .write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        rows = {(r["click_id"]): (r["purchase_id"], r["amount"])
+                for r in spark.table("leftattrib").collect()}
+    finally:
+        q.stop()
+    assert rows[0] == (0, 5.0)          # matched pair
+    assert rows[1] == (None, None)      # unmatched click emitted with nulls
