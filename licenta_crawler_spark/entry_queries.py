@@ -1057,6 +1057,18 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def profile_orders_columns(spark, sf_dir):
+    """Single-pass column profiling of orders (null counts, exact
+    cardinalities, ranges) — operators/profile.profile_numeric; the
+    one-scan shape a pipeline runs before choosing join strategies."""
+    from licenta_crawler_spark.operators.profile import profile_numeric
+
+    return profile_numeric(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
 def cohort_weekly_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted per week offset they return in — two aggregations (first
@@ -1743,6 +1755,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_weekly_retention": cohort_weekly_retention,
     "event_type_transitions": event_type_transitions,
+    "profile_orders_columns": profile_orders_columns,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2903,6 +2916,23 @@ ORACLE_SQL = {
     "embed_projection": _projection_sql(),
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
+    "profile_orders_columns": """
+        SELECT 'o_orderkey' AS col_name,
+               sum((o_orderkey IS NULL)::BIGINT)::BIGINT AS n_nulls,
+               count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+               min(o_orderkey)::DOUBLE AS min_v, max(o_orderkey)::DOUBLE AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', sum((o_custkey IS NULL)::BIGINT)::BIGINT,
+               count(DISTINCT o_custkey)::BIGINT,
+               min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', sum((o_totalprice IS NULL)::BIGINT)::BIGINT,
+               count(DISTINCT o_totalprice)::BIGINT,
+               min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+        FROM orders
+    """,
     "cohort_weekly_retention": """
         WITH uw AS (
           SELECT DISTINCT user_id,

@@ -290,3 +290,35 @@ class IcebergLayoutCatalog:
         sinfo["summary"]["compacted_from_files"] = len(manifest["files"])
         meta.write_text(json.dumps(sinfo, indent=1))
         return new_id
+
+    def schema_diff(
+        self, table: str, snap_a: str | None = None, snap_b: str | None = None
+    ) -> dict:
+        """Schema evolution between two snapshots (defaults: root vs
+        current) straight from the snapshot metadata — no data files
+        touched. Returns {added, removed, retyped} by column name; the
+        audit a long-lived ingest table needs when upstream producers
+        change shape."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise KeyError(f"table {table!r} has no snapshot")
+        a = snap_a or snaps[0]["id"]
+        b = snap_b or self.current_snapshot(table)
+        import json as _json
+
+        def fields(snap_id):
+            info = self.snapshot_info(table, snap_id)
+            sch = _json.loads(info["schema"])
+            return {f["name"]: _json.dumps(f["type"], sort_keys=True)
+                    for f in sch["fields"]}
+
+        fa, fb = fields(a), fields(b)
+        return {
+            "from": a,
+            "to": b,
+            "added": sorted(set(fb) - set(fa)),
+            "removed": sorted(set(fa) - set(fb)),
+            "retyped": sorted(
+                n for n in set(fa) & set(fb) if fa[n] != fb[n]
+            ),
+        }

@@ -141,3 +141,23 @@ def test_manifest_partition_pruning(spark, tmpd):
                     partition_filter={"state": "NOPE"}).count() == 0
     with pytest.raises(KeyError):
         cat.load(spark, "frontier", partition_filter={"event_id": 1})
+
+
+def test_schema_diff_between_snapshots(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    cat.commit_table("t", _batch(spark, 0, 5), wave=0)
+    evolved = (
+        _batch(spark, 0, 5)
+        .withColumn("tag", F.lit("x"))                 # added
+        .withColumn("value", F.col("value").cast("string"))  # retyped
+        .drop("user_id")                               # removed
+    )
+    cat.commit_table("t", evolved, wave=1)
+    d = cat.schema_diff("t")
+    assert d["added"] == ["tag"]
+    assert d["removed"] == ["user_id"]
+    assert d["retyped"] == ["value"]
+    # same-snapshot diff is empty
+    cur = cat.current_snapshot("t")
+    d2 = cat.schema_diff("t", cur, cur)
+    assert d2["added"] == d2["removed"] == d2["retyped"] == []
