@@ -322,3 +322,59 @@ class IcebergLayoutCatalog:
                 n for n in set(fa) & set(fb) if fa[n] != fb[n]
             ),
         }
+
+    def read_appended_since(
+        self, spark: SparkSession, table: str, since_snapshot: str,
+        snapshot: str | None = None,
+    ) -> DataFrame:
+        """Incremental read (the Iceberg incremental-scan shape): the
+        rows added to ``table`` between ``since_snapshot`` (exclusive)
+        and ``snapshot`` (default current) — computed ENTIRELY from
+        manifests: the new snapshot's file list minus the old one's, so
+        a consumer that processed snapshot S pays only for the data that
+        arrived after S, never a table diff. Correct for append/compact
+        chains (compaction rewrites files, so a compaction between the
+        two snapshots raises rather than double-counting — resync from
+        the compacted snapshot instead)."""
+        target = snapshot or self.current_snapshot(table)
+        if target is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        # walk the chain target -> since, refusing non-append commits
+        chain = []
+        sid = target
+        while sid is not None and sid != since_snapshot:
+            info = self.snapshot_info(table, sid)
+            chain.append(info)
+            sid = info["parent_snapshot_id"]
+        if sid != since_snapshot:
+            raise KeyError(
+                f"{since_snapshot!r} is not an ancestor of {target!r}"
+            )
+        for info in chain:
+            if info.get("operation", "append") != "append":
+                raise ValueError(
+                    f"snapshot {info['snapshot_id']} is "
+                    f"{info.get('operation')!r}, not append — files were "
+                    "rewritten; resync from that snapshot"
+                )
+        old = json.loads(
+            (self.root / self.snapshot_info(table, since_snapshot)["manifest"])
+            .read_text()
+        )
+        new = json.loads(
+            (self.root / self.snapshot_info(table, target)["manifest"])
+            .read_text()
+        )
+        old_paths = {f["path"] for f in old["files"]}
+        paths = [
+            str(self.root / f["path"]) for f in new["files"]
+            if f["path"] not in old_paths
+        ]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(self.snapshot_info(table, target)["schema"])
+        )
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)

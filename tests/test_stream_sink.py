@@ -161,3 +161,27 @@ def test_schema_diff_between_snapshots(spark, tmpd):
     cur = cat.current_snapshot("t")
     d2 = cat.schema_diff("t", cur, cur)
     assert d2["added"] == d2["removed"] == d2["retyped"] == []
+
+
+def test_incremental_read_between_snapshots(spark, tmpd):
+    """read_appended_since returns exactly the rows that arrived after
+    the given snapshot — from manifest set-difference, no table diff;
+    a compaction in between is refused (files rewritten)."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    commit(_batch(spark, 0, 10), 0)
+    s0 = cat.current_snapshot("t")
+    commit(_batch(spark, 10, 25), 1)
+    commit(_batch(spark, 25, 30), 2)
+    inc = cat.read_appended_since(spark, "t", s0)
+    assert sorted(r["event_id"] for r in inc.collect()) == list(range(10, 30))
+    # nothing new relative to the current snapshot
+    cur = cat.current_snapshot("t")
+    assert cat.read_appended_since(spark, "t", cur).count() == 0
+    # non-ancestor snapshot rejected
+    with pytest.raises(KeyError):
+        cat.read_appended_since(spark, "t", "bogus-snap")
+    # compaction breaks file identity -> explicit refusal
+    cat.compact(spark, "t", target_bytes=1 << 30)
+    with pytest.raises(ValueError):
+        cat.read_appended_since(spark, "t", s0)
