@@ -1057,6 +1057,31 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def etld1_site_groups(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction against a literal
+    public-suffix subset — the site unit crawl policy keys on: hosts
+    synthesized with subdomains and co.uk-style suffixes, grouped by the
+    extracted site (functions/urlnorm.registrable_domain_col; naive
+    last-two-label logic would split co.uk sites)."""
+    from licenta_crawler_spark.functions.urlnorm import registrable_domain_col
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, "co.uk")
+        .when(F.col("doc_id") % 5 == 1, "com")
+        .when(F.col("doc_id") % 5 == 2, "org")
+        .when(F.col("doc_id") % 5 == 3, "com.au")
+        .otherwise("io")
+    )
+    sub = F.when(F.col("doc_id") % 3 == 0, "www.").otherwise("")
+    host = F.lower(F.concat(sub, F.col("source"), F.lit("."), suffix))
+    return (
+        d.select(registrable_domain_col(host).alias("site"))
+        .groupBy("site")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def profile_orders_columns(spark, sf_dir):
     """Single-pass column profiling of orders (null counts, exact
     cardinalities, ranges) — operators/profile.profile_numeric; the
@@ -1756,6 +1781,7 @@ QUERIES = {
     "cohort_weekly_retention": cohort_weekly_retention,
     "event_type_transitions": event_type_transitions,
     "profile_orders_columns": profile_orders_columns,
+    "etld1_site_groups": etld1_site_groups,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2228,6 +2254,27 @@ def _kcore_sql(k: int = 12, rounds: int = 6) -> str:
         FROM e{rounds} GROUP BY s
     """
     )
+
+
+def _etld1_sql() -> str:
+    """DuckDB replay of the eTLD+1 query: identical host synthesis and
+    the SAME longest-suffix CASE chain (functions/urlnorm.
+    registrable_domain_sql)."""
+    from licenta_crawler_spark.functions.urlnorm import registrable_domain_sql
+
+    return f"""
+        WITH h AS (
+          SELECT lower(
+            (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+            || source || '.'
+            || (CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'io' END)
+          ) AS host FROM documents
+        )
+        SELECT {registrable_domain_sql('host')} AS site,
+               count(*)::BIGINT AS n_docs
+        FROM h GROUP BY 1
+    """
 
 
 def _projection_sql() -> str:
@@ -2916,6 +2963,7 @@ ORACLE_SQL = {
     "embed_projection": _projection_sql(),
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
+    "etld1_site_groups": _etld1_sql(),
     "profile_orders_columns": """
         SELECT 'o_orderkey' AS col_name,
                sum((o_orderkey IS NULL)::BIGINT)::BIGINT AS n_nulls,

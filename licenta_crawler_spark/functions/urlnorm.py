@@ -243,3 +243,42 @@ def host_col(url: Column) -> Column:
     """Host component (politeness partition key) — SURVEY §2.2 P5,
     reference ``HtmlUtil.getDomainOfUrl`` call site CrawlJobResource.java:73."""
     return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+# -------------------------------------------------------------- eTLD+1
+# Literal public-suffix subset: real deployments inject the full PSL the
+# same way (it is a static list, so suffix matching stays a pure column
+# expression — no join, no UDF, no broadcast). Longest suffix wins.
+PSL_SUBSET = [
+    "co.uk", "org.uk", "com.au", "co.jp",
+    "com", "org", "net", "io", "example",
+]
+
+
+def registrable_domain_col(host):
+    """eTLD+1 (registrable domain) of a lowercase hostname: the public
+    suffix plus ONE label — the unit crawl policy actually keys on
+    (politeness, one-job-per-site, dedup scoping treat `a.shop.co.uk`
+    and `b.shop.co.uk` as one site `shop.co.uk`, which naive
+    last-two-label logic gets wrong for co.uk-style suffixes). NULL when
+    the host IS a bare suffix or matches nothing."""
+    expr = None
+    for s in sorted(PSL_SUBSET, key=len, reverse=True):
+        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
+        hit = F.regexp_extract(host, pat, 1)
+        cond = hit != ""
+        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+    return expr
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """The identical longest-suffix CASE chain as ANSI SQL (the DuckDB
+    oracle twin — same regexes, same order)."""
+    arms = []
+    for s in sorted(PSL_SUBSET, key=len, reverse=True):
+        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
+        arms.append(
+            f"WHEN regexp_extract({host_expr}, '{pat}', 1) <> '' "
+            f"THEN regexp_extract({host_expr}, '{pat}', 1)"
+        )
+    return "CASE " + " ".join(arms) + " END"

@@ -121,3 +121,24 @@ def test_property_spark_agrees(spark):
     got = df.select("raw", canonicalize_url_col(F.col("raw")).alias("canon")).collect()
     for row in got:
         assert row["canon"] == canonicalize_url(row["raw"]), row["raw"]
+
+
+def test_registrable_domain_edge_cases(spark):
+    from licenta_crawler_spark.functions.urlnorm import registrable_domain_col
+    from pyspark.sql import functions as F
+
+    hosts = [
+        ("a.b.shop.co.uk", "shop.co.uk"),   # deep subdomain chain
+        ("shop.co.uk", "shop.co.uk"),
+        ("co.uk", None),                    # a bare public suffix is no site
+        ("www.x.com", "x.com"),
+        ("x.org.uk", "x.org.uk"),           # org.uk beats org
+        ("localhost", None),                # matches nothing
+        ("x.io", "x.io"),
+    ]
+    df = spark.createDataFrame(hosts, "host string, want string")
+    rows = df.select(
+        "want", registrable_domain_col(F.col("host")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
