@@ -656,6 +656,46 @@ def pct_value_by_type(spark, sf_dir):
     )
 
 
+def mad_outliers_by_type(spark, sf_dir):
+    """Robust outlier detection per group: MAD (median absolute
+    deviation) — two grouped exact medians (value, then |value - med|)
+    and a count of points beyond 3x MAD. Medians don't move when the
+    outliers themselves do — the robust twin of z-scores.
+
+    Exactness: values are 2-decimal, so everything runs on v*100
+    integers — medians are then integers or exact binary halves, MAD a
+    quarter at worst, and the 3x-MAD threshold COMPARISON is exact in
+    both engines (a float-domain `>` at a midpoint boundary could flip
+    on a 1-ulp interpolation difference; the fixed-point grid can't)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v100")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("v100", F.lit(0.5)).alias("med100")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "med100",
+        F.abs(F.col("v100") - F.col("med100")).alias("adev100"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med100").alias("med100"),
+        F.percentile("adev100", F.lit(0.5)).alias("mad100"),
+    )
+    return (
+        dev.select("event_type", "adev100")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med100") / 100, 4).alias("med"),
+            F.round(F.first("mad100") / 100, 4).alias("mad"),
+            F.sum(
+                (F.col("adev100") > 3 * F.col("mad100")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def pivot_event_cohorts(spark, sf_dir):
     """Pivot (long->wide): per user-cohort counts, one column per event
     type. Explicit pivot values = one pass, no distinct-scan."""
@@ -1752,6 +1792,7 @@ QUERIES = {
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
+    "mad_outliers_by_type": mad_outliers_by_type,
     "pivot_event_cohorts": pivot_event_cohorts,
     "cube_status_priority": cube_status_priority,
     "sample_deterministic": sample_deterministic,
@@ -2964,6 +3005,30 @@ ORACLE_SQL = {
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
     "etld1_site_groups": _etld1_sql(),
+    "mad_outliers_by_type": """
+        WITH v AS (
+          SELECT event_type, round(value * 100)::BIGINT AS v100 FROM events
+        ),
+        m AS (
+          SELECT event_type, quantile_cont(v100, 0.5) AS med100
+          FROM v GROUP BY 1
+        ),
+        d AS (
+          SELECT v.event_type, m.med100, abs(v.v100 - m.med100) AS adev100
+          FROM v JOIN m USING (event_type)
+        ),
+        md AS (
+          SELECT event_type, any_value(med100) AS med100,
+                 quantile_cont(adev100, 0.5) AS mad100
+          FROM d GROUP BY 1
+        )
+        SELECT d.event_type,
+               round(any_value(md.med100) / 100, 4) AS med,
+               round(any_value(md.mad100) / 100, 4) AS mad,
+               sum((d.adev100 > 3 * md.mad100)::BIGINT)::BIGINT AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY 1
+    """,
     "profile_orders_columns": """
         SELECT 'o_orderkey' AS col_name,
                sum((o_orderkey IS NULL)::BIGINT)::BIGINT AS n_nulls,
