@@ -656,6 +656,74 @@ def pct_value_by_type(spark, sf_dir):
     )
 
 
+def hll_merged_halves(spark, sf_dir):
+    """Sketch persistence end to end: HLL register states built
+    INDEPENDENTLY over two disjoint halves of the events (odd/even
+    users — two ingest days, say), merged by per-bucket max, then
+    estimated. Merge is exactly lossless vs sketching the union, so the
+    oracle is simply the whole-table HLL replay — the equality IS the
+    mergeability proof, driver-checked (operators/sketch.hll_registers /
+    hll_merge / hll_estimate_from_registers)."""
+    from licenta_crawler_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = hll_registers(
+        ev.filter(F.col("user_id") % 2 == 0), "event_type", "user_id", p=8
+    )
+    b = hll_registers(
+        ev.filter(F.col("user_id") % 2 == 1), "event_type", "user_id", p=8
+    )
+    return hll_estimate_from_registers(hll_merge(a, b), "event_type", p=8)
+
+
+def collocations_pmi(spark, sf_dir):
+    """Collocation mining: top bigrams by PMI-style lift — the ratio
+    p(ab)/(p(a)p(b)) reported directly instead of its log (numerator
+    c_ab·N_uni² and denominator c_a·c_b·N_bi are exact BIGINTs; the
+    single division is IEEE-correctly-rounded, whereas a log PMI would
+    hinge on a transcendental no two engines round alike). Min support
+    5, top 20 by lift."""
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text_col(F.col("text")), " ")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    bi = (
+        d.select(F.explode(ngram_join_col(toks, 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c_w")).collect()[0][0]
+    n_bi = (
+        d.select(F.explode(ngram_join_col(toks, 2)).alias("bg"))
+        .count()
+    )
+    split = F.split(F.col("bg"), " ")
+    scored = (
+        bi.withColumn("w1", split.getItem(0)).withColumn("w2", split.getItem(1))
+        .join(uni.withColumnsRenamed({"w": "w1", "c_w": "c1"}), "w1")
+        .join(uni.withColumnsRenamed({"w": "w2", "c_w": "c2"}), "w2")
+        .select(
+            "bg",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            (
+                (F.col("c_ab") * F.lit(int(n_uni)) * F.lit(int(n_uni))).cast("double")
+                / (F.col("c1") * F.col("c2") * F.lit(int(n_bi))).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bg")).limit(20).select(
+        "bg", "c_ab", F.round("lift", 6).alias("lift")
+    )
+
+
 def mad_outliers_by_type(spark, sf_dir):
     """Robust outlier detection per group: MAD (median absolute
     deviation) — two grouped exact medians (value, then |value - med|)
@@ -1793,6 +1861,8 @@ QUERIES = {
     "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
     "mad_outliers_by_type": mad_outliers_by_type,
+    "collocations_pmi": collocations_pmi,
+    "hll_merged_halves": hll_merged_halves,
     "pivot_event_cohorts": pivot_event_cohorts,
     "cube_status_priority": cube_status_priority,
     "sample_deterministic": sample_deterministic,
@@ -2716,6 +2786,9 @@ ORACLE_SQL = {
     """,
     "kmv_distinct_users": _KMV_SQL,
     "hll_distinct_users": _hll_sql(p=8),
+    # merge of disjoint-half sketches is exactly the whole-table sketch:
+    # the shared oracle IS the mergeability proof
+    "hll_merged_halves": _hll_sql(p=8),
     # Log-histogram quantile sketch replay: v = floor(price * 2^8),
     # bucket = bitlen(v) * 2^6 + (v >> max(bitlen(v)-6, 0)); quantile =
     # first bucket whose cumulative count reaches ceil(q*n); estimate =
@@ -3005,6 +3078,37 @@ ORACLE_SQL = {
     "kcore_part_copurchase": _kcore_sql(),
     "bfs_depth_part_links": _bfs_sql(),
     "etld1_site_groups": _etld1_sql(),
+    "collocations_pmi": f"""
+        WITH t AS (
+          SELECT {_NORM_TOKS_SQL} AS toks FROM documents
+        ),
+        uni AS (
+          SELECT unnest(toks) AS w FROM t
+        ),
+        uc AS (SELECT w, count(*)::BIGINT AS c_w FROM uni GROUP BY 1),
+        bg AS (
+          SELECT toks[i] || ' ' || toks[i + 1] AS bg
+          FROM t, unnest(range(1, len(toks))) AS u(i)
+        ),
+        bc AS (
+          SELECT bg, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1
+          HAVING count(*) >= 5
+        ),
+        n AS (
+          SELECT (SELECT sum(c_w) FROM uc)::BIGINT AS n_uni,
+                 (SELECT count(*) FROM bg)::BIGINT AS n_bi
+        )
+        SELECT b.bg, b.c_ab,
+               round(
+                 (b.c_ab * n.n_uni * n.n_uni)::DOUBLE
+                 / (u1.c_w * u2.c_w * n.n_bi)::DOUBLE, 6) AS lift
+        FROM bc b CROSS JOIN n
+        JOIN uc u1 ON u1.w = string_split(b.bg, ' ')[1]
+        JOIN uc u2 ON u2.w = string_split(b.bg, ' ')[2]
+        ORDER BY (b.c_ab * n.n_uni * n.n_uni)::DOUBLE
+                 / (u1.c_w * u2.c_w * n.n_bi)::DOUBLE DESC, b.bg
+        LIMIT 20
+    """,
     "mad_outliers_by_type": """
         WITH v AS (
           SELECT event_type, round(value * 100)::BIGINT AS v100 FROM events

@@ -110,30 +110,19 @@ def _hll_lc_table(m: int) -> list[int]:
     return [round(m * math.log(m / v)) for v in range(1, m + 1)]
 
 
-def hll_distinct_estimate(
+def hll_registers(
     df: DataFrame,
     group_col: str,
     value_col: str,
     p: int = 8,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-group fixed-point HLL distinct estimate: ``(group, est_distinct)``.
-
-    m = 2^p buckets; bucket = hash mod m, rho = clz(hash div m) + 1 over
-    the remaining 60-p hash bits. Raw estimate
-    ``alpha_m * m^2 / sum(2^-rho)`` evaluated as
-    ``(ALPHA_NUM * ((m*m << RHO_CAP) div S)) div ALPHA_DEN`` where
-    ``S = sum(1 << (RHO_CAP - rho)) + n_empty << RHO_CAP`` — all BIGINT
-    (worst-case S >= m so the numerator stays < 2^60). Small-range
-    correction: when empty buckets exist and 2*raw <= 5*m, linear
-    counting via the literal-injected ``round(m*ln(m/V))`` table.
-    ``hash_fn='md5'`` replays in the DuckDB oracle; 'xxhash64' is the
-    production default."""
+    """The persistable HLL sketch STATE: ``(grp, bucket, mrho)`` — at
+    most 2^p rows per group regardless of input size. This is what a
+    pipeline stores per day/shard; ``hll_merge`` combines stored states,
+    ``hll_estimate_from_registers`` turns any state into the count."""
     m = 1 << p
     rem_bits = 60 - p
-    alpha_num, alpha_den = _hll_alpha_num_den(m)
-    lc = _hll_lc_table(m)
-
     v = F.col(value_col).cast("string")
     h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
         F.xxhash64(v), F.lit(HASH_SPACE)
@@ -157,7 +146,29 @@ def hll_distinct_estimate(
             F.lit(RHO_CAP),
         ).alias("rho"),
     )
-    regs = bucketed.groupBy("grp", "bucket").agg(F.max("rho").alias("mrho"))
+    return bucketed.groupBy("grp", "bucket").agg(F.max("rho").alias("mrho"))
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge independently-built HLL register states: union + per-bucket
+    max. Exactly lossless w.r.t. building one sketch over the unioned
+    rows (max is associative/commutative/idempotent), which is the whole
+    point of sketch persistence — daily states merge into monthly counts
+    without touching raw data."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("grp", "bucket").agg(F.max("mrho").alias("mrho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group estimate from stored registers — see
+    ``hll_distinct_estimate`` for the integer arithmetic contract."""
+    m = 1 << p
+    alpha_num, alpha_den = _hll_alpha_num_den(m)
+    lc = _hll_lc_table(m)
     agg = regs.groupBy("grp").agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - mrho)")).alias(
             "s_present"
@@ -181,6 +192,33 @@ def hll_distinct_estimate(
     return (
         withs.select("grp", "n_present", raw_i)
         .select(F.col("grp").alias(group_col), est.alias("est_distinct"))
+    )
+
+
+def hll_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group fixed-point HLL distinct estimate: ``(group, est_distinct)``.
+
+    m = 2^p buckets; bucket = hash mod m, rho = clz(hash div m) + 1 over
+    the remaining 60-p hash bits. Raw estimate
+    ``alpha_m * m^2 / sum(2^-rho)`` evaluated as
+    ``(ALPHA_NUM * ((m*m << RHO_CAP) div S)) div ALPHA_DEN`` where
+    ``S = sum(1 << (RHO_CAP - rho)) + n_empty << RHO_CAP`` — all BIGINT
+    (worst-case S >= m so the numerator stays < 2^60). Small-range
+    correction: when empty buckets exist and 2*raw <= 5*m, linear
+    counting via the literal-injected ``round(m*ln(m/V))`` table.
+    ``hash_fn='md5'`` replays in the DuckDB oracle; 'xxhash64' is the
+    production default. Composed from the persistable stages:
+    ``hll_registers`` -> ``hll_estimate_from_registers`` (with
+    ``hll_merge`` combining stored states in between when needed)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, value_col, p=p, hash_fn=hash_fn),
+        group_col, p=p,
     )
 
 
