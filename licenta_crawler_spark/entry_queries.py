@@ -656,6 +656,30 @@ def pct_value_by_type(spark, sf_dir):
     )
 
 
+def ddq_merged_halves(spark, sf_dir):
+    """Quantile-sketch persistence: log-histogram states built over the
+    odd/even order halves, merged by bucket-count SUM, then queried for
+    p50/p95/p99 — counts are additive, so the merged state is exactly
+    the whole-table sketch and the shared oracle proves it
+    (operators/sketch.log_histogram_merge)."""
+    from licenta_crawler_spark.operators.sketch import (
+        log_histogram_merge,
+        log_histogram_quantiles,
+        log_histogram_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    a = log_histogram_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0), "o_orderstatus", "o_totalprice"
+    )
+    b = log_histogram_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 1), "o_orderstatus", "o_totalprice"
+    )
+    return log_histogram_quantiles(log_histogram_merge(a, b)).select(
+        F.col("grp").alias("o_orderstatus"), "q_permille", "est_value", "n"
+    )
+
+
 def hll_merged_halves(spark, sf_dir):
     """Sketch persistence end to end: HLL register states built
     INDEPENDENTLY over two disjoint halves of the events (odd/even
@@ -1863,6 +1887,7 @@ QUERIES = {
     "mad_outliers_by_type": mad_outliers_by_type,
     "collocations_pmi": collocations_pmi,
     "hll_merged_halves": hll_merged_halves,
+    "ddq_merged_halves": ddq_merged_halves,
     "pivot_event_cohorts": pivot_event_cohorts,
     "cube_status_priority": cube_status_priority,
     "sample_deterministic": sample_deterministic,
@@ -2411,6 +2436,41 @@ def _projection_sql() -> str:
         FROM e
     """
 
+ORACLE_DDQ_SHARED = """
+        WITH vals AS (
+            SELECT o_orderstatus AS grp,
+                   CAST(floor(o_totalprice * 256) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice >= 0
+        ), bucketed AS (
+            SELECT grp,
+                   length(bin(v))::BIGINT * 64
+                     + v // (1::BIGINT << greatest(length(bin(v)) - 6, 0))
+                       AS bucket
+            FROM vals
+        ), counts AS (
+            SELECT grp, bucket, count(*)::BIGINT AS cnt
+            FROM bucketed GROUP BY 1, 2
+        ), cum AS (
+            SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp) AS n
+            FROM counts
+        ), q AS (
+            SELECT * FROM cum
+            CROSS JOIN (VALUES (500), (950), (990)) AS qs(q_permille)
+        ), hit AS (
+            SELECT grp, q_permille, min(bucket) AS bucket, max(n) AS n
+            FROM q WHERE cum >= (n * q_permille + 999) // 1000
+            GROUP BY 1, 2
+        )
+        SELECT grp AS o_orderstatus, q_permille,
+               CAST(((2 * (bucket % 64) + 1)
+                     << greatest((bucket // 64)::INT - 6, 0)) AS DOUBLE)
+                 / 512.0 AS est_value,
+               n::BIGINT AS n
+        FROM hit
+    """
+
 ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -2793,40 +2853,9 @@ ORACLE_SQL = {
     # bucket = bitlen(v) * 2^6 + (v >> max(bitlen(v)-6, 0)); quantile =
     # first bucket whose cumulative count reaches ceil(q*n); estimate =
     # exact power-of-two bucket midpoint.
-    "ddq_price_quantiles": """
-        WITH vals AS (
-            SELECT o_orderstatus AS grp,
-                   CAST(floor(o_totalprice * 256) AS BIGINT) AS v
-            FROM orders WHERE o_totalprice >= 0
-        ), bucketed AS (
-            SELECT grp,
-                   length(bin(v))::BIGINT * 64
-                     + v // (1::BIGINT << greatest(length(bin(v)) - 6, 0))
-                       AS bucket
-            FROM vals
-        ), counts AS (
-            SELECT grp, bucket, count(*)::BIGINT AS cnt
-            FROM bucketed GROUP BY 1, 2
-        ), cum AS (
-            SELECT grp, bucket, cnt,
-                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
-                   sum(cnt) OVER (PARTITION BY grp) AS n
-            FROM counts
-        ), q AS (
-            SELECT * FROM cum
-            CROSS JOIN (VALUES (500), (950), (990)) AS qs(q_permille)
-        ), hit AS (
-            SELECT grp, q_permille, min(bucket) AS bucket, max(n) AS n
-            FROM q WHERE cum >= (n * q_permille + 999) // 1000
-            GROUP BY 1, 2
-        )
-        SELECT grp AS o_orderstatus, q_permille,
-               CAST(((2 * (bucket % 64) + 1)
-                     << greatest((bucket // 64)::INT - 6, 0)) AS DOUBLE)
-                 / 512.0 AS est_value,
-               n::BIGINT AS n
-        FROM hit
-    """,
+    # shared oracle: summed-count merge of disjoint halves == whole-table sketch
+    "ddq_merged_halves": ORACLE_DDQ_SHARED,
+    "ddq_price_quantiles": ORACLE_DDQ_SHARED,
     # Count-min replay: row j's hash is bits [10j, 10j+10) of the shared
     # 60-bit md5 hash; sketch counts ALL events, probe estimates per
     # distinct key as min over the 4 rows.

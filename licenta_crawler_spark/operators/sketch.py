@@ -392,3 +392,13 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
+
+
+def log_histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge stored log-histogram states: union + per-bucket count sum —
+    exactly lossless vs sketching the unioned rows (counts are
+    additive), the same persistence contract as ``hll_merge``."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
