@@ -234,6 +234,23 @@ def url_sha1_hex_col(url: Column) -> Column:
     return F.sha1(F.encode(canonicalize_url_col(url), "UTF-8"))
 
 
+# Column expressions are immutable and session-independent (unresolved
+# trees), so the canonicalizer's large tree — ~0.5 s of py4j round-trips
+# to CONSTRUCT, measured — is built once per input-column name and reused
+# across every wave/query. (The per-query Catalyst analysis cost still
+# applies; this removes only the Python-side construction cost.)
+_CANON_CACHE: dict[str, tuple[Column, Column]] = {}
+
+
+def cached_canon_sha1(col_name: str) -> tuple[Column, Column]:
+    """(canonical_url, sha1_hex) Column pair for ``F.col(col_name)``,
+    memoized by column name — the hot-loop entry point for P6."""
+    if col_name not in _CANON_CACHE:
+        canon = canonicalize_url_col(F.col(col_name))
+        _CANON_CACHE[col_name] = (canon, F.sha1(F.encode(canon, "UTF-8")))
+    return _CANON_CACHE[col_name]
+
+
 def url_sha1_bin_col(url: Column) -> Column:
     """20-byte binary sha1 of the canonical URL (frontier key column)."""
     return F.unhex(url_sha1_hex_col(url))

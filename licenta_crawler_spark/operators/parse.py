@@ -29,11 +29,12 @@ from licenta_crawler_spark.functions.htmldom import (
     extract_spans,
     parse_html,
 )
+from licenta_crawler_spark.functions.urlnorm import url_sha1_hex
 
 PARSED_SCHEMA = (
     "url string, final_url string, status int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "product_links array<string>, next_url string"
+    "product_links array<string>, next_url string, doc_sha1 string"
 )
 
 
@@ -61,10 +62,17 @@ def parse_pages(fetched: DataFrame, passthrough: list[str] | None = None) -> Dat
                     nxt = extract_next_url(root, tup.final_url)
                 else:
                     spans, links, nxt = [], [], None
-                out_rows.append((tup.url, tup.final_url, tup.status, spans, links, nxt))
+                # doc identity (sha1 of canonical final_url) is fused here:
+                # one urlsplit per FETCHED PAGE is noise next to parsing
+                # that page's HTML, and it keeps the wave loop from paying
+                # a second full Catalyst pass of the canonicalizer tree
+                # per wave just to key documents (plans/wave.py doc sink)
+                out_rows.append((tup.url, tup.final_url, tup.status, spans,
+                                 links, nxt, url_sha1_hex(tup.final_url)))
             out = pd.DataFrame(
                 out_rows,
-                columns=["url", "final_url", "status", "spans", "product_links", "next_url"],
+                columns=["url", "final_url", "status", "spans",
+                         "product_links", "next_url", "doc_sha1"],
             )
             for c in passthrough:
                 out[c] = pdf[c].to_numpy()

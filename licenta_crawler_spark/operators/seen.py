@@ -14,11 +14,22 @@ holds all shards:
     (``localCheckpoint``), never collected to the driver;
   * incremental builds OR-merge the new bitmaps with the existing shard
     rows in a second per-shard ``applyInPandas`` — still distributed;
-  * candidates are probed with a *cogrouped* ``applyInPandas``: they
-    shuffle once on their shard id and each task receives exactly the one
-    bitmap slice its group probes. At 10^10 keys (~12.5 GB of bitmap over
-    1024 shards) a task holds one ~12 MB slice — the design the module
-    always promised, now the implementation;
+  * candidates are probed ADAPTIVELY by directory size — the same
+    size-based decision Spark itself makes for broadcast vs shuffle
+    joins (``autoBroadcastJoinThreshold``):
+      - **small directory** (total bitmap bytes ≤ ``broadcast_max_bytes``,
+        default 4 MB — A/B-measured crossover, see BENCH.md): the shard
+        rows are collected once (bounded by the threshold, exactly like
+        Spark collecting a broadcast-join side) and probed with a
+        map-only vectorized ``pandas_udf`` — zero shuffle, the
+        candidates never move, and the Bloom verdict folds into the
+        exact-confirm anti-join condition so the whole D1 step is one
+        plan with no intermediate materialization;
+      - **large directory** (the 10^10-key regime: ~12.5 GB of bitmap
+        over 1024 shards): a *cogrouped* ``applyInPandas`` — candidates
+        shuffle once on their shard id and each task receives exactly
+        the one ~12 MB bitmap slice its group probes; the full directory
+        is never assembled anywhere;
   * probe-negative rows are **definitely new** (Bloom has no false
     negatives) and skip the exact join entirely; probe-positive rows go to
     the exact ``left_anti`` join, so false positives can never drop a URL.
@@ -64,15 +75,24 @@ def _probe_hits(bits: np.ndarray | None, h1: np.ndarray, h2: np.ndarray,
 
 class BloomShardSet:
     """Immutable distributed directory of Bloom shards: a DataFrame of
-    ``(shard int, bits binary)`` rows, one per non-empty shard."""
+    ``(shard int, bits binary)`` rows, one per non-empty shard.
+
+    ``broadcast_max_bytes`` selects the probe strategy (module docstring):
+    directories at or under it broadcast and probe map-side; above it the
+    probe is a cogrouped shuffle. The default keeps every directory a
+    single executor could not comfortably hold out of the broadcast path.
+    """
 
     def __init__(self, n_shards: int = 8, m_bits: int = 1 << 16, k: int = 7,
-                 shards_df: DataFrame | None = None):
+                 shards_df: DataFrame | None = None,
+                 broadcast_max_bytes: int = 4 << 20):
         assert m_bits % 8 == 0
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
         self.shards_df = shards_df  # None == empty set
+        self.broadcast_max_bytes = broadcast_max_bytes
+        self._dir_bc = None  # lazy broadcast of the small-directory path
 
     def _with_shard(self, df: DataFrame, sha1_col: str) -> DataFrame:
         return with_hash_cols(df, sha1_col).withColumn(
@@ -128,18 +148,70 @@ class BloomShardSet:
         # executor-resident materialization (n_shards tiny rows) — never a
         # driver collect either way
         out = merged.localCheckpoint() if materialize == "checkpoint" else merged
-        return BloomShardSet(n_shards, m_bits, k, shards_df=out)
+        return BloomShardSet(n_shards, m_bits, k, shards_df=out,
+                             broadcast_max_bytes=self.broadcast_max_bytes)
 
     # ---------------------------------------------------------------- probe
+    @property
+    def directory_bytes(self) -> int:
+        """Upper bound on total bitmap bytes (n_shards full slices)."""
+        return self.n_shards * (self.m_bits // 8)
+
+    def _directory_broadcast(self):
+        """Broadcast of {shard: bitmap} for the small-directory fast path.
+        The collect here is bounded by ``broadcast_max_bytes`` — the same
+        driver-side cost Spark pays to build any broadcast-join relation —
+        and cached per directory (the set is immutable)."""
+        if self._dir_bc is None:
+            from pyspark.sql import SparkSession
+
+            rows = self.shards_df.collect()
+            directory = {
+                int(r["shard"]): np.frombuffer(r["bits"], dtype=np.uint8)
+                for r in rows
+            }
+            sc = SparkSession.getActiveSession().sparkContext
+            self._dir_bc = sc.broadcast(directory)
+        return self._dir_bc
+
     def maybe_seen_col(self, df: DataFrame, sha1_col: str = "url_sha1") -> DataFrame:
-        """Adds boolean ``_maybe_seen`` via a cogrouped applyInPandas pass:
-        candidates shuffle once on shard id, and each task probes only its
-        own shard's bitmap slice (the co-partitioned join of the north
-        rule) — the full directory is never assembled anywhere."""
+        """Adds boolean ``_maybe_seen``.
+
+        Small directory: map-only vectorized pandas_udf against the
+        broadcast bitmaps — the candidates never shuffle. Large directory:
+        cogrouped applyInPandas — candidates shuffle once on shard id and
+        each task probes only its own shard's bitmap slice (the
+        co-partitioned join of the north rule); the full directory is
+        never assembled anywhere.
+        """
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
         cols = df.columns
         if self.shards_df is None:
             return df.withColumn("_maybe_seen", F.lit(False))
+
+        if self.directory_bytes <= self.broadcast_max_bytes:
+            bc = self._directory_broadcast()
+
+            @F.pandas_udf("boolean")
+            def bloom_probe(h1s: pd.Series, h2s: pd.Series,
+                            shards: pd.Series) -> pd.Series:
+                directory = bc.value
+                h1 = h1s.to_numpy(dtype=np.uint64)
+                h2 = h2s.to_numpy(dtype=np.uint64)
+                sh = shards.to_numpy(dtype=np.int64)
+                hit = np.zeros(len(h1), dtype=bool)
+                for s in np.unique(sh):
+                    m = sh == s
+                    hit[m] = _probe_hits(directory.get(int(s)), h1[m], h2[m],
+                                         m_bits, k)
+                return pd.Series(hit)
+
+            hashed = self._with_shard(df, sha1_col)
+            return hashed.withColumn(
+                "_maybe_seen",
+                bloom_probe(F.col("_h1"), F.col("_h2"), F.col("_shard")),
+            ).select(*cols, "_maybe_seen")
+
         hashed = self._with_shard(df, sha1_col)
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -178,10 +250,34 @@ def filter_unseen(
         return candidates.join(
             seen.select(sha1_col).distinct(), on=sha1_col, how="left_anti"
         )
-    # materialize the probe output once (executor-resident): both branches
-    # below read it, and in an iterative caller an un-truncated cogroup
-    # plan would re-evaluate per branch and chain across waves
-    probed = bloom.maybe_seen_col(candidates, sha1_col).localCheckpoint()
+    probed = bloom.maybe_seen_col(candidates, sha1_col)
+    if bloom.directory_bytes <= bloom.broadcast_max_bytes:
+        # Broadcast-probe regime: ONE plan, no union, no materialization
+        # job. The Bloom verdict is folded into the anti-join condition —
+        # a probe-negative row's join key never matches (`_maybe_seen`
+        # is part of the condition), so it survives the anti-join without
+        # a probe re-execution or a branch split. At this directory size
+        # the seen table is modest, so the exact confirm is a broadcast /
+        # small join and shuffling probe-negative rows through it is not
+        # the cost it would be at 10^10 keys. (A/B-measured: the earlier
+        # two-branch form evaluated the probe UDF twice and lost to the
+        # cogroup path; this form wins at every shape tested — BENCH.md.)
+        seen_keys = seen.select(F.col(sha1_col).alias("_seen_sha1")).distinct()
+        return (
+            probed.join(
+                seen_keys,
+                on=(F.col(sha1_col) == F.col("_seen_sha1"))
+                & F.col("_maybe_seen"),
+                how="left_anti",
+            ).drop("_maybe_seen")
+        )
+    # Cogroup regime (10^10-key directories): materialize the probe output
+    # once (executor-resident) — both branches below read it, and in an
+    # iterative caller an un-truncated cogroup plan would re-evaluate per
+    # branch and chain across waves. The branch split matters here: only
+    # probe-POSITIVE rows (true seen + ~1% FP) shuffle into the sort-merge
+    # anti-join against the huge seen table; fresh rows bypass it.
+    probed = probed.localCheckpoint()
     fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed = suspect.join(

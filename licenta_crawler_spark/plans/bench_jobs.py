@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from licenta_crawler_spark.fixtures.corpus import Corpus, build_corpus, corpus_to_resolver
-from licenta_crawler_spark.functions.urlnorm import canonicalize_url_col
+from licenta_crawler_spark.functions.urlnorm import cached_canon_sha1
 from licenta_crawler_spark.operators.fetch import fetch_batches
 from licenta_crawler_spark.operators.parse import parse_pages
 from licenta_crawler_spark.operators.politeness import schedule_fetches
@@ -132,7 +132,7 @@ def frontier_steady_wave(
     cand, n_raw = frontier_candidates(spark, corpus, replication)
 
     t0 = time.perf_counter()
-    c = cand.withColumn("url_canon", canonicalize_url_col(F.col("url"))).withColumn(
+    c = cand.withColumn("url_canon", cached_canon_sha1("url")[0]).withColumn(
         "url_sha1", F.sha1(F.encode(F.col("url_canon"), "UTF-8"))
     )
     c = first_discovery(c, [F.col("replica"), F.col("vi")])  # D2: N -> n distinct

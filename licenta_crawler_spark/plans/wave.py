@@ -29,10 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from licenta_crawler_spark.functions.urlnorm import (
-    canonicalize_url_col,
-    url_sha1_hex_col,
-)
+from licenta_crawler_spark.functions.urlnorm import cached_canon_sha1
 from licenta_crawler_spark.operators.fetch import fetch_batches
 from licenta_crawler_spark.operators.parse import parse_pages, parse_sitemaps
 from licenta_crawler_spark.operators.politeness import advance_clocks, schedule_fetches
@@ -265,6 +262,31 @@ class CrawlEngine:
     def _seq_base(self, st: CrawlState) -> DataFrame:
         return st.crawl_log.groupBy("host").agg((F.max("seq") + 1).alias("seq_base"))
 
+    def _fetch_parts(self, n_rows: int) -> int:
+        """Partition count for a fetch batch of known size: ~64 URLs per
+        task, capped at the cluster parallelism. A steady-state wave at
+        scale saturates every core; a small wave (short pagination chains,
+        crawl tail) must not pay 32 task launches + Arrow worker round
+        trips to fetch a dozen URLs — measured ~1.5 s/wave of overhead on
+        the e2e bench before this."""
+        return max(1, min(self.spark.sparkContext.defaultParallelism,
+                          (n_rows + 63) // 64))
+
+    def _begin_wave(self, st: CrawlState, phase: str) -> str:
+        """Tag every Spark job this wave schedules so the per-wave job
+        count lands in the metrics table (regression guard: per-wave
+        driver overhead is proportional to jobs scheduled)."""
+        group = f"wave-{st.wave}-{phase}"
+        self.spark.sparkContext.setJobGroup(group, f"crawl {phase} wave {st.wave}")
+        return group
+
+    def _jobs_in_group(self, group: str) -> int:
+        try:
+            tracker = self.spark.sparkContext.statusTracker()
+            return len(tracker.getJobIdsForGroup(group))
+        except Exception:
+            return -1
+
     def _advance_bloom(self, log_rows: DataFrame, wave: int) -> None:
         """Merge this wave's keys into the shard directory and truncate it
         through a parquet round-trip EVERY wave (tiny: n_shards rows). A
@@ -325,9 +347,11 @@ class CrawlEngine:
         # expression is large (pct-normalize transform + dot-segment
         # fixed-point), and letting it flow un-materialized into window/join
         # plans makes Catalyst re-analyze it per stage (measured 60s/wave on
-        # tiny data). One projection job per wave, tiny plans after.
+        # tiny data). One projection job per wave, tiny plans after. The
+        # Column tree itself is memoized (cached_canon_sha1) — rebuilding
+        # it per wave cost ~0.5 s of py4j traffic.
         c = cands.withColumn(
-            "url_canon", canonicalize_url_col(F.col("url"))
+            "url_canon", cached_canon_sha1("url")[0]
         ).withColumn(
             "url_sha1", F.sha1(F.encode(F.col("url_canon"), "UTF-8"))
         ).localCheckpoint()
@@ -381,7 +405,13 @@ class CrawlEngine:
             return self.cfg.checkpointer.load(self.spark, name, snap)
         k = max(self.cfg.full_materialize_every, 1)
         if wave >= 0 and wave % k != k - 1 and not force_parquet:
-            return df.localCheckpoint()
+            # LAZY local checkpoint: the truncation happens inside the
+            # next wave's first job that touches this table instead of as
+            # its own job now — one job materializes every state table it
+            # reads (measured: ~4 eager jobs/wave folded away). Lineage is
+            # still cut at first use, so the sizeInBytes bound documented
+            # above is unchanged.
+            return df.localCheckpoint(eager=False)
         self._mat_seq += 1
         path = f"{self._scratch}/{name}-m{self._mat_seq:06d}"
         writer = df.write.mode("overwrite")
@@ -401,6 +431,7 @@ class CrawlEngine:
         was done."""
         queued = st.sitemap_queue.filter(F.col("state") == "QUEUED")
         wave = st.wave
+        group = self._begin_wave(st, "sitemap")
         cand = queued.select(
             "host", "url", F.lit("SITEMAP").alias("kind"),
             F.lit(0).cast("long").alias("prio0"),
@@ -417,7 +448,7 @@ class CrawlEngine:
             sched.select("url", "host", F.col("prio1").alias("queue_pos"), "scheduled_at")
             .join(F.broadcast(self._fetch_policy(st)), "host", "left")
             .fillna({"disallow_cookies": False})
-            .repartition(self.spark.sparkContext.defaultParallelism),
+            .repartition(self._fetch_parts(n_sched)),
             self.resolver_bc,
         )
         parsed = parse_sitemaps(fetched, passthrough=["host", "queue_pos"]).localCheckpoint()
@@ -486,7 +517,8 @@ class CrawlEngine:
             },
         )
         st.metrics.append(
-            {"wave": wave, "phase": "sitemap", "n_fetched": n_sched, "n_new": n_new}
+            {"wave": wave, "phase": "sitemap", "n_fetched": n_sched,
+             "n_new": n_new, "spark_jobs": self._jobs_in_group(group)}
         )
         st.wave += 1
         return True
@@ -505,6 +537,7 @@ class CrawlEngine:
         )
         products = st.fetch_frontier.filter(F.col("state") == "QUEUED")
         wave = st.wave
+        group = self._begin_wave(st, "browse")
 
         shelf_cand = active.select(
             "host", "url", F.lit("SHELF").alias("kind"),
@@ -546,7 +579,7 @@ class CrawlEngine:
             .fillna({"retries": 0})
             .join(F.broadcast(self._fetch_policy(st)), "host", "left")
             .fillna({"disallow_cookies": False})
-            .repartition(self.spark.sparkContext.defaultParallelism),
+            .repartition(self._fetch_parts(n_sched)),
             self.resolver_bc,
         )
         parsed = parse_pages(fetched, passthrough=["host", "kind"]).localCheckpoint()
@@ -586,23 +619,25 @@ class CrawlEngine:
             F.lit("QUEUED").alias("state"), F.lit(0).alias("retries"),
         )
 
-        # ---- documents: shelf docs now, product docs from PRODUCT fetches
+        # ---- documents: shelf docs now, product docs from PRODUCT fetches.
+        # doc identity comes from the parse stage (doc_sha1, fused with the
+        # HTML parse) — no second canonicalizer pass per wave.
         prod_parsed = parsed.filter((F.col("kind") == "PRODUCT") & (F.col("status") == 200))
-        doc_src = ok.select("host", "final_url", "spans").unionByName(
-            prod_parsed.select("host", "final_url", "spans")
+        doc_src = ok.select("host", "final_url", "spans", "doc_sha1").unionByName(
+            prod_parsed.select("host", "final_url", "spans", "doc_sha1")
         )
-        # (same eager-materialization rationale as _append_discoveries: keep
-        # the sha1-of-canonical expression out of the shuffle plans)
-        doc_keyed = doc_src.withColumn(
-            "doc_id", url_sha1_hex_col(F.col("final_url"))
-        ).localCheckpoint()
         docs = (
-            doc_keyed.select(
-                "doc_id", "spans", F.col("final_url").alias("url"), "host",
+            doc_src.select(
+                F.col("doc_sha1").alias("doc_id"), "spans",
+                F.col("final_url").alias("url"), "host",
                 F.lit(wave).alias("wave"),
             )
             .dropDuplicates(["doc_id"])
             .join(st.documents.select("doc_id"), "doc_id", "left_anti")
+            # lazy truncation: n_docs below materializes it once; the
+            # documents-table union then reads the cached rows instead of
+            # re-running the dedup/anti-join chain a second time
+            .localCheckpoint(eager=False)
         )
 
         # ---- nav updates: advance chains (navigation != discovery)
@@ -678,7 +713,8 @@ class CrawlEngine:
         )
         st.metrics.append(
             {"wave": wave, "phase": "browse", "n_fetched": n_sched,
-             "n_new": n_new, "n_docs": n_docs}
+             "n_new": n_new, "n_docs": n_docs,
+             "spark_jobs": self._jobs_in_group(group)}
         )
         st.wave += 1
         return True

@@ -55,21 +55,48 @@ def test_filter_unseen_exact(spark):
 
 
 def test_build_probe_without_driver_collect(spark, monkeypatch):
-    """The shard directory is fully distributed: build and probe must
-    complete without ever collecting a DataFrame to the driver (the
-    bitmaps stay executor-resident; the probe is a cogrouped per-shard
-    pass). Guards against regressing to a driver-materialized directory."""
+    """The shard directory is fully distributed: the BUILD never collects
+    to the driver, and neither does the probe in the large-directory
+    (cogroup) regime — the 10^10-key design. Guards against regressing to
+    a driver-materialized directory. (The small-directory probe regime
+    intentionally collects once, bounded by broadcast_max_bytes, exactly
+    like Spark building a broadcast-join relation — covered below.)"""
     df = spark.createDataFrame([(_sha(f"url-{i}"),) for i in range(1500)], ["url_sha1"])
 
     def boom(self):
         raise AssertionError("driver collect during bloom build/probe")
 
     monkeypatch.setattr(type(df), "collect", boom)
-    bloom = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5).build(df)
+    # broadcast_max_bytes=0 forces the cogroup probe regime
+    bloom = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5,
+                          broadcast_max_bytes=0).build(df)
     probed = bloom.maybe_seen_col(df)
     monkeypatch.undo()
     rows = probed.collect()
     assert len(rows) == 1500 and all(r["_maybe_seen"] for r in rows)
+
+
+def test_probe_regimes_agree(spark):
+    """Broadcast and cogroup probe regimes are the same function: same
+    _maybe_seen verdicts and the same filter_unseen survivors."""
+    seen = spark.createDataFrame([(_sha(f"u-{i}"),) for i in range(800)], ["url_sha1"])
+    cand = spark.createDataFrame(
+        [(_sha(f"u-{i}"), f"u-{i}") for i in range(700, 1000)], ["url_sha1", "url"]
+    )
+    small = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5,
+                          broadcast_max_bytes=1 << 30).build(seen)
+    large = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5,
+                          broadcast_max_bytes=0).build(seen)
+    assert small.directory_bytes <= small.broadcast_max_bytes
+    assert large.directory_bytes > large.broadcast_max_bytes
+    v_small = {(r["url_sha1"], r["_maybe_seen"])
+               for r in small.maybe_seen_col(cand).collect()}
+    v_large = {(r["url_sha1"], r["_maybe_seen"])
+               for r in large.maybe_seen_col(cand).collect()}
+    assert v_small == v_large
+    f_small = {r["url"] for r in filter_unseen(cand, seen, small).collect()}
+    f_large = {r["url"] for r in filter_unseen(cand, seen, large).collect()}
+    assert f_small == f_large == {f"u-{i}" for i in range(800, 1000)}
 
 
 def test_first_discovery_keeps_min_order_key(spark):
