@@ -52,6 +52,22 @@ from pyspark.sql import functions as F
 from licenta_crawler_spark.operators.graph import _scratch_truncate
 
 
+def _guard_int64(n_nodes: int, scale: int, damping_num: int) -> None:
+    """Enforce the documented overflow bound at runtime. Worst case is
+    all mass on one node: ``inc_sum <= n_nodes * scale``, so the damping
+    multiply needs ``damping_num * n_nodes * scale < 2^63``. Spark's
+    default non-ANSI mode would WRAP silently on overflow and emit
+    corrupt negative ranks — raising here turns that into an
+    actionable error ("lower scale"), the contract the module docstring
+    promises (callers at 10^10 nodes pass scale=10^5)."""
+    if n_nodes * int(scale) * int(damping_num) >= 2**63:
+        raise OverflowError(
+            f"pagerank fixed-point would overflow int64: n_nodes={n_nodes} "
+            f"* scale={scale} * damping_num={damping_num} >= 2^63 — "
+            "lower `scale` (10^10 nodes fit at scale=10^5)"
+        )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",
@@ -103,6 +119,10 @@ def pagerank_fixed_point(
             .distinct()
         )
         nodes = truncate(nodes, "nodes")
+        # one count() action for the overflow guard — nodes is either
+        # already a parquet scan (truncated) or a single pass over the
+        # edge subplan; negligible next to `iterations` shuffle rounds
+        _guard_int64(nodes.count(), scale, damping_num)
         # out-degree rides the edge list (joined ONCE, not per round) —
         # at scale this is the ingest-time layout: edges partitioned by
         # src with the degree denormalized on
@@ -225,6 +245,7 @@ def personalized_pagerank_fixed_point(
         n_nodes, n_seeds = nodes.count(), sd.count()
         if n_seeds == 0:
             raise ValueError("personalized pagerank needs a non-empty seed set")
+        _guard_int64(n_nodes, scale, damping_num)
         e_deg = truncate(
             e.join(e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"),
             "edges-deg",

@@ -162,8 +162,12 @@ def parse_robots_directives(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
+    # Directive names are FULLY case-insensitive per the robots spec
+    # ('Crawl-Delay:', 'DISALLOW:', 'USER-AGENT:' are all common in the
+    # wild) — (?i) inline flag, same regex in the DuckDB oracle (RE2
+    # supports it identically). UA tokens compare case-insensitively too.
     ua = F.nullif(
-        F.regexp_extract(F.col("line"), r"^[Uu]ser-agent:\s*(\S+)\s*$", 1),
+        F.regexp_extract(F.col("line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1),
         F.lit(""),
     )
     w = (
@@ -179,23 +183,23 @@ def parse_robots_directives(
     # Sitemap is SECTION-INDEPENDENT per the robots spec, so it is
     # extracted unconditionally. Every input host emits a row — a body
     # with no matching section means "no restrictions", not "no host".
-    in_sec = F.col("cur_ua") == user_agent
+    in_sec = F.lower(F.col("cur_ua")) == user_agent.lower()
     delay = F.when(
         in_sec,
         F.nullif(
-            F.regexp_extract(F.col("line"), r"^[Cc]rawl-delay:\s*([0-9]+)\s*$", 1),
+            F.regexp_extract(F.col("line"), r"(?i)^crawl-delay:\s*([0-9]+)\s*$", 1),
             F.lit(""),
         ).cast("long"),
     )
     dis = F.when(
         in_sec,
         F.nullif(
-            F.regexp_extract(F.col("line"), r"^[Dd]isallow:\s*(\S+)\s*$", 1),
+            F.regexp_extract(F.col("line"), r"(?i)^disallow:\s*(\S+)\s*$", 1),
             F.lit(""),
         ),
     )
     sm = F.nullif(
-        F.regexp_extract(F.col("line"), r"^[Ss]itemap:\s*(\S+)\s*$", 1),
+        F.regexp_extract(F.col("line"), r"(?i)^sitemap:\s*(\S+)\s*$", 1),
         F.lit(""),
     )
     return (

@@ -91,6 +91,8 @@ class IcebergLayoutCatalog:
         snapshot = {
             "snapshot_id": snap_id,
             "wave": wave,
+            "operation": "overwrite",  # full-table rewrite — incremental
+            # readers must resync past it (read_appended_since refuses it)
             "parent_snapshot_id": parent,
             "manifest": f"{table}/metadata/manifest-{snap_id}.json",
             "data_dir": f"{table}/data/snap-{snap_id}",
@@ -191,30 +193,47 @@ class IcebergLayoutCatalog:
         return out
 
     # -------------------------------------------------------------- append
-    def commit_append(self, table: str, df: DataFrame, batch_id: int) -> str:
+    def commit_append(
+        self, table: str, df: DataFrame, batch_id: int,
+        app_id: str | None = None,
+    ) -> str:
         """Iceberg-style APPEND commit: write ONLY the new rows as data
         files and publish a snapshot whose manifest = parent's files +
         the new ones. O(batch) work per commit regardless of table size
         — the streaming-ingest path (commit_table rewrites the full
         table and stays the batch/wave path). The snapshot records
-        ``batch_id`` so a replayed micro-batch (sink committed, Spark
-        offset checkpoint lost) is detectable and idempotently skipped
-        by the caller (see streaming/sink.py)."""
+        ``(app_id, batch_id)`` — the Delta/Iceberg txnAppId/txnVersion
+        pair — so a replayed micro-batch (sink committed, Spark offset
+        checkpoint lost) is detectable and idempotently skipped by the
+        caller, while a DIFFERENT streaming query (fresh checkpoint,
+        epochs restarting at 0) writing to the same table is NOT
+        mistaken for a replay (see streaming/sink.py)."""
         snap_id = f"a{batch_id:06d}-{uuid.uuid4().hex[:8]}"
         tdir = self.root / table
         data_dir = tdir / "data" / f"snap-{snap_id}"
         meta_dir = tdir / "metadata"
         meta_dir.mkdir(parents=True, exist_ok=True)
 
-        df.write.mode("overwrite").parquet(str(data_dir))
         cat = self._catalog()
         parent = cat["tables"].get(table, {}).get("current")
         parent_files = []
         if parent is not None:
             pinfo = self.snapshot_info(table, parent)
-            parent_files = json.loads(
-                (self.root / pinfo["manifest"]).read_text()
-            )["files"]
+            pmanifest = json.loads((self.root / pinfo["manifest"]).read_text())
+            if pmanifest.get("partition_by"):
+                # the parent's hive-partitioned data files physically
+                # omit the partition column; merging them into an
+                # UNpartitioned manifest would make load()'s
+                # explicit-schema/non-basePath branch read that column
+                # as all-NULL. Refuse rather than corrupt — append
+                # tables are unpartitioned in this layout.
+                raise ValueError(
+                    f"table {table!r} current snapshot is hive-partitioned "
+                    f"by {pmanifest['partition_by']}; commit_append only "
+                    "supports unpartitioned tables — use commit_table"
+                )
+            parent_files = pmanifest["files"]
+        df.write.mode("overwrite").parquet(str(data_dir))
         new_files = []
         for f in sorted(data_dir.rglob("*.parquet")):
             md = pq.read_metadata(f)
@@ -234,6 +253,7 @@ class IcebergLayoutCatalog:
             "snapshot_id": snap_id,
             "wave": batch_id,
             "batch_id": batch_id,
+            "app_id": app_id,
             "operation": "append",
             "parent_snapshot_id": parent,
             "manifest": f"{table}/metadata/manifest-{snap_id}.json",
@@ -250,14 +270,20 @@ class IcebergLayoutCatalog:
         self._write_catalog(cat)
         return snap_id
 
-    def last_batch_id(self, table: str) -> int | None:
-        """Highest micro-batch id committed to ``table`` via
+    def last_batch_id(self, table: str, app_id: str | None = None) -> int | None:
+        """Latest micro-batch id committed to ``table`` via
         commit_append along the current snapshot chain (None if the
-        table has no append commits)."""
+        table has no append commits). With ``app_id``, only commits
+        stamped by THAT writer count — epochs are per-streaming-query,
+        so replay detection must be scoped per writer (txnAppId
+        semantics); without it, any append commit matches (legacy /
+        single-writer behavior)."""
         snap_id = self.current_snapshot(table)
         while snap_id is not None:
             info = self.snapshot_info(table, snap_id)
-            if "batch_id" in info:
+            if "batch_id" in info and (
+                app_id is None or info.get("app_id") == app_id
+            ):
                 return info["batch_id"]
             snap_id = info["parent_snapshot_id"]
         return None
@@ -351,7 +377,12 @@ class IcebergLayoutCatalog:
                 f"{since_snapshot!r} is not an ancestor of {target!r}"
             )
         for info in chain:
-            if info.get("operation", "append") != "append":
+            # strict: ONLY explicit 'append' commits pass. A missing
+            # field (legacy snapshot of unknown provenance) is treated
+            # as a rewrite, not silently as an append — otherwise a
+            # full-table commit_table rewrite in the walked range would
+            # have its whole file set double-counted as "new rows".
+            if info.get("operation") != "append":
                 raise ValueError(
                     f"snapshot {info['snapshot_id']} is "
                     f"{info.get('operation')!r}, not append — files were "

@@ -23,17 +23,25 @@ from pyspark.sql import DataFrame
 from licenta_crawler_spark.sources.checkpoint import IcebergLayoutCatalog
 
 
-def catalog_batch_committer(catalog: IcebergLayoutCatalog, table: str):
+def catalog_batch_committer(
+    catalog: IcebergLayoutCatalog, table: str, app_id: str | None = None
+):
     """The ``foreachBatch`` function: commit the micro-batch as an
-    append snapshot unless this epoch (or a later one) is already in the
-    snapshot chain — idempotent under replay. Exposed separately so
-    tests (and backfills) can drive it without a streaming query."""
+    append snapshot unless THIS WRITER (``app_id``) already committed
+    this epoch (or a later one) — idempotent under replay. Scoping the
+    stamp by app_id is what makes it the full txnAppId/txnVersion
+    contract: epochs are per-streaming-query, so a NEW query with a
+    fresh checkpoint dir (epochs restarting at 0) appending to an
+    existing table must not be mistaken for a replay of the old one —
+    without the scope it would silently drop every batch until its
+    epoch passed the table's last stamp. Exposed separately so tests
+    (and backfills) can drive it without a streaming query."""
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
-        last = catalog.last_batch_id(table)
+        last = catalog.last_batch_id(table, app_id=app_id)
         if last is not None and epoch_id <= last:
             return  # replayed micro-batch: already durable, skip
-        catalog.commit_append(table, batch_df, epoch_id)
+        catalog.commit_append(table, batch_df, epoch_id, app_id=app_id)
 
     return commit
 
@@ -45,9 +53,15 @@ def stream_to_catalog(
     checkpoint_dir: str,
 ):
     """Start ingesting a streaming DataFrame into ``table``: one append
-    snapshot per micro-batch, exactly-once via the epoch-id stamp."""
+    snapshot per micro-batch, exactly-once via the (app_id, epoch_id)
+    stamp. The writer identity is the checkpoint location — it IS the
+    epoch-numbering domain (a query resuming from it continues the
+    epoch sequence; a query with a new checkpoint starts a new one),
+    exactly the txnAppId the stamp needs."""
     return (
-        stream.writeStream.foreachBatch(catalog_batch_committer(catalog, table))
+        stream.writeStream.foreachBatch(
+            catalog_batch_committer(catalog, table, app_id=checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

@@ -82,3 +82,21 @@ def test_parse_robots_directives_sections(spark):
         "h3": (None, "", ""),    # no '*' section -> unrestricted, no delay
         "h4": (None, "", ""),    # not a robots file at all
     }
+
+
+def test_parse_robots_directives_case_insensitive(spark):
+    """Directive names are fully case-insensitive per the robots spec
+    ('Crawl-Delay:', 'DISALLOW:', 'USER-AGENT:' are all common in the
+    wild), and the governing-section UA token compares case-insensitively
+    too — previously only the first letter was folded, silently dropping
+    politeness restrictions."""
+    from licenta_crawler_spark.operators.parse import parse_robots_directives
+
+    txt = ("USER-AGENT: badbot\nDISALLOW: /all\n\n"
+           "User-Agent: *\nCrawl-Delay: 7\nDISALLOW: /b\ndisallow: /a\n"
+           "SITEMAP: https://h1/sm.xml\n")
+    df = spark.createDataFrame(
+        [("h1", txt)], "host string, robots_txt string")
+    rows = {r["host"]: (r["crawl_delay"], r["disallow_paths"], r["sitemap_urls"])
+            for r in parse_robots_directives(df).collect()}
+    assert rows == {"h1": (7, "/a,/b", "https://h1/sm.xml")}

@@ -130,3 +130,24 @@ def test_personalized_pagerank_replay_and_proximity(spark):
     with pytest.raises(ValueError):
         personalized_pagerank_fixed_point(
             edges, spark.createDataFrame([], "node long"))
+
+
+def test_pagerank_overflow_guard_raises(spark):
+    """The documented int64 bound (n_nodes * scale * damping_num < 2^63,
+    worst case: all mass on one node) is ENFORCED — non-ANSI Spark would
+    otherwise wrap silently and emit corrupt negative ranks."""
+    from licenta_crawler_spark.operators.pagerank import (
+        pagerank_fixed_point,
+        personalized_pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(OverflowError, match="2\\^63"):
+        pagerank_fixed_point(edges, scale=10**18, iterations=1).collect()
+    with pytest.raises(OverflowError, match="2\\^63"):
+        personalized_pagerank_fixed_point(
+            edges, spark.createDataFrame([(1,)], "node long"),
+            scale=10**18, iterations=1,
+        ).collect()
+    # at the documented safe setting the same graph converges fine
+    assert pagerank_fixed_point(edges, scale=10**5, iterations=1).count() == 3

@@ -185,3 +185,70 @@ def test_incremental_read_between_snapshots(spark, tmpd):
     cat.compact(spark, "t", target_bytes=1 << 30)
     with pytest.raises(ValueError):
         cat.read_appended_since(spark, "t", s0)
+
+
+def test_new_writer_epoch_zero_is_not_mistaken_for_replay(spark, tmpd):
+    """txnAppId scoping: a NEW streaming query (fresh checkpoint dir,
+    epochs restarting at 0) appending to a table another writer already
+    stamped must land its batches; each writer's OWN replays still skip.
+    Without the app_id scope, writer B's epochs 0..1 would be silently
+    dropped until they exceeded A's last stamp — data loss."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    a = catalog_batch_committer(cat, "t", app_id="ckpt-A")
+    a(_batch(spark, 0, 10), 0)
+    a(_batch(spark, 10, 20), 1)
+    b = catalog_batch_committer(cat, "t", app_id="ckpt-B")
+    b(_batch(spark, 20, 25), 0)      # fresh epoch numbering: must land
+    assert cat.load(spark, "t").count() == 25
+    b(_batch(spark, 20, 25), 0)      # B replaying B: skipped
+    a(_batch(spark, 10, 20), 1)      # A replaying A (B's commit between): skipped
+    assert cat.load(spark, "t").count() == 25
+    assert cat.last_batch_id("t", app_id="ckpt-A") == 1
+    assert cat.last_batch_id("t", app_id="ckpt-B") == 0
+    # and each writer's next real epoch lands
+    a(_batch(spark, 25, 30), 2)
+    b(_batch(spark, 30, 33), 1)
+    assert cat.load(spark, "t").count() == 33
+
+
+def test_append_refuses_hive_partitioned_parent(spark, tmpd):
+    """commit_append over a hive-partitioned snapshot would merge files
+    that physically omit the partition column into an unpartitioned
+    manifest — load() would surface that column as all-NULL. The commit
+    must refuse instead of corrupting."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    df = _batch(spark, 0, 30).withColumn("state", F.lit("QUEUED"))
+    cat.commit_table("frontier", df, wave=0, partition_by=["state"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        cat.commit_append("frontier", df, 0)
+    # table unchanged: still the partitioned snapshot, column intact
+    got = cat.load(spark, "frontier")
+    assert got.count() == 30
+    assert got.filter(F.col("state").isNull()).count() == 0
+
+
+def test_incremental_read_refuses_full_rewrite_and_legacy(spark, tmpd):
+    """A commit_table full rewrite inside the walked range must fail
+    read_appended_since (operation='overwrite'), and a legacy snapshot
+    MISSING the operation field entirely is treated as a rewrite too —
+    never silently as an append (the double-count ADVICE-r02 flagged)."""
+    import json as _json
+
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    commit(_batch(spark, 0, 10), 0)
+    s0 = cat.current_snapshot("t")
+    cat.commit_table("t", _batch(spark, 0, 5), wave=1)   # full rewrite
+    commit(_batch(spark, 10, 20), 1)
+    with pytest.raises(ValueError, match="not append"):
+        cat.read_appended_since(spark, "t", s0)
+    # legacy snapshot of unknown provenance: strip the operation stamp
+    # from the rewrite snapshot's metadata file — still refused
+    cur = cat.current_snapshot("t")
+    sid = cat.snapshot_info("t", cur)["parent_snapshot_id"]
+    p = cat.root / "t" / "metadata" / f"snap-{sid}.json"
+    info = _json.loads(p.read_text())
+    del info["operation"]
+    p.write_text(_json.dumps(info))
+    with pytest.raises(ValueError, match="not append"):
+        cat.read_appended_since(spark, "t", s0)
