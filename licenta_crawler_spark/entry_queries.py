@@ -1194,6 +1194,46 @@ def stream_join_attribution(spark, sf_dir):
     )
 
 
+def stream_sessionize_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING gap-sessionizer's state
+    machine (streaming/windowed.streaming_sessionize): the batch replay
+    feeds per-user micro-batches in event-time order through the SAME
+    _fold_session_events fold the applyInPandasWithState operator runs,
+    flushing the open session as the event-time timeout would — and the
+    oracle is plain SQL gap-sessionization, so hash-match certifies the
+    stateful logic, not a parallel reimplementation."""
+    from licenta_crawler_spark.streaming.windowed import batch_replay_sessionize
+
+    return batch_replay_sessionize(
+        _t(spark, sf_dir, "events"), gap_seconds=1800, n_batches=3
+    )
+
+
+def stream_politeness_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING politeness scheduler's
+    cross-batch clock carry (streaming/windowed.
+    streaming_politeness_schedule): candidates synthesized with an
+    explicit micro-batch number are replayed per host through the SAME
+    _fold_schedule_clock fold the stateful operator runs; the oracle is
+    the equivalent windowed cumulative delay sum ordered by
+    (batch_no, priority-tuple, url)."""
+    from licenta_crawler_spark.streaming.windowed import batch_replay_politeness
+
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 50).cast("string")
+    cand = ev.select(
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat(F.lit("https://h"), h, F.lit("/p"),
+                 F.col("event_id").cast("string")).alias("url"),
+        (F.col("event_id") % 3).cast("long").alias("prio0"),
+        (F.col("event_id") % 7).cast("long").alias("prio1"),
+        (F.col("event_id") % 11).cast("long").alias("prio2"),
+        ((F.col("event_id") % 5 + 1) * 100).cast("long").alias("crawl_delay_ms"),
+        (F.col("event_id") % 4).cast("long").alias("batch_no"),
+    )
+    return batch_replay_politeness(cand)
+
+
 def etld1_site_groups(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction against a literal
     public-suffix subset — the site unit crawl policy keys on: hosts
@@ -1850,7 +1890,6 @@ def recrawl_schedule(spark, sf_dir):
 # probe-all ≡ brute force, so the float trainer added no verified
 # behavior of its own, only a guaranteed-red row.)
 QUERIES = {
-    "top_bigrams": top_bigrams,
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
@@ -1899,8 +1938,13 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "text_repetition": text_repetition,
     "recrawl_schedule": recrawl_schedule,
-    "q1_pricing_summary": q1_pricing_summary,
+    "stream_sessionize_replay": stream_sessionize_replay,
+    "stream_politeness_replay": stream_politeness_replay,
     # ---- end of the round-3 driver window (50 keys) ----
+    # (top_bigrams + the q1 canary ceded their slots to the two streaming
+    # state-machine replays; top_bigrams rotates into the r04 window)
+    "top_bigrams": top_bigrams,
+    "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_volume": q5_nation_volume,
     "d1_unseen_anti_join": d1_unseen_anti_join,
@@ -3002,6 +3046,51 @@ ORACLE_SQL = {
     "embed_near_dup_pairs": _embed_near_sql(n_tables=6, n_planes=4, threshold=0.4),
     "asof_join_events": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    # the STREAMING sessionizer's batch replay must equal plain batch
+    # gap-sessionization (in-order micro-batches + final timeout flush)
+    "stream_sessionize_replay": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t FROM events
+        ),
+        m AS (
+          SELECT user_id, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+        ),
+        s AS (
+          SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, (min(t) // 1000)::BIGINT AS start_ms,
+               (max(t) // 1000)::BIGINT AS end_ms,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    # the STREAMING politeness scheduler's cross-batch virtual clock must
+    # equal a cumulative delay sum ordered by (batch_no, priority, url)
+    "stream_politeness_replay": """
+        WITH c AS (
+          SELECT 'h' || (user_id % 50)::VARCHAR AS host,
+                 'https://h' || (user_id % 50)::VARCHAR || '/p'
+                   || event_id::VARCHAR AS url,
+                 event_id % 3 AS prio0, event_id % 7 AS prio1,
+                 event_id % 11 AS prio2,
+                 (event_id % 5 + 1) * 100 AS delay,
+                 event_id % 4 AS batch_no
+          FROM events
+        )
+        SELECT host, url,
+               coalesce(sum(delay) OVER (
+                 PARTITION BY host
+                 ORDER BY batch_no, prio0, prio1, prio2, url
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS scheduled_at
+        FROM c
+    """,
     "purchase_session_attribution": """
         WITH o AS (
           SELECT user_id, ts, event_id, event_type,

@@ -1,0 +1,212 @@
+"""Vendored public-suffix snapshot + registrable-domain (eTLD+1) matcher.
+
+The snapshot is a trimmed, hand-vendored subset of the publicsuffix.org
+ICANN section (public data): every major gTLD, ccTLD, the classic
+ccTLD second-level registries (co.uk / com.au / co.jp / com.br ...),
+plus wildcard (``*.ck``) and exception (``!www.ck``) rules so the full
+PSL *semantics* — longest-match, wildcard bases, exception overrides —
+are implemented and tested, not just a flat suffix list. Real
+deployments regenerate the three lists below from a current PSL dump;
+the matcher is data-driven and needs no code change for a bigger list.
+
+Matcher design (scale): the round-2 implementation was a CASE chain of
+one ``regexp_extract`` per suffix — O(|PSL|) regex evaluations per row,
+fine for 9 entries, hopeless for a real list. This version is O(1) in
+the list size: split the host into labels once, take the last 1..K
+label-joins (K = longest rule), and test each against a literal set —
+Catalyst turns >10-element ``isin`` into ``InSet`` (hash-set probe), so
+a 10k-entry PSL costs the same per row as a 10-entry one. Pure column
+expressions end to end: no UDF, no join, no broadcast, fully
+whole-stage-codegen'd. The DuckDB oracle twin mirrors the exact same
+slice/IN structure.
+
+PSL semantics implemented (publicsuffix.org/list/ algorithm):
+  - a rule matches when it equals the trailing labels of the host;
+  - wildcard rule ``*.base`` makes every (len(base)+1)-label suffix
+    public;
+  - exception rule ``!dom`` overrides a wildcard: ``dom`` is itself a
+    registrable domain;
+  - longest match wins; registrable domain = public suffix + 1 label;
+  - a host that IS a bare public suffix, or matches no rule at all,
+    has no registrable domain (NULL — this engine does not apply the
+    PSL's implicit ``*`` default, so unknown single-label hosts like
+    ``localhost`` stay NULL rather than becoming suffixes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# --------------------------------------------------------------- snapshot
+# Exact rules ('.'-joined, no leading '*.' / '!').
+PSL_EXACT = [
+    # gTLD / generic (ICANN section)
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "mobi", "pro", "io", "ai", "app", "dev", "xyz", "site",
+    "online", "store", "blog", "cloud", "tech", "art", "wiki", "link",
+    "live", "news", "shop", "work", "world", "email", "group", "page",
+    "example",  # RFC 2606 reserved — the synthetic corpus's TLD
+    # ccTLD (bare)
+    "uk", "jp", "au", "nz", "za", "br", "cn", "in", "kr", "il", "tr",
+    "mx", "ar", "cl", "pe", "uy", "co", "us", "ca", "de", "fr", "it",
+    "es", "pt", "nl", "be", "ch", "at", "dk", "fi", "no", "se", "pl",
+    "cz", "sk", "hu", "ro", "bg", "gr", "ru", "ua", "ie", "is", "lt",
+    "lv", "ee", "hr", "si", "rs", "sg", "my", "th", "tw", "hk", "ph",
+    "id", "vn", "sa", "ae", "eg", "ma", "ng", "ke", "pk", "lk", "kz",
+    "ge", "am", "by", "md", "fm", "tv", "cc", "ws", "to", "ly", "sh",
+    "gg", "je", "im", "me", "eu",
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk",
+    "gov.uk", "sch.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "blog.br",
+    "app.br", "dev.br", "eco.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "gov.in", "ac.in", "edu.in", "res.in", "nic.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bel.tr",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "co.th", "in.th", "or.th", "go.th", "ac.th", "net.th", "mi.th",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "game.tw", "club.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "i.ph",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "mil.id", "biz.id", "my.id", "desa.id",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl",
+    "asso.fr", "nom.fr", "gouv.fr", "tm.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nl.ca", "ns.ca", "nt.ca",
+    "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    "com.co", "net.co", "org.co", "nom.co", "edu.co", "gov.co",
+    "mil.co",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "sch.sa",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "gok.pk",
+    "gop.pk",
+    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "sch.lk",
+    "web.lk",
+]
+
+# Wildcard rules: '*.<base>' — every (labels(base)+1)-label suffix
+# ending in <base> is a public suffix.
+PSL_WILDCARD = [
+    "ck", "bd",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+]
+
+# Exception rules: '!<dom>' — <dom> is registrable despite a wildcard.
+PSL_EXCEPTION = [
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+]
+
+
+def _by_labels(rules: list[str]) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for r in rules:
+        out.setdefault(r.count(".") + 1, []).append(r)
+    return {k: sorted(v) for k, v in sorted(out.items())}
+
+
+_EXACT = _by_labels(PSL_EXACT)
+_WILD = _by_labels(PSL_WILDCARD)          # keyed by BASE label count
+_EXC = _by_labels(PSL_EXCEPTION)
+# public-suffix lengths reachable: exact rule lengths + wildcard base+1
+_PUB_LENS = sorted(set(_EXACT) | {k + 1 for k in _WILD}, reverse=True)
+_EXC_LENS = sorted(_EXC, reverse=True)
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """eTLD+1 of a lowercase hostname as a pure column expression.
+
+    One ``split``, then for each candidate length k the trailing-k
+    label join is probed against a literal set (``InSet`` hash probe).
+    Evaluation order mirrors the PSL algorithm: exception rules first
+    (longest first — the matched domain IS registrable), then public
+    suffixes longest-first (registrable = suffix + 1 label), else NULL.
+    """
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    expr = None
+
+    def arm(cond: Column, val: Column) -> None:
+        nonlocal expr
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+
+    for k in _EXC_LENS:
+        arm((n >= k) & last(k).isin(_EXC[k]), last(k))
+    for k in _PUB_LENS:
+        pub = F.lit(False)
+        if k in _EXACT:
+            pub = pub | last(k).isin(_EXACT[k])
+        if k - 1 in _WILD:
+            pub = pub | last(k - 1).isin(_WILD[k - 1])
+        # longest match wins AND stops the scan: a host that IS this
+        # public suffix (n == k) yields NULL here rather than falling
+        # through to a shorter rule ('co.uk' must not match 'uk')
+        arm((n >= k) & pub, F.when(n > k, last(k + 1)))
+    return expr
+
+
+def registrable_domain_sql_expr(host_expr: str) -> str:
+    """The identical matcher as an inline ANSI/DuckDB SQL expression —
+    same slice/IN structure, same rule sets, same evaluation order, so
+    the oracle replays the Spark plan decision-for-decision."""
+    labels = f"string_split({host_expr}, '.')"
+    n = f"len({labels})"
+
+    def last(k: int) -> str:
+        return (f"array_to_string(list_slice({labels}, "
+                f"greatest({n} - {k} + 1, 1), {n}), '.')")
+
+    def inset(e: str, vals: list[str]) -> str:
+        lits = ", ".join(f"'{v}'" for v in vals)
+        return f"{e} IN ({lits})"
+
+    arms = []
+    for k in _EXC_LENS:
+        arms.append(
+            f"WHEN {n} >= {k} AND {inset(last(k), _EXC[k])} THEN {last(k)}"
+        )
+    for k in _PUB_LENS:
+        pub = []
+        if k in _EXACT:
+            pub.append(inset(last(k), _EXACT[k]))
+        if k - 1 in _WILD:
+            pub.append(inset(last(k - 1), _WILD[k - 1]))
+        # n == k: the host IS this suffix -> NULL, do not fall through
+        arms.append(
+            f"WHEN {n} >= {k} AND ({' OR '.join(pub)}) "
+            f"THEN (CASE WHEN {n} > {k} THEN {last(k + 1)} END)"
+        )
+    return "CASE " + " ".join(arms) + " ELSE NULL END"

@@ -263,13 +263,11 @@ def host_col(url: Column) -> Column:
 
 
 # -------------------------------------------------------------- eTLD+1
-# Literal public-suffix subset: real deployments inject the full PSL the
-# same way (it is a static list, so suffix matching stays a pure column
-# expression — no join, no UDF, no broadcast). Longest suffix wins.
-PSL_SUBSET = [
-    "co.uk", "org.uk", "com.au", "co.jp",
-    "com", "org", "net", "io", "example",
-]
+# Full-semantics matcher over a vendored publicsuffix.org snapshot
+# (exact + wildcard + exception rules) — see functions/psl.py. O(1) per
+# row in the list size (label slices + InSet hash probes), vs the old
+# O(|PSL|) regex CASE chain; still a pure column expression (no UDF, no
+# join), fully whole-stage-codegen'd.
 
 
 def registrable_domain_col(host):
@@ -279,23 +277,16 @@ def registrable_domain_col(host):
     and `b.shop.co.uk` as one site `shop.co.uk`, which naive
     last-two-label logic gets wrong for co.uk-style suffixes). NULL when
     the host IS a bare suffix or matches nothing."""
-    expr = None
-    for s in sorted(PSL_SUBSET, key=len, reverse=True):
-        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
-        hit = F.regexp_extract(host, pat, 1)
-        cond = hit != ""
-        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
-    return expr
+    from licenta_crawler_spark.functions.psl import registrable_domain_expr
+
+    return registrable_domain_expr(host)
 
 
 def registrable_domain_sql(host_expr: str) -> str:
-    """The identical longest-suffix CASE chain as ANSI SQL (the DuckDB
-    oracle twin — same regexes, same order)."""
-    arms = []
-    for s in sorted(PSL_SUBSET, key=len, reverse=True):
-        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
-        arms.append(
-            f"WHEN regexp_extract({host_expr}, '{pat}', 1) <> '' "
-            f"THEN regexp_extract({host_expr}, '{pat}', 1)"
-        )
-    return "CASE " + " ".join(arms) + " END"
+    """The identical matcher as ANSI SQL (the DuckDB oracle twin — same
+    rule sets, same slice/IN structure, same evaluation order)."""
+    from licenta_crawler_spark.functions.psl import (
+        registrable_domain_sql_expr,
+    )
+
+    return registrable_domain_sql_expr(host_expr)

@@ -8,6 +8,8 @@ explicit salting done by the politeness scheduler.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -39,6 +41,14 @@ def get_spark(
         .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", "48g")
     )
+    # profiling hook (tools/stage_breakdown.py): event-log the app so
+    # per-stage wall/cpu/GC can be compared across parallelism levels
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

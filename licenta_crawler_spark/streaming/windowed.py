@@ -62,6 +62,29 @@ SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 SESSION_OUT_SCHEMA = "user_id long, start_ms long, end_ms long, n_events long"
 
 
+def _fold_session_events(ts_us, state, gap_us):
+    """The per-key session state machine, factored out so the STREAMING
+    operator (streaming_sessionize) and the BATCH replay twin
+    (batch_replay_sessionize — driver-oracle-checked) run literally the
+    same code: feed one micro-batch's sorted event times through the
+    (start_us, last_us, n) state, returning (closed_sessions, state').
+    A gap > gap_us closes the open session; an in-watermark straggler
+    from an earlier batch only EXPANDS the open session's bounds."""
+    start_us, last_us, n = state
+    closed = []
+    for t in ts_us:
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+            n += 1
+    return closed, (start_us, last_us, n)
+
+
 def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
                          watermark: str = "0 seconds") -> DataFrame:
     """Streaming gap-sessionization with EVENT-TIME timeouts: the
@@ -89,22 +112,8 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["_ts"]))
         ts_us.sort()
-        (start_us, last_us, n) = state.get if state.exists else (None, None, 0)
-        closed = []
-        for t in ts_us:
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                # late (within-watermark) events from earlier batches
-                # merge into the open session: bounds only EXPAND, so a
-                # cross-batch straggler can never drag end_ms backwards
-                # or split a true session
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+        st = state.get if state.exists else (None, None, 0)
+        closed, (start_us, last_us, n) = _fold_session_events(ts_us, st, gap_us)
         state.update((start_us, last_us, n))
         # close when the watermark passes last + gap (must stay above the
         # current watermark or Spark rejects the timestamp)
@@ -130,6 +139,62 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def batch_replay_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    n_batches: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """BATCH replay of streaming_sessionize's state machine — the
+    driver-oracle-checkable twin. Per key, events are split into
+    ``n_batches`` micro-batches in EVENT-TIME order (what watermarked
+    in-order arrival delivers), each batch is folded through the SAME
+    ``_fold_session_events`` the streaming operator runs (state carried
+    batch to batch), and the final open session is flushed exactly as
+    the event-time timeout would fire after the stream drains. With
+    in-order batches the replay is provably equivalent to plain batch
+    gap-sessionization — which is what the DuckDB oracle computes, so a
+    green driver row certifies the stateful streaming logic itself, not
+    a separate batch reimplementation.
+
+    Scale: one shuffle on the session key (inherent to sessionization),
+    Arrow-batched applyInPandas per key group — no driver collects."""
+    import numpy as np
+
+    gap_us = gap_seconds * 1_000_000
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        # _ts_us arrives as int64 (converted JVM-side — cheaper Arrow
+        # payload than timestamps and no pandas datetime parsing here)
+        ts_us = np.sort(pdf["_ts_us"].to_numpy(dtype="int64", copy=False))
+        key = int(pdf[key_col].iloc[0])
+        state = (None, None, 0)
+        closed = []
+        for chunk in np.array_split(ts_us, n_batches):
+            got, state = _fold_session_events(
+                [int(t) for t in chunk], state, gap_us
+            )
+            closed.extend(got)
+        if state[0] is not None:  # timeout flush: stream drained
+            closed.append(state)
+        return pd.DataFrame({
+            "user_id": [key] * len(closed),
+            "start_ms": [s // 1000 for s, _, _ in closed],
+            "end_ms": [e // 1000 for _, e, _ in closed],
+            "n_events": [c for _, _, c in closed],
+        })
+
+    return (
+        events.select(
+            key_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        )
+        .groupBy(key_col)
+        .applyInPandas(replay, schema=SESSION_OUT_SCHEMA)
     )
 
 
@@ -240,6 +305,57 @@ SCHED_STATE_SCHEMA = "clock_ms long"
 SCHED_OUT_SCHEMA = "host string, url string, scheduled_at long"
 
 
+def _fold_schedule_clock(delays_ms, clock):
+    """The per-host virtual-clock fold shared by the STREAMING scheduler
+    and its batch replay twin: each emitted URL is stamped with the
+    current clock, which then advances by that URL's crawl delay —
+    politeness spacing that holds across micro-batches because the clock
+    is the carried state. Returns (scheduled_at list, clock')."""
+    scheds = []
+    for d in delays_ms:
+        scheds.append(clock)
+        clock += int(d)
+    return scheds, clock
+
+
+def batch_replay_politeness(candidates: DataFrame,
+                            batch_col: str = "batch_no") -> DataFrame:
+    """BATCH replay of streaming_politeness_schedule's state machine —
+    the driver-oracle-checkable twin. ``candidates`` carries an explicit
+    ``batch_no`` (the micro-batch a row arrived in); per host the
+    batches are replayed in order through the SAME ``_fold_schedule_clock``
+    the streaming operator runs — within a batch rows schedule in the
+    deterministic priority-tuple order, across batches the virtual clock
+    carries. Equivalent to a windowed cumulative sum of delays ordered
+    by (batch_no, prio0, prio1, prio2, url) per host — which is what the
+    DuckDB oracle computes, so a green driver row certifies the
+    cross-batch clock-carry logic itself.
+
+    Scale: one shuffle on host (inherent — the clock is per-host state),
+    Arrow-batched applyInPandas; skewed hot hosts are bounded upstream
+    by the frontier's per-host fetch caps."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        clock = 0
+        out = []
+        for b in sorted(pdf[batch_col].unique()):
+            chunk = pdf[pdf[batch_col] == b].sort_values(
+                ["prio0", "prio1", "prio2", "url"], kind="mergesort"
+            )
+            scheds, clock = _fold_schedule_clock(chunk["crawl_delay_ms"], clock)
+            out.append(pd.DataFrame({
+                "host": chunk["host"].tolist(),
+                "url": chunk["url"].tolist(),
+                "scheduled_at": scheds,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        candidates.groupBy("host")
+        .applyInPandas(replay, schema=SCHED_OUT_SCHEMA)
+    )
+
+
 def streaming_politeness_schedule(candidates: DataFrame) -> DataFrame:
     """Streaming twin of the batch politeness scheduler (operators/
     politeness.schedule_fetches, reference invariant: one crawler per
@@ -264,10 +380,7 @@ def streaming_politeness_schedule(candidates: DataFrame) -> DataFrame:
         rows = rows.sort_values(
             ["prio0", "prio1", "prio2", "url"], kind="mergesort"
         )
-        scheds = []
-        for delay in rows["crawl_delay_ms"]:
-            scheds.append(clock)
-            clock += int(delay)
+        scheds, clock = _fold_schedule_clock(rows["crawl_delay_ms"], clock)
         state.update((clock,))
         yield pd.DataFrame({
             "host": [key[0]] * len(rows),

@@ -142,3 +142,50 @@ def test_registrable_domain_edge_cases(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["want"]
+
+
+def test_registrable_domain_full_psl_semantics(spark):
+    """Full publicsuffix.org semantics over the vendored snapshot:
+    exact rules outside the old 9-entry subset, wildcard rules (*.ck,
+    *.kobe.jp), exception rules (!www.ck, !city.kobe.jp), and the
+    longest-match-stops-the-scan rule (a bare 2-label suffix must not
+    fall through and match its 1-label tail). Spark expression and the
+    DuckDB SQL twin are asserted against the SAME case table."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from licenta_crawler_spark.functions.psl import (
+        registrable_domain_expr,
+        registrable_domain_sql_expr,
+    )
+
+    cases = [
+        ("deep.a.x.gov.uk", "x.gov.uk"),       # multi-label, new entry
+        ("a.b.com.br", "b.com.br"),
+        ("x.ab.ca", "x.ab.ca"),
+        ("gov.uk", None),                      # bare suffix, no fallthrough to 'uk'
+        ("foo.bar.ck", "foo.bar.ck"),          # *.ck: bar.ck is public
+        ("bar.ck", None),                      # bare wildcard suffix
+        ("www.ck", "www.ck"),                  # exception rule
+        ("sub.www.ck", "www.ck"),
+        ("a.shop.kobe.jp", "a.shop.kobe.jp"),  # *.kobe.jp
+        ("shop.kobe.jp", None),
+        ("x.city.kobe.jp", "city.kobe.jp"),    # !city.kobe.jp
+        ("ck.com", "ck.com"),                  # wildcard base not a TLD rule
+        ("kobe.jp", "kobe.jp"),                # 'jp' exact still applies
+        ("localhost", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    for r in df.select(
+        "host", "want", registrable_domain_expr(F.col("host")).alias("got")
+    ).collect():
+        assert r["got"] == r["want"], r["host"]
+
+    con = duckdb.connect()
+    sql = registrable_domain_sql_expr("host")
+    for h, want in cases:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS host)", [h]
+        ).fetchone()[0]
+        assert got == want, h

@@ -1,0 +1,148 @@
+"""Stage-level breakdown of the frontier job at two parallelism levels —
+the evidence for WHERE the 8→32-core scaling efficiency goes (VERDICT r02
+item 6: job-level 8→32 efficiency measured 0.271 while the host probe
+shows 2.7-3.4x more raw capacity at 32 procs).
+
+Method: run ``bench.py frontier`` once per level in its own JVM with the
+Spark event log enabled (session.py honors SPARK_GRAFT_EVENTLOG_DIR),
+then parse SparkListenerStageCompleted / SparkListenerTaskEnd and
+aggregate per stage-name: wall seconds (submission→completion), summed
+executor run/CPU/GC millis, and shuffle bytes. Stages are keyed by their
+name (callsite), so the same logical stage lines up across the two runs
+and the table directly answers "which stage stopped scaling".
+
+Usage: python tools/stage_breakdown.py [low high replication]
+       (defaults 8 32 16)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_frontier(cpus: int, replication: int, ev_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_REPLICATION=str(replication),
+        SPARK_GRAFT_BENCH_ITERS="1",
+        SPARK_GRAFT_EVENTLOG_DIR=ev_dir,
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "frontier"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"bench.py frontier failed at cpus={cpus}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])["frontier"]
+
+
+def parse_eventlog(ev_dir: str) -> dict[str, dict]:
+    """Aggregate the newest event log: per stage NAME (stages re-run for
+    warmup/iterations fold together) → wall ms, task-time sums, bytes."""
+    paths = sorted(glob.glob(os.path.join(ev_dir, "*")), key=os.path.getmtime)
+    if not paths:
+        raise SystemExit(f"no event log in {ev_dir}")
+    by_id: dict[int, str] = {}
+    agg: dict[str, dict] = defaultdict(
+        lambda: {"wall_ms": 0, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
+                 "sh_read_mb": 0.0, "sh_write_mb": 0.0, "tasks": 0, "runs": 0}
+    )
+    with open(paths[-1]) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                name = si["Stage Name"].split("\n")[0]
+                by_id[si["Stage ID"]] = name
+                a = agg[name]
+                a["wall_ms"] += si.get("Completion Time", 0) - si.get(
+                    "Submission Time", 0
+                )
+                a["runs"] += 1
+            elif kind == "SparkListenerTaskEnd":
+                name = by_id.get(ev.get("Stage ID"))
+                m = ev.get("Task Metrics") or {}
+                # task-end can precede its stage-completed event: key by
+                # stage id now, remap at the end
+                key = name if name is not None else ("#%d" % ev.get("Stage ID", -1))
+                a = agg[key]
+                a["run_ms"] += m.get("Executor Run Time", 0)
+                a["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
+                a["gc_ms"] += m.get("JVM GC Time", 0)
+                rd = m.get("Shuffle Read Metrics") or {}
+                wr = m.get("Shuffle Write Metrics") or {}
+                a["sh_read_mb"] += (
+                    rd.get("Local Bytes Read", 0) + rd.get("Remote Bytes Read", 0)
+                ) / 1e6
+                a["sh_write_mb"] += wr.get("Shuffle Bytes Written", 0) / 1e6
+                a["tasks"] += 1
+    # fold '#id' placeholder keys into their named stage
+    for k in [k for k in agg if k.startswith("#")]:
+        sid = int(k[1:])
+        name = by_id.get(sid)
+        if name:
+            for f2, v in agg.pop(k).items():
+                agg[name][f2] += v
+    return dict(agg)
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    replication = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    results = {}
+    for cpus in (low, high):
+        ev_dir = tempfile.mkdtemp(prefix=f"lcs-ev-{cpus}-")
+        try:
+            fr = run_frontier(cpus, replication, ev_dir)
+            stages = parse_eventlog(ev_dir)
+        finally:
+            shutil.rmtree(ev_dir, ignore_errors=True)
+        results[cpus] = {"frontier": fr, "stages": stages}
+        print(f"-- local[{cpus}]: {fr['sec']} s, "
+              f"{fr['urls_per_sec']} URLs/s", flush=True)
+
+    lo_s, hi_s = results[low]["stages"], results[high]["stages"]
+    names = sorted(
+        set(lo_s) | set(hi_s),
+        key=lambda n: -(lo_s.get(n, {}).get("wall_ms", 0)),
+    )
+    print(f"\n| stage | wall s @{low} | wall s @{high} | speedup | "
+          f"cpu/run @{high} | gc s @{high} | shW MB | tasks @{high} |")
+    print("|---|---|---|---|---|---|---|---|")
+    for n in names:
+        a, b = lo_s.get(n), hi_s.get(n)
+        if not a or not b or a["wall_ms"] < 200:
+            continue
+        cpu_frac = (b["cpu_ms"] / b["run_ms"]) if b["run_ms"] else 0.0
+        print(
+            f"| {n[:48]} | {a['wall_ms']/1e3:.2f} | {b['wall_ms']/1e3:.2f} "
+            f"| {a['wall_ms']/max(b['wall_ms'],1):.2f}x "
+            f"| {cpu_frac:.2f} | {b['gc_ms']/1e3:.1f} "
+            f"| {b['sh_write_mb']:.0f} | {b['tasks']} |"
+        )
+    eff = (
+        (results[high]["frontier"]["urls_per_sec"]
+         / results[low]["frontier"]["urls_per_sec"])
+        / (high / low)
+    )
+    print(f"\njob-level efficiency {low}->{high}: {eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()
