@@ -296,6 +296,31 @@ def d1_bloom_unseen(spark, sf_dir):
     return filter_unseen(cand, seen, bloom).select("doc_id")
 
 
+def d1_cuckoo_unseen(spark, sf_dir):
+    """D1 over the DELETABLE seen-set variant (operators/cuckoo.py): the
+    cuckoo directory built from the even docs, then the %6 == 0 keys are
+    EVICTED (the recrawl re-admission path Bloom cannot express) from
+    both the directory and the exact table. filter_unseen takes the
+    cuckoo set through the same duck-typed surface as Bloom; the oracle
+    is the plain set algebra the probe+evict+confirm pipeline must equal
+    exactly (per-insert one stored copy, per-delete exactly one removed,
+    FPs exact-confirmed, no false negatives)."""
+    from licenta_crawler_spark.operators.cuckoo import CuckooShardSet
+
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(
+        "doc_id",
+        F.sha1(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("url_sha1"),
+    )
+    seen0 = cand.filter(F.col("doc_id") % 2 == 0)
+    ck = CuckooShardSet(8, 1 << 10).build(seen0.select("url_sha1"))
+    ck = ck.delete(
+        seen0.filter(F.col("doc_id") % 6 == 0).select("url_sha1")
+    )
+    seen = seen0.filter(F.col("doc_id") % 6 != 0).select("url_sha1")
+    return filter_unseen(cand, seen, ck).select("doc_id")
+
+
 def o1_politeness_schedule(spark, sf_dir):
     """O1 per-host politeness schedule: min-heap per host, budget-capped
     emission, virtual clocks spaced crawl_delay apart — the applyInPandas
@@ -1945,6 +1970,7 @@ QUERIES = {
     # state-machine replays; top_bigrams rotates into the r04 window)
     "top_bigrams": top_bigrams,
     "q1_pricing_summary": q1_pricing_summary,
+    "d1_cuckoo_unseen": d1_cuckoo_unseen,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_volume": q5_nation_volume,
     "d1_unseen_anti_join": d1_unseen_anti_join,
@@ -2640,6 +2666,12 @@ ORACLE_SQL = {
     """,
     "d1_bloom_unseen": """
         SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+    """,
+    # cuckoo variant: evens inserted, %6 evicted — eviction must EXACTLY
+    # restore those keys to unseen (one stored copy per insert, one
+    # removed per delete; shared-fingerprint neighbors keep their copy)
+    "d1_cuckoo_unseen": """
+        SELECT doc_id FROM documents WHERE doc_id % 2 <> 0 OR doc_id % 6 = 0
     """,
     "o1_politeness_schedule": """
         SELECT user_id::VARCHAR AS host, 'u/' || event_id AS url,

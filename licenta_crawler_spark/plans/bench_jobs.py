@@ -203,11 +203,17 @@ def crawl_e2e(spark: SparkSession, corpus: Corpus, max_per_host: int = 64) -> di
     n_docs = state.documents.count()
     elapsed = time.perf_counter() - t0
     n_fetched = sum(m["n_fetched"] for m in state.metrics)
+    # per-wave Spark-job counts (VERDICT r02 item 9): the wave loop's
+    # overhead regression guard — a structural change that adds jobs per
+    # wave shows up HERE, not just as wall-clock noise
+    jobs_per_wave = [m["spark_jobs"] for m in state.metrics if "spark_jobs" in m]
     return {
         "urls_discovered": int(n_urls),
         "docs": int(n_docs),
         "pages_fetched": n_fetched,
         "waves": state.wave,
+        "spark_jobs_total": sum(jobs_per_wave),
+        "spark_jobs_per_wave": jobs_per_wave,
         "sec": round(elapsed, 3),
         "urls_per_sec": round(n_urls / elapsed, 1),
         "pages_per_sec": round(n_fetched / elapsed, 1),

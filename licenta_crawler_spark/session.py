@@ -41,13 +41,22 @@ def get_spark(
         .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", "48g")
     )
+    # JVM flag hook (GC experiments — tools/stage_breakdown.py findings):
+    # local mode runs executors inside the driver JVM, so driver opts
+    # govern the whole job
+    jopts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if jopts:
+        b = b.config("spark.driver.extraJavaOptions", jopts)
     # profiling hook (tools/stage_breakdown.py): event-log the app so
     # per-stage wall/cpu/GC can be compared across parallelism levels
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
     if ev_dir:
         os.makedirs(ev_dir, exist_ok=True)
-        b = b.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", ev_dir
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", ev_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,111 @@
+"""Cuckoo-filter URL-seen set (operators/cuckoo.py): the deletable
+sibling of the Bloom shards — no false negatives, bounded FPP, deletion
+reopens URLs (the recrawl eviction path), drop-in filter_unseen
+equivalence with the Bloom directory and the exact join, and the
+overfull-capacity contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from licenta_crawler_spark.operators.cuckoo import CuckooShardSet
+from licenta_crawler_spark.operators.seen import BloomShardSet, filter_unseen
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def _keys(spark, prefix, n, lo=0):
+    return spark.createDataFrame(
+        [(_sha(f"{prefix}-{i}"),) for i in range(lo, lo + n)], ["url_sha1"]
+    )
+
+
+@pytest.mark.parametrize("bc_max", [4 << 20, 0])  # broadcast + cogroup probes
+def test_cuckoo_no_false_negatives(spark, bc_max):
+    df = _keys(spark, "url", 3000)
+    ck = CuckooShardSet(n_shards=8, buckets_per_shard=1 << 10,
+                        broadcast_max_bytes=bc_max).build(df)
+    probed = ck.maybe_seen_col(df).collect()
+    assert all(r["_maybe_seen"] for r in probed)
+
+
+def test_cuckoo_fpp_bounded(spark):
+    seen = _keys(spark, "url", 3000)
+    fresh = _keys(spark, "new", 3000)
+    ck = CuckooShardSet(n_shards=8, buckets_per_shard=1 << 10).build(seen)
+    hits = ck.maybe_seen_col(fresh).filter("_maybe_seen").count()
+    # 16-bit fingerprints, 4 slots: FPP ~ 8/2^16 ≈ 0.012% — allow 100x
+    assert hits / 3000 < 0.0125
+
+
+def test_cuckoo_incremental_build(spark):
+    a = _keys(spark, "a", 800)
+    b = _keys(spark, "b", 800)
+    ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 10).build(a).build(b)
+    both = a.unionByName(b)
+    assert ck.maybe_seen_col(both).filter("_maybe_seen").count() == 1600
+
+
+def test_cuckoo_delete_reopens_urls(spark):
+    """The capability Bloom lacks: evicting a key makes a later probe
+    report it unseen (recrawl re-admission), without touching the other
+    keys and without rebuilding the directory."""
+    df = _keys(spark, "url", 2000)
+    gone = _keys(spark, "url", 500)          # urls 0..499 evicted
+    kept = _keys(spark, "url", 1500, lo=500)
+    ck = CuckooShardSet(n_shards=8, buckets_per_shard=1 << 10).build(df)
+    ck2 = ck.delete(gone)
+    # every kept key still present (deletion cannot introduce false negatives
+    # for OTHER keys: it removes exactly one matching fingerprint per row)
+    assert ck2.maybe_seen_col(kept).filter("_maybe_seen").count() == 1500
+    # evicted keys read unseen up to the residual FP rate
+    still = ck2.maybe_seen_col(gone).filter("_maybe_seen").count()
+    assert still / 500 < 0.01
+    # deleting keys never inserted is a harmless no-op
+    ck3 = ck2.delete(_keys(spark, "ghost", 300))
+    assert ck3.maybe_seen_col(kept).filter("_maybe_seen").count() == 1500
+
+
+def test_cuckoo_filter_unseen_drop_in(spark):
+    """filter_unseen takes the cuckoo directory unmodified (duck-typed
+    BloomShardSet surface) and returns EXACTLY the anti-join rows — in
+    both probe regimes, matching the Bloom directory's output."""
+    seen = _keys(spark, "u", 1000)
+    cand = spark.createDataFrame(
+        [(_sha(f"u-{i}"), f"u-{i}") for i in range(900, 1100)],
+        ["url_sha1", "url"],
+    )
+    want = {f"u-{i}" for i in range(1000, 1100)}
+    for bc_max in (4 << 20, 0):
+        ck = CuckooShardSet(n_shards=4, buckets_per_shard=1 << 10,
+                            broadcast_max_bytes=bc_max).build(seen)
+        got = {r["url"] for r in filter_unseen(cand, seen, ck).collect()}
+        assert got == want
+    bl = BloomShardSet(n_shards=4, m_bits=1 << 14, k=5).build(seen)
+    got_bloom = {r["url"] for r in filter_unseen(cand, seen, bl).collect()}
+    assert got_bloom == want
+
+
+def test_cuckoo_overfull_raises(spark):
+    """Capacity is a hard contract (like Bloom's m_bits): inserting past
+    ~max load raises instead of silently degrading."""
+    df = _keys(spark, "x", 600)
+    ck = CuckooShardSet(n_shards=1, buckets_per_shard=1 << 3, slots=4)
+    with pytest.raises(Exception, match="overfull"):
+        ck.build(df).shards_df.collect()
+
+
+def test_cuckoo_high_load_build(spark):
+    """The vectorized round/eviction insert reaches ~90% load without
+    overflow (the Fan et al. operating point for b=4)."""
+    n_buckets, slots, n_shards = 1 << 8, 4, 4
+    cap = n_buckets * slots * n_shards
+    n = int(cap * 0.90)
+    df = _keys(spark, "load", n)
+    ck = CuckooShardSet(n_shards=n_shards, buckets_per_shard=n_buckets,
+                        slots=slots).build(df)
+    assert ck.maybe_seen_col(df).filter("_maybe_seen").count() == n

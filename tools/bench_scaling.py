@@ -59,7 +59,15 @@ def measure(levels: list[int], replication: int, repeats: int) -> dict[int, dict
     for _ in range(repeats):
         for lv in levels:  # alternate so host noise hits all levels equally
             runs[lv].append(run_once(lv, replication))
-    return {lv: min(rs, key=lambda r: r["sec"]) for lv, rs in runs.items()}
+    out = {}
+    for lv, rs in runs.items():
+        best = dict(min(rs, key=lambda r: r["sec"]))
+        # publish every sample, not just the min — the host is bimodal
+        # (fast windows ~0.1% steal vs slow windows dominated by %system)
+        # and the reader must see the spread the min was taken over
+        best["samples_sec"] = [r["sec"] for r in rs]
+        out[lv] = best
+    return out
 
 
 def eff(lo: dict, hi: dict) -> float:
@@ -117,7 +125,8 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{r['cpus']}] | {r['raw_urls']:,} | {r['pages_fetched']:,} | "
-        f"{r['sec']} | {r['urls_per_sec']:,} | {r['pages_per_sec']:,} |"
+        f"{r['sec']} | {r['urls_per_sec']:,} | {r['pages_per_sec']:,} | "
+        f"{', '.join(f'{s}' for s in r['samples_sec'])} |"
         for r in (a, b, ctx32)
     )
     md = f"""# BENCH — measured throughput + scaling efficiency
@@ -133,8 +142,8 @@ the two levels alternated, because the shared sandbox host's available
 throughput fluctuates. See `licenta_crawler_spark/plans/bench_jobs.py` and
 `tools/bench_scaling.py`.
 
-| parallelism | raw URLs | pages fetched | sec | URLs/sec | pages/sec |
-|---|---|---|---|---|---|
+| parallelism | raw URLs | pages fetched | sec (min of {repeats}) | URLs/sec | pages/sec | all samples (sec) |
+|---|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency N→4N ({low}→{high} cores): {e:.3f}**

@@ -53,13 +53,25 @@ def parse_eventlog(ev_dir: str) -> dict[str, dict]:
     paths = sorted(glob.glob(os.path.join(ev_dir, "*")), key=os.path.getmtime)
     if not paths:
         raise SystemExit(f"no event log in {ev_dir}")
+    if os.path.isdir(paths[-1]):  # Spark 4 rolling layout: dir of events_* parts
+        parts = sorted(glob.glob(os.path.join(paths[-1], "events_*")))
+        if not parts:
+            raise SystemExit(f"no events_* parts in {paths[-1]}")
+        paths = parts
+    else:
+        paths = [paths[-1]]
     by_id: dict[int, str] = {}
     agg: dict[str, dict] = defaultdict(
         lambda: {"wall_ms": 0, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
                  "sh_read_mb": 0.0, "sh_write_mb": 0.0, "tasks": 0, "runs": 0}
     )
-    with open(paths[-1]) as f:
-        for line in f:
+    def lines():
+        for p in paths:
+            with open(p) as f:
+                yield from f
+
+    for line in lines():
+        if True:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
