@@ -78,6 +78,18 @@ def _bucket1(h1: np.ndarray, n_buckets: int) -> np.ndarray:
     return ((h1 >> np.uint64(20)) & np.uint64(n_buckets - 1)).astype(np.int64)
 
 
+def _fpb(pdf: pd.DataFrame, n_buckets: int):
+    """(fingerprint, bucket1) arrays for a hashed-key pandas batch."""
+    h1 = pdf["_h1"].to_numpy(dtype=np.uint64)
+    h2 = pdf["_h2"].to_numpy(dtype=np.uint64)
+    return _fingerprint(h2), _bucket1(h1, n_buckets)
+
+
+def _decode(blob, n_buckets: int, slots: int) -> np.ndarray:
+    return (np.frombuffer(blob, dtype=np.uint16)
+            .reshape(n_buckets, slots).copy())
+
+
 def _rank_within(groups: np.ndarray) -> np.ndarray:
     """For a SORTED group-id array: 0,1,2,... within each run."""
     idx = np.arange(len(groups))
@@ -111,23 +123,29 @@ def _bulk_insert(table: np.ndarray, f: np.ndarray, b1: np.ndarray,
             pf, pb = pf[~place], pb[~place]
         if len(pf) == 0:
             return
-        if r % 2 == 0:
-            # flip losers to their alternate bucket for the next round
+        if r < 2:
+            # each key tries both its buckets placement-only first
             pb = _alt_bucket(pb, pf, n_buckets)
-        else:
-            # eviction: kick slot (r mod slots) of the FIRST pending row
-            # per bucket; the victim re-homes to ITS alternate bucket
-            order = np.argsort(pb, kind="stable")
-            pf, pb = pf[order], pb[order]
-            lead = _rank_within(pb) == 0
-            vslot = (r // 2) % slots
-            vf = table[pb[lead], vslot].copy()
-            table[pb[lead], vslot] = pf[lead]
-            new_f = np.concatenate([pf[~lead], vf])
-            new_b = np.concatenate(
-                [pb[~lead], _alt_bucket(pb[lead], vf, n_buckets)]
-            )
-            pf, pb = new_f, new_b
+            continue
+        # eviction (the cuckoo random walk, batched): the FIRST pending
+        # row per bucket kicks a slot chosen per-ROW and per-ROUND —
+        # hash(f, r) — and places itself; the victim re-homes to ITS
+        # alternate bucket (partial-key property). The slot choice MUST
+        # vary per row and round: a globally synchronized slot index
+        # lets two keys kick each other back in a perfect 2-cycle
+        # forever (observed: a handful of keys homeless at 80% load).
+        # Non-lead rows flip to their alternate bucket, desynchronizing
+        # the walk further.
+        lead = _rank_within(pb) == 0
+        vslot = ((pf[lead].astype(np.int64) * 31) + r * 7) % slots
+        vf = table[pb[lead], vslot].copy()
+        table[pb[lead], vslot] = pf[lead]
+        new_f = np.concatenate([pf[~lead], vf])
+        new_b = np.concatenate(
+            [_alt_bucket(pb[~lead], pf[~lead], n_buckets),
+             _alt_bucket(pb[lead], vf, n_buckets)]
+        )
+        pf, pb = new_f, new_b
     raise RuntimeError(
         f"cuckoo shard overfull: {len(pf)} keys homeless after "
         f"{max_rounds} rounds — raise buckets_per_shard (capacity contract)"
@@ -205,17 +223,6 @@ class CuckooShardSet:
             "_shard", F.pmod(F.col("_h1"), F.lit(self.n_shards)).cast("int")
         )
 
-    def _fpb(self, pdf: pd.DataFrame):
-        h1 = pdf["_h1"].to_numpy(dtype=np.uint64)
-        h2 = pdf["_h2"].to_numpy(dtype=np.uint64)
-        return _fingerprint(h2), _bucket1(h1, self.n_buckets)
-
-    def _decode(self, blob) -> np.ndarray:
-        return (np.frombuffer(blob, dtype=np.uint16)
-                .reshape(self.n_buckets, self.slots).copy())
-
-    def _empty(self) -> np.ndarray:
-        return np.zeros((self.n_buckets, self.slots), dtype=np.uint16)
 
     # ---------------------------------------------------------------- build
     def build(self, df: DataFrame, sha1_col: str = "url_sha1",
@@ -225,15 +232,17 @@ class CuckooShardSet:
         — tables never leave the executors. Same ``materialize`` contract
         as BloomShardSet.build (wave loop parquet-truncates its own way).
         """
+        # close over PRIMITIVES only — a `self` capture would drag the
+        # shards DataFrame/SparkSession into the worker pickle (SPARK-5063)
         n_buckets, slots = self.n_buckets, self.slots
-        me = self
 
         def upsert(keys: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
             if len(keys) == 0:
                 return shard_rows[["shard", "bits"]]
-            table = (me._decode(shard_rows["bits"].iloc[0])
-                     if len(shard_rows) else me._empty())
-            f, b1 = me._fpb(keys)
+            table = (_decode(shard_rows["bits"].iloc[0], n_buckets, slots)
+                     if len(shard_rows) else
+                     np.zeros((n_buckets, slots), dtype=np.uint16))
+            f, b1 = _fpb(keys, n_buckets)
             _bulk_insert(table, f, b1, n_buckets)
             return pd.DataFrame({"shard": [int(keys["_shard"].iloc[0])],
                                  "bits": [table.tobytes()]})
@@ -259,8 +268,7 @@ class CuckooShardSet:
         removed, so a later probe reports the URL unseen and the frontier
         re-admits it. Same cogrouped, executor-resident shape as build;
         deleting an absent key is a no-op."""
-        n_buckets = self.n_buckets
-        me = self
+        n_buckets, slots = self.n_buckets, self.slots
 
         def drop(keys: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
             if len(shard_rows) == 0:
@@ -269,9 +277,9 @@ class CuckooShardSet:
                     {"shard": pd.array([], dtype="int32"),
                      "bits": pd.array([], dtype=object)}
                 )
-            table = me._decode(shard_rows["bits"].iloc[0])
+            table = _decode(shard_rows["bits"].iloc[0], n_buckets, slots)
             if len(keys):
-                f, b1 = me._fpb(keys)
+                f, b1 = _fpb(keys, n_buckets)
                 _bulk_delete(table, f, b1, n_buckets)
             return pd.DataFrame({"shard": [int(shard_rows["shard"].iloc[0])],
                                  "bits": [table.tobytes()]})
@@ -311,8 +319,7 @@ class CuckooShardSet:
         """Adds boolean ``_maybe_seen`` — adaptive broadcast/cogroup probe,
         bit-for-bit the BloomShardSet contract so plans/wave.filter_unseen
         takes either directory unmodified."""
-        n_buckets = self.n_buckets
-        me = self
+        n_buckets, slots = self.n_buckets, self.slots
         cols = df.columns
         if self.shards_df is None:
             return df.withColumn("_maybe_seen", F.lit(False))
@@ -348,8 +355,9 @@ class CuckooShardSet:
         ) + ", _maybe_seen boolean"
 
         def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            table = me._decode(right["bits"].iloc[0]) if len(right) else None
-            f, b1 = me._fpb(left)
+            table = (_decode(right["bits"].iloc[0], n_buckets, slots)
+                     if len(right) else None)
+            f, b1 = _fpb(left, n_buckets)
             hit = _probe_table(table, f, b1, n_buckets)
             return left.drop(columns=["_h1", "_h2", "_shard"]).assign(
                 _maybe_seen=hit)
