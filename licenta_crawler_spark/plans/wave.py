@@ -89,6 +89,12 @@ class EngineConfig:
     # threshold is crossed in the first waves; on tiny corpora it never
     # is and the wave loop stays lean. 0 = always engage (tests).
     bloom_min_seen: int = 100_000
+    # URL-seen directory backend: "bloom" (append-only, smallest bytes
+    # per key) or "cuckoo" (operators/cuckoo.py — DELETABLE: recrawl
+    # eviction via evict_seen without a directory rebuild, FPP ~0.012%).
+    # Same adaptive engagement, probe strategies, and checkpoint story.
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 14  # per shard; capacity = shards*buckets*4
     track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
@@ -130,9 +136,7 @@ class CrawlEngine:
         self.resolver_bc = resolver_bc
         self.robots = robots.cache()
         self.cfg = config or EngineConfig()
-        self.bloom = BloomShardSet(
-            self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
-        )
+        self.bloom = self._new_directory()
         # scratch dir for per-wave state truncation when no durable
         # checkpointer is configured (see _checkpoint for why parquet)
         self._scratch = tempfile.mkdtemp(prefix="lcs-state-")
@@ -287,6 +291,51 @@ class CrawlEngine:
         except Exception:
             return -1
 
+    def _new_directory(self, shards_df: DataFrame | None = None):
+        """Fresh (or re-wrapped) URL-seen directory for the configured
+        backend — the two classes share the duck-typed surface
+        filter_unseen consumes (build / maybe_seen_col / shards_df)."""
+        if self.cfg.seen_filter == "cuckoo":
+            from licenta_crawler_spark.operators.cuckoo import CuckooShardSet
+
+            return CuckooShardSet(
+                self.cfg.bloom_shards, self.cfg.cuckoo_buckets,
+                shards_df=shards_df,
+            )
+        return BloomShardSet(
+            self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k,
+            shards_df=shards_df,
+        )
+
+    def evict_seen(self, st: CrawlState, keys: DataFrame) -> CrawlState:
+        """Recrawl eviction: remove ``keys`` (column ``url_sha1``) from
+        BOTH the exact seen table and the shard directory so the next
+        wave re-admits those URLs. Requires the deletable backend —
+        a Bloom directory cannot unset bits, which is exactly why the
+        north star names the cuckoo alternative. Control-plane rare-path:
+        one anti-join + one cogrouped delete, both distributed."""
+        if self.cfg.seen_filter != "cuckoo":
+            raise ValueError(
+                "evict_seen needs seen_filter='cuckoo' — the Bloom "
+                "directory is append-only (bits cannot be unset)"
+            )
+        import dataclasses
+
+        new_log = st.crawl_log.join(
+            keys.select("url_sha1"), "url_sha1", "left_anti"
+        )
+        new_log = self._materialize("crawl_log", new_log, st.wave,
+                                    force_parquet=True)
+        if self.bloom.shards_df is not None:
+            deleted = self.bloom.delete(keys.select("url_sha1"),
+                                        materialize="none")
+            shards = self._materialize(self._bloom_table(),
+                                       deleted.shards_df, st.wave,
+                                       force_parquet=True)
+            self.bloom = self._new_directory(shards_df=shards)
+        self._seen_count = new_log.count()
+        return dataclasses.replace(st, crawl_log=new_log)
+
     def _advance_bloom(self, log_rows: DataFrame, wave: int) -> None:
         """Merge this wave's keys into the shard directory and truncate it
         through a parquet round-trip EVERY wave (tiny: n_shards rows). A
@@ -298,9 +347,7 @@ class CrawlEngine:
         built = self.bloom.build(log_rows.select("url_sha1"), materialize="none")
         shards = self._materialize(self._bloom_table(), built.shards_df, wave,
                                    force_parquet=True)
-        self.bloom = BloomShardSet(
-            built.n_shards, built.m_bits, built.k, shards_df=shards
-        )
+        self.bloom = self._new_directory(shards_df=shards)
 
     def _bloom_table(self) -> str:
         """Committed shard-directory table name, keyed by the Bloom
@@ -308,6 +355,9 @@ class CrawlEngine:
         a clean KeyError -> full rebuild instead of silently probing a
         directory hashed under different parameters (which would create
         Bloom false negatives -> re-crawled URLs)."""
+        if self.cfg.seen_filter == "cuckoo":
+            return (f"cuckoo_shards_{self.cfg.bloom_shards}"
+                    f"x{self.cfg.cuckoo_buckets}x4")
         return (f"bloom_shards_{self.cfg.bloom_shards}"
                 f"x{self.cfg.bloom_bits}x{self.cfg.bloom_k}")
 
@@ -759,16 +809,18 @@ class CrawlEngine:
                         spark, self._bloom_table()
                     ).localCheckpoint()
                     probe = shards.limit(1).collect()
-                    if probe and len(probe[0]["bits"]) * 8 != self.cfg.bloom_bits:
-                        raise KeyError("bloom config changed; rebuild")
-                    self.bloom = BloomShardSet(
-                        self.cfg.bloom_shards, self.cfg.bloom_bits,
-                        self.cfg.bloom_k, shards_df=shards,
+                    expected_bytes = (
+                        self.cfg.cuckoo_buckets * 4 * 2
+                        if self.cfg.seen_filter == "cuckoo"
+                        else self.cfg.bloom_bits // 8
                     )
+                    if probe and len(probe[0]["bits"]) != expected_bytes:
+                        raise KeyError("seen-directory config changed; rebuild")
+                    self.bloom = self._new_directory(shards_df=shards)
                 except KeyError:
-                    self.bloom = BloomShardSet(
-                        self.cfg.bloom_shards, self.cfg.bloom_bits, self.cfg.bloom_k
-                    ).build(st.crawl_log.select("url_sha1"))
+                    self.bloom = self._new_directory().build(
+                        st.crawl_log.select("url_sha1")
+                    )
         return st
 
     # ---------------------------------------------------------------- run
