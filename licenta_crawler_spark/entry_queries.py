@@ -1545,6 +1545,75 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Correlated MIN subquery (TPC-H q2 shape, adapted: the testdata has
+    no partsupp, so the 'cheapest offer per part' relation is lineitem
+    priced in exact integer cents): line items hitting their part's
+    minimum extended price, aggregated per part. Catalyst decorrelates
+    the scalar subquery into an aggregate + join; cents are BIGINT so
+    the min-equality is exact in both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2_l")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(round(min(l.l_extendedprice) * 100) AS BIGINT)
+                 AS min_price_cents,
+               count(DISTINCT l.l_suppkey) AS n_min_suppliers
+        FROM _q2_l l
+        WHERE CAST(round(l.l_extendedprice * 100) AS BIGINT) =
+              (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+               FROM _q2_l l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+        """
+    )
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """Filtered LEFT OUTER join + two-level aggregation (TPC-H q13
+    shape): customers by how many non-urgent orders they placed —
+    including the zero-order customers the outer join preserves — then
+    the distribution of those counts. The filter lives in the JOIN
+    CONDITION (not a WHERE, which would turn the outer join inner)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q20_part_quantity_suppliers(spark, sf_dir):
+    """Nested semi-join chain (TPC-H q20 shape): suppliers who shipped
+    more than 150 units of some part whose name contains 'a' — an IN
+    whose subquery itself contains an IN, both becoming LeftSemi joins
+    under Catalyst (quantities are integer-valued doubles; the HAVING
+    sum is exact)."""
+    for name in ("supplier", "lineitem", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"_q20_{name}")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM _q20_supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM _q20_lineitem l
+          WHERE l.l_partkey IN (
+            SELECT p.p_partkey FROM _q20_part p WHERE p.p_name LIKE '%a%'
+          )
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 150
+        )
+        """
+    )
+
+
 def label_centroids(spark, sf_dir):
     """Per-class embedding centroids in fixed point: posexplode the
     vector, quantize each component to trunc(x*1000) (the repo's
@@ -1971,6 +2040,9 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "q1_pricing_summary": q1_pricing_summary,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q20_part_quantity_suppliers": q20_part_quantity_suppliers,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_volume": q5_nation_volume,
     "d1_unseen_anti_join": d1_unseen_anti_join,
@@ -2672,6 +2744,40 @@ ORACLE_SQL = {
     # removed per delete; shared-fingerprint neighbors keep their copy)
     "d1_cuckoo_unseen": """
         SELECT doc_id FROM documents WHERE doc_id % 2 <> 0 OR doc_id % 6 = 0
+    """,
+    "q2_min_cost_supplier": """
+        SELECT l.l_partkey,
+               CAST(round(min(l.l_extendedprice) * 100) AS BIGINT)
+                 AS min_price_cents,
+               count(DISTINCT l.l_suppkey)::BIGINT AS n_min_suppliers
+        FROM lineitem l
+        WHERE CAST(round(l.l_extendedprice * 100) AS BIGINT) =
+              (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """,
+    "q20_part_quantity_suppliers": """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+            SELECT p.p_partkey FROM part p WHERE p.p_name LIKE '%a%'
+          )
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 150
+        )
     """,
     "o1_politeness_schedule": """
         SELECT user_id::VARCHAR AS host, 'u/' || event_id AS url,
