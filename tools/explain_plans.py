@@ -42,6 +42,9 @@ SHOW = [
     "q17_small_quantity_revenue",  # correlated scalar subquery DECORRELATED to agg+join
     "q4_priority_with_returns",    # correlated EXISTS -> LeftSemi join
     "label_centroids",         # posexplode -> two-phase HashAggregate, map-side combine
+    "q2_min_cost_supplier",    # correlated MIN decorrelated (integer cents)
+    "q13_order_count_distribution",  # filtered LEFT OUTER preserved + 2-level agg
+    "q20_part_quantity_suppliers",   # IN-in-IN -> chained LeftSemi joins
 ]
 
 CHECKS = {
@@ -62,6 +65,9 @@ CHECKS = {
     "q17_small_quantity_revenue": ["HashAggregate", "Join"],
     "q4_priority_with_returns": ["LeftSemi"],
     "label_centroids": ["Generate", "HashAggregate"],
+    "q2_min_cost_supplier": ["HashAggregate", "Join"],
+    "q13_order_count_distribution": ["LeftOuter", "HashAggregate"],
+    "q20_part_quantity_suppliers": ["LeftSemi"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -75,6 +81,8 @@ ANTI_CHECKS = {
     # decorrelation must produce a relational plan, not a per-row subquery
     "q17_small_quantity_revenue": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "q4_priority_with_returns": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "q2_min_cost_supplier": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "q20_part_quantity_suppliers": ["BroadcastNestedLoopJoin", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
