@@ -32,6 +32,49 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _enc_bound(v):
+    """JSON-safe encoding of a parquet stat value; comparisons happen in
+    the ENCODED domain (ISO strings order chronologically, so timestamp
+    range tests stay correct)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        return None  # binary bounds are truncation-prone; don't skip on them
+    try:
+        return v.isoformat()  # date/datetime
+    except AttributeError:
+        return None
+
+
+def _column_bounds(md) -> dict:
+    """Per-file [min, max] for every top-level column with usable parquet
+    row-group statistics — Iceberg's per-file column bounds, recorded in
+    the manifest at commit time so readers (load range_filter,
+    merge_upsert) can skip whole files from METADATA alone, no footer
+    reads at query time."""
+    bounds: dict = {}
+    dropped: set = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: file-level bounds don't apply
+            st = col.statistics
+            lo = _enc_bound(st.min) if st and st.has_min_max else None
+            hi = _enc_bound(st.max) if st and st.has_min_max else None
+            if lo is None or hi is None:
+                bounds.pop(name, None)
+                dropped.add(name)  # one statless row group poisons the file
+                continue
+            if name in bounds:
+                bounds[name] = [min(bounds[name][0], lo), max(bounds[name][1], hi)]
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
+
 class IcebergLayoutCatalog:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -78,7 +121,7 @@ class IcebergLayoutCatalog:
             files.append(
                 {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
                  "bytes": f.stat().st_size, "partition_id": len(files),
-                 "partition": parts}
+                 "partition": parts, "stats": _column_bounds(md)}
             )
         manifest = {
             "snapshot": snap_id, "table": table, "files": files,
@@ -133,6 +176,7 @@ class IcebergLayoutCatalog:
     def load(
         self, spark: SparkSession, table: str, snapshot: str | None = None,
         partition_filter: dict | None = None,
+        range_filter: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``partition_filter`` ({col: value, ...})
         prunes at the MANIFEST: only data files whose recorded partition
@@ -140,7 +184,15 @@ class IcebergLayoutCatalog:
         pruning, no directory listing and no footer reads for skipped
         files. (A filter on the returned DataFrame prunes too, via hive
         paths — manifest pruning moves the decision into the snapshot
-        metadata, which is what scales when one table has 10^5 files.)"""
+        metadata, which is what scales when one table has 10^5 files.)
+
+        ``range_filter`` ({col: (lo, hi), ...}, inclusive, either bound
+        None = open) prunes via the per-file column BOUNDS the manifest
+        records at commit time — data skipping on any stats-bearing
+        column, not just partition columns. Files lacking stats for a
+        filtered column are conservatively kept. NOTE: pruning only —
+        the returned rows still need the row-level filter applied (same
+        contract as Iceberg scan planning)."""
         snap_id = snapshot or self.current_snapshot(table)
         if snap_id is None:
             raise KeyError(f"table {table!r} has no snapshot")
@@ -161,6 +213,20 @@ class IcebergLayoutCatalog:
                 if all(f["partition"].get(k) == str(v)
                        for k, v in partition_filter.items())
             ]
+        if range_filter:
+            def keep(f):
+                for col, (lo, hi) in range_filter.items():
+                    b = (f.get("stats") or {}).get(col)
+                    if b is None:
+                        continue  # no bounds recorded: cannot skip
+                    lo_e, hi_e = _enc_bound(lo), _enc_bound(hi)
+                    if hi_e is not None and b[0] > hi_e:
+                        return False
+                    if lo_e is not None and b[1] < lo_e:
+                        return False
+                return True
+
+            files = [f for f in files if keep(f)]
         if not files:
             return spark.createDataFrame([], schema)
         if manifest.get("partition_by"):
@@ -241,7 +307,7 @@ class IcebergLayoutCatalog:
                 {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
                  "bytes": f.stat().st_size,
                  "partition_id": len(parent_files) + len(new_files),
-                 "partition": {}}
+                 "partition": {}, "stats": _column_bounds(md)}
             )
         files = parent_files + new_files
         manifest = {"snapshot": snap_id, "table": table, "files": files,
@@ -287,6 +353,111 @@ class IcebergLayoutCatalog:
                 return info["batch_id"]
             snap_id = info["parent_snapshot_id"]
         return None
+
+    # ---------------------------------------------------------------- merge
+    def merge_upsert(
+        self, spark: SparkSession, table: str, updates: DataFrame, key: str,
+    ) -> str:
+        """Copy-on-write MERGE (Iceberg upsert keyed on ``key``): update
+        rows replace same-key rows, new keys insert — committed as one
+        snapshot (operation 'merge'). Only data files whose manifest
+        key BOUNDS overlap the update batch are read and rewritten;
+        every other file is CARRIED into the new manifest by reference,
+        zero IO. That is what makes a narrow upsert against a 10^5-file
+        table O(files touched), not O(table) — the per-file column
+        bounds recorded at commit time (``_column_bounds``) are the
+        pruning index, the same metadata Iceberg keeps. Files without
+        usable key stats are conservatively treated as affected.
+
+        The K1 page-upsert path at catalog grain: the wave engine's
+        in-memory union-dedup upsert (operators/seen.py K1) becomes a
+        durable keyed merge when state lives in the catalog."""
+        cur = self.current_snapshot(table)
+        if cur is None:  # first write: the merge IS the table
+            return self.commit_table(table, updates, wave=0)
+        info = self.snapshot_info(table, cur)
+        manifest = json.loads((self.root / info["manifest"]).read_text())
+        if manifest.get("partition_by"):
+            raise ValueError(
+                f"table {table!r} is hive-partitioned; merge_upsert "
+                "supports unpartitioned tables — use commit_table"
+            )
+        from pyspark.sql import functions as F
+
+        lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
+        lo, hi = _enc_bound(lo), _enc_bound(hi)
+        if lo is None:  # empty or unencodable update batch: no-op merge
+            return cur
+        carried, affected = [], []
+        for f in manifest["files"]:
+            b = (f.get("stats") or {}).get(key)
+            if b is not None and (b[1] < lo or b[0] > hi):
+                carried.append(f)
+            else:
+                affected.append(f)
+
+        snap_id = f"m{info['wave']:06d}-{uuid.uuid4().hex[:8]}"
+        tdir = self.root / table
+        data_dir = tdir / "data" / f"snap-{snap_id}"
+        meta_dir = tdir / "metadata"
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(info["schema"]))
+        if set(updates.columns) != {fld.name for fld in schema.fields}:
+            raise ValueError(
+                f"merge_upsert schema mismatch: table has "
+                f"{sorted(fld.name for fld in schema.fields)}, updates have "
+                f"{sorted(updates.columns)}"
+            )
+        if affected:
+            old = spark.read.schema(schema).parquet(
+                *[str(self.root / f["path"]) for f in affected]
+            )
+            merged = old.join(
+                updates.select(key).distinct(), on=key, how="left_anti"
+            ).unionByName(updates.select(*[fld.name for fld in schema.fields]))
+        else:
+            merged = updates.select(*[fld.name for fld in schema.fields])
+        merged.write.mode("overwrite").parquet(str(data_dir))
+        new_files = []
+        for f in sorted(data_dir.rglob("*.parquet")):
+            md = pq.read_metadata(f)
+            new_files.append(
+                {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
+                 "bytes": f.stat().st_size,
+                 "partition_id": len(carried) + len(new_files),
+                 "partition": {}, "stats": _column_bounds(md)}
+            )
+        files = carried + new_files
+        new_manifest = {"snapshot": snap_id, "table": table, "files": files,
+                        "partition_by": []}
+        (meta_dir / f"manifest-{snap_id}.json").write_text(
+            json.dumps(new_manifest, indent=1)
+        )
+        snapshot = {
+            "snapshot_id": snap_id,
+            "wave": info["wave"],
+            "operation": "merge",  # rewrites files: incremental readers resync
+            "parent_snapshot_id": cur,
+            "manifest": f"{table}/metadata/manifest-{snap_id}.json",
+            "data_dir": f"{table}/data/snap-{snap_id}",
+            "schema": info["schema"],
+            "summary": {
+                "total_rows": sum(f["rows"] for f in files),
+                "n_files": len(files),
+                "rewritten_files": len(affected),
+                "carried_files": len(carried),
+            },
+        }
+        (meta_dir / f"snap-{snap_id}.json").write_text(
+            json.dumps(snapshot, indent=1)
+        )
+        cat = self._catalog()
+        entry = cat["tables"].setdefault(table, {"snapshots": []})
+        entry["snapshots"].append({"id": snap_id, "wave": info["wave"]})
+        entry["current"] = snap_id
+        self._write_catalog(cat)
+        return snap_id
 
     def compact(
         self, spark: SparkSession, table: str, target_bytes: int = 128 << 20

@@ -252,3 +252,84 @@ def test_incremental_read_refuses_full_rewrite_and_legacy(spark, tmpd):
     p.write_text(_json.dumps(info))
     with pytest.raises(ValueError, match="not append"):
         cat.read_appended_since(spark, "t", s0)
+
+
+def test_merge_upsert_rewrites_only_overlapping_files(spark, tmpd):
+    """Copy-on-write MERGE: a narrow keyed upsert rewrites ONLY the data
+    files whose manifest key bounds overlap the batch — the rest carry
+    by reference (same path, zero IO). Updated keys take the new values,
+    new keys insert, time travel still sees the pre-merge rows, and the
+    incremental reader refuses to walk across the rewrite."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    base = _batch(spark, 0, 1000).repartitionByRange(10, "event_id")
+    cat.commit_table("t", base, wave=0)
+    s0 = cat.current_snapshot("t")
+    man0 = __import__("json").loads(
+        (cat.root / cat.snapshot_info("t", s0)["manifest"]).read_text()
+    )
+    assert len(man0["files"]) == 10
+    assert all("event_id" in f["stats"] for f in man0["files"])
+
+    # upsert a narrow key band with shifted values
+    upd = _batch(spark, 100, 150).withColumn("value", F.col("value") + 1000)
+    cat.merge_upsert(spark, "t", upd, key="event_id")
+    s1 = cat.current_snapshot("t")
+    info1 = cat.snapshot_info("t", s1)
+    assert info1["operation"] == "merge"
+    assert info1["summary"]["carried_files"] >= 8   # only the band rewrote
+    man1 = __import__("json").loads(
+        (cat.root / info1["manifest"]).read_text()
+    )
+    carried_paths = {f["path"] for f in man1["files"]} & {
+        f["path"] for f in man0["files"]
+    }
+    assert len(carried_paths) == info1["summary"]["carried_files"]
+
+    got = cat.load(spark, "t")
+    assert got.count() == 1000
+    assert got.filter((F.col("event_id") >= 100) & (F.col("event_id") < 150))\
+              .filter(F.col("value") < 1000).count() == 0   # all updated
+    assert got.filter(F.col("event_id") == 99).collect()[0]["value"] == 49.5
+
+    # insert-only merge beyond every file's bounds: zero rewrites
+    ins = _batch(spark, 5000, 5010)
+    cat.merge_upsert(spark, "t", ins, key="event_id")
+    info2 = cat.snapshot_info("t", cat.current_snapshot("t"))
+    assert info2["summary"]["rewritten_files"] == 0
+    assert cat.load(spark, "t").count() == 1010
+
+    # time travel: the pre-merge snapshot is untouched
+    old = cat.load(spark, "t", snapshot=s0)
+    assert old.count() == 1000
+    assert old.filter(F.col("value") >= 1000).count() == 0
+
+    # incremental reads refuse to cross a merge (files were rewritten)
+    with pytest.raises(ValueError, match="not append"):
+        cat.read_appended_since(spark, "t", s0)
+
+    # schema mismatch is a loud error
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.merge_upsert(spark, "t", upd.drop("value"), key="event_id")
+
+
+def test_load_range_filter_prunes_by_manifest_stats(spark, tmpd):
+    """Data skipping on ANY stats-bearing column: load(range_filter=...)
+    hands the reader only files whose recorded [min,max] overlap the
+    range — metadata-only pruning, then the row filter refines."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    cat.commit_table(
+        "t", _batch(spark, 0, 1000).repartitionByRange(10, "event_id"), wave=0
+    )
+    pruned = cat.load(spark, "t", range_filter={"event_id": (120, 180)})
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files <= 2                       # 10 range files -> at most 2
+    rows = pruned.filter(
+        (F.col("event_id") >= 120) & (F.col("event_id") <= 180)
+    )
+    assert rows.count() == 61
+    # open-ended bound + a column with no recorded stats stays unpruned
+    lo_only = cat.load(spark, "t", range_filter={"event_id": (900, None)})
+    assert lo_only.select(F.input_file_name()).distinct().count() <= 1
+    assert cat.load(
+        spark, "t", range_filter={"no_such_col": (0, 1)}
+    ).count() == 1000
