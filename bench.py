@@ -70,9 +70,12 @@ def main() -> None:
         )
 
         iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+        seen_filter = os.environ.get("SPARK_GRAFT_SEEN_FILTER", "bloom")
         fr = frontier_steady_wave(
-            spark, bench_corpus(), replication=replication, iterations=iters
+            spark, bench_corpus(), replication=replication, iterations=iters,
+            seen_filter=seen_filter,
         )
+        fr["seen_filter"] = seen_filter
         out["frontier"] = fr
         queries["frontier_steady_wave"] = fr["sec"]
         _release_session_state(spark)

@@ -101,6 +101,7 @@ def frontier_steady_wave(
     bloom_bits: int = 1 << 22,
     warmup: bool = True,
     iterations: int = 1,
+    seen_filter: str = "bloom",
 ) -> dict:
     """One steady-state wave at scale; returns measured counters + seconds.
 
@@ -116,13 +117,14 @@ def frontier_steady_wave(
         frontier_steady_wave(
             spark, corpus, replication=1,
             bloom_shards=bloom_shards, bloom_bits=bloom_bits, warmup=False,
+            seen_filter=seen_filter,
         )
     if iterations > 1:
         runs = [
             frontier_steady_wave(
                 spark, corpus, replication=replication,
                 bloom_shards=bloom_shards, bloom_bits=bloom_bits,
-                warmup=False, iterations=1,
+                warmup=False, iterations=1, seen_filter=seen_filter,
             )
             for _ in range(iterations)
         ]
@@ -146,8 +148,17 @@ def frontier_steady_wave(
     seen = c.filter(
         F.conv(F.substring("url_sha1", 1, 4), 16, 10).cast("long") % 2 == 0
     ).select("url_sha1").localCheckpoint()
-    bloom = BloomShardSet(bloom_shards, bloom_bits, 7).build(seen)
-    new = filter_unseen(c, seen, bloom)
+    if seen_filter == "cuckoo":
+        # A/B path (BENCH.md): same D1 contract via the deletable
+        # directory — capacity sized for the bench's ~254k seen keys
+        from licenta_crawler_spark.operators.cuckoo import CuckooShardSet
+
+        directory = CuckooShardSet(
+            bloom_shards, max(1 << 11, bloom_bits >> 9)
+        ).build(seen)
+    else:
+        directory = BloomShardSet(bloom_shards, bloom_bits, 7).build(seen)
+    new = filter_unseen(c, seen, directory)
 
     sched = schedule_fetches(
         new.select(
