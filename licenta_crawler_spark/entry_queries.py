@@ -1545,6 +1545,38 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.decontaminate_ngram):
+    every 17th document plays the held-out eval set; training documents
+    sharing any word trigram with it are dropped. Returns the surviving
+    doc ids + their source — the clean-train roster the oracle replays
+    with the identical gram semi-join in SQL."""
+    from licenta_crawler_spark.operators.dedup import decontaminate_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate_ngram(train, bench, n=3).select("doc_id", "source")
+
+
+def source_mixing_weights(spark, sf_dir):
+    """Temperature-based source mixing — the domain-weighting step of a
+    training-data pipeline: per source, doc count and the unnormalized
+    sampling weights n^alpha for alpha = 0.5 and 0.8 (sqrt flattens the
+    head, alpha->1 approaches natural frequency). Per-row math only
+    (sqrt is IEEE-correctly-rounded in both engines; the normalizing sum
+    stays downstream where its float-order ambiguity can't poison the
+    hash)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return per.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")), 6).alias("w_alpha05"),
+        F.round(F.pow(F.col("n_docs"), F.lit(0.8)), 6).alias("w_alpha08"),
+    )
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     """Correlated MIN subquery (TPC-H q2 shape, adapted: the testdata has
     no partsupp, so the 'cheapest offer per part' relation is lineitem
@@ -2043,6 +2075,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q20_part_quantity_suppliers": q20_part_quantity_suppliers,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "source_mixing_weights": source_mixing_weights,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_volume": q5_nation_volume,
     "d1_unseen_anti_join": d1_unseen_anti_join,
@@ -2778,6 +2812,33 @@ ORACLE_SQL = {
           GROUP BY l.l_suppkey, l.l_partkey
           HAVING sum(l.l_quantity) > 150
         )
+    """,
+    "decontaminate_ngram_overlap": f"""
+        WITH grams AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS g
+          FROM (SELECT doc_id, source, {_NORM_TOKS_SQL} AS toks
+                FROM documents)
+        ),
+        bg AS (
+          SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0
+        ),
+        tg AS (
+          SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 17 <> 0
+        ),
+        bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.doc_id % 17 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "source_mixing_weights": """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               round(sqrt(count(*)), 6) AS w_alpha05,
+               round(pow(count(*), 0.8), 6) AS w_alpha08
+        FROM documents GROUP BY source
     """,
     "o1_politeness_schedule": """
         SELECT user_id::VARCHAR AS host, 'u/' || event_id AS url,

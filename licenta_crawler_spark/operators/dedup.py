@@ -447,3 +447,38 @@ def simhash_near_dup_pairs(
     return simhash_near_pairs_from_hashes(
         simhash_col_df(docs, id_col, text_col, hash_fn), k, n_bands
     )
+
+
+# ---------------------------------------------------- decontamination
+def decontaminate_ngram(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage guard every training
+    pipeline runs before a dataset ships: drop every training document
+    sharing ANY word n-gram with a benchmark document.
+
+    Shape: both sides explode to DISTINCT n-grams, the contaminated doc
+    ids come from one equi-semi-join on the gram (shuffle bounded by
+    n-gram cardinality, never doc x doc), and the survivors are a
+    left_anti on the id. The benchmark side is typically tiny (an eval
+    set), so its gram table broadcasts; at 10^9-doc scale the train-side
+    explode is map-only and the gram join is the only shuffle. Grams
+    join as raw strings for exact cross-engine replay; production can
+    xxhash64 them to 8-byte keys (same plan, smaller shuffle) at the
+    cost of a ~2^-64 false-drop rate per gram pair."""
+    bench_grams = benchmark.select(
+        F.explode(shingles_col(F.col(text_col), n)).alias("_g")
+    ).distinct()
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("_g")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
