@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet timestamps as TIMESTAMP_MICROS, not the deprecated
+        # stats-less INT96 — per-file min/max bounds on ts columns are
+        # what lets the catalog's range_filter prune time ranges
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", "48g")

@@ -117,3 +117,44 @@ def test_time_travel_load(spark, tmp_path_factory):
     late = cat.load(spark, "crawl_log", snaps[-1]["id"]).count()
     assert early <= late
     assert late == cat.load(spark, "crawl_log").count()
+
+
+def test_resume_with_cuckoo_directory(spark, tmp_path_factory, uninterrupted):
+    """The cuckoo seen-set backend round-trips the checkpoint: a resumed
+    engine loads the committed cuckoo shard table (config-keyed name,
+    byte-size sanity check) instead of rebuilding, and the resumed crawl
+    finishes identical to the uninterrupted Bloom-backed run."""
+    corpus, full = uninterrupted
+
+    def mk(checkpointer):
+        resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+        robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+        return CrawlEngine(
+            spark, resolver_bc, robots,
+            EngineConfig(max_per_host=5, bloom_shards=4,
+                         cuckoo_buckets=1 << 10, seen_filter="cuckoo",
+                         bloom_min_seen=0, checkpointer=checkpointer),
+        )
+
+    cat = IcebergLayoutCatalog(tmp_path_factory.mktemp("ckpt-ck"))
+    eng1 = mk(cat)
+    st = eng1.admit(_seed_jobs(spark, corpus))
+    ran = 0
+    for _ in range(2):
+        if eng1.sitemap_wave(st):
+            ran += 1
+    assert ran > 0
+    assert "cuckoo_shards_4x1024x4" in {
+        t for t in cat._catalog()["tables"]
+    }
+
+    eng2 = mk(cat)
+    st2 = eng2.resume(cat)
+    # the committed directory was loaded, not rebuilt: shards_df present
+    # immediately after resume with the committed byte size
+    assert eng2.bloom.shards_df is not None
+    row = eng2.bloom.shards_df.limit(1).collect()[0]
+    assert len(row["bits"]) == (1 << 10) * 4 * 2
+    eng2.run_from(st2)
+    assert _log_tuples(st2) == _log_tuples(full)
+    assert _doc_tuples(st2) == _doc_tuples(full)

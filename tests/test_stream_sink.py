@@ -333,3 +333,33 @@ def test_load_range_filter_prunes_by_manifest_stats(spark, tmpd):
     assert cat.load(
         spark, "t", range_filter={"no_such_col": (0, 1)}
     ).count() == 1000
+
+
+def test_range_filter_on_timestamp_bounds(spark, tmpd):
+    """Per-file bounds work for timestamp columns too: parquet stats
+    surface datetimes, the manifest stores ISO strings (ordering ==
+    chronological), and a (lo, hi) datetime filter prunes files."""
+    import datetime as dt
+
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    df = (
+        _batch(spark, 0, 1000)
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("event_id")),
+        )
+        .repartitionByRange(10, "event_id")  # ts ordered like event_id
+    )
+    cat.commit_table("t", df, wave=0)
+    s0 = cat.current_snapshot("t")
+    import json as _json
+    man = _json.loads((cat.root / cat.snapshot_info("t", s0)["manifest"]).read_text())
+    assert all("ts" in f["stats"] for f in man["files"])
+    lo = dt.datetime(2026, 1, 6, 0, 0, 0)    # hour 120
+    hi = dt.datetime(2026, 1, 8, 12, 0, 0)   # hour 180
+    pruned = cat.load(spark, "t", range_filter={"ts": (lo, hi)})
+    assert pruned.select(F.input_file_name()).distinct().count() <= 2
+    assert pruned.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count() == 61
