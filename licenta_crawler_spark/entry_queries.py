@@ -61,6 +61,12 @@ from licenta_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
     xor_seeds,
 )
+from licenta_crawler_spark.operators.frontier_policy import (
+    allocate_budget,
+    backoff_schedule,
+    host_shingle_similarity,
+    url_trap_stats,
+)
 from licenta_crawler_spark.operators.graph import dedup_components, triangle_counts
 from licenta_crawler_spark.operators.pagerank import (
     pagerank_fixed_point,
@@ -2003,6 +2009,63 @@ def recrawl_schedule(spark, sf_dir):
     )
 
 
+def backoff_hosts(spark, sf_dir):
+    """F6 generalized: per-host exponential backoff after consecutive
+    fetch failures (user_id as host proxy, event_type='error' as a
+    failed fetch). Two window passes over ONE host shuffle — the retry
+    policy a 10^10-URL frontier runs instead of a fixed retry cap."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ok", F.col("event_type") != "error"
+    )
+    out = backoff_schedule(
+        ev, host_col="user_id", ts_cols=("ts", "event_id"), ok_col="ok"
+    )
+    return out.select("user_id", "event_id", "streak", "next_delay_ms")
+
+
+def trap_url_templates(spark, sf_dir):
+    """Crawler-trap detection: URL-template explosion vs content
+    cardinality. Two synthesized URL families per event — a calendar-id
+    trap (every URL distinct, content collapses to the 5 event types)
+    and a profile page family (URLs == contents, ratio 1) — so the flag
+    has signal in both directions. Integer-comparison flag: cannot flip
+    on float rounding."""
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"))
+    cal = ev.select(
+        host.alias("host"),
+        F.concat(F.lit("/cal/"), F.col("event_id")).alias("url"),
+        F.col("event_type").alias("content_hash"),
+    )
+    prof = ev.select(
+        host.alias("host"),
+        F.concat(F.lit("/u/"), F.col("user_id"), F.lit("/profile")).alias("url"),
+        F.col("user_id").cast("string").alias("content_hash"),
+    )
+    return url_trap_stats(cal.unionAll(prof), min_urls=50, max_content_ratio=10)
+
+
+def crawl_budget_allocation(spark, sf_dir):
+    """Global fetch-budget apportionment across hosts (largest-remainder
+    / Hamilton, all int64): score = event count per host; allocations
+    sum to EXACTLY the budget. 997 is prime so remainders actually tie-
+    break."""
+    ev = _t(spark, sf_dir, "events")
+    scores = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("score")
+    )
+    return allocate_budget(scores, total_budget=997)
+
+
+def mirror_host_similarity(spark, sf_dir):
+    """Mirror/affiliate host detection: Jaccard over per-host word-
+    shingle SETS (source as host). Inverted-index self-join on the
+    shingle — never all-pairs of documents; hosts ≪ docs so the pair
+    aggregate is tiny."""
+    d = _t(spark, sf_dir, "documents")
+    return host_shingle_similarity(d, host_col="source", text_col="text", n=3)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2125,6 +2188,12 @@ QUERIES = {
     "winnowing_fps": winnowing_fps,
     "unpivot_order_flags": unpivot_order_flags,
     "w_ntile_quartiles": w_ntile_quartiles,
+    # -- frontier policy family (registered post-window: rotates into the
+    #    r04 correctness window with the rest of the tail)
+    "backoff_hosts": backoff_hosts,
+    "trap_url_templates": trap_url_templates,
+    "crawl_budget_allocation": crawl_budget_allocation,
+    "mirror_host_similarity": mirror_host_similarity,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -3862,6 +3931,94 @@ ORACLE_SQL = {
                  AS next_due_ms,
                count(*)::BIGINT AS n_events
         FROM gaps GROUP BY user_id
+    """,
+    "backoff_hosts": """
+        WITH runs AS (
+          SELECT user_id, event_id, ts, (event_type <> 'error') AS ok,
+                 count(*) FILTER (WHERE event_type <> 'error') OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM events
+        ),
+        st AS (
+          SELECT user_id, event_id, ok,
+                 CASE WHEN ok THEN 0 ELSE
+                   count(*) FILTER (WHERE NOT ok) OVER (
+                     PARTITION BY user_id, run_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) END AS streak
+          FROM runs
+        )
+        SELECT user_id, event_id, streak::BIGINT AS streak,
+               least(1000::BIGINT << least(streak, 30)::INT, 64000)::BIGINT
+                 AS next_delay_ms
+        FROM st
+    """,
+    "trap_url_templates": """
+        WITH fam AS (
+          SELECT 'h' || (user_id % 7)::VARCHAR AS host,
+                 '/cal/' || event_id::VARCHAR AS url,
+                 event_type AS content_hash
+          FROM events
+          UNION ALL
+          SELECT 'h' || (user_id % 7)::VARCHAR AS host,
+                 '/u/' || user_id::VARCHAR || '/profile' AS url,
+                 user_id::VARCHAR AS content_hash
+          FROM events
+        ),
+        agg AS (
+          SELECT host, regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+                 count(DISTINCT url)::BIGINT AS n_urls,
+                 count(DISTINCT content_hash)::BIGINT AS n_content
+          FROM fam GROUP BY 1, 2
+        )
+        SELECT host, template, n_urls, n_content,
+               (n_urls >= 50 AND n_urls >= 10 * n_content) AS is_trap
+        FROM agg
+    """,
+    "crawl_budget_allocation": """
+        WITH s AS (
+          SELECT user_id AS host, count(*)::BIGINT AS score
+          FROM events GROUP BY 1
+        ),
+        t AS (SELECT sum(score)::BIGINT AS ssum FROM s),
+        b AS (
+          SELECT host, score,
+                 (997 * score) // ssum AS fl,
+                 (997 * score) % ssum AS rem
+          FROM s, t
+        ),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                 997 - sum(fl) OVER () AS leftover
+          FROM b
+        )
+        SELECT host, score,
+               (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM r
+    """,
+    "mirror_host_similarity": f"""
+        WITH docs AS (
+          SELECT source AS host, {_NORM_TOKS_SQL} AS toks FROM documents
+        ),
+        ex AS (
+          SELECT DISTINCT host, shingle FROM (
+            SELECT host, unnest(list_distinct(
+              list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                             i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+            FROM docs
+          )
+        ),
+        sizes AS (SELECT host, count(*)::BIGINT AS n FROM ex GROUP BY host),
+        ix AS (
+          SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.host < b.host
+          GROUP BY 1, 2
+        )
+        SELECT host_a, host_b, n_common,
+               round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM ix
+        JOIN sizes sa ON sa.host = host_a
+        JOIN sizes sb ON sb.host = host_b
     """,
 }
 

@@ -1,0 +1,262 @@
+"""Frontier policy operators: backoff, trap detection, budget allocation,
+mirror-host similarity.
+
+The reference crawler's politeness is a fixed per-host delay
+(BrowserCrawler.java:52-60 sleeps a constant between fetches) and its
+frontier has no failure policy at all — a page that errors is simply lost
+(SitemapSaxCrawler.java:109-118 swallows the exception). At 10^10-URL
+scale a frontier needs the policies this module adds on top of the O1
+scheduler (`operators/politeness.py`):
+
+* ``backoff_schedule`` — per-host exponential backoff after consecutive
+  failures (the retry half of F6 generalized from a fixed cap to an
+  adaptive delay).
+* ``url_trap_stats`` — crawler-trap detection: URL-template explosion
+  with near-constant content (calendar pages, session-id links) must be
+  cut off *before* it floods the frontier; one bad host can emit more
+  URLs than the rest of the web.
+* ``allocate_budget`` — a global fetch budget split across hosts by
+  integer largest-remainder apportionment (crawl capacity is the scarce
+  resource; proportional-to-quality allocation is how a production
+  frontier decides who gets slots this cycle).
+* ``host_shingle_similarity`` — mirror/affiliate detection: hosts whose
+  shingle sets overlap heavily are the same site under two names and
+  should share one politeness queue + one seen-set partition.
+
+Everything is pure column math (whole-stage codegen, no UDFs). Scale
+notes per function; the common theme: every aggregate is keyed by host or
+(host, template) — cardinality ~10^7 hosts, never ~10^10 URLs — so the
+shuffles are orders of magnitude smaller than the frontier itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+
+
+def backoff_schedule(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_cols: tuple = ("ts",),
+    ok_col: str = "ok",
+    base_ms: int = 1000,
+    cap_ms: int = 64000,
+) -> DataFrame:
+    """Per-fetch exponential-backoff state: after each row, the delay the
+    host must wait before its next fetch.
+
+    ``streak`` = consecutive failures ending at this row (0 on success);
+    ``next_delay_ms`` = base << streak, clamped to ``cap_ms`` (success
+    resets to ``base_ms``). The streak is a closed-form window — a
+    running count of successes splits the log into runs, and a filtered
+    count inside the run counts the failures — so the whole schedule is
+    two window passes over ONE shuffle on ``host``, no iteration and no
+    state store. 10^10 rows: the windows sort within host partitions
+    (sort-based, spills); hot hosts are bounded by the wave emit cap
+    upstream, so no single partition holds more than a wave's emissions.
+
+    The shift is clamped at 30 before ``shiftleft`` so the delay math
+    stays in int64 for arbitrarily long failure runs (cap applies long
+    before bit 30 for any sane base).
+    """
+    order = [F.col(c) for c in ts_cols]
+    w_run = (
+        Window.partitionBy(host_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ok = F.col(ok_col)
+    # run_id: number of successes seen so far (current row included) —
+    # all failure rows following a success share its run_id.
+    runs = fetch_log.withColumn(
+        "run_id", F.count(F.when(ok, F.lit(1))).over(w_run)
+    )
+    w_in_run = (
+        Window.partitionBy(host_col, "run_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streak = F.when(ok, F.lit(0)).otherwise(
+        F.count(F.when(~ok, F.lit(1))).over(w_in_run)
+    )
+    # Base must be LONG before the shift: an int32 base wraps negative at
+    # shift >= 21 and the wrapped value would win the least() against the
+    # cap. SQL expr because the python shiftleft() only takes literal
+    # shift amounts.
+    delay = (
+        f"least(shiftleft(CAST({int(base_ms)} AS BIGINT), "
+        f"CAST(least(streak, 30) AS INT)), CAST({int(cap_ms)} AS BIGINT))"
+    )
+    out = runs.withColumn("streak", streak.cast("long")).withColumn(
+        "next_delay_ms", F.expr(delay)
+    )
+    return out.drop("run_id")
+
+
+def url_trap_stats(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    content_col: str = "content_hash",
+    min_urls: int = 50,
+    max_content_ratio: int = 10,
+) -> DataFrame:
+    """Crawler-trap detection by URL-template explosion.
+
+    Template = the URL with every digit run collapsed to ``N`` (the
+    classic normalization: ``/cal?d=20240101`` and ``/cal?d=20240102``
+    are the same page generator). Per (host, template): distinct URLs
+    vs distinct content hashes. A template minting ``min_urls``+ distinct
+    URLs whose content collapses to ``max_content_ratio``× fewer distinct
+    bodies is a trap — infinite URL space over near-constant content —
+    and the frontier should stop admitting its expansions.
+
+    The flag comparison is pure integer math (``n_urls >= ratio *
+    n_content``), so it cannot flip on float rounding between engines.
+    Scale: one aggregation keyed by (host, template) — cardinality is
+    the number of page *generators* (~10^3 per host), not URLs; distinct
+    counts are partial-aggregated map-side. No UDF, no self-join.
+    """
+    template = F.regexp_replace(F.col(url_col), "[0-9]+", "N")
+    return (
+        urls.select(
+            F.col(host_col).alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("url"),
+            F.col(content_col).alias("content_hash"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("content_hash").alias("n_content"),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("n_urls") >= F.lit(max_content_ratio) * F.col("n_content")),
+        )
+    )
+
+
+def allocate_budget(
+    host_scores: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    total_budget: int = 10000,
+) -> DataFrame:
+    """Split a global fetch budget across hosts proportionally to score
+    by the largest-remainder method (Hamilton apportionment) — all in
+    int64, so the result is bit-identical on any engine and the
+    allocations sum to EXACTLY ``total_budget``.
+
+    floor share = total*score div sum(score); the leftover slots
+    (total - sum(floors)) go to the hosts with the largest integer
+    remainders (ties broken by host asc — deterministic). Zero-score
+    hosts get 0.
+
+    Scale: one global sum (map-side combined scalar), one projection,
+    one rank over remainders. The rank is a single total-order window —
+    at 10^7 hosts that is one modest shuffle; the alternative
+    (iterative redistribution) would be a driver loop. int64 bound:
+    requires total_budget * max_score < 2^63; with budgets ~10^9 and
+    scores ~10^9 use the documented two-step scaled variant (divide
+    scores by their GCD or bucket them) — guarded here with a raise.
+    """
+    totals = host_scores.agg(
+        F.sum(F.col(score_col).cast("long")).alias("score_sum"),
+        F.max(F.col(score_col).cast("long")).alias("score_max"),
+    )
+    scored = host_scores.crossJoin(F.broadcast(totals))
+    # int64 guard, evaluated in-plan (assert_true feeds the remainder
+    # expression so Catalyst cannot prune it): the exact product must fit.
+    guard = F.assert_true(
+        F.lit(float(total_budget)) * F.col("score_max").cast("double")
+        < F.lit(float(2**63)),
+        F.lit("allocate_budget: total_budget * max(score) overflows int64"),
+    )
+    exact = F.lit(int(total_budget)) * F.col(score_col).cast("long")
+    base = scored.select(
+        F.col(host_col).alias("host"),
+        F.col(score_col).cast("long").alias("score"),
+        exact.alias("exact"),
+        F.when(guard.isNull(), exact % F.col("score_sum")).alias("remainder"),
+        F.col("score_sum").alias("score_sum"),
+    )
+    # `div` is true int64 division (a double quotient would lose exactness
+    # past 2^53 — the whole point of the integer apportionment contract).
+    base = base.withColumn("floor_alloc", F.expr("exact div score_sum"))
+    w_rank = Window.orderBy(F.col("remainder").desc(), F.col("host").asc())
+    w_all = Window.partitionBy()
+    ranked = base.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "leftover", F.lit(int(total_budget)) - F.sum("floor_alloc").over(w_all)
+    )
+    out = ranked.select(
+        "host",
+        "score",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("alloc"),
+    )
+    return out
+
+
+def host_shingle_similarity(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Mirror/affiliate host detection: Jaccard similarity between the
+    word-shingle *sets* of every host pair (host-level, not doc-level —
+    a mirror serves the same content under different doc ids/URLs, so
+    doc-exact dedup misses it while the host's shingle set is ~identical).
+
+    Plan: explode shingles once → distinct (host, shingle) → count per
+    host (|A|) → self-equi-join ON SHINGLE (never all-pairs of docs) →
+    pair intersection counts → Jaccard from |A|+|B|-|∩|. The join key is
+    the shingle, so cost is Σ_shingle (#hosts sharing it)², bounded by
+    host count per shingle — mirrors are rare, hosts ≪ docs. Stop-shingle
+    guard for 10^10 docs: drop shingles shared by > K hosts before the
+    join (they contribute no mirror signal, only join fan-out) — the
+    same frequent-token cut every LSH pipeline applies.
+    """
+    sh = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("host").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.host") < F.col("b.host"))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
+    return out

@@ -1,0 +1,160 @@
+"""Frontier-policy operators: backoff, trap detection, budget, mirrors."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.frontier_policy import (
+    allocate_budget,
+    backoff_schedule,
+    host_shingle_similarity,
+    url_trap_stats,
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "host string, ts long, ok boolean")
+
+
+class TestBackoff:
+    def test_streak_doubles_and_resets(self, spark):
+        # h1: fail fail fail ok fail -> streaks 1 2 3 0 1
+        rows = [
+            ("h1", 1, False),
+            ("h1", 2, False),
+            ("h1", 3, False),
+            ("h1", 4, True),
+            ("h1", 5, False),
+        ]
+        out = (
+            backoff_schedule(_log(spark, rows), ts_cols=("ts",))
+            .orderBy("ts")
+            .collect()
+        )
+        assert [r.streak for r in out] == [1, 2, 3, 0, 1]
+        assert [r.next_delay_ms for r in out] == [2000, 4000, 8000, 1000, 2000]
+
+    def test_success_delay_is_base(self, spark):
+        out = backoff_schedule(_log(spark, [("h", 1, True)]), ts_cols=("ts",)).collect()
+        assert out[0].streak == 0 and out[0].next_delay_ms == 1000
+
+    def test_cap_and_no_overflow_on_long_runs(self, spark):
+        # 40 consecutive failures: shift clamps at 30 (int64-safe) and the
+        # cap wins long before — every delay must stay positive and <= cap.
+        rows = [("h", i, False) for i in range(40)]
+        out = backoff_schedule(_log(spark, rows), ts_cols=("ts",)).collect()
+        assert all(0 < r.next_delay_ms <= 64000 for r in out)
+        assert out[-1].streak == 40  # streak itself keeps counting
+
+    def test_hosts_independent(self, spark):
+        rows = [("a", 1, False), ("b", 1, False), ("a", 2, False)]
+        out = {
+            (r.host, r.ts): r.streak
+            for r in backoff_schedule(_log(spark, rows), ts_cols=("ts",)).collect()
+        }
+        assert out == {("a", 1): 1, ("b", 1): 1, ("a", 2): 2}
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "host string, url string, content_hash string")
+
+
+class TestTrapDetection:
+    def test_template_collapses_digit_runs(self, spark):
+        rows = [("h", f"/cal/2024{d:04d}?s=1", "same") for d in range(60)]
+        out = url_trap_stats(_urls(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.template == "/cal/N?s=N"
+        assert r.n_urls == 60 and r.n_content == 1 and bool(r.is_trap)
+
+    def test_threshold_boundaries(self, spark):
+        # 49 urls over 1 content: under min_urls -> not a trap.
+        rows = [("h", f"/a/{i}", "c") for i in range(49)]
+        # exactly 50 urls over 5 contents = ratio 10 -> trap (>= is inclusive).
+        rows += [("h", f"/b/{i}", f"c{i % 5}") for i in range(50)]
+        # 50 urls over 6 contents -> ratio < 10 -> not a trap.
+        rows += [("h", f"/c/{i}", f"c{i % 6}") for i in range(50)]
+        out = {r.template: bool(r.is_trap) for r in url_trap_stats(_urls(spark, rows)).collect()}
+        assert out == {"/a/N": False, "/b/N": True, "/c/N": False}
+
+    def test_distinct_url_not_row_counts(self, spark):
+        # the same URL refetched 100x is one URL, not a trap signal
+        rows = [("h", "/p/1", f"v{i}") for i in range(100)]
+        r = url_trap_stats(_urls(spark, rows)).collect()[0]
+        assert r.n_urls == 1 and not bool(r.is_trap)
+
+
+class TestBudget:
+    def _scores(self, spark, pairs):
+        return spark.createDataFrame(pairs, "host string, score long")
+
+    def test_sums_exactly_and_proportional(self, spark):
+        scores = self._scores(spark, [("a", 5), ("b", 3), ("c", 2)])
+        out = {r.host: r.alloc for r in allocate_budget(scores, total_budget=100).collect()}
+        assert sum(out.values()) == 100
+        assert out == {"a": 50, "b": 30, "c": 20}
+
+    def test_largest_remainder_tiebreak(self, spark):
+        # 10 among three equal scores: floors 3,3,3; leftover 1 goes to the
+        # lexicographically first host (remainders tie).
+        scores = self._scores(spark, [("x", 1), ("y", 1), ("z", 1)])
+        out = {r.host: r.alloc for r in allocate_budget(scores, total_budget=10).collect()}
+        assert sum(out.values()) == 10
+        assert out == {"x": 4, "y": 3, "z": 3}
+
+    def test_zero_score_host(self, spark):
+        scores = self._scores(spark, [("a", 0), ("b", 7)])
+        out = {r.host: r.alloc for r in allocate_budget(scores, total_budget=7).collect()}
+        assert out == {"a": 0, "b": 7}
+
+    def test_overflow_guard_raises(self, spark):
+        scores = self._scores(spark, [("a", 2**40)])
+        with pytest.raises(Exception, match="overflows int64|ASSERT"):
+            allocate_budget(scores, total_budget=2**24).collect()
+
+
+class TestMirrorHosts:
+    def test_identical_hosts_jaccard_one(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("m1", "alpha beta gamma delta epsilon"),
+                ("m2", "alpha beta gamma delta epsilon"),
+                ("solo", "totally different words here now"),
+            ],
+            "host string, text string",
+        )
+        out = {
+            (r.host_a, r.host_b): r.jaccard
+            for r in host_shingle_similarity(docs).collect()
+        }
+        assert out[("m1", "m2")] == 1.0
+        assert ("m1", "solo") not in out and ("solo", "m1") not in out
+
+    def test_matches_bruteforce(self, spark):
+        texts = {
+            "a": "the quick brown fox jumps over the lazy dog",
+            "b": "the quick brown fox sleeps under the lazy dog",
+            "c": "pack my box with five dozen liquor jugs",
+        }
+        docs = spark.createDataFrame(list(texts.items()), "host string, text string")
+        got = {
+            (r.host_a, r.host_b): (r.n_common, r.jaccard)
+            for r in host_shingle_similarity(docs).collect()
+        }
+
+        def sh(t):
+            toks = t.split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        for ha, hb in combinations(sorted(texts), 2):
+            a, b = sh(texts[ha]), sh(texts[hb])
+            inter = len(a & b)
+            if inter:
+                exp = round(inter / len(a | b), 6)
+                assert got[(ha, hb)] == (inter, exp)
+            else:
+                assert (ha, hb) not in got
