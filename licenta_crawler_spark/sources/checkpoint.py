@@ -580,3 +580,103 @@ class IcebergLayoutCatalog:
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
+
+    # ----------------------------------------------------- maintenance
+    def rollback(self, table: str, snap_id: str) -> str:
+        """Roll the table's CURRENT pointer back to an existing snapshot
+        (Iceberg ``rollback_to_snapshot``). Metadata-only — one atomic
+        catalog swap, no data moves; the abandoned newer snapshots stay
+        readable (time travel) until ``expire_snapshots`` reclaims them.
+        The operational undo for a bad wave commit: point the frontier
+        state back one wave and resume — at 10^10-URL scale re-deriving
+        the state would be a full recrawl, the pointer swap is O(1)."""
+        cat = self._catalog()
+        entry = cat["tables"].get(table)
+        if entry is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        if snap_id not in {s["id"] for s in entry["snapshots"]}:
+            raise KeyError(f"unknown snapshot {snap_id!r} for {table!r}")
+        entry["current"] = snap_id
+        self._write_catalog(cat)
+        return snap_id
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> dict:
+        """Retention: keep the newest ``keep_last`` snapshots of the
+        CURRENT ancestry chain, expire everything else — older ancestors
+        AND branches orphaned by ``rollback`` — then vacuum: delete every
+        data file referenced only by expired snapshots. Files are shared
+        across snapshots (append/merge carry parents' files by
+        reference), so deletion is a set difference against the retained
+        manifests' union, never a per-snapshot rm -rf. Metadata-first
+        commit order (catalog swap, then file deletes) keeps readers of
+        retained snapshots safe if the vacuum dies mid-way — stray files
+        are re-collected by the next expire.
+
+        Incremental consumers (``read_appended_since``) must resync from
+        a retained snapshot afterwards — the expired chain is gone; same
+        contract as Iceberg's snapshot expiry.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cat = self._catalog()
+        entry = cat["tables"].get(table)
+        if entry is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        # walk the current ancestry; the newest keep_last of it survive
+        retained: list[str] = []
+        sid = entry["current"]
+        while sid is not None and len(retained) < keep_last:
+            retained.append(sid)
+            sid = self.snapshot_info(table, sid)["parent_snapshot_id"]
+        retained_set = set(retained)
+        expired = [s["id"] for s in entry["snapshots"]
+                   if s["id"] not in retained_set]
+        if not expired:
+            return {"expired_snapshots": [], "deleted_files": 0,
+                    "freed_bytes": 0}
+        keep_paths: set[str] = set()
+        for rid in retained:
+            man = json.loads(
+                (self.root / self.snapshot_info(table, rid)["manifest"])
+                .read_text()
+            )
+            keep_paths.update(f["path"] for f in man["files"])
+        drop_paths: set[str] = set()
+        for eid in expired:
+            man = json.loads(
+                (self.root / self.snapshot_info(table, eid)["manifest"])
+                .read_text()
+            )
+            drop_paths.update(
+                f["path"] for f in man["files"] if f["path"] not in keep_paths
+            )
+        # 1) commit the new metadata state atomically
+        entry["snapshots"] = [s for s in entry["snapshots"]
+                              if s["id"] in retained_set]
+        self._write_catalog(cat)
+        # 2) reclaim storage: expired snapshots' metadata + orphaned files
+        freed = 0
+        meta_dir = self.root / table / "metadata"
+        for eid in expired:
+            for name in (f"snap-{eid}.json", f"manifest-{eid}.json"):
+                p = meta_dir / name
+                if p.exists():
+                    p.unlink()
+        for rel in sorted(drop_paths):
+            p = self.root / rel
+            if p.exists():
+                freed += p.stat().st_size
+                p.unlink()
+        # prune now-empty snapshot data dirs (hive subdirs included)
+        data_root = self.root / table / "data"
+        if data_root.exists():
+            for d in sorted(
+                (x for x in data_root.rglob("*") if x.is_dir()),
+                key=lambda x: len(x.parts), reverse=True,
+            ):
+                try:
+                    d.rmdir()  # only succeeds when empty
+                except OSError:
+                    pass
+        return {"expired_snapshots": expired,
+                "deleted_files": len(drop_paths), "freed_bytes": freed}

@@ -363,3 +363,66 @@ def test_range_filter_on_timestamp_bounds(spark, tmpd):
     assert pruned.filter(
         (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
     ).count() == 61
+
+
+# ------------------------------------------------- rollback + snapshot expiry
+def test_rollback_is_metadata_only_undo(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    s1 = cat.commit_table("frontier", _batch(spark, 0, 10), wave=1)
+    s2 = cat.commit_table("frontier", _batch(spark, 0, 25), wave=2)
+    assert cat.current_snapshot("frontier") == s2
+
+    assert cat.rollback("frontier", s1) == s1
+    assert cat.current_snapshot("frontier") == s1
+    assert cat.load(spark, "frontier").count() == 10
+    # the abandoned snapshot stays time-travelable until expiry
+    assert cat.load(spark, "frontier", snapshot=s2).count() == 25
+    # a commit after rollback branches off the rolled-back snapshot
+    s3 = cat.commit_table("frontier", _batch(spark, 0, 12), wave=3)
+    assert cat.snapshot_info("frontier", s3)["parent_snapshot_id"] == s1
+
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        cat.rollback("frontier", "nope")
+    with pytest.raises(KeyError):
+        cat.rollback("absent_table", s1)
+
+
+def test_expire_keeps_files_shared_with_retained_appends(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    base = cat.commit_table("t", _batch(spark, 0, 100), wave=0)
+    a1 = cat.commit_append("t", _batch(spark, 100, 120), batch_id=1)
+    a2 = cat.commit_append("t", _batch(spark, 120, 150), batch_id=2)
+
+    res = cat.expire_snapshots("t", keep_last=2)
+    # base is expired, but its data files are carried by reference in the
+    # retained appends' manifests -> NOTHING may be deleted
+    assert res["expired_snapshots"] == [base]
+    assert res["deleted_files"] == 0 and res["freed_bytes"] == 0
+    assert cat.load(spark, "t").count() == 150
+    assert cat.load(spark, "t", snapshot=a1).count() == 120
+    assert [s["id"] for s in cat.snapshots("t")] == [a1, a2]
+    # the expired snapshot is gone from metadata
+    with pytest.raises(FileNotFoundError):
+        cat.snapshot_info("t", base)
+    # idempotent when nothing is expirable
+    assert cat.expire_snapshots("t", keep_last=2)["expired_snapshots"] == []
+
+
+def test_expire_vacuums_orphaned_rollback_branch(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    a = cat.commit_table("t", _batch(spark, 0, 10), wave=1)
+    b = cat.commit_table("t", _batch(spark, 0, 500), wave=2)  # bad wave
+    cat.rollback("t", a)
+
+    res = cat.expire_snapshots("t", keep_last=1)
+    # b is not in the current ancestry -> expired AND its (unshared)
+    # files physically reclaimed
+    assert res["expired_snapshots"] == [b]
+    assert res["deleted_files"] > 0 and res["freed_bytes"] > 0
+    assert cat.load(spark, "t").count() == 10
+    import pathlib
+    remaining = list(pathlib.Path(f"{tmpd}/cat/t/data").rglob("*.parquet"))
+    assert all(f"snap-{a}" in str(p) for p in remaining)
+
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots("t", keep_last=0)
