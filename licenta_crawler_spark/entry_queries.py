@@ -64,6 +64,7 @@ from licenta_crawler_spark.operators.dedup import (
 from licenta_crawler_spark.operators.frontier_policy import (
     allocate_budget,
     backoff_schedule,
+    ewma_delay,
     host_shingle_similarity,
     url_trap_stats,
 )
@@ -2066,6 +2067,53 @@ def mirror_host_similarity(spark, sf_dir):
     return host_shingle_similarity(d, host_col="source", text_col="text", n=3)
 
 
+def adaptive_delay_ewma(spark, sf_dir):
+    """Latency-adaptive politeness: per-host next crawl delay from a
+    binary fixed-point EWMA of observed fetch latency (value×100 as the
+    latency proxy) — 16 lag terms with weights 2^15..2^0, ALL int64
+    (exact on any engine; a float EWMA would hinge on summation order).
+    One host shuffle, codegen'd lags, no iteration."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "latency_ms", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = ewma_delay(
+        ev, host_col="user_id", ts_cols=("ts", "event_id"),
+        latency_col="latency_ms",
+    )
+    return out.select("user_id", "event_id", "ewma_ms", "next_delay_ms")
+
+
+def robots_cache_ttl(spark, sf_dir):
+    """Robots-cache freshness: each page fetch (click) joined as-of to
+    the host's latest robots fetch (view) at-or-before it; a fetch is
+    STALE when no robots was ever seen or the cached copy is older than
+    the 6 h TTL — the refetch trigger a polite crawler runs on every
+    request. Composes the as-of join idiom (one shuffle, no inequality
+    join)."""
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    robots = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    ttl_ms = 6 * 3600 * 1000
+    j = asof_join(
+        fetches, robots, on="user_id",
+        right_cols=["event_id"], right_seq="event_id",
+    )
+    age = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.col("right_ts").cast("timestamp")
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("fetch_event_id"),
+        F.coalesce(F.col("right_event_id"), F.lit(-1)).alias("robots_event_id"),
+        F.coalesce(age, F.lit(-1)).alias("age_ms"),
+        (F.col("right_ts").isNull() | (age > F.lit(ttl_ms))).alias("stale"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2194,6 +2242,8 @@ QUERIES = {
     "trap_url_templates": trap_url_templates,
     "crawl_budget_allocation": crawl_budget_allocation,
     "mirror_host_similarity": mirror_host_similarity,
+    "adaptive_delay_ewma": adaptive_delay_ewma,
+    "robots_cache_ttl": robots_cache_ttl,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -2355,6 +2405,42 @@ def _jaccard_pairs_sql(threshold=0.5) -> str:
         JOIN counts ca ON ca.doc_id = doc_a
         JOIN counts cb ON cb.doc_id = doc_b
         WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter) >= {threshold}
+    """
+
+
+def _ewma_delay_sql(window=16, k_num=3, min_ms=100, max_ms=30000) -> str:
+    """Replay the binary fixed-point EWMA lag-for-lag: same weights
+    2^(w-1)..2^0, same integer division — bit-exact by construction."""
+    lags = ",\n                 ".join(
+        f"lag(x, {k}) OVER w AS x{k}" for k in range(window)
+    )
+    num = " + ".join(
+        f"coalesce(x{k} * {1 << (window - 1 - k)}, 0)" for k in range(window)
+    )
+    den = " + ".join(
+        f"(CASE WHEN x{k} IS NOT NULL THEN {1 << (window - 1 - k)} ELSE 0 END)"
+        for k in range(window)
+    )
+    return f"""
+        WITH base AS (
+          SELECT user_id, event_id, ts, floor(value * 100)::BIGINT AS x
+          FROM events
+        ),
+        l AS (
+          SELECT user_id, event_id,
+                 {lags}
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        e AS (
+          SELECT user_id, event_id,
+                 ({num})::BIGINT AS num, ({den})::BIGINT AS den
+          FROM l
+        )
+        SELECT user_id, event_id, (num // den)::BIGINT AS ewma_ms,
+               least(greatest({k_num} * (num // den), {min_ms}),
+                     {max_ms})::BIGINT AS next_delay_ms
+        FROM e
     """
 
 
@@ -4019,6 +4105,33 @@ ORACLE_SQL = {
         FROM ix
         JOIN sizes sa ON sa.host = host_a
         JOIN sizes sb ON sb.host = host_b
+    """,
+    "adaptive_delay_ewma": _ewma_delay_sql(),
+    "robots_cache_ttl": """
+        WITH u AS (
+          SELECT user_id, ts, 1 AS side, NULL::BIGINT AS r_eid,
+                 event_id AS l_eid, NULL::TIMESTAMP AS r_ts
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, ts
+          FROM events WHERE event_type = 'view'
+        ),
+        m AS (
+          SELECT user_id, ts, side, l_eid,
+            last_value(r_eid IGNORE NULLS) OVER win AS robots_event_id,
+            last_value(r_ts IGNORE NULLS) OVER win AS robots_ts
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_eid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, l_eid AS fetch_event_id,
+               coalesce(robots_event_id, -1) AS robots_event_id,
+               coalesce(epoch_ms(ts)::BIGINT - epoch_ms(robots_ts)::BIGINT,
+                        -1) AS age_ms,
+               (robots_ts IS NULL
+                OR epoch_ms(ts)::BIGINT - epoch_ms(robots_ts)::BIGINT
+                   > 21600000) AS stale
+        FROM m WHERE side = 1
     """,
 }
 

@@ -260,3 +260,60 @@ def host_shingle_similarity(
     if min_jaccard > 0.0:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
     return out
+
+
+def ewma_delay(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_cols: tuple = ("ts",),
+    latency_col: str = "latency_ms",
+    window: int = 16,
+    k_num: int = 3,
+    min_ms: int = 100,
+    max_ms: int = 30000,
+) -> DataFrame:
+    """Latency-adaptive politeness: per-host next crawl delay from an
+    exponentially-weighted moving average of observed fetch latencies —
+    a slow host gets backed off BEFORE it starts erroring (the
+    complement of ``backoff_schedule``, which reacts to failures).
+
+    Exactness contract: the EWMA uses binary weights 2^(w-1)..2^0 over
+    the last ``window`` observations (geometric half-life decay), so the
+    whole computation is int64 — Σ lag_k(x) << (w-1-k), normalized by
+    the exact weight sum (2^w - 1) with integer division, then scaled by
+    ``k_num`` and clamped to [min_ms, max_ms]. No float ever appears, so
+    any engine replays it bit-for-bit (a float EWMA's associativity
+    would not survive engine-order differences).
+
+    Plan: ``window`` lag() columns over ONE host-keyed window — one
+    shuffle, whole-stage codegen, no iteration/state. Cold start: missing
+    lags contribute 0 weight AND are excluded from the normalizer, so a
+    host's first fetches average only what was observed. int64 bound:
+    latency < 2^40 ms is safe for window<=16 (shift <= 15, 16 terms).
+    """
+    if not (1 <= window <= 32):
+        raise ValueError("window must be in [1, 32]")
+    order = [F.col(c) for c in ts_cols]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    x = F.col(latency_col).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(window):
+        lagged = F.lag(x, k).over(w) if k else x
+        weight = 1 << (window - 1 - k)
+        num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    # true int64 division (a double quotient would break the exactness
+    # contract); den >= 1 always — row 0 contributes itself
+    staged = fetch_log.withColumn("_ewma_num", num).withColumn("_ewma_den", den)
+    staged = staged.withColumn("ewma_ms", F.expr("_ewma_num div _ewma_den"))
+    delay = F.least(
+        F.greatest(
+            F.lit(k_num).cast("long") * F.col("ewma_ms"),
+            F.lit(min_ms).cast("long"),
+        ),
+        F.lit(max_ms).cast("long"),
+    )
+    return staged.withColumn("next_delay_ms", delay).drop(
+        "_ewma_num", "_ewma_den"
+    )

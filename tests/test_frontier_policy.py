@@ -158,3 +158,94 @@ class TestMirrorHosts:
                 assert got[(ha, hb)] == (inter, exp)
             else:
                 assert (ha, hb) not in got
+
+
+class TestEwmaDelay:
+    def _fetches(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, ts long, latency_ms long"
+        )
+
+    def test_matches_python_replay_exactly(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import ewma_delay
+
+        lat = [120, 80, 4000, 50, 50, 50, 9000, 10, 10, 10, 10, 700]
+        rows = [("h", i, v) for i, v in enumerate(lat)]
+        got = {
+            r.ts: (r.ewma_ms, r.next_delay_ms)
+            for r in ewma_delay(self._fetches(spark, rows), ts_cols=("ts",)).collect()
+        }
+        W = 16
+        for i in range(len(lat)):
+            num = den = 0
+            for k in range(W):
+                if i - k < 0:
+                    break
+                w = 1 << (W - 1 - k)
+                num += lat[i - k] * w
+                den += w
+            e = num // den
+            assert got[i] == (e, min(max(3 * e, 100), 30000))
+
+    def test_cold_start_is_first_observation(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import ewma_delay
+
+        out = ewma_delay(
+            self._fetches(spark, [("h", 1, 500)]), ts_cols=("ts",)
+        ).collect()
+        assert out[0].ewma_ms == 500 and out[0].next_delay_ms == 1500
+
+    def test_clamps(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import ewma_delay
+
+        rows = [("lo", 1, 3), ("hi", 1, 10**7)]
+        out = {
+            r.host: r.next_delay_ms
+            for r in ewma_delay(self._fetches(spark, rows), ts_cols=("ts",)).collect()
+        }
+        assert out == {"lo": 100, "hi": 30000}
+
+    def test_window_bounds_rejected(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import ewma_delay
+
+        with pytest.raises(ValueError, match="window"):
+            ewma_delay(self._fetches(spark, [("h", 1, 1)]), window=0)
+
+
+class TestPolicyProperties:
+    """Property tests: the integer contracts hold on arbitrary inputs."""
+
+    def test_budget_sum_invariant_random(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = rng.randint(1, 40)
+            scores = [(f"h{i:03d}", rng.randint(0, 10**6)) for i in range(n)]
+            if all(s == 0 for _, s in scores):
+                scores[0] = ("h000", 1)
+            budget = rng.randint(1, 10**5)
+            df = spark.createDataFrame(scores, "host string, score long")
+            out = {r.host: r.alloc for r in allocate_budget(df, total_budget=budget).collect()}
+            assert sum(out.values()) == budget
+            # quota monotonicity: floor(q) <= alloc <= ceil(q) + exactness
+            total = sum(s for _, s in scores)
+            for h, s in scores:
+                q = budget * s / total
+                assert q - 1 < out[h] < q + 1
+
+    def test_backoff_matches_sequential_fold(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows, expect = [], {}
+        for h in ("a", "b", "c"):
+            streak = 0
+            for t in range(50):
+                ok = rng.random() < 0.6
+                streak = 0 if ok else streak + 1
+                rows.append((h, t, ok))
+                expect[(h, t)] = streak
+        out = backoff_schedule(_log(spark, rows), ts_cols=("ts",)).collect()
+        got = {(r.host, r.ts): r.streak for r in out}
+        assert got == expect
