@@ -45,6 +45,10 @@ SHOW = [
     "q2_min_cost_supplier",    # correlated MIN decorrelated (integer cents)
     "q13_order_count_distribution",  # filtered LEFT OUTER preserved + 2-level agg
     "q20_part_quantity_suppliers",   # IN-in-IN -> chained LeftSemi joins
+    "backoff_hosts",           # two windows over ONE host shuffle, no Python
+    "adaptive_delay_ewma",     # 16 lags in ONE Window exec, no iteration
+    "crawl_budget_allocation", # broadcast totals + one rank window
+    "mirror_host_similarity",  # inverted-index equi-join, no all-pairs
 ]
 
 CHECKS = {
@@ -68,6 +72,10 @@ CHECKS = {
     "q2_min_cost_supplier": ["HashAggregate", "Join"],
     "q13_order_count_distribution": ["LeftOuter", "HashAggregate"],
     "q20_part_quantity_suppliers": ["LeftSemi"],
+    "backoff_hosts": ["Window"],
+    "adaptive_delay_ewma": ["Window"],
+    "crawl_budget_allocation": ["BroadcastExchange", "Window"],
+    "mirror_host_similarity": ["HashJoin", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -83,6 +91,11 @@ ANTI_CHECKS = {
     "q4_priority_with_returns": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "q2_min_cost_supplier": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     "q20_part_quantity_suppliers": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # pure window/column math — Python in the plan would mean the exact-
+    # integer contract silently left codegen
+    "backoff_hosts": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "adaptive_delay_ewma": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "mirror_host_similarity": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
