@@ -680,3 +680,133 @@ class IcebergLayoutCatalog:
                     pass
         return {"expired_snapshots": expired,
                 "deleted_files": len(drop_paths), "freed_bytes": freed}
+
+    def delete_where(
+        self, spark: SparkSession, table: str, column: str,
+        lo=None, hi=None,
+    ) -> str:
+        """Row-level range DELETE (copy-on-write): remove every row with
+        ``lo <= column <= hi`` (either bound may be None = open) and
+        commit the result as one snapshot (operation 'delete'). Completes
+        the catalog's CRUD surface next to ``merge_upsert``; the crawl
+        use is retention (drop a closed time range of the crawl log) and
+        recrawl eviction at table grain (the cuckoo seen-set handles it
+        at filter grain).
+
+        Per-file triage from the manifest bounds — the same pruning
+        index merge uses, so cost is O(files touched), never O(table):
+
+        * disjoint from the range      -> CARRIED by reference, zero IO;
+        * fully inside the range       -> DROPPED from the manifest with
+          no row data read (one footer read verifies the column is
+          null-free in that file — parquet stats exclude nulls, and
+          nulls never match a range predicate, so a null row must
+          survive);
+        * overlapping (or stats-less)  -> rewritten with the complement
+          filter.
+        """
+        if lo is None and hi is None:
+            raise ValueError("delete_where needs at least one bound")
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        info = self.snapshot_info(table, cur)
+        manifest = json.loads((self.root / info["manifest"]).read_text())
+        if manifest.get("partition_by"):
+            raise ValueError(
+                f"table {table!r} is hive-partitioned; delete_where "
+                "supports unpartitioned tables"
+            )
+        lo_e, hi_e = _enc_bound(lo), _enc_bound(hi)
+        carried, dropped, affected = [], [], []
+        for f in manifest["files"]:
+            b = (f.get("stats") or {}).get(column)
+            if b is None:
+                affected.append(f)  # no stats: conservative rewrite
+                continue
+            if (hi_e is not None and b[0] > hi_e) or (
+                lo_e is not None and b[1] < lo_e
+            ):
+                carried.append(f)
+                continue
+            inside = (lo_e is None or b[0] >= lo_e) and (
+                hi_e is None or b[1] <= hi_e
+            )
+            if inside:
+                md = pq.read_metadata(self.root / f["path"])
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.row_group(rg).num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == column and c.statistics:
+                            nulls += c.statistics.null_count or 0
+                if nulls == 0:
+                    dropped.append(f)
+                    continue
+            affected.append(f)
+        if not dropped and not affected:
+            return cur  # nothing in range: no-op, current stays
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(info["schema"]))
+        col = F.col(column)
+        if lo is not None and hi is not None:
+            match = col.between(F.lit(lo), F.lit(hi))
+        elif lo is not None:
+            match = col >= F.lit(lo)
+        else:
+            match = col <= F.lit(hi)
+        snap_id = f"d{info['wave']:06d}-{uuid.uuid4().hex[:8]}"
+        tdir = self.root / table
+        data_dir = tdir / "data" / f"snap-{snap_id}"
+        meta_dir = tdir / "metadata"
+        new_files = []
+        if affected:
+            kept = (
+                spark.read.schema(schema)
+                .parquet(*[str(self.root / f["path"]) for f in affected])
+                .filter(~match | col.isNull())
+            )
+            kept.write.mode("overwrite").parquet(str(data_dir))
+            for f in sorted(data_dir.rglob("*.parquet")):
+                md = pq.read_metadata(f)
+                new_files.append(
+                    {"path": str(f.relative_to(self.root)),
+                     "rows": md.num_rows, "bytes": f.stat().st_size,
+                     "partition_id": len(carried) + len(new_files),
+                     "partition": {}, "stats": _column_bounds(md)}
+                )
+        files = carried + new_files
+        new_manifest = {"snapshot": snap_id, "table": table, "files": files,
+                        "partition_by": []}
+        meta_dir.mkdir(parents=True, exist_ok=True)
+        (meta_dir / f"manifest-{snap_id}.json").write_text(
+            json.dumps(new_manifest, indent=1)
+        )
+        snapshot = {
+            "snapshot_id": snap_id,
+            "wave": info["wave"],
+            "operation": "delete",  # rewrites files: incremental readers resync
+            "parent_snapshot_id": cur,
+            "manifest": f"{table}/metadata/manifest-{snap_id}.json",
+            "data_dir": f"{table}/data/snap-{snap_id}",
+            "schema": info["schema"],
+            "summary": {
+                "total_rows": sum(f["rows"] for f in files),
+                "n_files": len(files),
+                "dropped_files": len(dropped),
+                "rewritten_files": len(affected),
+                "carried_files": len(carried),
+            },
+        }
+        (meta_dir / f"snap-{snap_id}.json").write_text(
+            json.dumps(snapshot, indent=1)
+        )
+        cat = self._catalog()
+        entry = cat["tables"].setdefault(table, {"snapshots": []})
+        entry["snapshots"].append({"id": snap_id, "wave": info["wave"]})
+        entry["current"] = snap_id
+        self._write_catalog(cat)
+        return snap_id

@@ -426,3 +426,65 @@ def test_expire_vacuums_orphaned_rollback_branch(spark, tmpd):
 
     with pytest.raises(ValueError, match="keep_last"):
         cat.expire_snapshots("t", keep_last=0)
+
+
+def test_delete_where_three_file_classes(spark, tmpd):
+    """One delete triages files into carried / metadata-only-dropped /
+    rewritten, and the survivor rows are exactly the complement."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    # 10 files with disjoint event_id ranges (repartitionByRange + sort)
+    df = (
+        _batch(spark, 0, 1000)
+        .repartitionByRange(10, "event_id")
+        .sortWithinPartitions("event_id")
+    )
+    cat.commit_table("log", df, wave=0)
+    n0 = len(cat.lineage("log")[0]["files"])
+    assert n0 == 10
+
+    # delete [250, 649]: interior files fully covered -> dropped without
+    # reading rows; two boundary files rewritten; the rest carried
+    sid = cat.delete_where(spark, "log", "event_id", lo=250, hi=649)
+    info = cat.snapshot_info("log", sid)
+    s = info["summary"]
+    assert s["dropped_files"] >= 2          # fully-covered interior files
+    assert 1 <= s["rewritten_files"] <= 3   # range-boundary files only
+    assert s["carried_files"] >= 5
+    assert info["operation"] == "delete"
+    got = sorted(r.event_id for r in cat.load(spark, "log").collect())
+    assert got == [i for i in range(1000) if not (250 <= i <= 649)]
+    # time travel still sees the pre-delete table
+    root = cat.lineage("log")[-1]["snapshot_id"]
+    assert cat.load(spark, "log", snapshot=root).count() == 1000
+
+
+def test_delete_where_open_bounds_and_noop(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    cat.commit_table("log", _batch(spark, 0, 100), wave=0)
+    cur = cat.current_snapshot("log")
+    # disjoint range: no-op, same snapshot
+    assert cat.delete_where(spark, "log", "event_id", lo=5000, hi=6000) == cur
+    # open upper bound: delete everything >= 90
+    cat.delete_where(spark, "log", "event_id", lo=90)
+    assert cat.load(spark, "log").count() == 90
+    # open lower bound: delete everything <= 9
+    cat.delete_where(spark, "log", "event_id", hi=9)
+    got = sorted(r.event_id for r in cat.load(spark, "log").collect())
+    assert got == list(range(10, 90))
+    with pytest.raises(ValueError, match="at least one bound"):
+        cat.delete_where(spark, "log", "event_id")
+
+
+def test_delete_where_keeps_null_rows(spark, tmpd):
+    """Nulls never match a range predicate — a fully-covered file that
+    contains nulls must be REWRITTEN (footer null-check), not dropped."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "id long, v long"
+    ).coalesce(1)
+    cat.commit_table("t", df, wave=0)
+    sid = cat.delete_where(spark, "t", "v", lo=0, hi=100)
+    s = cat.snapshot_info("t", sid)["summary"]
+    assert s["dropped_files"] == 0 and s["rewritten_files"] == 1
+    rows = cat.load(spark, "t").collect()
+    assert [(r.id, r.v) for r in rows] == [(3, None)]
