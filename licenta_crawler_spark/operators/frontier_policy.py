@@ -317,3 +317,37 @@ def ewma_delay(
     return staged.withColumn("next_delay_ms", delay).drop(
         "_ewma_num", "_ewma_den"
     )
+
+
+def budgeted_schedule(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_clocks: DataFrame,
+    total_budget: int,
+    max_per_host: int = 64,
+    impl: str = "native",
+) -> DataFrame:
+    """O1 scheduling under a GLOBAL wave budget: score each host by its
+    queued-candidate count, apportion exactly ``total_budget`` fetch
+    slots across hosts (largest-remainder — the allocation sums to the
+    budget), and emit each host's schedule capped at
+    ``min(alloc, max_per_host)``.
+
+    The budget is an upper bound on emissions (a host allocated more
+    slots than it has queued simply emits what it has); per-host order,
+    delay spacing, and determinism are exactly ``schedule_fetches``'s.
+    Plan: one count agg + the apportionment (broadcast totals + one rank
+    window over hosts) + the scheduler's single host shuffle — the caps
+    ride a broadcast dim, so the budget adds no wide exchange over the
+    unbudgeted path.
+    """
+    from .politeness import schedule_fetches
+
+    scores = candidates.groupBy("host").agg(F.count("*").alias("score"))
+    caps = allocate_budget(
+        scores, host_col="host", score_col="score", total_budget=total_budget
+    ).select("host", F.col("alloc").alias("cap"))
+    return schedule_fetches(
+        candidates, robots, host_clocks,
+        max_per_host=max_per_host, impl=impl, host_caps=caps,
+    )

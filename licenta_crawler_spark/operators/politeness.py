@@ -38,6 +38,7 @@ def schedule_fetches(
     host_clocks: DataFrame,
     max_per_host: int = 64,
     impl: str = "native",
+    host_caps: DataFrame | None = None,
 ) -> DataFrame:
     """candidates: (host, url, kind, prio0, prio1, prio2). Returns the
     per-wave fetch schedule: one row per emitted fetch with scheduled_at.
@@ -64,13 +65,26 @@ def schedule_fetches(
         .join(F.broadcast(host_clocks), "host", "left")
         .fillna({"crawl_delay_ms": 0, "clock_ms": 0})
     )
+    # optional per-host emission caps (host, cap) — e.g. a global wave
+    # budget apportioned by frontier_policy.allocate_budget. Effective
+    # cap = min(max_per_host, cap); hosts absent from the dim keep
+    # max_per_host. Broadcast dim: hosts ≪ candidates.
+    if host_caps is not None:
+        enriched = enriched.join(
+            F.broadcast(host_caps.select("host", "cap")), "host", "left"
+        ).withColumn(
+            "_cap",
+            F.least(F.lit(max_per_host), F.coalesce(F.col("cap"), F.lit(max_per_host))),
+        ).drop("cap")
+    else:
+        enriched = enriched.withColumn("_cap", F.lit(max_per_host))
     if impl == "native":
         w = Window.partitionBy("host").orderBy(
             "prio0", "prio1", "prio2", "url", "kind"
         )
         return (
             enriched.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_per_host)
+            .filter(F.col("_rn") <= F.col("_cap"))
             .select(
                 "host", "url", "kind", "prio0", "prio1", "prio2",
                 (
@@ -83,6 +97,7 @@ def schedule_fetches(
     def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
         delay = max(int(pdf["crawl_delay_ms"].iloc[0]), 1)
         clock = int(pdf["clock_ms"].iloc[0])
+        cap = int(pdf["_cap"].iloc[0])
         heap = list(
             zip(
                 pdf["prio0"].astype(int),
@@ -95,7 +110,7 @@ def schedule_fetches(
         heapq.heapify(heap)
         out = []
         t = clock
-        for _ in range(min(max_per_host, len(heap))):
+        for _ in range(min(cap, len(heap))):
             p0, p1, p2, url, kind = heapq.heappop(heap)
             out.append((pdf["host"].iloc[0], url, kind, p0, p1, p2, t))
             t += delay

@@ -249,3 +249,73 @@ class TestPolicyProperties:
         out = backoff_schedule(_log(spark, rows), ts_cols=("ts",)).collect()
         got = {(r.host, r.ts): r.streak for r in out}
         assert got == expect
+
+
+class TestBudgetedSchedule:
+    def _cands(self, spark, per_host):
+        rows = [
+            (h, f"https://{h}/p{i}", "product", 0, i, 0)
+            for h, n in per_host.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "host string, url string, kind string, prio0 long, prio1 long, prio2 long"
+        )
+
+    def _dims(self, spark, hosts, delay=100):
+        robots = spark.createDataFrame(
+            [(h, delay, []) for h in hosts],
+            "host string, crawl_delay_ms long, disallow array<string>",
+        )
+        clocks = spark.createDataFrame(
+            [(h, 0) for h in hosts], "host string, clock_ms long"
+        )
+        return robots, clocks
+
+    def test_budget_caps_total_emissions(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import budgeted_schedule
+
+        per_host = {"a": 60, "b": 30, "c": 10}
+        robots, clocks = self._dims(spark, per_host)
+        sched = budgeted_schedule(
+            self._cands(spark, per_host), robots, clocks,
+            total_budget=50, max_per_host=64,
+        )
+        counts = {r.host: r.n for r in sched.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        # proportional: 60/100*50=30, 30/100*50=15, 10/100*50=5 (exact)
+        assert counts == {"a": 30, "b": 15, "c": 5}
+        assert sum(counts.values()) == 50
+
+    def test_max_per_host_still_binds(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import budgeted_schedule
+
+        per_host = {"a": 100, "b": 4}
+        robots, clocks = self._dims(spark, per_host)
+        sched = budgeted_schedule(
+            self._cands(spark, per_host), robots, clocks,
+            total_budget=1000, max_per_host=8,
+        )
+        counts = {r.host: r.n for r in sched.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        # budget is generous; the per-host politeness cap still binds
+        assert counts == {"a": 8, "b": 4}
+
+    def test_order_and_spacing_unchanged_under_budget(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import budgeted_schedule
+        from licenta_crawler_spark.operators.politeness import schedule_fetches
+
+        per_host = {"a": 20}
+        robots, clocks = self._dims(spark, per_host, delay=250)
+        cands = self._cands(spark, per_host)
+        budgeted = budgeted_schedule(cands, robots, clocks, total_budget=5)
+        plain = schedule_fetches(cands, robots, clocks, max_per_host=5)
+        assert sorted(map(tuple, budgeted.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_native_pandas_equivalence_with_caps(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import budgeted_schedule
+
+        per_host = {"a": 13, "b": 7, "c": 3}
+        robots, clocks = self._dims(spark, per_host, delay=50)
+        cands = self._cands(spark, per_host)
+        nat = budgeted_schedule(cands, robots, clocks, total_budget=11, impl="native")
+        pan = budgeted_schedule(cands, robots, clocks, total_budget=11, impl="pandas")
+        assert sorted(map(tuple, nat.collect())) == sorted(map(tuple, pan.collect()))
