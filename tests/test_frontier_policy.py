@@ -319,3 +319,40 @@ class TestBudgetedSchedule:
         nat = budgeted_schedule(cands, robots, clocks, total_budget=11, impl="native")
         pan = budgeted_schedule(cands, robots, clocks, total_budget=11, impl="pandas")
         assert sorted(map(tuple, nat.collect())) == sorted(map(tuple, pan.collect()))
+
+
+class TestTrapAdmissionComposition:
+    def test_trapped_templates_block_future_admissions(self, spark):
+        """The production composition: trap stats from FETCHED pages
+        become an admission filter for FUTURE candidates — a broadcast
+        anti-join on the template key, the same shape as the robots
+        disallow filter in the wave loop."""
+        fetched = [
+            ("evil", f"/cal/{20240101 + i}", "same-body") for i in range(60)
+        ] + [
+            ("good", f"/p/{i}", f"body-{i}") for i in range(60)
+        ]
+        traps = url_trap_stats(_urls(spark, fetched)).filter("is_trap")
+        assert [r.template for r in traps.collect()] == ["/cal/N"]
+
+        cands = spark.createDataFrame(
+            [
+                ("evil", "/cal/20250101"),   # trapped generator: reject
+                ("evil", "/about"),          # same host, healthy page: keep
+                ("good", "/p/999"),          # healthy generator: keep
+            ],
+            "host string, url string",
+        )
+        admitted = (
+            cands.withColumn(
+                "template", F.regexp_replace("url", "[0-9]+", "N")
+            )
+            .join(
+                F.broadcast(traps.select("host", "template")),
+                ["host", "template"],
+                "left_anti",
+            )
+            .drop("template")
+        )
+        got = sorted((r.host, r.url) for r in admitted.collect())
+        assert got == [("evil", "/about"), ("good", "/p/999")]
