@@ -96,6 +96,14 @@ class EngineConfig:
     seen_filter: str = "bloom"
     cuckoo_buckets: int = 1 << 14  # per shard; capacity = shards*buckets*4
     track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
+    # global per-wave fetch budget (None = unlimited): apportioned across
+    # hosts largest-remainder by queued-candidate count, enforced as
+    # per-host caps inside the O1 scheduler (operators/frontier_policy).
+    # A budget only DEFERS fetches — capped hosts keep their rows QUEUED
+    # and re-enter next wave — so the crawl result is unchanged, spread
+    # over more waves. Opt-in: adds one count-agg + one host-rank window
+    # per wave when set.
+    wave_budget: int | None = None
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
     # scratch mode only: parquet round-trip every K-th wave, cheap
@@ -433,6 +441,25 @@ class CrawlEngine:
         )
         return log_rows
 
+    def _schedule(self, cand: DataFrame, st: "CrawlState") -> DataFrame:
+        """O1 scheduling, optionally under the global wave budget
+        (EngineConfig.wave_budget): caps ride a broadcast dim into
+        schedule_fetches, so the budgeted plan differs from the plain one
+        only by a host-count agg + the apportionment's host-rank window —
+        no new wide exchange on the candidate stream."""
+        caps = None
+        if self.cfg.wave_budget is not None:
+            from licenta_crawler_spark.operators.frontier_policy import allocate_budget
+
+            scores = cand.groupBy("host").agg(F.count("*").alias("score"))
+            caps = allocate_budget(
+                scores, total_budget=self.cfg.wave_budget
+            ).select("host", F.col("alloc").alias("cap"))
+        return schedule_fetches(
+            cand, self.robots, st.host_clocks, self.cfg.max_per_host,
+            host_caps=caps,
+        )
+
     def _materialize(self, name: str, df: DataFrame, wave: int,
                      force_parquet: bool = False) -> DataFrame:
         """Truncate a state table's plan through a parquet round-trip.
@@ -488,7 +515,7 @@ class CrawlEngine:
             F.col("queue_pos").alias("prio1"),
             F.lit(0).cast("long").alias("prio2"),
         )
-        sched = schedule_fetches(cand, self.robots, st.host_clocks, self.cfg.max_per_host)
+        sched = self._schedule(cand, st)
         sched = sched.localCheckpoint()
         n_sched = sched.count()
         if n_sched == 0:
@@ -601,9 +628,8 @@ class CrawlEngine:
             F.col("seq").alias("prio1"),
             F.lit(0).cast("long").alias("prio2"),
         )
-        sched = schedule_fetches(
-            shelf_cand.unionByName(prod_cand), self.robots, st.host_clocks,
-            self.cfg.max_per_host,
+        sched = self._schedule(
+            shelf_cand.unionByName(prod_cand), st
         ).localCheckpoint()
         n_sched = sched.count()
         if n_sched == 0:

@@ -304,3 +304,46 @@ def test_cuckoo_backend_equivalence_and_eviction(spark):
     # Bloom backend cannot evict — loud refusal, not silent corruption
     with pytest.raises(ValueError, match="append-only"):
         eng_b.evict_seen(st_b, victims)
+
+
+def test_wave_budget_defers_but_never_drops(spark):
+    """EngineConfig.wave_budget: every wave schedules at most the budget;
+    the crawl takes more waves but converges to the IDENTICAL crawl log
+    (URL-seen set and per-host order) — a budget defers, never drops."""
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(2, 3),
+    )
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+
+    def run(budget):
+        eng = CrawlEngine(
+            spark, resolver_bc, robots,
+            EngineConfig(max_per_host=7, bloom_shards=2, bloom_bits=1 << 14,
+                         bloom_min_seen=0, wave_budget=budget),
+        )
+        st = eng.run(seed_jobs)
+        log = [
+            (r.host, r.seq, r.url)
+            for r in st.crawl_log.orderBy("host", "seq").collect()
+        ]
+        waves = {
+            r.wave: r.n
+            for r in st.schedule_log.groupBy("wave")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        return log, waves, eng
+
+    plain_log, plain_waves, e1 = run(None)
+    budget_log, budget_waves, e2 = run(3)
+
+    assert all(n <= 3 for n in budget_waves.values())
+    assert max(plain_waves.values()) > 3          # the budget actually bit
+    assert len(budget_waves) > len(plain_waves)   # more (smaller) waves
+    assert budget_log == plain_log                # identical crawl result
