@@ -210,6 +210,7 @@ def host_shingle_similarity(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_host_freq: int | None = None,
 ) -> DataFrame:
     """Mirror/affiliate host detection: Jaccard similarity between the
     word-shingle *sets* of every host pair (host-level, not doc-level —
@@ -232,7 +233,22 @@ def host_shingle_similarity(
         )
         .distinct()
     )
+    # |A| is measured BEFORE the stop-shingle cut so the reported jaccard
+    # is a provable LOWER bound (numerator can only shrink) — no false
+    # positives above min_jaccard, same contract as the n-gram df-cap.
     sizes = sh.groupBy("host").agg(F.count("*").alias("n_shingles"))
+    if max_host_freq is not None:
+        # the 10^10-doc scale valve: a shingle on > K hosts contributes
+        # K² join fan-out but no mirror signal (boilerplate); cut it
+        # before the self-join. One extra shingle-keyed agg, map-side
+        # combined.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_hf"))
+            .filter(F.col("_hf") <= max_host_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

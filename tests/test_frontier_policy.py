@@ -356,3 +356,34 @@ class TestTrapAdmissionComposition:
         )
         got = sorted((r.host, r.url) for r in admitted.collect())
         assert got == [("evil", "/about"), ("good", "/p/999")]
+
+
+class TestMirrorStopShingles:
+    def test_cut_drops_boilerplate_keeps_signal(self, spark):
+        """A shingle on every host (boilerplate footer) is cut at
+        max_host_freq=2; the mirror pair's unique overlap survives and
+        the reported jaccard is a lower bound of the uncut value."""
+        footer = "all rights reserved worldwide"
+        docs = spark.createDataFrame(
+            [
+                ("m1", f"unique mirror content here {footer}"),
+                ("m2", f"unique mirror content here {footer}"),
+                ("x1", f"totally other words entirely {footer}"),
+                ("x2", f"different again more words {footer}"),
+            ],
+            "host string, text string",
+        )
+        uncut = {
+            (r.host_a, r.host_b): r.jaccard
+            for r in host_shingle_similarity(docs).collect()
+        }
+        cut = {
+            (r.host_a, r.host_b): r.jaccard
+            for r in host_shingle_similarity(docs, max_host_freq=2).collect()
+        }
+        # boilerplate-only pairs disappear entirely under the cut
+        assert ("x1", "x2") in uncut and ("x1", "x2") not in cut
+        # the true mirror pair survives with a lower-bound jaccard
+        assert ("m1", "m2") in cut
+        assert cut[("m1", "m2")] <= uncut[("m1", "m2")]
+        assert cut[("m1", "m2")] > 0.3
