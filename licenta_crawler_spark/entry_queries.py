@@ -1266,6 +1266,26 @@ def stream_politeness_replay(spark, sf_dir):
     return batch_replay_politeness(cand)
 
 
+def stream_backoff_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING backoff policy's
+    cross-batch streak carry (streaming/windowed.streaming_backoff):
+    fetch outcomes synthesized with an explicit micro-batch number
+    replay per host through the SAME _fold_backoff the stateful operator
+    runs; the oracle is the closed-form streak window ordered by
+    (batch_no, fetch_id)."""
+    from licenta_crawler_spark.streaming.windowed import batch_replay_backoff
+
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 50).cast("string")
+    fetches = ev.select(
+        F.concat(F.lit("h"), h).alias("host"),
+        F.col("event_id").alias("fetch_id"),
+        (F.col("event_type") != "error").alias("ok"),
+        (F.col("event_id") % 4).cast("long").alias("batch_no"),
+    )
+    return batch_replay_backoff(fetches)
+
+
 def etld1_site_groups(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction against a literal
     public-suffix subset — the site unit crawl policy keys on: hosts
@@ -2244,6 +2264,7 @@ QUERIES = {
     "mirror_host_similarity": mirror_host_similarity,
     "adaptive_delay_ewma": adaptive_delay_ewma,
     "robots_cache_ttl": robots_cache_ttl,
+    "stream_backoff_replay": stream_backoff_replay,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4107,6 +4128,34 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.host = host_b
     """,
     "adaptive_delay_ewma": _ewma_delay_sql(),
+    "stream_backoff_replay": """
+        WITH f AS (
+          SELECT 'h' || (user_id % 50)::VARCHAR AS host,
+                 event_id AS fetch_id,
+                 (event_type <> 'error') AS ok,
+                 event_id % 4 AS batch_no
+          FROM events
+        ),
+        runs AS (
+          SELECT host, fetch_id, ok, batch_no,
+                 count(*) FILTER (WHERE ok) OVER (
+                   PARTITION BY host ORDER BY batch_no, fetch_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM f
+        ),
+        st AS (
+          SELECT host, fetch_id, ok,
+                 CASE WHEN ok THEN 0 ELSE
+                   count(*) FILTER (WHERE NOT ok) OVER (
+                     PARTITION BY host, run_id ORDER BY batch_no, fetch_id
+                     ROWS UNBOUNDED PRECEDING) END AS streak
+          FROM runs
+        )
+        SELECT host, fetch_id, streak::BIGINT AS streak,
+               least(1000::BIGINT << least(streak, 30)::INT, 64000)::BIGINT
+                 AS next_delay_ms
+        FROM st
+    """,
     "robots_cache_ttl": """
         WITH u AS (
           SELECT user_id, ts, 1 AS side, NULL::BIGINT AS r_eid,

@@ -398,3 +398,89 @@ def streaming_politeness_schedule(candidates: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------- backoff
+BACKOFF_STATE_SCHEMA = "streak long"
+BACKOFF_OUT_SCHEMA = "host string, fetch_id long, streak long, next_delay_ms long"
+
+
+def _fold_backoff(oks, streak, base_ms=1000, cap_ms=64000):
+    """The per-host failure-streak fold shared by the STREAMING backoff
+    operator and its batch replay twin (the streaming form of
+    operators/frontier_policy.backoff_schedule): success resets the
+    streak, failure increments it; delay = min(base << min(streak, 30),
+    cap). Returns (streaks, delays, streak')."""
+    streaks, delays = [], []
+    for ok in oks:
+        streak = 0 if ok else streak + 1
+        streaks.append(streak)
+        delays.append(min(base_ms << min(streak, 30), cap_ms))
+    return streaks, delays, streak
+
+
+def streaming_backoff(
+    fetches: DataFrame, base_ms: int = 1000, cap_ms: int = 64000
+) -> DataFrame:
+    """Streaming twin of the exponential-backoff policy: fetch outcomes
+    arrive as a stream of (host, fetch_id, ok) rows; the consecutive-
+    failure streak is ONE long in the state store per host, so backoff
+    levels carry ACROSS micro-batches — a host failing at the end of one
+    batch starts the next batch at the escalated delay, exactly like the
+    batch operator's closed-form streak over the full log. Within a
+    batch, rows fold in fetch_id order (deterministic under any
+    partitioning)."""
+
+    def fn(key, pdfs, state: GroupState):
+        (streak,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "fetch_id", kind="mergesort"
+        )
+        streaks, delays, streak = _fold_backoff(rows["ok"], streak, base_ms, cap_ms)
+        state.update((int(streak),))
+        yield pd.DataFrame({
+            "host": [key[0]] * len(rows),
+            "fetch_id": rows["fetch_id"].tolist(),
+            "streak": streaks,
+            "next_delay_ms": delays,
+        })
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=BACKOFF_OUT_SCHEMA,
+        stateStructType=BACKOFF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_replay_backoff(
+    fetches: DataFrame, batch_col: str = "batch_no",
+    base_ms: int = 1000, cap_ms: int = 64000,
+) -> DataFrame:
+    """BATCH replay of streaming_backoff's state machine — the driver-
+    oracle-checkable twin: micro-batches replay in order through the
+    SAME ``_fold_backoff``; the oracle is the closed-form streak window
+    ordered by (batch_no, fetch_id), so a green driver row certifies the
+    cross-batch streak carry itself. One shuffle on host (the streak is
+    per-host state), Arrow-batched."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        streak = 0
+        out = []
+        for b in sorted(pdf[batch_col].unique()):
+            chunk = pdf[pdf[batch_col] == b].sort_values(
+                "fetch_id", kind="mergesort"
+            )
+            streaks, delays, streak = _fold_backoff(
+                chunk["ok"], streak, base_ms, cap_ms
+            )
+            out.append(pd.DataFrame({
+                "host": chunk["host"].tolist(),
+                "fetch_id": chunk["fetch_id"].tolist(),
+                "streak": streaks,
+                "next_delay_ms": delays,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return fetches.groupBy("host").applyInPandas(replay, schema=BACKOFF_OUT_SCHEMA)

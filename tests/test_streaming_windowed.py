@@ -443,3 +443,48 @@ def test_stream_stream_left_outer_interval_join(spark, tmpdirs):
         q.stop()
     assert rows[0] == (0, 5.0)          # matched pair
     assert rows[1] == (None, None)      # unmatched click emitted with nulls
+
+
+def test_streaming_backoff_streak_spans_batches(spark, tmpdirs):
+    """Streaming backoff: the consecutive-failure streak persists in the
+    state store — a host failing at the end of batch 1 starts batch 2 at
+    the escalated delay; success resets across the batch boundary too."""
+    from licenta_crawler_spark.streaming.windowed import streaming_backoff
+
+    SCHEMA = "host string, fetch_id long, ok boolean"
+    b1 = spark.createDataFrame([
+        ("a.com", 2, False),
+        ("a.com", 1, False),   # folds in fetch_id order: 1 then 2
+        ("b.com", 1, False),
+    ], SCHEMA)
+    b2 = spark.createDataFrame([
+        ("a.com", 3, False),   # continues a.com's streak -> 3
+        ("b.com", 2, True),    # success resets b.com
+        ("b.com", 3, False),   # streak restarts at 1
+    ], SCHEMA)
+    src = f"{tmpdirs}/src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_backoff(stream)
+        .writeStream.format("memory").queryName("backoff")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r["host"], r["fetch_id"]): (r["streak"], r["next_delay_ms"])
+                for r in spark.table("backoff").collect()}
+    finally:
+        q.stop()
+
+    assert rows == {
+        ("a.com", 1): (1, 2000), ("a.com", 2): (2, 4000),
+        ("a.com", 3): (3, 8000),            # cross-batch streak carry
+        ("b.com", 1): (1, 2000),
+        ("b.com", 2): (0, 1000),            # success resets
+        ("b.com", 3): (1, 2000),
+    }
