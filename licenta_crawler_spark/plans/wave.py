@@ -104,6 +104,14 @@ class EngineConfig:
     # over more waves. Opt-in: adds one count-agg + one host-rank window
     # per wave when set.
     wave_budget: int | None = None
+    # crawler-trap admission cut (None = off): templates whose fetched
+    # pages show >= trap_min_urls distinct URLs collapsing onto
+    # trap_content_ratio x fewer distinct bodies stop admitting new
+    # expansions (operators/frontier_policy.url_trap_stats; broadcast
+    # anti-join on (host, template) — blocks the generator, not the host).
+    # Opt-in: adds one documents-table agg + one anti-join per wave.
+    trap_min_urls: int | None = None
+    trap_content_ratio: int = 10
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
     # scratch mode only: parquet round-trip every K-th wave, cheap
@@ -427,6 +435,46 @@ class CrawlEngine:
             )
             .drop("_dis", "_path")
         )
+        # crawler-trap cut (opt-in): URL templates that already exploded
+        # on FETCHED content stop admitting new expansions. Trap stats
+        # come from the documents state table (url + span-text
+        # fingerprint); the rejection is a broadcast anti-join on
+        # (host, template) — the same plan shape as the disallow filter.
+        # Only the trapped GENERATOR is blocked, never the whole host.
+        if self.cfg.trap_min_urls is not None:
+            from licenta_crawler_spark.operators.frontier_policy import url_trap_stats
+
+            fetched = st.documents.select(
+                "host", "url",
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f",
+                        F.transform(
+                            "spans",
+                            lambda s: F.coalesce(
+                                s["text"], s["media_ref"], F.lit("")
+                            ),
+                        ),
+                    ),
+                    256,
+                ).alias("content_hash"),
+            )
+            traps = url_trap_stats(
+                fetched,
+                min_urls=self.cfg.trap_min_urls,
+                max_content_ratio=self.cfg.trap_content_ratio,
+            ).filter("is_trap").select("host", "template")
+            c = (
+                c.withColumn(
+                    "_tpl", F.regexp_replace(F.col("url_canon"), "[0-9]+", "N")
+                )
+                .join(
+                    F.broadcast(traps.withColumnRenamed("template", "_tpl")),
+                    ["host", "_tpl"],
+                    "left_anti",
+                )
+                .drop("_tpl")
+            )
         c = first_discovery(c, [F.col("ord0"), F.col("ord1")])  # D2
         new = filter_unseen(c, st.crawl_log, self.bloom if self.cfg.use_bloom else None)  # D1
         w = Window.partitionBy("host").orderBy("ord0", "ord1")

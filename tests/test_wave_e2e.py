@@ -347,3 +347,36 @@ def test_wave_budget_defers_but_never_drops(spark):
     assert max(plain_waves.values()) > 3          # the budget actually bit
     assert len(budget_waves) > len(plain_waves)   # more (smaller) waves
     assert budget_log == plain_log                # identical crawl result
+
+
+def test_trap_detection_no_false_positives_e2e(spark):
+    """EngineConfig.trap_min_urls wired into admission: on a healthy
+    corpus (every page distinct content) the trap cut must change
+    NOTHING — the crawl still matches the reference oracle exactly.
+    (The positive trap case is unit-tested in test_frontier_policy;
+    healthy-corpus identity proves the admission wiring cannot
+    over-reject.)"""
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(2, 3),
+    )
+    oracle = simulate_crawl(corpus)
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    eng = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=7, bloom_shards=2, bloom_bits=1 << 14,
+                     bloom_min_seen=0, trap_min_urls=50),
+    )
+    st = eng.run(seed_jobs)
+    got: dict[str, list] = {}
+    for r in st.crawl_log.orderBy("host", "seq").collect():
+        got.setdefault(r["host"], []).append(r["url"])
+    exp = {h: [u for (u, _, _) in rows]
+           for h, rows in oracle.discovery_log.items() if rows}
+    assert got == exp
