@@ -2134,18 +2134,49 @@ def robots_cache_ttl(spark, sf_dir):
     )
 
 
+def boilerplate_shingle_detect(spark, sf_dir):
+    """Site-level boilerplate detection: bigram shingles present in >=20%
+    of a source's documents (source as the site proxy) — the nav/footer
+    chrome a content extractor strips before text reaches the training
+    corpus. Integer df*1000 >= ratio*n_docs threshold, so the flag is
+    engine-exact."""
+    from licenta_crawler_spark.operators.corpus import boilerplate_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_shingles(
+        d, group_col="source", n=2, ratio_millis=200, min_docs=20
+    )
+
+
+def boilerplate_doc_exposure(spark, sf_dir):
+    """Per-document boilerplate exposure: fraction (exact integer
+    per-mille) of each doc's distinct bigrams flagged boilerplate for
+    its source — the removal join (detection output broadcast; the
+    corpus is shuffled once, on the doc id)."""
+    from licenta_crawler_spark.operators.corpus import (
+        boilerplate_doc_stats,
+        boilerplate_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = boilerplate_shingles(
+        d, group_col="source", n=2, ratio_millis=200, min_docs=20
+    )
+    return boilerplate_doc_stats(d, boiler, group_col="source", n=2)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
-# Round-3 window (slots 1-49): everything registered in round 2 after the
-# r02 window closed — all 49 now get a hard driver-verified row;
-# slot 50 is a round-2-green canary (q1) proving the rotation didn't
-# perturb previously verified behavior. r02 + r03 together then cover
-# every registered query. (ann_ivf_float_topk — the one permanently
-# oracle-less row — is removed: ann_ivf_pinned_topk hash-matches the same
-# IVF path with pinned centroids and ann_ivf_full_probe proves
-# probe-all ≡ brute force, so the float trainer added no verified
-# behavior of its own, only a guaranteed-red row.)
+# Round-3 window (slots 1-50): everything registered in round 2 after the
+# r02 window closed (48 queries) + the two streaming state-machine batch
+# twins — all 50 get a hard driver-verified row; r02 + r03 together then
+# cover every query registered before the round-3 additions, which sit
+# past slot 50 and rotate into r04's window. (ann_ivf_float_topk — the one
+# permanently oracle-less row — is removed: ann_ivf_pinned_topk
+# hash-matches the same IVF path with pinned centroids and
+# ann_ivf_full_probe proves probe-all ≡ brute force, so the float trainer
+# added no verified behavior of its own, only a guaranteed-red row.)
 QUERIES = {
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -2265,6 +2296,8 @@ QUERIES = {
     "adaptive_delay_ewma": adaptive_delay_ewma,
     "robots_cache_ttl": robots_cache_ttl,
     "stream_backoff_replay": stream_backoff_replay,
+    "boilerplate_shingle_detect": boilerplate_shingle_detect,
+    "boilerplate_doc_exposure": boilerplate_doc_exposure,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4182,6 +4215,52 @@ ORACLE_SQL = {
                    > 21600000) AS stale
         FROM m WHERE side = 1
     """,
+    "boilerplate_shingle_detect": """
+        WITH toks AS (
+          SELECT doc_id, source, {norm_toks} AS toks FROM documents
+        ),
+        shs AS (
+          SELECT doc_id, source, list_distinct(
+            list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+          FROM toks
+        ),
+        ex AS (SELECT source, doc_id, unnest(shingles) AS shingle FROM shs),
+        nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+               FROM documents GROUP BY 1),
+        dfq AS (SELECT source, shingle, count(*) AS df FROM ex GROUP BY 1, 2)
+        SELECT d.source, d.shingle, d.df, n.n_docs
+        FROM dfq d JOIN nd n USING (source)
+        WHERE n.n_docs >= 20 AND d.df * 1000 >= 200 * n.n_docs
+    """.replace("{norm_toks}", _NORM_TOKS_SQL),
+    "boilerplate_doc_exposure": """
+        WITH toks AS (
+          SELECT doc_id, source, {norm_toks} AS toks FROM documents
+        ),
+        shs AS (
+          SELECT doc_id, source, list_distinct(
+            list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+          FROM toks
+        ),
+        ex AS (SELECT source, doc_id, unnest(shingles) AS shingle FROM shs),
+        nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+               FROM documents GROUP BY 1),
+        dfq AS (SELECT source, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
+        boiler AS (
+          SELECT d.source, d.shingle
+          FROM dfq d JOIN nd n USING (source)
+          WHERE n.n_docs >= 20 AND d.df * 1000 >= 200 * n.n_docs
+        )
+        SELECT e.doc_id, e.source,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_boiler,
+               (count(b.shingle) * 1000 // count(*))::BIGINT
+                 AS boiler_ratio_millis
+        FROM ex e
+        LEFT JOIN boiler b ON b.source = e.source AND b.shingle = e.shingle
+        GROUP BY 1, 2
+    """.replace("{norm_toks}", _NORM_TOKS_SQL),
 }
 
 

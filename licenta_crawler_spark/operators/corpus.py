@@ -243,3 +243,104 @@ def negative_pairs(
             ).alias("partner_id"),
         )
     )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    ratio_millis: int = 200,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Boilerplate detection: word n-gram shingles whose within-group
+    document frequency is at least ``ratio_millis``/1000 of the group's
+    docs (groups below ``min_docs`` docs abstain — tiny groups make every
+    shingle "frequent"). Navigation chrome, cookie banners and footer
+    text repeat on most pages of a site while body text does not, so
+    high-df shingles per site ARE the chrome — the content-extraction
+    prior (CleanEval / jusText line-frequency idea) lifted to shingles
+    the engine already builds for dedup.
+
+    The threshold compares ``df*1000 >= ratio_millis*n_docs`` — all
+    int64, so the flag can never flip on a float rounding difference
+    between engines.
+
+    Scale: one explode + one (group, shingle) aggregation, both
+    map-side combinable; the group-size table is groups ≪ docs and
+    broadcast. Output is provably small: df ≥ r·n_docs means a group
+    contributes at most shingles_per_doc/r boilerplate shingles
+    REGARDLESS of group size (total occurrences / minimum df), so the
+    result broadcasts back for removal even at 10^10 docs.
+
+    Returns (group_col, shingle, df, n_docs).
+    """
+    from licenta_crawler_spark.operators.dedup import shingles_col
+
+    sh = docs.select(
+        F.col(group_col).alias("grp"),
+        # shingles_col() is distinct-per-doc, so count(*) per
+        # (grp, shingle) below IS the document frequency.
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    ndocs = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    dfq = sh.groupBy("grp", "shingle").agg(F.count("*").alias("df"))
+    return (
+        dfq.join(F.broadcast(ndocs), "grp")
+        .where(
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (F.col("df") * 1000 >= F.lit(ratio_millis) * F.col("n_docs"))
+        )
+        .select(F.col("grp").alias(group_col), "shingle", "df", "n_docs")
+    )
+
+
+def boilerplate_doc_stats(
+    docs: DataFrame,
+    boiler: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate exposure: of each doc's distinct shingles,
+    how many are flagged boilerplate for its group — the removal-ready
+    join (a cleaner drops those spans; a quality filter thresholds on
+    boiler_ratio_millis). ``boiler`` is the (small, see
+    boilerplate_shingles) detection output, broadcast so the per-doc
+    pass stays a map-side join: no second shuffle of the corpus.
+
+    Returns (id_col, group_col, n_shingles, n_boiler,
+    boiler_ratio_millis) with the ratio in exact integer per-mille
+    (floor), matching any SQL replay bit-for-bit.
+    """
+    from licenta_crawler_spark.operators.dedup import shingles_col
+
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    mark = boiler.select(
+        F.col(group_col).alias("grp"), "shingle", F.lit(1).alias("_b")
+    )
+    j = sh.join(F.broadcast(mark), ["grp", "shingle"], "left")
+    return (
+        j.groupBy("_id", "grp")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_b").alias("n_boiler"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_shingles",
+            "n_boiler",
+            F.expr("n_boiler * 1000 div n_shingles").alias(
+                "boiler_ratio_millis"
+            ),
+        )
+    )

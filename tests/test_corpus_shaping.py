@@ -8,7 +8,12 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from licenta_crawler_spark.operators.corpus import chunk_documents, pack_sequences
+from licenta_crawler_spark.operators.corpus import (
+    boilerplate_doc_stats,
+    boilerplate_shingles,
+    chunk_documents,
+    pack_sequences,
+)
 
 
 def _docs(spark, texts):
@@ -192,3 +197,78 @@ def test_negative_pairs_deterministic_and_distinct(spark):
     assert again == sorted(rows)
     with pytest.raises(ValueError):
         negative_pairs(spark.range(1).withColumnRenamed("id", "doc_id"))
+
+
+# ------------------------------------------------------- boilerplate
+def _site_docs(spark, rows):
+    """rows: (doc_id, source, text)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_boilerplate_detects_chrome_not_body(spark):
+    # 5 docs on site A: "cookie banner" opens every page (df=5), body
+    # bigrams are unique per page. ratio 400/1000 of 5 docs => df >= 2.
+    rows = [
+        (i, "A", f"cookie banner body{i} unique{i}") for i in range(5)
+    ]
+    out = boilerplate_shingles(
+        _site_docs(spark, rows), n=2, ratio_millis=400, min_docs=5
+    ).collect()
+    got = {(r["source"], r["shingle"], r["df"], r["n_docs"]) for r in out}
+    assert ("A", "cookie banner", 5, 5) in got
+    # no body bigram (df=1 each) crosses df >= 2
+    assert all(s == "cookie banner" for (_, s, _, _) in got)
+
+
+def test_boilerplate_small_group_abstains(spark):
+    rows = [(0, "B", "cookie banner x"), (1, "B", "cookie banner y")]
+    out = boilerplate_shingles(
+        _site_docs(spark, rows), n=2, ratio_millis=100, min_docs=3
+    ).collect()
+    assert out == []  # 2 docs < min_docs: every shingle abstains
+
+
+def test_boilerplate_threshold_is_integer_exact(spark):
+    # 10 docs, shingle on exactly 2: 2*1000 >= 200*10 holds (boundary
+    # INCLUSIVE); on 1 doc it must not.
+    rows = [(i, "C", f"pay load{i} nav bar" if i < 2 else f"pay load{i} x y")
+            for i in range(10)]
+    out = boilerplate_shingles(
+        _site_docs(spark, rows), n=2, ratio_millis=200, min_docs=5
+    ).collect()
+    shingles = {r["shingle"] for r in out}
+    assert "nav bar" in shingles
+    assert not any(s.startswith("load") and s != "nav bar" for s in shingles)
+
+
+def test_boilerplate_doc_stats_exposure(spark):
+    rows = [
+        (i, "D", "cookie banner here now") for i in range(4)
+    ] + [(4, "D", f"only unique words four")]
+    docs = _site_docs(spark, rows)
+    boiler = boilerplate_shingles(docs, n=2, ratio_millis=500, min_docs=5)
+    stats = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_ratio_millis"])
+        for r in boilerplate_doc_stats(docs, boiler, n=2).collect()
+    }
+    # docs 0-3: all 3 bigrams boilerplate (df=4 of 5 >= 50%) -> 1000
+    assert stats[0] == (3, 3, 1000)
+    # doc 4 shares nothing -> 0
+    assert stats[4] == (3, 0, 0)
+
+
+def test_boilerplate_partition_invariant(spark):
+    rows = [
+        (i, f"s{i % 3}", f"head er body{i} tail er word{i % 7} more")
+        for i in range(60)
+    ]
+    docs = _site_docs(spark, rows)
+    a = boilerplate_shingles(docs, n=2, ratio_millis=300, min_docs=10)
+    b = boilerplate_shingles(
+        docs.repartition(13, "doc_id"), n=2, ratio_millis=300, min_docs=10
+    )
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and len(ka) > 0
