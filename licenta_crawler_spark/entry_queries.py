@@ -2165,6 +2165,44 @@ def boilerplate_doc_exposure(spark, sf_dir):
     return boilerplate_doc_stats(d, boiler, group_col="source", n=2)
 
 
+def dust_param_rules(spark, sf_dir):
+    """DUST-style URL-parameter rule mining (param_effect_rules): learn
+    which query parameters never change content. Two synthesized URL
+    families per event: a shelf listing where ``page`` drives content
+    and ``ref`` is a tracking tag (page -> violated, ref -> removable),
+    and a per-user listing carrying a unique ``sid`` session id (sid ->
+    removable; its uniqueness keeps page untested there). All flags are
+    integer-count comparisons — no float anywhere."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        param_effect_rules,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shelf = ev.select(
+        F.concat(
+            F.lit("/shelf?page="),
+            F.col("event_id") % 5,
+            F.lit("&ref="),
+            F.col("event_type"),
+        ).alias("url"),
+        F.concat(F.lit("p"), F.col("event_id") % 5).alias("content_hash"),
+    )
+    user = ev.select(
+        F.concat(
+            F.lit("/u/"),
+            F.col("user_id") % 50,
+            F.lit("/list?page="),
+            F.col("event_id") % 3,
+            F.lit("&sid="),
+            F.col("event_id"),
+        ).alias("url"),
+        F.concat(
+            F.col("user_id") % 50, F.lit(":"), F.col("event_id") % 3
+        ).alias("content_hash"),
+    )
+    return param_effect_rules(shelf.unionAll(user))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2298,6 +2336,7 @@ QUERIES = {
     "stream_backoff_replay": stream_backoff_replay,
     "boilerplate_shingle_detect": boilerplate_shingle_detect,
     "boilerplate_doc_exposure": boilerplate_doc_exposure,
+    "dust_param_rules": dust_param_rules,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4261,6 +4300,58 @@ ORACLE_SQL = {
         LEFT JOIN boiler b ON b.source = e.source AND b.shingle = e.shingle
         GROUP BY 1, 2
     """.replace("{norm_toks}", _NORM_TOKS_SQL),
+    "dust_param_rules": """
+        WITH u AS (
+          SELECT '/shelf?page=' || (event_id % 5) || '&ref=' || event_type
+                   AS url,
+                 'p' || (event_id % 5) AS content_hash
+          FROM events
+          UNION ALL
+          SELECT '/u/' || (user_id % 50) || '/list?page=' || (event_id % 3)
+                   || '&sid=' || event_id,
+                 (user_id % 50) || ':' || (event_id % 3)
+          FROM events
+        ),
+        base AS (
+          SELECT content_hash AS _c,
+                 str_split(url, '?')[1] AS path,
+                 str_split(url, '?')[2] AS qs
+          FROM u
+        ),
+        ex AS (
+          SELECT _c, path, str_split(qs, '&') AS params,
+                 unnest(str_split(qs, '&')) AS p
+          FROM base
+          WHERE qs IS NOT NULL AND qs <> ''
+        ),
+        kv AS (
+          SELECT str_split(p, '=')[1] AS pkey,
+                 str_split(p, '=')[2] AS pval,
+                 path || '?' || array_to_string(
+                   list_sort(list_filter(params, q -> q <> p)), '&')
+                   AS residual,
+                 _c
+          FROM ex
+        ),
+        grp AS (
+          SELECT pkey, residual,
+                 count(*) AS n_urls,
+                 count(DISTINCT pval) AS n_vals,
+                 count(DISTINCT _c) AS n_contents
+          FROM kv GROUP BY 1, 2
+        )
+        SELECT pkey,
+               sum(n_urls)::BIGINT AS n_urls,
+               count(*) AS n_groups,
+               sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_tested,
+               sum(CASE WHEN n_vals >= 2 AND n_contents >= 2
+                        THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+               (sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) > 0
+                AND sum(CASE WHEN n_vals >= 2 AND n_contents >= 2
+                             THEN 1 ELSE 0 END) = 0) AS removable
+        FROM grp GROUP BY pkey
+    """,
 }
 
 

@@ -367,3 +367,97 @@ def budgeted_schedule(
         candidates, robots, host_clocks,
         max_per_host=max_per_host, impl=impl, host_caps=caps,
     )
+
+
+def param_effect_rules(
+    urls: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_hash",
+) -> DataFrame:
+    """DUST-style URL-parameter rule mining (Bar-Yossef et al., WWW'07
+    "Do not crawl in the DUST"): learn which query parameters do NOT
+    affect content, so the canonicalizer can strip them and the frontier
+    stops scheduling the same page under millions of session-id/tracking
+    spellings — the single biggest seen-set inflation on real sites.
+
+    For every parameter key k of every URL, the *residual* is the URL
+    with k removed (path + the OTHER params, sorted — so URLs differing
+    only in k collide on one residual). Group by (k, residual):
+
+    * the group TESTS k when >= 2 distinct values of k appear,
+    * the group VIOLATES when those spellings map to >= 2 distinct
+      contents (k changed the page — not removable).
+
+    k is ``removable`` iff it was tested at least once and never
+    violated. Both flags are pure integer-count comparisons.
+
+    Params are treated as a set: the residual drops every pair equal to
+    the current ``k=v`` string (duplicate identical pairs collapse —
+    exactly what a canonicalizer would do anyway). URLs with no query
+    string contribute nothing.
+
+    Scale: the explode is x(params per URL, ~2-4); the wide shuffle is
+    ONE groupBy (key, residual) whose cardinality is bounded by distinct
+    canonical pages — the same cost class as the D2 dedup the frontier
+    already pays, with both countDistincts partially aggregated
+    map-side. The second aggregate is keyed by the parameter VOCABULARY
+    (~10^3 keys), and the rule table broadcasts into the canonicalizer.
+    Hot residuals (one page under 10^6 spellings) are exactly the rows
+    this operator exists to kill; until the rule lands they cost one
+    skewed-but-AQE-splittable partial count, not a join fan-out.
+
+    Returns (pkey, n_urls, n_groups, n_tested, n_violating, removable).
+    """
+    parts = F.split(F.col(url_col), r"\?", 2)
+    path = F.element_at(parts, 1)
+    # try_element_at: URLs without '?' (and k-only params without '=')
+    # yield NULL instead of an ANSI array-bounds error.
+    qs = F.try_element_at(parts, F.lit(2))
+    params = F.split(qs, "&")
+    trip = F.transform(
+        params,
+        lambda p: F.struct(
+            F.element_at(F.split(p, "=", 2), 1).alias("pkey"),
+            F.try_element_at(F.split(p, "=", 2), F.lit(2)).alias("pval"),
+            F.concat(
+                path,
+                F.lit("?"),
+                F.array_join(
+                    F.array_sort(F.filter(params, lambda q: q != p)), "&"
+                ),
+            ).alias("residual"),
+        ),
+    )
+    ex = (
+        urls.where(qs.isNotNull() & (qs != ""))
+        .select(F.col(content_col).alias("_c"), F.explode(trip).alias("p"))
+        .select("p.pkey", "p.pval", "p.residual", "_c")
+    )
+    groups = ex.groupBy("pkey", "residual").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("pval").alias("n_vals"),
+        F.countDistinct("_c").alias("n_contents"),
+    )
+    tested = (F.col("n_vals") >= 2).cast("long")
+    violating = ((F.col("n_vals") >= 2) & (F.col("n_contents") >= 2)).cast(
+        "long"
+    )
+    return (
+        groups.groupBy("pkey")
+        .agg(
+            F.sum("n_urls").alias("n_urls"),
+            F.count("*").alias("n_groups"),
+            F.sum(tested).alias("n_tested"),
+            F.sum(violating).alias("n_violating"),
+        )
+        .select(
+            "pkey",
+            "n_urls",
+            "n_groups",
+            "n_tested",
+            "n_violating",
+            ((F.col("n_tested") > 0) & (F.col("n_violating") == 0)).alias(
+                "removable"
+            ),
+        )
+    )

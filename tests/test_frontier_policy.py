@@ -387,3 +387,75 @@ class TestMirrorStopShingles:
         assert ("m1", "m2") in cut
         assert cut[("m1", "m2")] <= uncut[("m1", "m2")]
         assert cut[("m1", "m2")] > 0.3
+
+
+class TestParamEffectRules:
+    """DUST-style parameter rule mining (param_effect_rules)."""
+
+    def _rules(self, spark, rows):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            param_effect_rules,
+        )
+
+        df = spark.createDataFrame(rows, "url string, content_hash string")
+        return {r.pkey: r.asDict() for r in param_effect_rules(df).collect()}
+
+    def test_session_id_removable_content_param_not(self, spark):
+        rows = []
+        # page drives content, ref does not
+        for page in (1, 2, 3):
+            for ref in ("a", "b"):
+                rows.append((f"/s?page={page}&ref={ref}", f"c{page}"))
+        # sid unique per fetch, content constant for the residual
+        for n in range(4):
+            rows.append((f"/u/7?page=1&sid={n}", "u7p1"))
+        got = self._rules(spark, rows)
+        assert got["ref"]["removable"] is True
+        assert got["sid"]["removable"] is True
+        # page: tested+violated in family A, untested in family B
+        assert got["page"]["removable"] is False
+        assert got["page"]["n_violating"] >= 1
+
+    def test_untested_param_is_not_removable(self, spark):
+        # only one value of k ever observed -> no evidence, keep it
+        got = self._rules(spark, [("/a?k=1", "c"), ("/b?k=1", "c")])
+        assert got["k"]["n_tested"] == 0
+        assert got["k"]["removable"] is False
+
+    def test_single_violation_anywhere_poisons_key(self, spark):
+        rows = [
+            ("/a?k=1", "same"),
+            ("/a?k=2", "same"),  # tested clean on /a
+            ("/b?k=1", "x"),
+            ("/b?k=2", "y"),  # violates on /b
+        ]
+        got = self._rules(spark, rows)
+        assert got["k"]["n_tested"] == 2
+        assert got["k"]["n_violating"] == 1
+        assert got["k"]["removable"] is False
+
+    def test_residual_sorts_param_order_spellings_together(self, spark):
+        # same page under both param orders: residuals collide, so k is
+        # tested across the two spellings
+        rows = [
+            ("/p?a=1&k=x", "c1"),
+            ("/p?k=y&a=1", "c1"),
+        ]
+        got = self._rules(spark, rows)
+        assert got["k"]["n_groups"] == 1
+        assert got["k"]["n_tested"] == 1
+        assert got["k"]["removable"] is True
+
+    def test_no_query_string_rows_ignored_under_ansi(self, spark):
+        got = self._rules(
+            spark, [("/plain", "c"), ("/q?x=1", "c"), ("/q?x=2", "c")]
+        )
+        assert set(got) == {"x"}
+        assert got["x"]["n_urls"] == 2
+
+    def test_valueless_param_counts_null_pval_as_untested(self, spark):
+        # 'flag' with no '=' -> pval NULL; countDistinct ignores NULLs so
+        # the bare spelling alone never tests the key
+        got = self._rules(spark, [("/a?flag", "c"), ("/b?flag", "c")])
+        assert got["flag"]["n_tested"] == 0
+        assert got["flag"]["removable"] is False
