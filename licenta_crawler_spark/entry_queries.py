@@ -2203,6 +2203,40 @@ def dust_param_rules(spark, sf_dir):
     return param_effect_rules(shelf.unionAll(user))
 
 
+def redirect_resolution(spark, sf_dir):
+    """Batch redirect-chain resolution (pointer doubling,
+    `operators/graph.py:resolve_redirects`): synthesized per-user-bucket
+    chains of length 1..8 straddle the 5-hop cap (reference chases
+    Location up to a cap per fetch; this resolves the whole log in
+    ceil(log2(cap+1)) self-joins), plus 2-cycles that must land on the
+    same `capped` verdict as over-long chains."""
+    from licenta_crawler_spark.operators.graph import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select((F.col("user_id") % 50).alias("u")).distinct()
+    chains = hosts.select(
+        "u", F.explode(F.sequence(F.lit(0), F.col("u") % 8)).alias("i")
+    ).select(
+        F.concat(F.lit("/r/"), F.col("u"), F.lit("/"), F.col("i")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("/r/"), F.col("u"), F.lit("/"), F.col("i") + 1
+        ).alias("dst"),
+    )
+    cyc_hosts = hosts.where(F.col("u") % 10 == 0)
+    cyc = cyc_hosts.select(
+        F.concat(F.lit("/c/"), F.col("u"), F.lit("/0")).alias("src"),
+        F.concat(F.lit("/c/"), F.col("u"), F.lit("/1")).alias("dst"),
+    ).unionAll(
+        cyc_hosts.select(
+            F.concat(F.lit("/c/"), F.col("u"), F.lit("/1")).alias("src"),
+            F.concat(F.lit("/c/"), F.col("u"), F.lit("/0")).alias("dst"),
+        )
+    )
+    return resolve_redirects(chains.unionAll(cyc), max_hops=5)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2337,6 +2371,7 @@ QUERIES = {
     "boilerplate_shingle_detect": boilerplate_shingle_detect,
     "boilerplate_doc_exposure": boilerplate_doc_exposure,
     "dust_param_rules": dust_param_rules,
+    "redirect_resolution": redirect_resolution,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4351,6 +4386,46 @@ ORACLE_SQL = {
                 AND sum(CASE WHEN n_vals >= 2 AND n_contents >= 2
                              THEN 1 ELSE 0 END) = 0) AS removable
         FROM grp GROUP BY pkey
+    """,
+    "redirect_resolution": """
+        WITH RECURSIVE hosts AS (
+          SELECT DISTINCT (user_id % 50) AS u FROM events
+        ),
+        chains AS (
+          SELECT '/r/' || u || '/' || i AS src,
+                 '/r/' || u || '/' || (i + 1) AS dst
+          FROM hosts, unnest(generate_series(0, u % 8)) AS t(i)
+        ),
+        cyc AS (
+          SELECT '/c/' || u || '/0' AS src, '/c/' || u || '/1' AS dst
+          FROM hosts WHERE u % 10 = 0
+          UNION ALL
+          SELECT '/c/' || u || '/1', '/c/' || u || '/0'
+          FROM hosts WHERE u % 10 = 0
+        ),
+        edges AS (
+          SELECT src, min(dst) AS dst
+          FROM (SELECT * FROM chains UNION ALL SELECT * FROM cyc)
+          GROUP BY src
+        ),
+        walk AS (
+          SELECT src AS start, dst AS cur, 1::BIGINT AS hops FROM edges
+          UNION ALL
+          SELECT w.start, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.cur
+          WHERE w.hops <= 5
+        ),
+        resolved AS (
+          SELECT start, cur AS final_url, hops
+          FROM walk
+          WHERE hops <= 5 AND cur NOT IN (SELECT src FROM edges)
+        )
+        SELECT start, final_url, hops, false AS capped FROM resolved
+        UNION ALL
+        SELECT e.src AS start, NULL::VARCHAR AS final_url,
+               NULL::BIGINT AS hops, true AS capped
+        FROM edges e LEFT JOIN resolved r ON r.start = e.src
+        WHERE r.start IS NULL
     """,
 }
 

@@ -419,3 +419,99 @@ def bfs_hops(
         return visited.localCheckpoint()
     finally:
         cleanup()
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 5,
+) -> DataFrame:
+    """Batch redirect-chain resolution by pointer doubling: given a
+    FUNCTIONAL redirect edge table (each ``src`` has exactly ONE
+    outgoing redirect — enforced below), resolve every redirecting URL
+    to its terminal target, mirroring the per-fetch chase in
+    `operators/fetch.py` (reference `BrowserCrawler.java` follows
+    Location for {301,302,303} up to a hop cap) as one set-oriented job
+    over the whole crawl log.
+
+    Returns (start, final_url, hops, capped):
+
+    * resolved within ``max_hops``: final_url = the first non-redirecting
+      URL on the chain, hops = exact chain length, capped = false;
+    * chains longer than the cap AND cycles: final_url/hops NULL,
+      capped = true — exactly the fetch path's ``redirect_cap`` verdict
+      (a sequential chaser gives up at the cap either way, so the two
+      cases are indistinguishable by design).
+
+    Pointer doubling (path halving): each round jumps every unresolved
+    pointer THROUGH the same-generation pointer table, so the distance
+    covered doubles per round — ceil(log2(max_hops+1)) self-joins
+    resolve what a sequential chase pays max_hops dependent fetch
+    round-trips for. Invariant per round r: a row is either resolved
+    with its exact hop count, or its pointer sits exactly 2^r hops in —
+    so after 2^r > max_hops every unresolved row provably needs
+    > max_hops hops. At 10^10 URLs each round is ONE equi-join on the
+    current pointer (shuffle bounded by the redirecting subset, which
+    shrinks as rows resolve); state is parquet-truncated per round like
+    every iterative operator here.
+    """
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    try:
+        # Functional-edge enforcement: one deterministic (min) target per
+        # src. Real logs are functional already; min keeps reruns stable.
+        e = truncate(
+            edges.groupBy(F.col(src).alias("start")).agg(
+                F.min(F.col(dst)).alias("cur")
+            ),
+            "edges",
+        )
+        state = e.select(
+            "start", "cur", F.lit(1).cast("long").alias("hops")
+        )
+        rounds = 0
+        while (1 << rounds) <= max_hops:
+            rounds += 1
+        for r in range(rounds):
+            jump = state.select(
+                F.col("start").alias("j_start"),
+                F.col("cur").alias("j_cur"),
+                F.col("hops").alias("j_hops"),
+            )
+            state = truncate(
+                state.join(
+                    jump, state["cur"] == jump["j_start"], "left"
+                ).select(
+                    "start",
+                    F.coalesce("j_cur", "cur").alias("cur"),
+                    (
+                        F.col("hops") + F.coalesce("j_hops", F.lit(0))
+                    ).alias("hops"),
+                ),
+                f"state-{r:03d}",
+            )
+        # Terminal test against the ORIGINAL pointer table: a row is
+        # resolved iff its pointer is not itself a redirecting URL.
+        redirecting = e.select(F.col("start").alias("cur"))
+        out = (
+            state.join(redirecting, "cur", "left_anti")
+            .where(F.col("hops") <= max_hops)
+            .select(
+                "start",
+                F.col("cur").alias("final_url"),
+                "hops",
+                F.lit(False).alias("capped"),
+            )
+        )
+        capped = e.select("start").join(
+            out.select("start"), "start", "left_anti"
+        ).select(
+            "start",
+            F.lit(None).cast("string").alias("final_url"),
+            F.lit(None).cast("long").alias("hops"),
+            F.lit(True).alias("capped"),
+        )
+        return out.unionByName(capped).localCheckpoint()
+    finally:
+        cleanup()

@@ -434,3 +434,56 @@ def test_bfs_hops_known_graph(spark):
     two = spark.createDataFrame([(0,), (3,)], "node long")
     multi = {r["node"]: r["hops"] for r in bfs_hops(e, two).collect()}
     assert multi[3] == 0 and multi[2] == 1
+
+
+class TestResolveRedirects:
+    """Pointer-doubling redirect resolution vs a sequential chaser."""
+
+    def _resolve(self, spark, edges, max_hops=5):
+        from licenta_crawler_spark.operators.graph import resolve_redirects
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r.start: (r.final_url, r.hops, r.capped)
+            for r in resolve_redirects(df, max_hops=max_hops).collect()
+        }
+
+    def test_matches_sequential_chaser_exactly(self, spark):
+        edges = []
+        for L in range(1, 9):  # chain lengths 1..8 straddle the cap
+            for i in range(L):
+                edges.append((f"c{L}/{i}", f"c{L}/{i+1}"))
+        edges += [("x/0", "x/1"), ("x/1", "x/0"), ("self", "self")]
+        got = self._resolve(spark, edges)
+        emap = dict(edges)
+        for s in emap:
+            cur, hops = emap[s], 1
+            while cur in emap and hops <= 5:
+                cur, hops = emap[cur], hops + 1
+            exp = (
+                (cur, hops, False)
+                if cur not in emap and hops <= 5
+                else (None, None, True)
+            )
+            assert got[s] == exp, s
+
+    def test_exact_cap_boundary_resolves(self, spark):
+        # length-5 chain with cap 5 is resolved, length 6 is capped
+        edges = [(f"a{i}", f"a{i+1}") for i in range(5)]
+        edges += [(f"b{i}", f"b{i+1}") for i in range(6)]
+        got = self._resolve(spark, edges)
+        assert got["a0"] == ("a5", 5, False)
+        assert got["b0"] == (None, None, True)
+
+    def test_cycles_capped_like_long_chains(self, spark):
+        got = self._resolve(spark, [("p", "q"), ("q", "p"), ("s", "s")])
+        assert got == {
+            "p": (None, None, True),
+            "q": (None, None, True),
+            "s": (None, None, True),
+        }
+
+    def test_nonfunctional_input_collapsed_to_min_target(self, spark):
+        # duplicate src rows: deterministic min(dst) wins
+        got = self._resolve(spark, [("a", "z"), ("a", "m")])
+        assert got["a"] == ("m", 1, False)
