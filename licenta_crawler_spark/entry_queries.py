@@ -2237,6 +2237,30 @@ def redirect_resolution(spark, sf_dir):
     return resolve_redirects(chains.unionAll(cyc), max_hops=5)
 
 
+def anchor_text_terms(spark, sf_dir):
+    """Anchor-text aggregation (`anchor_text_topk`): top-3 in-link
+    anchor terms per target page — the off-page relevance signal for
+    frontier prioritization. Anchors synthesize from event fields with
+    mixed case/punctuation so the shingle-family normalization is
+    load-bearing; counts + row_number with a total tie-break keep the
+    output engine-exact."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        anchor_text_topk,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    links = ev.select(
+        F.concat(F.lit("/p/"), F.col("user_id") % 40).alias("target"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" w"),
+            F.col("event_id") % 7,
+            F.lit(" Cheap-Books!"),
+        ).alias("anchor"),
+    )
+    return anchor_text_topk(links, k=3)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2372,6 +2396,7 @@ QUERIES = {
     "boilerplate_doc_exposure": boilerplate_doc_exposure,
     "dust_param_rules": dust_param_rules,
     "redirect_resolution": redirect_resolution,
+    "anchor_text_terms": anchor_text_terms,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4426,6 +4451,29 @@ ORACLE_SQL = {
                NULL::BIGINT AS hops, true AS capped
         FROM edges e LEFT JOIN resolved r ON r.start = e.src
         WHERE r.start IS NULL
+    """,
+    "anchor_text_terms": """
+        WITH links AS (
+          SELECT '/p/' || (user_id % 40) AS target,
+                 event_type || ' w' || (event_id % 7) || ' Cheap-Books!'
+                   AS anchor
+          FROM events
+        ),
+        ex AS (
+          SELECT target,
+                 unnest(string_split(trim(regexp_replace(
+                   lower(anchor), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+          FROM links
+        ),
+        counts AS (
+          SELECT target, term, count(*) AS n
+          FROM ex WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT target, term, n, rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY target ORDER BY n DESC, term ASC) AS rnk
+          FROM counts
+        ) WHERE rnk <= 3
     """,
 }
 

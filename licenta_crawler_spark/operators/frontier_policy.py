@@ -461,3 +461,52 @@ def param_effect_rules(
             ),
         )
     )
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+    k: int = 5,
+) -> DataFrame:
+    """Anchor-text aggregation: the top-k terms other pages use when
+    linking to each target URL — the classic off-page relevance signal
+    a crawler feeds its priority scorer (pages whose in-link anchors
+    agree on a topic outrank their own on-page text; the reference's
+    product-link extraction captures the <a> text this consumes,
+    `functions/htmldom.py` P1).
+
+    Terms use the same normalization as the corpus shingle family
+    (lower, non-alphanumerics to spaces) so anchor terms join against
+    document shingles directly.
+
+    Scale: at 10^10 links the (target, term) groupBy is the only wide
+    shuffle and it partially aggregates map-side, so a homepage with
+    10^8 in-links costs its reducer |distinct terms|, not |links|.
+    The top-k window runs over the AGGREGATED rows (bounded by
+    vocabulary per target), with a total tie-break (count desc, term
+    asc) — deterministic on any engine. Output ≤ k rows per target:
+    broadcast-sized relative to the link graph.
+
+    Returns (target, term, n, rnk), rnk = 1..k.
+    """
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(F.lower(F.col(anchor_col)), "[^a-z0-9]+", " ")
+        ),
+        " ",
+    )
+    ex = (
+        links.select(
+            F.col(target_col).alias("target"), F.explode(toks).alias("term")
+        )
+        .where(F.col("term") != "")
+    )
+    counts = ex.groupBy("target", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -459,3 +459,43 @@ class TestParamEffectRules:
         got = self._rules(spark, [("/a?flag", "c"), ("/b?flag", "c")])
         assert got["flag"]["n_tested"] == 0
         assert got["flag"]["removable"] is False
+
+
+class TestAnchorTextTopK:
+    def _agg(self, spark, rows, k=2):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            anchor_text_topk,
+        )
+
+        df = spark.createDataFrame(rows, "target string, anchor string")
+        return [
+            (r.target, r.term, r.n, r.rnk)
+            for r in anchor_text_topk(df, k=k)
+            .orderBy("target", "rnk")
+            .collect()
+        ]
+
+    def test_counts_normalization_and_ties(self, spark):
+        rows = [
+            ("/p", "Cheap BOOKS!"),
+            ("/p", "books, cheap"),
+            ("/p", "books"),
+            ("/q", "other"),
+        ]
+        got = self._agg(spark, rows, k=2)
+        # books=3, cheap=2; tie-break never needed here, punctuation and
+        # case collapse under normalization
+        assert got == [
+            ("/p", "books", 3, 1),
+            ("/p", "cheap", 2, 2),
+            ("/q", "other", 1, 1),
+        ]
+
+    def test_tie_breaks_lexicographically(self, spark):
+        got = self._agg(spark, [("/t", "beta alpha")], k=2)
+        assert got == [("/t", "alpha", 1, 1), ("/t", "beta", 1, 2)]
+
+    def test_k_bounds_output_and_empty_anchor_ignored(self, spark):
+        rows = [("/t", "a a a b b c"), ("/t", "   "), ("/t", "!!!")]
+        got = self._agg(spark, rows, k=2)
+        assert [(t, w) for t, w, _, _ in got] == [("/t", "a"), ("/t", "b")]
