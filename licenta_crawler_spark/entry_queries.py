@@ -2261,6 +2261,29 @@ def anchor_text_terms(spark, sf_dir):
     return anchor_text_topk(links, k=3)
 
 
+def change_rate_recrawl(spark, sf_dir):
+    """Content-change-history recrawl model (`change_rate_stats`, Cho &
+    Garcia-Molina freshness): user buckets are URL proxies; buckets
+    divisible by 3 serve constant content (never change -> interval
+    grows to the observed span), the rest serve event_type as the
+    fingerprint (change often -> interval shrinks, clamped). All floor
+    division — engine-exact."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        change_rate_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("/u/"), F.col("user_id") % 30).alias("url"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit("static"))
+        .otherwise(F.col("event_type"))
+        .alias("content_hash"),
+    )
+    return change_rate_stats(log, order_cols=("event_id",))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2397,6 +2420,7 @@ QUERIES = {
     "dust_param_rules": dust_param_rules,
     "redirect_resolution": redirect_resolution,
     "anchor_text_terms": anchor_text_terms,
+    "change_rate_recrawl": change_rate_recrawl,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4474,6 +4498,42 @@ ORACLE_SQL = {
             PARTITION BY target ORDER BY n DESC, term ASC) AS rnk
           FROM counts
         ) WHERE rnk <= 3
+    """,
+    "change_rate_recrawl": """
+        WITH log AS (
+          SELECT '/u/' || (user_id % 30) AS url,
+                 epoch_ms(ts) AS ts_ms,
+                 event_id,
+                 CASE WHEN user_id % 3 = 0 THEN 'static'
+                      ELSE event_type END AS h
+          FROM events
+        ),
+        obs AS (
+          SELECT url, ts_ms,
+                 CASE WHEN lag(h) OVER w IS NULL THEN NULL
+                      WHEN h <> lag(h) OVER w THEN 1 ELSE 0 END AS changed
+          FROM log WINDOW w AS (PARTITION BY url ORDER BY ts_ms, event_id)
+        ),
+        agg AS (
+          SELECT url, count(*) AS n_visits,
+                 coalesce(sum(changed), 0)::BIGINT AS n_changes,
+                 min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+          FROM obs GROUP BY url
+        ),
+        itvd AS (
+          SELECT *, CASE WHEN n_visits < 2 THEN 86400000
+                         ELSE greatest(3600000, least(2592000000,
+                           (last_ms - first_ms) // greatest(n_changes, 1)))
+                    END AS itv
+          FROM agg
+        )
+        SELECT url, n_visits, n_changes, last_ms,
+               CASE WHEN n_visits >= 2
+                    THEN (n_changes * 1000) // (n_visits - 1)
+               END AS change_ratio_millis,
+               itv AS next_interval_ms,
+               last_ms + itv AS next_due_ms
+        FROM itvd
     """,
 }
 

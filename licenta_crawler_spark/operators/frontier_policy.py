@@ -510,3 +510,80 @@ def anchor_text_topk(
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def change_rate_stats(
+    crawl_log: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_ms",
+    hash_col: str = "content_hash",
+    order_cols: tuple = (),
+    default_interval_ms: int = 86_400_000,
+    min_interval_ms: int = 3_600_000,
+    max_interval_ms: int = 2_592_000_000,
+) -> DataFrame:
+    """Per-URL change-rate estimation from repeated-crawl content
+    fingerprints (the incremental-crawl freshness model of Cho &
+    Garcia-Molina, "Estimating Frequency of Change", TOIT'03): a visit
+    observes CHANGED/UNCHANGED vs the previous visit's hash, and the
+    revisit interval adapts — pages that changed every time we looked
+    get recrawled at span/n_changes; pages that never changed back off
+    to the max interval.
+
+    Everything is integer-exact (the published bias-corrected estimator
+    needs a log; its SUFFICIENT STATISTICS — n_visits, n_changes, span —
+    are what cross engines bit-identically, and the adaptive interval
+    uses them with floor division only):
+
+    * ``n_visits`` — observations of the URL;
+    * ``n_changes`` — intervals where the fingerprint differed;
+    * ``change_ratio_millis`` — n_changes*1000 div (n_visits-1); NULL
+      until a second visit exists;
+    * ``next_interval_ms`` — clamp(span div max(n_changes, 1)), the
+      default for single-visit URLs;
+    * ``next_due_ms`` — last visit + interval: the recrawl priority key.
+
+    Scale: ONE shuffle on url (the lag window), then a map-side
+    combinable groupBy on the same key — Catalyst reuses the window's
+    partitioning, so the agg adds no Exchange. 10^10 URLs × k visits is
+    linear per URL; no UDF, no iteration.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(url_col).orderBy(*order)
+    prev = F.lag(F.col(hash_col)).over(w)
+    obs = crawl_log.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .when(F.col(hash_col) != prev, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("changed"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count("*").alias("n_visits"),
+        F.coalesce(F.sum("changed"), F.lit(0)).alias("n_changes"),
+        F.min("ts_ms").alias("first_ms"),
+        F.max("ts_ms").alias("last_ms"),
+    )
+    raw = F.expr("(last_ms - first_ms) div greatest(n_changes, 1L)")
+    interval = F.when(
+        F.col("n_visits") < 2, F.lit(int(default_interval_ms))
+    ).otherwise(
+        F.greatest(
+            F.lit(int(min_interval_ms)),
+            F.least(F.lit(int(max_interval_ms)), raw),
+        )
+    )
+    ratio = F.when(
+        F.col("n_visits") >= 2,
+        F.expr("(n_changes * 1000) div (n_visits - 1)"),
+    )
+    return agg.select(
+        "url",
+        "n_visits",
+        "n_changes",
+        "last_ms",
+        ratio.alias("change_ratio_millis"),
+        interval.cast("long").alias("next_interval_ms"),
+        (F.col("last_ms") + interval).cast("long").alias("next_due_ms"),
+    )

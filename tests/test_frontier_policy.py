@@ -499,3 +499,51 @@ class TestAnchorTextTopK:
         rows = [("/t", "a a a b b c"), ("/t", "   "), ("/t", "!!!")]
         got = self._agg(spark, rows, k=2)
         assert [(t, w) for t, w, _, _ in got] == [("/t", "a"), ("/t", "b")]
+
+
+class TestChangeRateStats:
+    def _stats(self, spark, rows, **kw):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            change_rate_stats,
+        )
+
+        df = spark.createDataFrame(
+            rows, "url string, ts_ms long, content_hash string"
+        )
+        return {r.url: r.asDict() for r in change_rate_stats(df, **kw).collect()}
+
+    def test_hot_cold_and_single_visit(self, spark):
+        h = 3_600_000
+        rows = [
+            ("/hot", 0, "a"), ("/hot", h, "b"), ("/hot", 2 * h, "c"),
+            ("/cold", 0, "x"), ("/cold", h, "x"), ("/cold", 2 * h, "x"),
+            ("/new", 5, "q"),
+        ]
+        got = self._stats(spark, rows)
+        assert got["/hot"]["change_ratio_millis"] == 1000
+        assert got["/hot"]["next_interval_ms"] == h  # span/2 changes
+        assert got["/cold"]["n_changes"] == 0
+        # no change observed over the whole span -> revisit after span
+        assert got["/cold"]["next_interval_ms"] == 2 * h
+        assert got["/new"]["change_ratio_millis"] is None
+        assert got["/new"]["next_interval_ms"] == 86_400_000
+        for r in got.values():
+            assert r["next_due_ms"] == r["last_ms"] + r["next_interval_ms"]
+
+    def test_clamps_bind(self, spark):
+        # 2 visits 1 s apart, changed -> raw 1000 ms, clamped up to min
+        rows = [("/fast", 0, "a"), ("/fast", 1000, "b")]
+        got = self._stats(spark, rows)
+        assert got["/fast"]["next_interval_ms"] == 3_600_000
+        # never-changed over a year -> clamped down to max (30 d)
+        year = 31_536_000_000
+        rows = [("/slow", 0, "x"), ("/slow", year, "x")]
+        got = self._stats(spark, rows)
+        assert got["/slow"]["next_interval_ms"] == 2_592_000_000
+
+    def test_change_counted_only_vs_previous_visit(self, spark):
+        # a->b->a = 2 changes (flip and flip back), not dedup vs history
+        rows = [("/f", 0, "a"), ("/f", 1, "b"), ("/f", 2, "a")]
+        got = self._stats(spark, rows)
+        assert got["/f"]["n_changes"] == 2
+        assert got["/f"]["change_ratio_millis"] == 1000
