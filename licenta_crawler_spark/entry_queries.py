@@ -2284,6 +2284,46 @@ def change_rate_recrawl(spark, sf_dir):
     return change_rate_stats(log, order_cols=("event_id",))
 
 
+def dust_strip_urls(spark, sf_dir):
+    """DUST enforcement half (`functions/urlnorm.strip_params_col`):
+    strip the learned content-neutral params from three URL families —
+    mixed kept+stripped params, stripped-only (the '?' must go too),
+    and no-query-string passthrough."""
+    from licenta_crawler_spark.functions.urlnorm import strip_params_col
+
+    ev = _t(spark, sf_dir, "events")
+    url = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("/p/"),
+                F.col("user_id") % 20,
+                F.lit("?page="),
+                F.col("event_id") % 4,
+                F.lit("&sid="),
+                F.col("event_id"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("/q/"),
+                F.col("user_id") % 20,
+                F.lit("?sid="),
+                F.col("event_id"),
+                F.lit("&utm="),
+                F.col("event_type"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/r/"), F.col("user_id") % 20))
+    )
+    return ev.select(
+        F.col("event_id"),
+        url.alias("url"),
+        strip_params_col(url, ("sid", "utm")).alias("stripped"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2421,6 +2461,7 @@ QUERIES = {
     "redirect_resolution": redirect_resolution,
     "anchor_text_terms": anchor_text_terms,
     "change_rate_recrawl": change_rate_recrawl,
+    "dust_strip_urls": dust_strip_urls,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4534,6 +4575,37 @@ ORACLE_SQL = {
                itv AS next_interval_ms,
                last_ms + itv AS next_due_ms
         FROM itvd
+    """,
+    "dust_strip_urls": """
+        WITH u AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0 THEN
+                        '/p/' || (user_id % 20) || '?page=' ||
+                        (event_id % 4) || '&sid=' || event_id
+                      WHEN event_id % 3 = 1 THEN
+                        '/q/' || (user_id % 20) || '?sid=' || event_id ||
+                        '&utm=' || event_type
+                      ELSE '/r/' || (user_id % 20)
+                 END AS url
+          FROM events
+        ),
+        sp AS (
+          SELECT event_id, url,
+                 str_split(url, '?')[1] AS path,
+                 str_split(url, '?')[2] AS qs
+          FROM u
+        ),
+        kp AS (
+          SELECT *, list_filter(str_split(qs, '&'),
+                   p -> str_split(p, '=')[1] NOT IN ('sid', 'utm')) AS kept
+          FROM sp
+        )
+        SELECT event_id, url,
+               CASE WHEN qs IS NULL OR qs = '' THEN url
+                    WHEN len(kept) = 0 THEN path
+                    ELSE path || '?' || array_to_string(kept, '&')
+               END AS stripped
+        FROM kp
     """,
 }
 

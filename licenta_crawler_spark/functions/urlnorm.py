@@ -290,3 +290,39 @@ def registrable_domain_sql(host_expr: str) -> str:
     )
 
     return registrable_domain_sql_expr(host_expr)
+
+
+def strip_params_col(url: Column, keys: tuple | list) -> Column:
+    """Remove the query parameters named in ``keys`` from a URL — the
+    enforcement half of DUST rule mining
+    (`operators/frontier_policy.param_effect_rules` learns which keys
+    never affect content; this strips them so session-id/tracking
+    spellings collapse onto ONE canonical URL before the seen-set ever
+    sees them). Pure column expression (split/filter/array_join — no
+    UDF, no join: the learned key set is a LITERAL, bounded by the
+    param vocabulary).
+
+    Designed to run BEFORE canonicalization in the admission path:
+    fragments aren't handled specially (a fragment riding the last
+    param's value is dropped with it or kept with it — either way the
+    canonicalizer strips fragments next). Parameter ORDER of surviving
+    params is preserved, matching the canonicalizer's non-reordering
+    query treatment. URLs with no query string pass through unchanged;
+    stripping every param also drops the '?'.
+    """
+    if not keys:
+        return url
+    parts = F.split(url, r"\?", 2)
+    path = F.element_at(parts, 1)
+    qs = F.try_element_at(parts, F.lit(2))
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: ~F.element_at(F.split(p, "=", 2), 1).isin(
+            *[str(k) for k in keys]
+        ),
+    )
+    return (
+        F.when(qs.isNull() | (qs == ""), url)
+        .when(F.size(kept) == 0, path)
+        .otherwise(F.concat(path, F.lit("?"), F.array_join(kept, "&")))
+    )

@@ -112,6 +112,14 @@ class EngineConfig:
     # Opt-in: adds one documents-table agg + one anti-join per wave.
     trap_min_urls: int | None = None
     trap_content_ratio: int = 10
+    # DUST enforcement (empty = off): query parameters proven
+    # content-neutral (operators/frontier_policy.param_effect_rules —
+    # typically via CrawlEngine.learn_dust_rules on a prior crawl) are
+    # stripped from every discovered URL BEFORE canonicalization, so
+    # session-id/tracking spellings collapse onto one seen-set key
+    # instead of inflating the frontier. Pure column expression
+    # (functions/urlnorm.strip_params_col) — no extra shuffle or join.
+    strip_params: tuple = ()
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
     # scratch mode only: parquet round-trip every K-th wave, cheap
@@ -323,6 +331,47 @@ class CrawlEngine:
             shards_df=shards_df,
         )
 
+    def learn_dust_rules(self, st: CrawlState, min_tests: int = 1) -> list:
+        """Mine DUST rules from THIS crawl's fetched pages: which query
+        parameters never changed content
+        (operators/frontier_policy.param_effect_rules over the documents
+        table's span-sequence fingerprint — the same content identity
+        the trap cut uses). Returns the removable parameter keys, meant
+        to feed ``EngineConfig.strip_params`` for the next crawl or
+        resume — the learn-then-enforce loop of Bar-Yossef et al.
+
+        Bounded control-plane collect: the rule table is keyed by the
+        parameter VOCABULARY (~10^3 keys on real corpora), the same
+        class as the IVF centroid partials — never URL-sized."""
+        from licenta_crawler_spark.operators.frontier_policy import (
+            param_effect_rules,
+        )
+
+        fetched = st.documents.select(
+            "url",
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        "spans",
+                        lambda s: F.coalesce(
+                            s["text"], s["media_ref"], F.lit("")
+                        ),
+                    ),
+                ),
+                256,
+            ).alias("content_hash"),
+        )
+        rules = param_effect_rules(fetched)
+        rows = (
+            rules.where(
+                F.col("removable") & (F.col("n_tested") >= int(min_tests))
+            )
+            .select("pkey")
+            .collect()
+        )
+        return sorted(r.pkey for r in rows)
+
     def evict_seen(self, st: CrawlState, keys: DataFrame) -> CrawlState:
         """Recrawl eviction: remove ``keys`` (column ``url_sha1``) from
         BOTH the exact seen table and the shard directory so the next
@@ -416,6 +465,18 @@ class CrawlEngine:
         # tiny data). One projection job per wave, tiny plans after. The
         # Column tree itself is memoized (cached_canon_sha1) — rebuilding
         # it per wave cost ~0.5 s of py4j traffic.
+        # DUST param stripping (opt-in) rides the same projection: the
+        # stripped URL feeds the canonicalizer, so every downstream key
+        # (url_canon, url_sha1, D2 window, Bloom probe) sees the
+        # collapsed spelling.
+        if self.cfg.strip_params:
+            from licenta_crawler_spark.functions.urlnorm import (
+                strip_params_col,
+            )
+
+            cands = cands.withColumn(
+                "url", strip_params_col(F.col("url"), self.cfg.strip_params)
+            )
         c = cands.withColumn(
             "url_canon", cached_canon_sha1("url")[0]
         ).withColumn(

@@ -189,3 +189,61 @@ def test_registrable_domain_full_psl_semantics(spark):
             f"SELECT {sql} FROM (SELECT ? AS host)", [h]
         ).fetchone()[0]
         assert got == want, h
+
+
+def test_strip_params_col(spark):
+    """DUST enforcement: listed params removed, order of survivors
+    preserved, no-query and all-stripped edges, valueless params."""
+    from licenta_crawler_spark.functions.urlnorm import strip_params_col
+
+    cases = [
+        ("/p/1?sid=9", "/p/1"),
+        ("/p/1?a=1&sid=9&b=2", "/p/1?a=1&b=2"),
+        ("/p/1?sid=9&sid=8", "/p/1"),           # every occurrence
+        ("/p/1", "/p/1"),                        # untouched
+        ("/p/1?a=1", "/p/1?a=1"),                # untouched
+        ("/p?sid", "/p"),                        # valueless spelling
+        ("http://h/p?utm=x&sid=1", "http://h/p"),  # multiple keys
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select(
+        "url", "want",
+        strip_params_col(F.col("url"), ("sid", "utm")).alias("got"),
+    )
+    for r in out.collect():
+        assert r["got"] == r["want"], r["url"]
+
+
+def test_strip_params_then_canonicalize_collapses_spellings(spark):
+    """The admission composition: strip -> canonicalize maps every
+    session-id spelling of a URL (including RFC-3986 variants) onto ONE
+    canonical form / sha1 key."""
+    from licenta_crawler_spark.functions.urlnorm import (
+        canonicalize_url_col,
+        strip_params_col,
+    )
+
+    spellings = [
+        "http://Books.example:80/prod/1?sid=aaa",
+        "http://books.example/prod/1?sid=bbb#reviews",
+        "http://books.example/prod/%31?sid=ccc",
+        "http://books.example/x/../prod/1",
+    ]
+    df = spark.createDataFrame([(s,) for s in spellings], "url string")
+    got = {
+        r[0]
+        for r in df.select(
+            canonicalize_url_col(strip_params_col(F.col("url"), ("sid",)))
+        ).collect()
+    }
+    assert got == {"http://books.example/prod/1"}
+
+
+def test_strip_params_empty_keys_is_identity(spark):
+    from licenta_crawler_spark.functions.urlnorm import strip_params_col
+
+    df = spark.createDataFrame([("/p?sid=1",)], "url string")
+    assert (
+        df.select(strip_params_col(F.col("url"), ()).alias("u")).first().u
+        == "/p?sid=1"
+    )

@@ -380,3 +380,115 @@ def test_trap_detection_no_false_positives_e2e(spark):
     exp = {h: [u for (u, _, _) in rows]
            for h, rows in oracle.discovery_log.items() if rows}
     assert got == exp
+
+
+def _inject_sids(corpus):
+    """Bake a unique ?sid= spelling into every href of every page's HTML
+    (ground-truth fields untouched). Returns alias resolver entries:
+    canonical sid spelling -> the clean target's resolver entry key."""
+    import re
+    from urllib.parse import urljoin
+
+    from licenta_crawler_spark.functions.urlnorm import canonicalize_url
+
+    aliases = {}
+    counter = [0]
+    for url, p in sorted(corpus.pages.items()):
+        def sub(m, base_url=url):
+            href = m.group(1)
+            counter[0] += 1
+            if "#" in href:
+                base, frag = href.split("#", 1)
+                tail = f"#{frag}"
+            else:
+                base, tail = href, ""
+            sep = "&" if "?" in base else "?"
+            new = f"{base}{sep}sid=s{counter[0]}{tail}"
+            aliases[canonicalize_url(urljoin(base_url, new))] = (
+                canonicalize_url(urljoin(base_url, href))
+            )
+            return f'href="{new}"'
+
+        p.html = re.sub(r'href="([^"]*)"', sub, p.html)
+    return aliases
+
+
+def _inject_dup_cells(corpus, n: int = 2) -> list:
+    """Re-link the first ``n`` products of shelf 0/page-0 from shelf
+    0/page-1's HTML (extra product-cells). Ground truth untouched: in a
+    clean crawl these are D2 first-discovery dups and change nothing;
+    under per-reference session ids each one is a second SPELLING of an
+    already-fetched page — exactly the collision DUST learning needs."""
+    host = corpus.hosts[0]
+    p0 = corpus.pages[f"http://{host}/shelf/0/page-0"]
+    p1 = corpus.pages[f"http://{host}/shelf/0/page-1"]
+    added = []
+    for purl in p0.product_urls[:n]:
+        cell = (
+            f'<div class="product-cell">'
+            f'<img src="https://cdn.{host}/thumb/dup.jpg"/>'
+            f'<a href="{purl}">Dup</a></div>'
+        )
+        p1.html = p1.html.replace(
+            '<ul class="pagination">', cell + '<ul class="pagination">', 1
+        )
+        added.append(purl)
+    return added
+
+
+def test_dust_learn_then_enforce_e2e(spark):
+    """The DUST loop end-to-end: crawl #1 (no stripping) on a corpus
+    whose links all carry unique session-id spellings fetches duplicate
+    pages; learn_dust_rules mines 'sid' as content-neutral from that
+    crawl's own documents; crawl #2 with strip_params=('sid',) matches
+    the CLEAN corpus oracle exactly — discovery order included — as if
+    the session ids never existed."""
+    kw = dict(
+        n_browse_hosts=1, n_sitemap_hosts=0, mega_host=False,
+        chain_len=(2, 3), products_per_shelf=(4, 6),
+    )
+    clean = build_corpus(**kw)
+    oracle = simulate_crawl(clean)
+    dirty = build_corpus(**kw)
+    # cross-shelf duplicate references (D2-dups when clean, second sid
+    # spellings when dirty), then one unique sid per href
+    assert len(_inject_dup_cells(dirty)) == 2
+    aliases = _inject_sids(dirty)
+
+    res = corpus_to_resolver(dirty)
+    for sid_url, target in aliases.items():
+        if target in res:
+            res[sid_url] = res[target]
+    resolver_bc = spark.sparkContext.broadcast(res)
+    robots = spark.createDataFrame(dirty.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        dirty.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    base_cfg = dict(max_per_host=7, bloom_shards=2, bloom_bits=1 << 14,
+                    bloom_min_seen=0)
+
+    # crawl #1: session ids inflate the frontier (more URLs than oracle)
+    eng1 = CrawlEngine(spark, resolver_bc, robots, EngineConfig(**base_cfg))
+    st1 = eng1.run(seed_jobs)
+    exp_urls = {u for rows in oracle.discovery_log.values()
+                for (u, _, _) in rows}
+    n1 = st1.crawl_log.count()
+    assert n1 > len(exp_urls), "sid spellings must inflate crawl #1"
+
+    learned = eng1.learn_dust_rules(st1)
+    assert learned == ["sid"]
+
+    # crawl #2: stripping the learned key restores the clean crawl
+    eng2 = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(strip_params=tuple(learned), **base_cfg),
+    )
+    st2 = eng2.run(seed_jobs)
+    got: dict[str, list] = {}
+    for r in st2.crawl_log.orderBy("host", "seq").collect():
+        got.setdefault(r["host"], []).append(r["url"])
+    exp = {h: [u for (u, _, _) in rows]
+           for h, rows in oracle.discovery_log.items() if rows}
+    assert got == exp
