@@ -70,6 +70,7 @@ from licenta_crawler_spark.operators.frontier_policy import (
 )
 from licenta_crawler_spark.operators.graph import dedup_components, triangle_counts
 from licenta_crawler_spark.operators.pagerank import (
+    hits_sql_unrolled,
     pagerank_fixed_point,
     pagerank_sql_unrolled,
     personalized_pagerank_sql_unrolled,
@@ -2324,6 +2325,74 @@ def dust_strip_urls(spark, sf_dir):
     )
 
 
+def hits_part_links(spark, sf_dir):
+    """HITS hubs & authorities over the directed customer→supplier
+    purchase graph (3 rounds, integer L∞ fixed point —
+    operators/pagerank.hits_fixed_point): customers are pure hubs,
+    suppliers pure authorities on this bipartite shape; hash-compared
+    against the unrolled-CTE DuckDB replay."""
+    from licenta_crawler_spark.operators.pagerank import hits_fixed_point
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits_fixed_point(edges, iterations=3, materialize_every=3)
+    return out.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "hub_fp",
+        "auth_fp",
+    )
+
+
+def crawl_snapshot_delta(spark, sf_dir):
+    """Incremental-crawl snapshot delta (`crawl_delta`): URL ranges
+    [0,300) vs [100,400) overlap so all four verdicts have signal —
+    removed [0,100), added [300,400), changed (every 7th overlapping
+    URL), unchanged otherwise. One full-outer join on the URL key."""
+    from licenta_crawler_spark.operators.frontier_policy import crawl_delta
+
+    ev = _t(spark, sf_dir, "events")
+    old_u = F.col("event_id") % 300
+    new_u = F.col("event_id") % 300 + 100
+    old = ev.select(
+        F.concat(F.lit("/d/"), old_u).alias("url"),
+        F.concat(F.lit("a"), old_u % 3).alias("content_hash"),
+    )
+    new = ev.select(
+        F.concat(F.lit("/d/"), new_u).alias("url"),
+        F.when(new_u % 7 == 0, F.lit("x"))
+        .otherwise(F.concat(F.lit("a"), new_u % 3))
+        .alias("content_hash"),
+    )
+    return crawl_delta(old, new)
+
+
+def reciprocal_links(spark, sf_dir):
+    """Nepotistic-link detection (`reciprocal_host_links`): host-pair
+    direction counts + reciprocity flag via the canonical (least,
+    greatest) pair key — ONE aggregation, no self-join."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        reciprocal_host_links,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 15).alias("src"),
+        F.concat(F.lit("h"), F.col("event_id") % 11).alias("dst"),
+    )
+    return reciprocal_host_links(edges)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2462,6 +2531,9 @@ QUERIES = {
     "anchor_text_terms": anchor_text_terms,
     "change_rate_recrawl": change_rate_recrawl,
     "dust_strip_urls": dust_strip_urls,
+    "hits_part_links": hits_part_links,
+    "crawl_snapshot_delta": crawl_snapshot_delta,
+    "reciprocal_links": reciprocal_links,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4606,6 +4678,56 @@ ORACLE_SQL = {
                     ELSE path || '?' || array_to_string(kept, '&')
                END AS stripped
         FROM kp
+    """,
+    "hits_part_links": f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                    ELSE 'supplier' END AS kind,
+               node // 2 AS entity_key, hub_fp, auth_fp
+        FROM ({hits_sql_unrolled(
+            "SELECT DISTINCT (o_custkey * 2) AS src, "
+            "(l_suppkey * 2 + 1) AS dst "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+            iterations=3,
+        )})
+    """,
+    "crawl_snapshot_delta": """
+        WITH o AS (
+          SELECT '/d/' || (event_id % 300) AS url,
+                 'a' || ((event_id % 300) % 3) AS h
+          FROM events
+        ),
+        od AS (SELECT url, min(h) AS old_hash FROM o GROUP BY url),
+        n AS (
+          SELECT '/d/' || (event_id % 300 + 100) AS url,
+                 CASE WHEN (event_id % 300 + 100) % 7 = 0 THEN 'x'
+                      ELSE 'a' || ((event_id % 300 + 100) % 3) END AS h
+          FROM events
+        ),
+        nd AS (SELECT url, min(h) AS new_hash FROM n GROUP BY url)
+        SELECT coalesce(od.url, nd.url) AS url,
+               CASE WHEN old_hash IS NULL THEN 'added'
+                    WHEN new_hash IS NULL THEN 'removed'
+                    WHEN old_hash <> new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               coalesce(old_hash, '') AS old_hash,
+               coalesce(new_hash, '') AS new_hash
+        FROM od FULL OUTER JOIN nd ON od.url = nd.url
+    """,
+    "reciprocal_links": """
+        WITH e AS (
+          SELECT 'h' || (user_id % 15) AS s, 'h' || (event_id % 11) AS d
+          FROM events
+        ),
+        p AS (
+          SELECT least(s, d) AS host_a, greatest(s, d) AS host_b,
+                 CASE WHEN s < d THEN 1 ELSE 0 END AS is_ab
+          FROM e WHERE s <> d
+        )
+        SELECT host_a, host_b,
+               sum(is_ab)::BIGINT AS ab_links,
+               sum(1 - is_ab)::BIGINT AS ba_links,
+               (sum(is_ab) > 0 AND sum(1 - is_ab) > 0) AS reciprocal
+        FROM p GROUP BY 1, 2
     """,
 }
 

@@ -587,3 +587,85 @@ def change_rate_stats(
         interval.cast("long").alias("next_interval_ms"),
         (F.col("last_ms") + interval).cast("long").alias("next_due_ms"),
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Snapshot delta between two crawls: which URLs were ADDED,
+    REMOVED, CHANGED, or UNCHANGED — the incremental-crawl report that
+    drives re-index scheduling and deletion propagation downstream
+    (a search index must drop REMOVED pages and re-process CHANGED
+    ones; ADDED feeds discovery metrics).
+
+    ONE full-outer join on the URL key — crypto-hash-uniform, no skew
+    possible; verdicts are pure null/equality checks on the joined row.
+    At 10^10 URLs this is the same cost class as the D1 exact-confirm
+    join the engine already pays per wave. Inputs are deduped on the
+    key (min hash wins — deterministic) so re-fetch rows can't fan the
+    join out.
+
+    Returns (url, status, old_hash, new_hash).
+    """
+    o = old.groupBy(F.col(key_col).alias("url")).agg(
+        F.min(F.col(hash_col)).alias("old_hash")
+    )
+    n = new.groupBy(F.col(key_col).alias("url")).agg(
+        F.min(F.col(hash_col)).alias("new_hash")
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    # absent side reported as '' (not NULL): keeps every output column
+    # total, so cross-engine row ordering/hashing never compares NULLs
+    return j.select(
+        "url",
+        status.alias("status"),
+        F.coalesce("old_hash", F.lit("")).alias("old_hash"),
+        F.coalesce("new_hash", F.lit("")).alias("new_hash"),
+    )
+
+
+def reciprocal_host_links(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Reciprocal-link detection over the HOST graph: for every linked
+    host pair, how many directed link rows run each way and whether the
+    pair is reciprocal — the classic nepotistic-link / link-farm signal
+    (mutual-linking rings inflate in-degree-based priority; a frontier
+    discounts reciprocal edges before feeding PageRank/HITS).
+
+    Canonical pair key (least, greatest) folds both directions onto one
+    row in ONE aggregation — no self-join: each directed edge maps to
+    its unordered pair plus a direction bit, then groupBy(pair) counts
+    each direction. Host-pair cardinality ≪ link rows and the agg is
+    map-side combinable; self-loops are dropped (a host linking itself
+    is navigation, not nepotism).
+
+    Returns (host_a, host_b, ab_links, ba_links, reciprocal) with
+    host_a < host_b.
+    """
+    s, d = F.col(src), F.col(dst)
+    e = edges.where(s != d).select(
+        F.least(s, d).alias("host_a"),
+        F.greatest(s, d).alias("host_b"),
+        F.when(s < d, F.lit(1)).otherwise(F.lit(0)).alias("is_ab"),
+    )
+    return (
+        e.groupBy("host_a", "host_b")
+        .agg(
+            F.sum("is_ab").alias("ab_links"),
+            F.sum(F.lit(1) - F.col("is_ab")).alias("ba_links"),
+        )
+        .withColumn(
+            "reciprocal",
+            (F.col("ab_links") > 0) & (F.col("ba_links") > 0),
+        )
+    )

@@ -338,3 +338,164 @@ def personalized_pagerank_sql_unrolled(
             )"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iterations}"
+
+
+def _guard_hits_int64(max_deg: int, scale: int) -> None:
+    """HITS overflow bound: a raw score is a sum of <= max_deg values
+    each <= scale, and normalization multiplies it by scale again — so
+    ``max_deg * scale * scale < 2^63`` must hold. Raise instead of
+    letting non-ANSI int64 wraparound emit corrupt scores (same
+    contract as the PageRank guard above)."""
+    if int(max_deg) * int(scale) * int(scale) >= 2**63:
+        raise OverflowError(
+            f"HITS fixed-point would overflow int64: max_degree={max_deg} "
+            f"* scale^2={int(scale)**2} >= 2^63 — lower `scale` "
+            "(10^6-in-degree hubs fit at scale=10^6)"
+        )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**6,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) as integer
+    fixed-point — the second classic crawl-ordering score next to
+    PageRank: authorities are the pages worth fetching, hubs are the
+    shelf/index pages worth re-parsing for links (exactly the
+    shelf→product shape of the reference's browse hosts).
+
+    Mutual recursion per round: auth(v) = Σ hub(u) over in-links, then
+    hub(u) = Σ auth(v) over out-links, each L∞-NORMALIZED to ``scale``
+    by integer floor division (``x * scale div max``) — the float L2
+    norm of the textbook algorithm cannot hash-compare across engines,
+    the L∞ fixed point has the same ordering properties and is
+    bit-exact anywhere. Scores are BIGINT in units of 1/scale; the
+    overflow guard enforces max_degree·scale² < 2^63.
+
+    Scale: two shuffles per round (join + groupBy per direction), the
+    same cost class as a PageRank round; the max is one map-side-combined
+    scalar broadcast back. State truncates through parquet every
+    ``materialize_every`` rounds (see pagerank_fixed_point for the
+    lazy/truncated trade-off). Returns (node, hub_fp, auth_fp).
+    """
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    lazy = materialize_every <= 0
+    if lazy:
+        def truncate(df, name):  # noqa: F811 — intentional shadow
+            return df
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ),
+            "edges",
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nodes = truncate(nodes, "nodes")
+        max_deg = (
+            e.groupBy("src").count().select("count")
+            .unionByName(e.groupBy("dst").count().select("count"))
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        _guard_hits_int64(max_deg or 1, scale)
+
+        def _norm(raw: DataFrame, out_name: str) -> DataFrame:
+            mx = raw.agg(
+                F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+            )
+            return nodes.join(raw, "node", "left").crossJoin(
+                F.broadcast(mx)
+            ).select(
+                "node",
+                F.coalesce(
+                    F.expr(f"(raw * {int(scale)}L) div mx"), F.lit(0)
+                ).cast("long").alias(out_name),
+            )
+
+        hubs = nodes.select(
+            "node", F.lit(int(scale)).cast("long").alias("hub_fp")
+        )
+        hubs = truncate(hubs, "hubs-0")
+        auth = None
+        for i in range(iterations):
+            a_raw = (
+                e.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub_fp").alias("raw"))
+            )
+            auth = _norm(a_raw, "auth_fp")
+            if not lazy and (i + 1) % materialize_every == 0:
+                auth = truncate(auth, f"auth-{i + 1}")
+            h_raw = (
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth_fp").alias("raw"))
+            )
+            hubs = _norm(h_raw, "hub_fp")
+            if not lazy and (i + 1) % materialize_every == 0:
+                hubs = truncate(hubs, f"hubs-{i + 1}")
+        out = hubs.join(auth, "node")
+        return out if lazy else out.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def hits_sql_unrolled(
+    edges_sql: str, iterations: int = 5, scale: int = 10**6
+) -> str:
+    """The DuckDB oracle: the SAME L∞ fixed-point unrolled as a CTE
+    chain. ``edges_sql`` must yield columns (src, dst)."""
+    s = int(scale)
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, {s}::BIGINT AS hub_fp FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ar{i + 1} AS (
+              SELECT e.dst AS node, SUM(h{i}.hub_fp)::BIGINT AS raw
+              FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""a{i + 1} AS (
+              SELECT n.node,
+                     COALESCE((ar{i + 1}.raw * {s}) //
+                       (SELECT greatest(max(raw), 1) FROM ar{i + 1}), 0
+                     )::BIGINT AS auth_fp
+              FROM nodes n LEFT JOIN ar{i + 1} ON n.node = ar{i + 1}.node
+            )"""
+        )
+        ctes.append(
+            f"""hr{i + 1} AS (
+              SELECT e.src AS node, SUM(a{i + 1}.auth_fp)::BIGINT AS raw
+              FROM e JOIN a{i + 1} ON e.dst = a{i + 1}.node GROUP BY e.src
+            )"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+              SELECT n.node,
+                     COALESCE((hr{i + 1}.raw * {s}) //
+                       (SELECT greatest(max(raw), 1) FROM hr{i + 1}), 0
+                     )::BIGINT AS hub_fp
+              FROM nodes n LEFT JOIN hr{i + 1} ON n.node = hr{i + 1}.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{iterations}.node, h{iterations}.hub_fp, "
+        + f"a{iterations}.auth_fp FROM h{iterations} "
+        + f"JOIN a{iterations} ON h{iterations}.node = a{iterations}.node"
+    )

@@ -547,3 +547,53 @@ class TestChangeRateStats:
         got = self._stats(spark, rows)
         assert got["/f"]["n_changes"] == 2
         assert got["/f"]["change_ratio_millis"] == 1000
+
+
+class TestCrawlDelta:
+    def _delta(self, spark, old, new):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            crawl_delta,
+        )
+
+        o = spark.createDataFrame(old, "url string, content_hash string")
+        n = spark.createDataFrame(new, "url string, content_hash string")
+        return {r.url: r.status for r in crawl_delta(o, n).collect()}
+
+    def test_all_four_verdicts(self, spark):
+        old = [("/a", "1"), ("/b", "1"), ("/c", "1")]
+        new = [("/b", "1"), ("/c", "2"), ("/d", "1")]
+        assert self._delta(spark, old, new) == {
+            "/a": "removed",
+            "/b": "unchanged",
+            "/c": "changed",
+            "/d": "added",
+        }
+
+    def test_refetch_rows_collapse_deterministically(self, spark):
+        # duplicate key rows dedup on min(hash) BEFORE the join — no
+        # fan-out, and the min makes the verdict deterministic
+        old = [("/a", "2"), ("/a", "1")]
+        new = [("/a", "1"), ("/a", "9")]
+        assert self._delta(spark, old, new) == {"/a": "unchanged"}
+
+
+class TestReciprocalHostLinks:
+    def test_directions_and_flag(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            reciprocal_host_links,
+        )
+
+        edges = [
+            ("a", "b"), ("a", "b"), ("b", "a"),   # reciprocal, 2/1
+            ("a", "c"),                             # one-way
+            ("c", "c"),                             # self-loop dropped
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.host_a, r.host_b): (r.ab_links, r.ba_links, r.reciprocal)
+            for r in reciprocal_host_links(df).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 1, True),
+            ("a", "c"): (1, 0, False),
+        }

@@ -151,3 +151,81 @@ def test_pagerank_overflow_guard_raises(spark):
         ).collect()
     # at the documented safe setting the same graph converges fine
     assert pagerank_fixed_point(edges, scale=10**5, iterations=1).count() == 3
+
+
+def _py_hits(edges, iterations=5, scale=10**6):
+    """Reference replay: same integer L∞-normalized HITS, plain dicts."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {n: scale for n in nodes}
+
+    def norm(raw):
+        mx = max(max(raw.values(), default=0), 1)
+        return {n: (raw.get(n, 0) * scale) // mx for n in nodes}
+
+    auth = {}
+    for _ in range(iterations):
+        a_raw: dict[int, int] = {}
+        for a, b in edges:
+            a_raw[b] = a_raw.get(b, 0) + hub[a]
+        auth = norm(a_raw)
+        h_raw: dict[int, int] = {}
+        for a, b in edges:
+            h_raw[a] = h_raw.get(a, 0) + auth[b]
+        hub = norm(h_raw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_python_replay_random_graph(spark):
+    from licenta_crawler_spark.operators.pagerank import hits_fixed_point
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in hits_fixed_point(df, iterations=4, materialize_every=2).collect()
+    }
+    assert got == _py_hits(edges, iterations=4)
+
+
+def test_hits_shelf_product_bipartite(spark):
+    """The reference's browse shape: shelves link products. Shelves are
+    the hubs (auth 0 — nothing links THEM); products are authorities;
+    the shelf linking more products is the stronger hub and the product
+    linked by both shelves the stronger authority."""
+    from licenta_crawler_spark.operators.pagerank import hits_fixed_point
+
+    # shelf 1 -> {p10, p11, p12}; shelf 2 -> {p10}
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in hits_fixed_point(df, iterations=3).collect()
+    }
+    assert got[1][1] == 0 and got[2][1] == 0      # shelves: no authority
+    assert got[10][0] == 0 and got[11][0] == 0    # products: no hubness
+    assert got[1][0] > got[2][0]                  # 3-product shelf wins
+    assert got[10][1] > got[11][1]                # doubly-linked product wins
+    assert got[10][1] == 10**6                    # L∞ max pins to scale
+
+
+def test_hits_sql_unrolled_matches_python(spark):
+    from licenta_crawler_spark.operators.pagerank import hits_sql_unrolled
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randint(0, 11), rng.randint(0, 11)) for _ in range(30)})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_t VALUES (?, ?)", edges)
+    sql = hits_sql_unrolled("SELECT src, dst FROM edges_t", iterations=3)
+    got = {n: (h, a) for n, h, a in con.execute(sql).fetchall()}
+    assert got == _py_hits(edges, iterations=3)
+
+
+def test_hits_overflow_guard_raises(spark):
+    from licenta_crawler_spark.operators.pagerank import hits_fixed_point
+
+    edges = [(i, 99) for i in range(4)]  # max in-degree 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(OverflowError):
+        hits_fixed_point(df, iterations=1, scale=10**10)  # 4*10^20 > 2^63
