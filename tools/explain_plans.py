@@ -49,6 +49,12 @@ SHOW = [
     "adaptive_delay_ewma",     # 16 lags in ONE Window exec, no iteration
     "crawl_budget_allocation", # broadcast totals + one rank window
     "mirror_host_similarity",  # inverted-index equi-join, no all-pairs
+    "dust_param_rules",        # explode -> (key, residual) agg, map-side combine
+    "dust_strip_urls",         # map-only strip: zero Exchange, zero Python
+    "anchor_text_terms",       # explode -> agg -> top-k window over AGGREGATED rows
+    "change_rate_recrawl",     # lag window + agg REUSE one url partitioning
+    "crawl_snapshot_delta",    # one full-outer hash join, no BNLJ
+    "reciprocal_links",        # pair-key agg: no self-join at all
 ]
 
 CHECKS = {
@@ -76,6 +82,12 @@ CHECKS = {
     "adaptive_delay_ewma": ["Window"],
     "crawl_budget_allocation": ["BroadcastExchange", "Window"],
     "mirror_host_similarity": ["HashJoin", "HashAggregate"],
+    "dust_param_rules": ["Generate", "HashAggregate"],
+    "dust_strip_urls": ["Project"],
+    "anchor_text_terms": ["Generate", "HashAggregate", "Window"],
+    "change_rate_recrawl": ["Window", "HashAggregate"],
+    "crawl_snapshot_delta": ["FullOuter"],
+    "reciprocal_links": ["HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -96,6 +108,14 @@ ANTI_CHECKS = {
     "backoff_hosts": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     "adaptive_delay_ewma": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     "mirror_host_similarity": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "dust_param_rules": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # map-only contract: stripping must add no shuffle and no Python
+    "dust_strip_urls": ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    "anchor_text_terms": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "change_rate_recrawl": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "crawl_snapshot_delta": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    # the pair fold is ONE aggregation — any join here means a self-join crept in
+    "reciprocal_links": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
