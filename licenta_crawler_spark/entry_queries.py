@@ -2393,6 +2393,30 @@ def reciprocal_links(spark, sf_dir):
     return reciprocal_host_links(edges)
 
 
+def stream_change_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING change detector's
+    cross-batch fingerprint carry (streaming/windowed.
+    streaming_change_detect): repeated-crawl fingerprints synthesized
+    with an explicit micro-batch number replay per URL through the SAME
+    _fold_changes the stateful operator runs; the oracle is the
+    closed-form lag + row_number + running-sum window ordered by
+    (batch_no, visit_id)."""
+    from licenta_crawler_spark.streaming.windowed import (
+        batch_replay_change_detect,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.concat(F.lit("/u/"), F.col("user_id") % 25).alias("url"),
+        F.col("event_id").alias("visit_id"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("static"))
+        .otherwise(F.col("event_type"))
+        .alias("content_hash"),
+        (F.col("event_id") % 4).cast("long").alias("batch_no"),
+    )
+    return batch_replay_change_detect(visits)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2534,6 +2558,7 @@ QUERIES = {
     "hits_part_links": hits_part_links,
     "crawl_snapshot_delta": crawl_snapshot_delta,
     "reciprocal_links": reciprocal_links,
+    "stream_change_replay": stream_change_replay,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4728,6 +4753,28 @@ ORACLE_SQL = {
                sum(1 - is_ab)::BIGINT AS ba_links,
                (sum(is_ab) > 0 AND sum(1 - is_ab) > 0) AS reciprocal
         FROM p GROUP BY 1, 2
+    """,
+    "stream_change_replay": """
+        WITH v AS (
+          SELECT '/u/' || (user_id % 25) AS url,
+                 event_id AS visit_id,
+                 CASE WHEN user_id % 3 = 0 THEN 'static'
+                      ELSE event_type END AS h,
+                 event_id % 4 AS batch_no
+          FROM events
+        )
+        , c AS (
+          SELECT url, visit_id, batch_no,
+                 CASE WHEN lag(h) OVER w IS NULL THEN 0
+                      WHEN h <> lag(h) OVER w THEN 1 ELSE 0 END AS changed
+          FROM v WINDOW w AS (PARTITION BY url ORDER BY batch_no, visit_id)
+        )
+        SELECT url, visit_id, changed::BIGINT AS changed,
+               row_number() OVER w2 AS n_visits,
+               sum(changed) OVER (
+                 PARTITION BY url ORDER BY batch_no, visit_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS n_changes
+        FROM c WINDOW w2 AS (PARTITION BY url ORDER BY batch_no, visit_id)
     """,
 }
 

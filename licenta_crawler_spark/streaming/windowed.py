@@ -484,3 +484,99 @@ def batch_replay_backoff(
         return pd.concat(out, ignore_index=True)
 
     return fetches.groupBy("host").applyInPandas(replay, schema=BACKOFF_OUT_SCHEMA)
+
+
+# --------------------------------------------------------- change detect
+CHANGE_STATE_SCHEMA = "last_hash string, n_visits long, n_changes long"
+CHANGE_OUT_SCHEMA = (
+    "url string, visit_id long, changed long, n_visits long, n_changes long"
+)
+
+
+def _fold_changes(hashes, last, n_visits, n_changes):
+    """The per-URL fingerprint fold shared by the STREAMING change
+    detector and its batch replay twin (the streaming form of
+    operators/frontier_policy.change_rate_stats' sufficient statistics):
+    a visit is CHANGED iff a previous visit exists and the fingerprint
+    differs. Returns (flags, visit_counts, change_counts, state')."""
+    flags, vis, chg = [], [], []
+    for h in hashes:
+        changed = 1 if (last is not None and h != last) else 0
+        n_visits += 1
+        n_changes += changed
+        flags.append(changed)
+        vis.append(n_visits)
+        chg.append(n_changes)
+        last = h
+    return flags, vis, chg, last, n_visits, n_changes
+
+
+def streaming_change_detect(visits: DataFrame) -> DataFrame:
+    """Streaming twin of the change-rate recrawl model: repeated-crawl
+    fingerprints arrive as (url, visit_id, content_hash) rows; the state
+    store holds (last_hash, n_visits, n_changes) per URL so freshness
+    statistics accumulate ACROSS micro-batches — the recrawl scheduler
+    reads live change ratios instead of waiting for a batch recompute.
+    Within a batch, rows fold in visit_id order (deterministic under any
+    partitioning). State is three scalars per URL — watermark-free and
+    O(|frontier|), the same size class as the seen-set."""
+
+    def fn(key, pdfs, state: GroupState):
+        last, n_visits, n_changes = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "visit_id", kind="mergesort"
+        )
+        flags, vis, chg, last, n_visits, n_changes = _fold_changes(
+            rows["content_hash"], last, n_visits, n_changes
+        )
+        state.update((last, int(n_visits), int(n_changes)))
+        yield pd.DataFrame({
+            "url": [key[0]] * len(rows),
+            "visit_id": rows["visit_id"].tolist(),
+            "changed": flags,
+            "n_visits": vis,
+            "n_changes": chg,
+        })
+
+    return visits.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=CHANGE_OUT_SCHEMA,
+        stateStructType=CHANGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_replay_change_detect(
+    visits: DataFrame, batch_col: str = "batch_no"
+) -> DataFrame:
+    """BATCH replay of streaming_change_detect's state machine — the
+    driver-oracle-checkable twin: micro-batches replay in order through
+    the SAME ``_fold_changes``; the oracle is the closed-form lag/
+    row_number/running-sum window ordered by (batch_no, visit_id), so a
+    green driver row certifies the cross-batch fingerprint carry."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        last, n_visits, n_changes = None, 0, 0
+        out = []
+        for b in sorted(pdf[batch_col].unique()):
+            chunk = pdf[pdf[batch_col] == b].sort_values(
+                "visit_id", kind="mergesort"
+            )
+            flags, vis, chg, last, n_visits, n_changes = _fold_changes(
+                chunk["content_hash"], last, n_visits, n_changes
+            )
+            out.append(pd.DataFrame({
+                "url": chunk["url"].tolist(),
+                "visit_id": chunk["visit_id"].tolist(),
+                "changed": flags,
+                "n_visits": vis,
+                "n_changes": chg,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return visits.groupBy("url").applyInPandas(
+        replay, schema=CHANGE_OUT_SCHEMA
+    )

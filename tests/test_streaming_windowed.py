@@ -488,3 +488,49 @@ def test_streaming_backoff_streak_spans_batches(spark, tmpdirs):
         ("b.com", 2): (0, 1000),            # success resets
         ("b.com", 3): (1, 2000),
     }
+
+
+def test_streaming_change_detect_state_spans_batches(spark, tmpdirs):
+    """Streaming change detection: the last fingerprint persists in the
+    state store — a URL whose content flips at a batch boundary counts
+    the change; an unchanged refetch across the boundary does not."""
+    from licenta_crawler_spark.streaming.windowed import (
+        streaming_change_detect,
+    )
+
+    SCHEMA = "url string, visit_id long, content_hash string"
+    b1 = spark.createDataFrame([
+        ("/a", 2, "y"),
+        ("/a", 1, "x"),     # folds in visit_id order: x then y -> 1 change
+        ("/b", 1, "k"),
+    ], SCHEMA)
+    b2 = spark.createDataFrame([
+        ("/a", 3, "y"),     # unchanged across the boundary
+        ("/b", 2, "m"),     # changed across the boundary
+    ], SCHEMA)
+    src = f"{tmpdirs}/src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_change_detect(stream)
+        .writeStream.format("memory").queryName("chg")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r["url"], r["visit_id"]): (r["changed"], r["n_visits"], r["n_changes"])
+                for r in spark.table("chg").collect()}
+    finally:
+        q.stop()
+
+    assert rows == {
+        ("/a", 1): (0, 1, 0),
+        ("/a", 2): (1, 2, 1),
+        ("/a", 3): (0, 3, 1),   # state carried: y == y, no change
+        ("/b", 1): (0, 1, 0),
+        ("/b", 2): (1, 2, 1),   # state carried: k != m
+    }
