@@ -2417,6 +2417,36 @@ def stream_change_replay(spark, sf_dir):
     return batch_replay_change_detect(visits)
 
 
+def media_mime_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing (`operators/multimodal.
+    sniff_mime_col`): payloads synthesized with eight real magic
+    prefixes (JPEG/PNG/GIF/PDF/gzip/zip, ISO-BMFF ftyp, HTML) plus a
+    unique hex tail, classified and counted per detected type — the
+    decoder-dispatch step of the multimodal ingest pipeline."""
+    from licenta_crawler_spark.operators.multimodal import sniff_mime_col
+
+    ev = _t(spark, sf_dir, "events")
+    magic = (
+        F.when(F.col("event_id") % 9 == 0, "FFD8FF")
+        .when(F.col("event_id") % 9 == 1, "89504E47")
+        .when(F.col("event_id") % 9 == 2, "47494638")
+        .when(F.col("event_id") % 9 == 3, "25504446")
+        .when(F.col("event_id") % 9 == 4, "1F8B")
+        .when(F.col("event_id") % 9 == 5, "504B0304")
+        .when(F.col("event_id") % 9 == 6, "0000001866747970")
+        .when(F.col("event_id") % 9 == 7, "3C68746D6C")
+        .otherwise("DEADBEEF")
+    )
+    payload = F.unhex(
+        F.concat(magic, F.lpad(F.hex(F.col("event_id")), 8, "0"))
+    )
+    return (
+        ev.select(sniff_mime_col(payload).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2559,6 +2589,7 @@ QUERIES = {
     "crawl_snapshot_delta": crawl_snapshot_delta,
     "reciprocal_links": reciprocal_links,
     "stream_change_replay": stream_change_replay,
+    "media_mime_sniff": media_mime_sniff,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4775,6 +4806,34 @@ ORACLE_SQL = {
                  PARTITION BY url ORDER BY batch_no, visit_id
                  ROWS UNBOUNDED PRECEDING)::BIGINT AS n_changes
         FROM c WINDOW w2 AS (PARTITION BY url ORDER BY batch_no, visit_id)
+    """,
+    "media_mime_sniff": """
+        WITH m AS (
+          SELECT CASE event_id % 9
+                   WHEN 0 THEN 'FFD8FF' WHEN 1 THEN '89504E47'
+                   WHEN 2 THEN '47494638' WHEN 3 THEN '25504446'
+                   WHEN 4 THEN '1F8B' WHEN 5 THEN '504B0304'
+                   WHEN 6 THEN '0000001866747970'
+                   WHEN 7 THEN '3C68746D6C'
+                   ELSE 'DEADBEEF' END
+                 || lpad(hex(event_id), 8, '0') AS h
+          FROM events
+        ),
+        s AS (
+          SELECT CASE
+                   WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
+                   WHEN starts_with(h, '89504E47') THEN 'image/png'
+                   WHEN starts_with(h, '47494638') THEN 'image/gif'
+                   WHEN starts_with(h, '25504446') THEN 'application/pdf'
+                   WHEN starts_with(h, '1F8B') THEN 'application/gzip'
+                   WHEN starts_with(h, '504B0304') THEN 'application/zip'
+                   WHEN starts_with(h, '52494646') THEN 'audio/x-riff'
+                   WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
+                   WHEN starts_with(h, '3C') THEN 'text/html'
+                   ELSE 'application/octet-stream' END AS mime
+          FROM m
+        )
+        SELECT mime, count(*) AS n FROM s GROUP BY mime
     """,
 }
 

@@ -188,3 +188,33 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 10, max_frames: int = 8
             ).alias("frame_indices"),
         )
     )
+
+
+def sniff_mime_col(payload):
+    """Content-type sniffing from magic bytes — the dispatch step before
+    any decode in a multimodal ingest pipeline (served Content-Type
+    headers lie; decoders crash on mislabeled payloads, so production
+    pipelines sniff). Pure column expression over ``hex(payload)``
+    prefixes: whole-stage codegen, no UDF, no Python — at 10^9 media
+    payloads this is a map-only pass.
+
+    Recognizes the canonical magics (JPEG/PNG/GIF/PDF/gzip/zip, RIFF,
+    ISO-BMFF 'ftyp' at byte 5, leading '<' HTML) and falls back to
+    application/octet-stream. The hex-prefix comparison reads at most
+    16 bytes regardless of payload size.
+    """
+    h = F.hex(payload)
+    return (
+        F.when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(h.startswith("89504E47"), F.lit("image/png"))
+        .when(h.startswith("47494638"), F.lit("image/gif"))
+        .when(h.startswith("25504446"), F.lit("application/pdf"))
+        .when(h.startswith("1F8B"), F.lit("application/gzip"))
+        .when(h.startswith("504B0304"), F.lit("application/zip"))
+        .when(h.startswith("52494646"), F.lit("audio/x-riff"))
+        .when(
+            F.substring(h, 9, 8) == "66747970", F.lit("video/mp4")
+        )
+        .when(h.startswith("3C"), F.lit("text/html"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

@@ -123,3 +123,30 @@ def test_frame_sample_plan(documents):
     assert 1 <= len(idx) <= 4
     assert idx[0] == 0
     assert all(b - a == 5 for a, b in zip(idx, idx[1:]))
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """Magic-byte dispatch: real prefixes classify, ftyp is matched at
+    byte 5 (any box size), unknown bytes fall through."""
+    from licenta_crawler_spark.operators.multimodal import sniff_mime_col
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("FFD8FFE000104A46", "image/jpeg"),
+        ("89504E470D0A1A0A", "image/png"),
+        ("474946383961FFFF", "image/gif"),
+        ("255044462D312E37", "application/pdf"),
+        ("1F8B0800", "application/gzip"),
+        ("504B030414000000", "application/zip"),
+        ("52494646AAAAAAAA", "audio/x-riff"),
+        ("00000020667479706D703432", "video/mp4"),  # different box size
+        ("3C68746D6C3E", "text/html"),
+        ("DEADBEEF", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(cases, "h string, want string")
+    out = df.select(
+        "want", sniff_mime_col(F.unhex(F.col("h"))).alias("got")
+    )
+    for r in out.collect():
+        assert r["got"] == r["want"], r["want"]
