@@ -2447,6 +2447,61 @@ def media_mime_sniff(spark, sf_dir):
     )
 
 
+_ROBOTS_RULES = [
+    # h0: global disallow + longer allow + anchored wildcard + a tie pair
+    ("h0", False, "/"),
+    ("h0", True, "/page"),
+    ("h0", False, "/*.php$"),
+    ("h0", True, "/folder"),
+    ("h0", False, "/folder"),
+    # h1: wildcard crossing segments + php5 anchor
+    ("h1", False, "/search"),
+    ("h1", True, "/search/1"),
+    ("h1", False, "/*.php5$"),
+]
+
+
+def robots_rfc9309(spark, sf_dir):
+    """RFC 9309 rule evaluation (`operators/parse.robots_decision`):
+    wildcard patterns ('*', trailing '$') with longest-match precedence
+    and allow-wins-ties, over paths synthesized to hit every rule shape
+    (anchors, ties, wildcard spans, no-rule default-allow)."""
+    from licenta_crawler_spark.operators.parse import robots_decision
+
+    ev = _t(spark, sf_dir, "events")
+    path = (
+        F.when(
+            F.col("event_id") % 6 == 0,
+            F.concat(F.lit("/page/"), F.col("user_id") % 10),
+        )
+        .when(
+            F.col("event_id") % 6 == 1,
+            F.concat(F.lit("/search/"), F.col("user_id") % 5),
+        )
+        .when(
+            F.col("event_id") % 6 == 2,
+            F.concat(F.lit("/doc/"), F.col("user_id") % 7, F.lit(".php")),
+        )
+        .when(
+            F.col("event_id") % 6 == 3,
+            F.concat(F.lit("/doc/"), F.col("user_id") % 7, F.lit(".php5")),
+        )
+        .when(
+            F.col("event_id") % 6 == 4,
+            F.concat(F.lit("/folder/"), F.col("user_id") % 3),
+        )
+        .otherwise(F.lit("/"))
+    )
+    paths = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 2).alias("host"),
+        path.alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, allow boolean, pattern string"
+    )
+    return robots_decision(paths, rules)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2590,6 +2645,7 @@ QUERIES = {
     "reciprocal_links": reciprocal_links,
     "stream_change_replay": stream_change_replay,
     "media_mime_sniff": media_mime_sniff,
+    "robots_rfc9309": robots_rfc9309,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4836,6 +4892,65 @@ ORACLE_SQL = {
         SELECT mime, count(*) AS n FROM s GROUP BY mime
     """,
 }
+
+
+def _robots_rx(pattern: str) -> str:
+    """Python twin of parse.robots_pattern_regex_col — used only to
+    embed PRE-TRANSLATED regex literals in the robots_rfc9309 oracle
+    (the translation itself is unit-tested; the oracle verifies the
+    DECISIONS)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    esc = _re.sub(r"([.\\+?(){}\[\]|^$])", r"\\\1", body)
+    return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+
+def _robots_rfc9309_oracle() -> str:
+    vals = ", ".join(
+        "('{h}', {a}, '{p}', '{rx}', {n})".format(
+            h=h,
+            a="true" if allow else "false",
+            p=p.replace("'", "''"),
+            rx=_robots_rx(p).replace("'", "''"),
+            n=len(p),
+        )
+        for h, allow, p in _ROBOTS_RULES
+    )
+    return f"""
+        WITH pth AS (
+          SELECT DISTINCT 'h' || (user_id % 2) AS host,
+                 CASE event_id % 6
+                   WHEN 0 THEN '/page/' || (user_id % 10)
+                   WHEN 1 THEN '/search/' || (user_id % 5)
+                   WHEN 2 THEN '/doc/' || (user_id % 7) || '.php'
+                   WHEN 3 THEN '/doc/' || (user_id % 7) || '.php5'
+                   WHEN 4 THEN '/folder/' || (user_id % 3)
+                   ELSE '/' END AS path
+          FROM events
+        ),
+        r(host, allow, pattern, rx, plen) AS (VALUES {vals}),
+        m AS (
+          SELECT pth.host, pth.path, r.allow, r.pattern, r.plen
+          FROM pth JOIN r ON pth.host = r.host
+          WHERE regexp_matches(pth.path, r.rx)
+        ),
+        best AS (
+          SELECT host, path, allow, pattern,
+                 row_number() OVER (PARTITION BY host, path
+                   ORDER BY plen DESC, allow DESC, pattern ASC) AS rn
+          FROM m
+        )
+        SELECT pth.host, pth.path,
+               coalesce(b.allow, true) AS allowed,
+               coalesce(b.pattern, '') AS matched_pattern
+        FROM pth LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON pth.host = b.host AND pth.path = b.path
+    """
+
+
+ORACLE_SQL["robots_rfc9309"] = _robots_rfc9309_oracle()
 
 
 # Oracles whose generation costs I/O (pinned-IVF trains its centroid

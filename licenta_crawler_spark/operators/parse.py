@@ -217,3 +217,75 @@ def parse_robots_directives(
             ).alias("sitemap_urls"),
         )
     )
+
+
+def robots_pattern_regex_col(pattern):
+    """Translate an RFC 9309 robots path pattern to an anchored regex —
+    pure column math: '*' matches any octet sequence, a TRAILING '$'
+    anchors end-of-path ('$' anywhere else is literal), every other
+    regex metacharacter is escaped. The result is '^'-prefixed so
+    rlike's substring search becomes the spec's prefix match.
+
+    The reference enforces plain prefix disallows only; real-world
+    robots.txt uses wildcards ('Disallow: /*.php$', '/search*') — a
+    crawler that ignores them violates REP on most large sites.
+    """
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, pattern.substr(F.lit(1), F.length(pattern) - F.lit(1))
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.\\+?(){}\[\]|^$])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), star, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_decision(
+    paths: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 §2.2.2 rule evaluation with wildcard patterns and
+    longest-match precedence: among the rules whose pattern matches the
+    path, the one with the MOST OCTETS governs; on an exact length tie
+    the Allow rule wins; a path matching no rule is allowed.
+
+    ``rules``: (host, allow boolean, pattern string). Scale: the rule
+    table is a broadcast dim (robots bodies are tiny; ~10-100 rules per
+    host), so the candidate stream never shuffles — the match fan-out is
+    rules-per-host, cut back down by one (host, path) window over
+    MATCHED rows only. The pattern regexes ride the broadcast as a
+    precompiled column; rlike with a per-row pattern stays JVM-side.
+
+    Returns (host, path, allowed, matched_pattern) — matched_pattern ''
+    when no rule applied.
+    """
+    r = rules.select(
+        F.col(host_col).alias("host"),
+        F.col("allow"),
+        F.col("pattern"),
+        robots_pattern_regex_col(F.col("pattern")).alias("_rx"),
+        F.length("pattern").alias("_plen"),
+    )
+    p = paths.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).distinct()
+    m = p.join(F.broadcast(r), "host").where(F.expr("path rlike _rx"))
+    w = Window.partitionBy("host", "path").orderBy(
+        F.col("_plen").desc(),
+        F.col("allow").desc(),
+        F.col("pattern").asc(),
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("host", "path", "allow", "pattern")
+    )
+    return p.join(best, ["host", "path"], "left").select(
+        "host",
+        "path",
+        F.coalesce("allow", F.lit(True)).alias("allowed"),
+        F.coalesce("pattern", F.lit("")).alias("matched_pattern"),
+    )

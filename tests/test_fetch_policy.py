@@ -100,3 +100,61 @@ def test_parse_robots_directives_case_insensitive(spark):
     rows = {r["host"]: (r["crawl_delay"], r["disallow_paths"], r["sitemap_urls"])
             for r in parse_robots_directives(df).collect()}
     assert rows == {"h1": (7, "/a,/b", "https://h1/sm.xml")}
+
+
+class TestRobotsRfc9309:
+    """Wildcard patterns + longest-match precedence (RFC 9309 §2.2.2)."""
+
+    def _decide(self, spark, rules, paths):
+        from licenta_crawler_spark.operators.parse import robots_decision
+
+        r = spark.createDataFrame(
+            rules, "host string, allow boolean, pattern string"
+        )
+        p = spark.createDataFrame(
+            [("h", x) for x in paths], "host string, path string"
+        )
+        return {
+            row.path: (row.allowed, row.matched_pattern)
+            for row in robots_decision(p, r).collect()
+        }
+
+    def test_longest_match_wins_and_allow_breaks_ties(self, spark):
+        rules = [
+            ("h", False, "/"),
+            ("h", True, "/p"),
+            ("h", False, "/*.php$"),
+            ("h", True, "/folder"),
+            ("h", False, "/folder"),
+        ]
+        got = self._decide(
+            spark, rules,
+            ["/page", "/other", "/index.php", "/index.php5",
+             "/folder", "/p.php", "/nomatch-host"],
+        )
+        assert got["/page"] == (True, "/p")          # longer allow wins
+        assert got["/other"] == (False, "/")
+        assert got["/index.php"] == (False, "/*.php$")
+        assert got["/index.php5"] == (False, "/")    # $ anchor holds
+        assert got["/folder"] == (True, "/folder")   # tie -> allow
+        assert got["/p.php"] == (False, "/*.php$")   # 7 octets beat 2
+
+    def test_no_rule_means_allowed(self, spark):
+        got = self._decide(spark, [("other-host", False, "/")], ["/x"])
+        assert got["/x"] == (True, "")
+
+    def test_star_spans_segments_and_dollar_is_literal_inline(self, spark):
+        rules = [("h", False, "/a/*/c"), ("h", False, "/pay$ment")]
+        got = self._decide(
+            spark, rules, ["/a/b/x/c", "/a/c", "/pay$ment/x", "/payment"]
+        )
+        assert got["/a/b/x/c"] == (False, "/a/*/c")  # * crosses '/'
+        assert got["/a/c"] == (True, "")             # something must fill *
+        assert got["/pay$ment/x"] == (False, "/pay$ment")  # inline $ literal
+        assert got["/payment"] == (True, "")
+
+    def test_regex_metacharacters_in_patterns_are_literal(self, spark):
+        rules = [("h", False, "/q?x=(1)[2]")]
+        got = self._decide(spark, rules, ["/q?x=(1)[2]3", "/qAx=1"])
+        assert got["/q?x=(1)[2]3"] == (False, "/q?x=(1)[2]")
+        assert got["/qAx=1"] == (True, "")
