@@ -2502,6 +2502,32 @@ def robots_rfc9309(spark, sf_dir):
     return robots_decision(paths, rules)
 
 
+_RETRIEVAL_QUERIES = [
+    # q1: AND-only; q2: AND + OR block; q3: single required rare-ish term
+    ("q1", "join", True),
+    ("q1", "hash", True),
+    ("q2", "window", True),
+    ("q2", "stream", False),
+    ("q2", "vector", False),
+    ("q3", "customer", True),
+]
+
+
+def inverted_index_retrieval(spark, sf_dir):
+    """Batch boolean retrieval (`operators/retrieval.boolean_retrieval`):
+    three queries (pure AND, AND+OR, single term) evaluated in ONE
+    corpus pass — each doc's token set intersects the broadcast query
+    vocabulary BEFORE the explode, so the shuffle is index-sized, never
+    corpus-sized."""
+    from licenta_crawler_spark.operators.retrieval import boolean_retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        _RETRIEVAL_QUERIES, "query_id string, term string, required boolean"
+    )
+    return boolean_retrieval(d, q)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2646,6 +2672,7 @@ QUERIES = {
     "stream_change_replay": stream_change_replay,
     "media_mime_sniff": media_mime_sniff,
     "robots_rfc9309": robots_rfc9309,
+    "inverted_index_retrieval": inverted_index_retrieval,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -4951,6 +4978,44 @@ def _robots_rfc9309_oracle() -> str:
 
 
 ORACLE_SQL["robots_rfc9309"] = _robots_rfc9309_oracle()
+
+
+def _retrieval_oracle() -> str:
+    vals = ", ".join(
+        "('{q}', '{t}', {r})".format(
+            q=q, t=t, r="true" if req else "false"
+        )
+        for q, t, req in _RETRIEVAL_QUERIES
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct({_NORM_TOKS_SQL}) AS toks
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        q(query_id, term, required) AS (VALUES {vals}),
+        need AS (
+          SELECT query_id,
+                 sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS n_need,
+                 sum(CASE WHEN required THEN 0 ELSE 1 END)::BIGINT AS n_opt
+          FROM q GROUP BY 1
+        ),
+        scored AS (
+          SELECT q.query_id, ex.doc_id,
+                 sum(CASE WHEN q.required THEN 1 ELSE 0 END)::BIGINT
+                   AS n_required,
+                 sum(CASE WHEN q.required THEN 0 ELSE 1 END)::BIGINT
+                   AS n_optional
+          FROM ex JOIN q USING (term) GROUP BY 1, 2
+        )
+        SELECT s.query_id, s.doc_id, s.n_required, s.n_optional
+        FROM scored s JOIN need n USING (query_id)
+        WHERE s.n_required = n.n_need
+          AND (n.n_opt = 0 OR s.n_optional >= 1)
+    """
+
+
+ORACLE_SQL["inverted_index_retrieval"] = _retrieval_oracle()
 
 
 # Oracles whose generation costs I/O (pinned-IVF trains its centroid

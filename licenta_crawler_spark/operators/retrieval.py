@@ -1,0 +1,87 @@
+"""Inverted-index boolean retrieval over the document corpus.
+
+A crawl/training pipeline needs term lookup long before a serving
+index exists: "which documents contain all of {X, Y} (and any of
+{Z, W})" drives decontamination sweeps, targeted quality audits, and
+seed-list expansion. The reference has no search surface at all
+(graft-mandate scope, SURVEY §2.8) — this is the batch form: a BATCH of
+boolean queries evaluated against the whole corpus in two shuffles,
+not one corpus scan per query.
+
+Shape: postings are (doc, term) DISTINCT pairs — but the corpus is
+never exploded wholesale: each document's token set is intersected
+with the (tiny, broadcast) query vocabulary BEFORE the explode, so the
+exploded stream carries only tokens some query asked about. At 10^9
+docs × 10^2 query terms that is the difference between an index-sized
+shuffle and a corpus-sized one.
+
+Everything is exact integer counting: a query with k required terms
+matches a doc iff the doc contributes k distinct required terms
+(AND), plus >= 1 optional term when the query carries any (OR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.functions.text import normalized_text_col
+
+
+def boolean_retrieval(
+    documents: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Evaluate a batch of boolean queries against the corpus.
+
+    ``queries``: (query_id, term, required boolean) — one row per term;
+    ``required`` terms are ANDed, optional terms ORed (a query with no
+    optional terms needs only its AND block). Terms must already be in
+    corpus normalization (lowercase alphanumeric; the same
+    normalization is applied to the document text here).
+
+    Plan: ONE corpus pass (normalize → distinct-token array →
+    intersect with the broadcast query vocabulary → explode the
+    intersection), one equi-join postings⋈queries on term (query side
+    broadcast), one (query_id, doc) aggregation. Per-query AND
+    cardinality rides a broadcast dim. No corpus-sized shuffle: the
+    exploded stream is bounded by |docs| × |query vocabulary∩doc|.
+
+    Returns (query_id, doc_id, n_required, n_optional) for matching
+    docs only.
+    """
+    q = queries.select(
+        "query_id",
+        F.col("term"),
+        F.col("required").cast("boolean").alias("required"),
+    ).distinct()
+    need = q.groupBy("query_id").agg(
+        F.sum(F.col("required").cast("long")).alias("n_need"),
+        F.sum((~F.col("required")).cast("long")).alias("n_opt"),
+    )
+    vocab = [r.term for r in q.select("term").distinct().collect()]
+    toks = F.array_distinct(
+        F.split(normalized_text_col(F.col(text_col)), " ")
+    )
+    hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in vocab]))
+    postings = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(hits).alias("term")
+    )
+    scored = (
+        postings.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("required").cast("long")).alias("n_required"),
+            F.sum((~F.col("required")).cast("long")).alias("n_optional"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(need), "query_id")
+        .where(
+            (F.col("n_required") == F.col("n_need"))
+            & ((F.col("n_opt") == 0) | (F.col("n_optional") >= 1))
+        )
+        .select("query_id", "doc_id", "n_required", "n_optional")
+    )

@@ -120,3 +120,45 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc["a"] & by_doc["b"]          # shared substring -> shared fp
     assert not (by_doc["a"] & by_doc["c"])    # disjoint text -> disjoint fps
+
+
+class TestBooleanRetrieval:
+    def _run(self, spark, docs, queries):
+        from licenta_crawler_spark.operators.retrieval import (
+            boolean_retrieval,
+        )
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            queries, "query_id string, term string, required boolean"
+        )
+        return {
+            (r.query_id, r.doc_id): (r.n_required, r.n_optional)
+            for r in boolean_retrieval(d, q).collect()
+        }
+
+    def test_and_or_semantics(self, spark):
+        docs = [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha delta"),
+            (4, "beta gamma delta"),
+        ]
+        queries = [
+            ("and2", "alpha", True), ("and2", "beta", True),
+            ("mix", "alpha", True), ("mix", "gamma", False),
+            ("mix", "delta", False),
+        ]
+        got = self._run(spark, docs, queries)
+        # and2: needs alpha AND beta
+        assert {k for k in got if k[0] == "and2"} == {("and2", 1), ("and2", 2)}
+        # mix: alpha AND (gamma OR delta) -> docs 1, 3 (not 2: no optional)
+        assert {k for k in got if k[0] == "mix"} == {("mix", 1), ("mix", 3)}
+
+    def test_duplicate_tokens_count_once_and_normalization(self, spark):
+        docs = [(1, "Alpha! ALPHA alpha, beta")]
+        got = self._run(
+            spark, [(1, "Alpha! ALPHA alpha, beta")],
+            [("q", "alpha", True), ("q", "beta", True)],
+        )
+        assert got == {("q", 1): (2, 0)}
