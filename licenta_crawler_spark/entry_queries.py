@@ -2528,6 +2528,26 @@ def inverted_index_retrieval(spark, sf_dir):
     return boolean_retrieval(d, q)
 
 
+def containment_ngram_pairs(spark, sf_dir):
+    """EXACT asymmetric containment pairs (`operators/dedup.
+    containment_pairs`): |A∩B|/|A| in integer per-mille — catches a
+    short doc quoted inside a long one, which Jaccard's union
+    denominator hides. Same inverted-index join as the Jaccard
+    baseline; synthesized quote pairs (doc text + its doubled form)
+    guarantee positive signal on top of the natural corpus pairs."""
+    from licenta_crawler_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    base = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    quoted = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text"), F.lit(" extra commentary words here")).alias("text"),
+    )
+    return containment_pairs(
+        base.unionAll(quoted), threshold_millis=800
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2673,6 +2693,7 @@ QUERIES = {
     "media_mime_sniff": media_mime_sniff,
     "robots_rfc9309": robots_rfc9309,
     "inverted_index_retrieval": inverted_index_retrieval,
+    "containment_ngram_pairs": containment_ngram_pairs,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5016,6 +5037,39 @@ def _retrieval_oracle() -> str:
 
 
 ORACLE_SQL["inverted_index_retrieval"] = _retrieval_oracle()
+
+ORACLE_SQL["containment_ngram_pairs"] = """
+    WITH raw AS (
+      SELECT doc_id::VARCHAR AS doc_id, text FROM documents
+      WHERE doc_id < 1000
+      UNION ALL
+      SELECT 'q' || doc_id,
+             text || ' ' || text || ' extra commentary words here'
+      FROM documents WHERE doc_id < 1000 AND doc_id % 100 = 0
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM (SELECT doc_id, {norm_toks} AS toks FROM raw)
+    ),
+    counts AS (SELECT doc_id, len(shingles) AS n_sh FROM shs),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shs),
+    ix AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter::BIGINT AS inter,
+           ca.n_sh::BIGINT AS n_a, cb.n_sh::BIGINT AS n_b,
+           ((inter * 1000) // ca.n_sh)::BIGINT AS cont_a_in_b_millis,
+           ((inter * 1000) // cb.n_sh)::BIGINT AS cont_b_in_a_millis
+    FROM ix
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE greatest((inter * 1000) // ca.n_sh,
+                   (inter * 1000) // cb.n_sh) >= 800
+""".replace("{norm_toks}", _NORM_TOKS_SQL)
 
 
 # Oracles whose generation costs I/O (pinned-IVF trains its centroid

@@ -482,3 +482,73 @@ def decontaminate_ngram(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_millis: int = 800,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-containment pairs: containment(A in B) =
+    |A∩B| / |A| — the ASYMMETRIC near-dup relation Jaccard misses. A
+    short document quoted inside a long one (syndicated article + added
+    chrome, quoted post + commentary, subset page) has high containment
+    but LOW Jaccard because the union is dominated by the long side;
+    training-corpus dedup that only thresholds Jaccard keeps the
+    duplicate text.
+
+    Same inverted-index shape (and the same ``max_doc_freq`` df-cap
+    lower-bound argument) as :func:`ngram_jaccard_pairs`; both
+    directions come from ONE unordered pair row, and the ratio is exact
+    integer per-mille (``inter*1000 div n``) so the threshold cannot
+    flip on float rounding between engines.
+
+    Returns (doc_a, doc_b, inter, n_a, n_b, cont_a_in_b_millis,
+    cont_b_in_a_millis) where max(containments) >= threshold_millis and
+    doc_a < doc_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            counts.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}),
+            "doc_a",
+        )
+        .join(
+            counts.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}),
+            "doc_b",
+        )
+        .withColumn("cont_a_in_b_millis", F.expr("(inter * 1000) div n_a"))
+        .withColumn("cont_b_in_a_millis", F.expr("(inter * 1000) div n_b"))
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b_millis", "cont_b_in_a_millis")
+        >= F.lit(int(threshold_millis))
+    ).select(
+        "doc_a", "doc_b", "inter", "n_a", "n_b",
+        "cont_a_in_b_millis", "cont_b_in_a_millis",
+    )

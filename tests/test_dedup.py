@@ -162,3 +162,47 @@ class TestBooleanRetrieval:
             [("q", "alpha", True), ("q", "beta", True)],
         )
         assert got == {("q", 1): (2, 0)}
+
+
+class TestContainmentPairs:
+    def test_quote_detected_where_jaccard_misses(self, spark):
+        """A short doc fully quoted inside a long one: containment 1000
+        per-mille, but jaccard well under a 0.5 threshold — the case the
+        asymmetric relation exists for."""
+        from licenta_crawler_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long_ = (
+            short
+            + " plus entirely different words one two three four five six"
+            " seven eight nine ten eleven twelve thirteen fourteen"
+        )
+        docs = spark.createDataFrame(
+            [("a", short), ("b", long_)], "doc_id string, text string"
+        )
+        got = containment_pairs(docs, threshold_millis=900).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == ("a", "b")
+        assert r.cont_a_in_b_millis == 1000       # A fully inside B
+        assert r.cont_b_in_a_millis < 300
+        # jaccard at the standard 0.5 threshold misses this pair
+        assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+    def test_threshold_is_exact_integer_permille(self, spark):
+        from licenta_crawler_spark.operators.dedup import containment_pairs
+
+        # A has 5 shingles, 4 shared -> 800 exactly (inclusive boundary)
+        a = "w1 w2 w3 w4 w5 w6 w7"          # 5 3-gram shingles
+        b = "w1 w2 w3 w4 w5 w6 x y z"       # shares first 4
+        docs = spark.createDataFrame(
+            [("a", a), ("b", b)], "doc_id string, text string"
+        )
+        got = containment_pairs(docs, threshold_millis=800).collect()
+        assert len(got) == 1 and got[0].cont_a_in_b_millis == 800
+        assert (
+            containment_pairs(docs, threshold_millis=801).count() == 0
+        )
