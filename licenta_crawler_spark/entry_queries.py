@@ -2548,6 +2548,30 @@ def containment_ngram_pairs(spark, sf_dir):
     )
 
 
+def kmv_merged_halves(spark, sf_dir):
+    """KMV mergeability proof, driver-checked: sketch two OVERLAPPING
+    halves of events (odd/even event ids — the same user appears in
+    both, so the distinct-union merge is doing real work), merge with
+    union + re-min, estimate — the shared whole-table oracle passing IS
+    the proof, same pattern as hll/ddq_merged_halves."""
+    from licenta_crawler_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ska = kmv_sketch(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id",
+        k=64, hash_fn="md5",
+    )
+    skb = kmv_sketch(
+        ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id",
+        k=64, hash_fn="md5",
+    )
+    return kmv_estimate(kmv_merge(ska, skb, k=64), k=64, group_name="event_type")
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2694,6 +2718,7 @@ QUERIES = {
     "robots_rfc9309": robots_rfc9309,
     "inverted_index_retrieval": inverted_index_retrieval,
     "containment_ngram_pairs": containment_ngram_pairs,
+    "kmv_merged_halves": kmv_merged_halves,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -3713,6 +3738,9 @@ ORACLE_SQL = {
         ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
     """,
     "kmv_distinct_users": _KMV_SQL,
+    # union+re-min merge of two OVERLAPPING halves == whole-table sketch:
+    # the shared oracle IS the mergeability proof (same as hll/ddq)
+    "kmv_merged_halves": _KMV_SQL,
     "hll_distinct_users": _hll_sql(p=8),
     # merge of disjoint-half sketches is exactly the whole-table sketch:
     # the shared oracle IS the mergeability proof

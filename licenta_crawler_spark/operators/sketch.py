@@ -41,19 +41,17 @@ from licenta_crawler_spark.operators.dedup import md5_hash60_col
 HASH_SPACE = 1 << 60  # md5-derived 60-bit hash domain
 
 
-def kmv_distinct_estimate(
+def kmv_sketch(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = 64,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-group KMV distinct estimate: ``(group, est_distinct, n_exactish)``.
-
-    Groups with fewer than k distinct hashes report the exact distinct
-    hash count (the sketch IS the value set there); larger groups report
-    ``round((k-1) * 2^60 / kth_min)``. ``hash_fn='md5'`` is the
-    oracle-replayable variant; 'xxhash64' the production default."""
+    """The mergeable KMV state: ``(grp, h)`` — the k smallest DISTINCT
+    hashes per group. Persist this per partition/day/shard; merging is
+    union + re-min (:func:`kmv_merge`), so the sketch composes across
+    any partitioning of the input."""
     v = F.col(value_col).cast("string")
     h = md5_hash60_col(v) if hash_fn == "md5" else F.pmod(
         F.xxhash64(v), F.lit(HASH_SPACE)
@@ -67,7 +65,41 @@ def kmv_distinct_estimate(
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge KMV sketches: distinct union of the hash sets, re-keep the
+    k smallest per group. Because each input kept ITS k smallest, the
+    union's k smallest equal the k smallest of the combined raw data —
+    overlapping inputs collapse on the distinct, so the merge is exact
+    even for non-disjoint splits (the property HLL gets from max() and
+    DDQ from count-sum)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 64, group_name: str = "grp"
+) -> DataFrame:
+    """Estimate from the KMV state: groups holding fewer than k hashes
+    report the exact distinct count (the sketch IS the value set);
+    saturated groups report ``round((k-1) * 2^60 / kth_min)``."""
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = sketch.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
     return (
         ranked.groupBy("grp")
         .agg(
@@ -75,7 +107,7 @@ def kmv_distinct_estimate(
             F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
         )
         .select(
-            F.col("grp").alias(group_col),
+            F.col("grp").alias(group_name),
             F.when(F.col("kth").isNull(), F.col("n_kept"))
             .otherwise(
                 F.round(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth"))
@@ -83,6 +115,25 @@ def kmv_distinct_estimate(
             .cast("long")
             .alias("est_distinct"),
         )
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group KMV distinct estimate: ``(group, est_distinct)`` —
+    sketch → estimate in one call (see :func:`kmv_sketch` /
+    :func:`kmv_merge` / :func:`kmv_estimate` for the persistable
+    stages). ``hash_fn='md5'`` is the oracle-replayable variant;
+    'xxhash64' the production default."""
+    return kmv_estimate(
+        kmv_sketch(df, group_col, value_col, k=k, hash_fn=hash_fn),
+        k=k,
+        group_name=group_col,
     )
 
 
