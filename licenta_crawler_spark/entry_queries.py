@@ -2572,6 +2572,29 @@ def kmv_merged_halves(spark, sf_dir):
     return kmv_estimate(kmv_merge(ska, skb, k=64), k=64, group_name="event_type")
 
 
+_PHRASE_QUERIES = [
+    ("p1", "table hash"),
+    ("p2", "customer join"),
+    ("p3", "slow hash batch"),
+    ("p4", "window fast query"),
+    ("p5", "no such phrase anywhere"),
+]
+
+
+def phrase_search(spark, sf_dir):
+    """Exact phrase retrieval (`operators/retrieval.phrase_retrieval`):
+    2- and 3-token phrases (plus one guaranteed miss) matched via
+    k-grams — adjacency baked into the gram, no positional-index join;
+    per-doc occurrence counts exact."""
+    from licenta_crawler_spark.operators.retrieval import phrase_retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        _PHRASE_QUERIES, "phrase_id string, phrase string"
+    )
+    return phrase_retrieval(d, q)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2719,6 +2742,7 @@ QUERIES = {
     "inverted_index_retrieval": inverted_index_retrieval,
     "containment_ngram_pairs": containment_ngram_pairs,
     "kmv_merged_halves": kmv_merged_halves,
+    "phrase_search": phrase_search,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5065,6 +5089,36 @@ def _retrieval_oracle() -> str:
 
 
 ORACLE_SQL["inverted_index_retrieval"] = _retrieval_oracle()
+
+def _phrase_oracle() -> str:
+    by_len: dict[int, list] = {}
+    for pid, p in _PHRASE_QUERIES:
+        by_len.setdefault(len(p.split()), []).append((pid, p))
+    parts = []
+    for k, plist in sorted(by_len.items()):
+        in_list = ", ".join("'{}'".format(p.replace("'", "''")) for _, p in plist)
+        vals = ", ".join(
+            "('{}', '{}')".format(pid, p.replace("'", "''"))
+            for pid, p in plist
+        )
+        parts.append(f"""
+        SELECT pid.phrase_id, m.doc_id, m.n_occurrences
+        FROM (
+          SELECT doc_id, phrase, count(*)::BIGINT AS n_occurrences
+          FROM (
+            SELECT doc_id, unnest(list_filter(
+              list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' ')),
+              g -> g IN ({in_list}))) AS phrase
+            FROM (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents)
+          ) GROUP BY doc_id, phrase
+        ) m JOIN (VALUES {vals}) AS pid(phrase_id, phrase)
+          ON m.phrase = pid.phrase
+        """)
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_SQL["phrase_search"] = _phrase_oracle()
 
 ORACLE_SQL["containment_ngram_pairs"] = """
     WITH raw AS (

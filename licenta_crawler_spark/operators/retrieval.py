@@ -85,3 +85,59 @@ def boolean_retrieval(
         )
         .select("query_id", "doc_id", "n_required", "n_optional")
     )
+
+
+def phrase_retrieval(
+    documents: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search without a positional index: a k-token phrase
+    occurs in a document iff the phrase string appears among the
+    document's k-grams — the positional adjacency is baked into the
+    gram, so no position-list join chain is ever needed.
+
+    ``phrases``: (phrase_id, phrase), phrase already in corpus
+    normalization. Phrases are grouped by token count (bounded
+    control-plane collect — it's the QUERY batch, not data); for each
+    length the document's k-gram array is filtered against that
+    length's literal phrase set BEFORE the explode, duplicates kept, so
+    occurrence counts are exact and the exploded stream carries only
+    grams some phrase asked about (index-sized, never corpus-sized —
+    same discipline as :func:`boolean_retrieval`).
+
+    Returns (phrase_id, doc_id, n_occurrences), matches only.
+    """
+    from functools import reduce
+
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    spark = documents.sparkSession
+    rows = phrases.select("phrase_id", "phrase").distinct().collect()
+    by_len: dict[int, list] = {}
+    for r in rows:
+        by_len.setdefault(len(r.phrase.split()), []).append(
+            (r.phrase_id, r.phrase)
+        )
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    outs = []
+    for k, plist in sorted(by_len.items()):
+        pset = [p for _, p in plist]
+        hits = F.filter(
+            ngram_join_col(toks, k), lambda g: g.isin(*pset)
+        )
+        counts = (
+            documents.select(
+                F.col(id_col).alias("doc_id"), F.explode(hits).alias("phrase")
+            )
+            .groupBy("doc_id", "phrase")
+            .agg(F.count("*").alias("n_occurrences"))
+        )
+        pid = spark.createDataFrame(plist, "phrase_id string, phrase string")
+        outs.append(
+            counts.join(F.broadcast(pid), "phrase").select(
+                "phrase_id", "doc_id", "n_occurrences"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -206,3 +206,34 @@ class TestContainmentPairs:
         assert (
             containment_pairs(docs, threshold_millis=801).count() == 0
         )
+
+
+class TestPhraseRetrieval:
+    def test_adjacency_counts_and_misses(self, spark):
+        from licenta_crawler_spark.operators.retrieval import (
+            phrase_retrieval,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox, the quick brown cat"),
+                (2, "quick the brown fox"),          # words, wrong order
+                (3, "the QUICK brown fox"),          # normalization
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [("a", "the quick brown"), ("b", "brown fox"), ("c", "no hit")],
+            "phrase_id string, phrase string",
+        )
+        got = {
+            (r.phrase_id, r.doc_id): r.n_occurrences
+            for r in phrase_retrieval(docs, q).collect()
+        }
+        assert got == {
+            ("a", 1): 2,   # two occurrences counted exactly
+            ("a", 3): 1,
+            ("b", 1): 1,
+            ("b", 2): 1,
+            ("b", 3): 1,
+        }
