@@ -2595,6 +2595,34 @@ def phrase_search(spark, sf_dir):
     return phrase_retrieval(d, q)
 
 
+def recrawl_budget_allocation(spark, sf_dir):
+    """Composition of two verified operators: change-rate statistics
+    (`change_rate_stats`) score each URL by observed content changes,
+    and the global recrawl budget splits across them by Hamilton
+    apportionment (`allocate_budget`) — the incremental-crawl planner
+    end to end: change mass in, exact integer slot allocations out
+    (static pages score 0 and get 0)."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        allocate_budget,
+        change_rate_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("/u/"), F.col("user_id") % 30).alias("url"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit("static"))
+        .otherwise(F.col("event_type"))
+        .alias("content_hash"),
+    )
+    stats = change_rate_stats(log, order_cols=("event_id",))
+    scores = stats.select(
+        F.col("url").alias("host"), F.col("n_changes").alias("score")
+    )
+    return allocate_budget(scores, total_budget=1000)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2743,6 +2771,7 @@ QUERIES = {
     "containment_ngram_pairs": containment_ngram_pairs,
     "kmv_merged_halves": kmv_merged_halves,
     "phrase_search": phrase_search,
+    "recrawl_budget_allocation": recrawl_budget_allocation,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5119,6 +5148,42 @@ def _phrase_oracle() -> str:
 
 
 ORACLE_SQL["phrase_search"] = _phrase_oracle()
+
+ORACLE_SQL["recrawl_budget_allocation"] = """
+    WITH log AS (
+      SELECT '/u/' || (user_id % 30) AS url,
+             epoch_ms(ts) AS ts_ms,
+             event_id,
+             CASE WHEN user_id % 3 = 0 THEN 'static'
+                  ELSE event_type END AS h
+      FROM events
+    ),
+    obs AS (
+      SELECT url,
+             CASE WHEN lag(h) OVER w IS NULL THEN NULL
+                  WHEN h <> lag(h) OVER w THEN 1 ELSE 0 END AS changed
+      FROM log WINDOW w AS (PARTITION BY url ORDER BY ts_ms, event_id)
+    ),
+    s AS (
+      SELECT url AS host, coalesce(sum(changed), 0)::BIGINT AS score
+      FROM obs GROUP BY url
+    ),
+    t AS (SELECT sum(score)::BIGINT AS ssum FROM s),
+    b AS (
+      SELECT host, score,
+             (1000 * score) // ssum AS fl,
+             (1000 * score) % ssum AS rem
+      FROM s, t
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+             1000 - sum(fl) OVER () AS leftover
+      FROM b
+    )
+    SELECT host, score,
+           (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+    FROM r
+"""
 
 ORACLE_SQL["containment_ngram_pairs"] = """
     WITH raw AS (
