@@ -810,3 +810,31 @@ class IcebergLayoutCatalog:
         entry["current"] = snap_id
         self._write_catalog(cat)
         return snap_id
+
+
+def snapshot_content_delta(
+    catalog: "IcebergLayoutCatalog",
+    spark: SparkSession,
+    table: str,
+    snap_a: str,
+    snap_b: str,
+    key_col: str,
+    hash_col: str,
+):
+    """Time-travel CONTENT diff between two snapshots of a catalog
+    table: which keys were added / removed / changed / unchanged from
+    snapshot A to snapshot B — `read_appended_since` answers "which
+    FILES are new" (cheap, manifest-only); this answers "which ROWS
+    differ" when the history includes rewrites (compaction, MERGE,
+    DELETE) that a file-level diff cannot attribute.
+
+    Delegates to operators/frontier_policy.crawl_delta: one full-outer
+    join on the key — both snapshot reads still benefit from manifest/
+    stats pruning if callers pre-filter. Returns (url, status,
+    old_hash, new_hash) with the key aliased to 'url' per crawl_delta's
+    contract."""
+    from licenta_crawler_spark.operators.frontier_policy import crawl_delta
+
+    a = catalog.load(spark, table, snapshot=snap_a)
+    b = catalog.load(spark, table, snapshot=snap_b)
+    return crawl_delta(a, b, key_col=key_col, hash_col=hash_col)

@@ -158,3 +158,34 @@ def test_resume_with_cuckoo_directory(spark, tmp_path_factory, uninterrupted):
     eng2.run_from(st2)
     assert _log_tuples(st2) == _log_tuples(full)
     assert _doc_tuples(st2) == _doc_tuples(full)
+
+
+def test_snapshot_content_delta(spark, tmp_path):
+    """Time-travel row diff across commits, including a MERGE rewrite
+    that read_appended_since would refuse to attribute."""
+    from licenta_crawler_spark.sources.checkpoint import (
+        IcebergLayoutCatalog,
+        snapshot_content_delta,
+    )
+
+    cat = IcebergLayoutCatalog(tmp_path / "cat")
+    t1 = spark.createDataFrame(
+        [("/a", "h1"), ("/b", "h1"), ("/c", "h1")], "url string, h string"
+    )
+    s1 = cat.commit_table("log", t1, wave=1)
+    t2 = spark.createDataFrame(
+        [("/a", "h1"), ("/b", "h2"), ("/d", "h1")], "url string, h string"
+    )
+    s2 = cat.commit_table("log", t2, wave=2)
+    got = {
+        r.url: r.status
+        for r in snapshot_content_delta(
+            cat, spark, "log", s1, s2, key_col="url", hash_col="h"
+        ).collect()
+    }
+    assert got == {
+        "/a": "unchanged",
+        "/b": "changed",
+        "/c": "removed",
+        "/d": "added",
+    }
