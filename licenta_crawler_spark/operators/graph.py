@@ -515,3 +515,120 @@ def resolve_redirects(
         return out.unionByName(capped).localCheckpoint()
     finally:
         cleanup()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    DETERMINISTIC: each round every node adopts the most frequent label
+    among its in-neighbors, ties broken by MIN label — the random
+    tie-break of the published algorithm is replaced with a total order
+    so the result is bit-identical on any engine/partitioning.
+    Communities are DENSITY clusters (sites whose pages interlink
+    heavily), a different signal from connected components
+    (reachability): one weak bridge edge merges two components but not
+    two LPA communities.
+
+    Fixed ``iterations`` synchronous rounds (the contract is "labels
+    after k rounds", replayable as an unrolled CTE; synchronous LPA on
+    bipartite structures can oscillate, which a fixed horizon makes
+    well-defined). Per round: one join (labels onto edges) + one
+    (node, label) count + one top-1 window — all shuffle-on-key;
+    state parquet-truncates per round like every iterative operator
+    here. Labels init to the node id; isolated nodes keep their own.
+
+    Returns (node, label).
+    """
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    try:
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        if undirected:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = truncate(e.distinct(), "edges")
+        nodes = truncate(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            "nodes",
+        )
+        labels = truncate(
+            nodes.select("node", F.col("node").alias("label")), "labels-0"
+        )
+        from pyspark.sql import Window
+
+        for i in range(iterations):
+            counts = (
+                e.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").alias("c"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.col("c").desc(), F.col("label").asc()
+            )
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", F.col("label").alias("new_label"))
+            )
+            labels = truncate(
+                labels.join(best, "node", "left").select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                ),
+                f"labels-{i + 1}",
+            )
+        return labels.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def label_propagation_sql_unrolled(
+    edges_sql: str, iterations: int = 3, undirected: bool = True
+) -> str:
+    """The DuckDB oracle: the SAME deterministic synchronous rounds
+    unrolled as a CTE chain. ``edges_sql`` must yield (src, dst)."""
+    base = f"SELECT src, dst FROM ({edges_sql})"
+    if undirected:
+        base += f" UNION SELECT dst, src FROM ({edges_sql})"
+    ctes = [
+        f"e AS (SELECT DISTINCT * FROM ({base}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i + 1} AS (
+              SELECT e.dst AS node, l{i}.label, count(*) AS c
+              FROM e JOIN l{i} ON e.src = l{i}.node GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""b{i + 1} AS (
+              SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM c{i + 1}
+              ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS (
+              SELECT l{i}.node, coalesce(b{i + 1}.label, l{i}.label) AS label
+              FROM l{i} LEFT JOIN b{i + 1} ON l{i}.node = b{i + 1}.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )

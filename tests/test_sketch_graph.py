@@ -487,3 +487,73 @@ class TestResolveRedirects:
         # duplicate src rows: deterministic min(dst) wins
         got = self._resolve(spark, [("a", "z"), ("a", "m")])
         assert got["a"] == ("m", 1, False)
+
+
+class TestLabelPropagation:
+    def _py_lpa(self, edges, iterations=3):
+        und = set()
+        for a, b in edges:
+            und.add((a, b)); und.add((b, a))
+        nodes = sorted({a for a, _ in und} | {b for _, b in und})
+        inn: dict[int, list] = {}
+        for a, b in und:
+            inn.setdefault(b, []).append(a)
+        label = {n: n for n in nodes}
+        for _ in range(iterations):
+            new = {}
+            for n in nodes:
+                cnt: dict[int, int] = {}
+                for a in inn.get(n, []):
+                    cnt[label[a]] = cnt.get(label[a], 0) + 1
+                if cnt:
+                    mx = max(cnt.values())
+                    new[n] = min(l for l, c in cnt.items() if c == mx)
+                else:
+                    new[n] = label[n]
+            label = new
+        return label
+
+    def test_matches_python_replay_random_graph(self, spark):
+        import random as _r
+        from licenta_crawler_spark.operators.graph import label_propagation
+
+        rng = _r.Random(13)
+        edges = sorted({(rng.randint(0, 24), rng.randint(0, 24)) for _ in range(70)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+        assert got == self._py_lpa(edges, iterations=3)
+
+    def test_two_cliques_one_bridge_stay_separate(self, spark):
+        """Density semantics: one bridge edge merges two CC components
+        but NOT two LPA communities."""
+        from licenta_crawler_spark.operators.graph import (
+            connected_components,
+            label_propagation,
+        )
+        from itertools import combinations
+
+        cl1 = list(combinations([0, 1, 2, 3], 2))
+        cl2 = list(combinations([10, 11, 12, 13], 2))
+        edges = cl1 + cl2 + [(3, 10)]  # bridge
+        df = spark.createDataFrame(edges, "src long, dst long")
+        lpa = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+        assert len({lpa[n] for n in (0, 1, 2)} | {lpa[n] for n in (11, 12, 13)}) == 2
+        assert {lpa[0], lpa[1], lpa[2]} != {lpa[11], lpa[12], lpa[13]}
+        cc = connected_components(df)
+        assert cc.select("comp").distinct().count() == 1
+
+    def test_sql_unrolled_matches_python(self, spark):
+        import random as _r
+        import duckdb
+        from licenta_crawler_spark.operators.graph import (
+            label_propagation_sql_unrolled,
+        )
+
+        rng = _r.Random(17)
+        edges = sorted({(rng.randint(0, 14), rng.randint(0, 14)) for _ in range(35)})
+        con = duckdb.connect()
+        con.execute("CREATE TABLE edges_t (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO edges_t VALUES (?, ?)", edges)
+        sql = label_propagation_sql_unrolled("SELECT src, dst FROM edges_t", 3)
+        got = dict(con.execute(sql).fetchall())
+        assert got == self._py_lpa(edges, iterations=3)
