@@ -2660,6 +2660,50 @@ def lpa_part_communities(spark, sf_dir):
     return label_propagation(edges, iterations=3)
 
 
+def hll_intersection_users(spark, sf_dir):
+    """Set-intersection estimate from sketches by inclusion–exclusion:
+    est(A∩B) = est(A) + est(B) − est(A∪B), A = viewing users, B =
+    purchasing users, grouped into 5 user buckets. The union estimate
+    comes from the MERGED register states (per-bucket max — no raw-data
+    union), so the whole computation runs off persisted sketches; the
+    fixed-point HLL makes every term (and hence the signed difference)
+    engine-exact."""
+    from licenta_crawler_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "g", (F.col("user_id") % 5).cast("long")
+    )
+    a = hll_registers(
+        ev.filter(F.col("event_type") == "view"), "g", "user_id", p=8
+    )
+    b = hll_registers(
+        ev.filter(F.col("event_type") == "purchase"), "g", "user_id", p=8
+    )
+    ea = hll_estimate_from_registers(a, "g", p=8).withColumnRenamed(
+        "est_distinct", "est_a"
+    )
+    eb = hll_estimate_from_registers(b, "g", p=8).withColumnRenamed(
+        "est_distinct", "est_b"
+    )
+    eu = hll_estimate_from_registers(
+        hll_merge(a, b), "g", p=8
+    ).withColumnRenamed("est_distinct", "est_union")
+    return (
+        ea.join(eb, "g")
+        .join(eu, "g")
+        .select(
+            "g", "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2810,6 +2854,7 @@ QUERIES = {
     "phrase_search": phrase_search,
     "recrawl_budget_allocation": recrawl_budget_allocation,
     "lpa_part_communities": lpa_part_communities,
+    "hll_intersection_users": hll_intersection_users,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5197,6 +5242,70 @@ def _lpa_oracle() -> str:
 
 
 ORACLE_SQL["lpa_part_communities"] = _lpa_oracle()
+
+
+def _hll_est_subquery(src_sql: str, p: int = 8) -> str:
+    """Parameterized fixed-point-HLL replay: (grp, est_distinct) over
+    ``src_sql`` yielding (grp, uid) — the same integer pipeline as
+    _hll_sql but source-generic, so inclusion–exclusion oracles can
+    replay A, B, and A∪B."""
+    m = 1 << p
+    rem = 60 - p
+    alpha_num, alpha_den = _hll_alpha_num_den(m)
+    lc = ", ".join(str(x) for x in _hll_lc_table(m))
+    return f"""(
+      WITH hashed AS (
+        SELECT grp, ('0x' || substr(md5(uid::VARCHAR), 1, 15))::BIGINT AS h
+        FROM ({src_sql}) WHERE uid IS NOT NULL
+      ),
+      rho AS (
+        SELECT grp, (h % {m})::INT AS bucket,
+               least(CASE WHEN h // {m} = 0 THEN {rem + 1}
+                          ELSE {rem + 1} - length(bin(h // {m})) END, 32)
+                 AS rho
+        FROM hashed
+      ),
+      regs AS (SELECT grp, bucket, max(rho) AS mrho FROM rho GROUP BY 1, 2),
+      agg AS (
+        SELECT grp,
+               SUM(1::BIGINT << (32 - mrho))::BIGINT AS s_present,
+               COUNT(*)::BIGINT AS n_present
+        FROM regs GROUP BY grp
+      ),
+      raw AS (
+        SELECT grp, n_present,
+               ({alpha_num}::BIGINT
+                * (({m * m}::BIGINT * {1 << 32}::BIGINT)
+                   // (s_present + ({m} - n_present) * ({1 << 32}::BIGINT)))
+               ) // {alpha_den} AS raw_i
+        FROM agg
+      )
+      SELECT grp,
+             (CASE WHEN ({m} - n_present) > 0 AND raw_i * 2 <= {5 * m}
+                   THEN list_extract([{lc}], ({m} - n_present)::INT)
+                   ELSE raw_i END)::BIGINT AS est_distinct
+      FROM raw
+    )"""
+
+
+def _hll_intersection_oracle() -> str:
+    a_src = ("SELECT (user_id % 5) AS grp, user_id AS uid FROM events "
+             "WHERE event_type = 'view'")
+    b_src = ("SELECT (user_id % 5) AS grp, user_id AS uid FROM events "
+             "WHERE event_type = 'purchase'")
+    u_src = f"{a_src} UNION ALL {b_src}"
+    return f"""
+        SELECT a.grp AS g, a.est_distinct AS est_a, b.est_distinct AS est_b,
+               u.est_distinct AS est_union,
+               (a.est_distinct + b.est_distinct - u.est_distinct)
+                 AS est_intersection
+        FROM {_hll_est_subquery(a_src)} a
+        JOIN {_hll_est_subquery(b_src)} b ON a.grp = b.grp
+        JOIN {_hll_est_subquery(u_src)} u ON a.grp = u.grp
+    """
+
+
+ORACLE_SQL["hll_intersection_users"] = _hll_intersection_oracle()
 
 ORACLE_SQL["recrawl_budget_allocation"] = """
     WITH log AS (

@@ -492,3 +492,41 @@ def test_dust_learn_then_enforce_e2e(spark):
     exp = {h: [u for (u, _, _) in rows]
            for h, rows in oracle.discovery_log.items() if rows}
     assert got == exp
+
+
+def test_all_optins_together_healthy_identity_e2e(spark):
+    """Feature-interaction guard: cuckoo seen-set + wave budget + trap
+    cut + DUST stripping ALL enabled on a healthy corpus must still
+    reproduce the reference oracle exactly — each opt-in is individually
+    identity-preserving there, and this pins the COMPOSITION (budget
+    defers but never drops; trap/strip find nothing to cut; cuckoo
+    equals Bloom)."""
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(2, 3),
+    )
+    oracle = simulate_crawl(corpus)
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    eng = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(
+            max_per_host=7, bloom_min_seen=0,
+            seen_filter="cuckoo",
+            wave_budget=9,
+            trap_min_urls=50,
+            strip_params=("sid", "utm"),
+        ),
+    )
+    st = eng.run(seed_jobs)
+    got: dict[str, list] = {}
+    for r in st.crawl_log.orderBy("host", "seq").collect():
+        got.setdefault(r["host"], []).append(r["url"])
+    exp = {h: [u for (u, _, _) in rows]
+           for h, rows in oracle.discovery_log.items() if rows}
+    assert got == exp
