@@ -55,6 +55,11 @@ SHOW = [
     "change_rate_recrawl",     # lag window + agg REUSE one url partitioning
     "crawl_snapshot_delta",    # one full-outer hash join, no BNLJ
     "reciprocal_links",        # pair-key agg: no self-join at all
+    "inverted_index_retrieval",  # vocab-intersect BEFORE explode, broadcast query dim
+    "phrase_search",           # k-gram filter before explode, per-length union
+    "containment_ngram_pairs", # inverted-index join, no cartesian
+    "robots_rfc9309",          # broadcast rule dim + top-1 window over matches
+    "recrawl_budget_allocation",  # change-rate window -> Hamilton rank, composed
 ]
 
 CHECKS = {
@@ -88,6 +93,11 @@ CHECKS = {
     "change_rate_recrawl": ["Window", "HashAggregate"],
     "crawl_snapshot_delta": ["FullOuter"],
     "reciprocal_links": ["HashAggregate"],
+    "inverted_index_retrieval": ["Generate", "BroadcastExchange", "HashAggregate"],
+    "phrase_search": ["Generate", "BroadcastExchange", "Union"],
+    "containment_ngram_pairs": ["HashAggregate", "Join"],
+    "robots_rfc9309": ["BroadcastExchange", "Window"],
+    "recrawl_budget_allocation": ["Window", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -116,6 +126,11 @@ ANTI_CHECKS = {
     "crawl_snapshot_delta": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     # the pair fold is ONE aggregation — any join here means a self-join crept in
     "reciprocal_links": ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+    "inverted_index_retrieval": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    "phrase_search": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    "containment_ngram_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "robots_rfc9309": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    "recrawl_budget_allocation": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
