@@ -2704,6 +2704,27 @@ def hll_intersection_users(spark, sf_dir):
     )
 
 
+def heavy_hitter_urls(spark, sf_dir):
+    """Exact heavy hitters without a full-cardinality shuffle
+    (`operators/sketch.heavy_hitters_exact`): per-partition Misra–Gries
+    prunes to ≤ k·n_partitions candidates (a provable superset), an
+    exact verify pass decides — output identical to GROUP BY + HAVING
+    but shuffling only candidates. Two hot values (20% each) over a
+    long unique tail; k=20 → emit values above 5%."""
+    from licenta_crawler_spark.operators.sketch import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.when(
+            F.col("event_id") % 10 < 4,
+            F.concat(F.lit("hot"), F.col("event_id") % 2),
+        )
+        .otherwise(F.concat(F.lit("cold"), F.col("event_id")))
+        .alias("v")
+    )
+    return heavy_hitters_exact(src, "v", k=20)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2855,6 +2876,7 @@ QUERIES = {
     "recrawl_budget_allocation": recrawl_budget_allocation,
     "lpa_part_communities": lpa_part_communities,
     "hll_intersection_users": hll_intersection_users,
+    "heavy_hitter_urls": heavy_hitter_urls,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5306,6 +5328,19 @@ def _hll_intersection_oracle() -> str:
 
 
 ORACLE_SQL["hll_intersection_users"] = _hll_intersection_oracle()
+
+# the sketch only PRUNES; the verify pass decides — so the oracle is the
+# plain exact form the operator provably equals
+ORACLE_SQL["heavy_hitter_urls"] = """
+    WITH src AS (
+      SELECT CASE WHEN event_id % 10 < 4 THEN 'hot' || (event_id % 2)
+                  ELSE 'cold' || event_id END AS v
+      FROM events
+    ),
+    t AS (SELECT count(*) AS n_total FROM src)
+    SELECT v AS value, count(*)::BIGINT AS n
+    FROM src, t GROUP BY v, n_total HAVING count(*) * 20 > n_total
+"""
 
 ORACLE_SQL["recrawl_budget_allocation"] = """
     WITH log AS (

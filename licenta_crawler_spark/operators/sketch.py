@@ -453,3 +453,68 @@ def log_histogram_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in MORE than n/k of
+    the rows, with its exact count — without ever shuffling the full key
+    cardinality.
+
+    Pass 1 (map-only): per-partition Misra–Gries with k counters
+    (Arrow-batched). MG's guarantee localizes: an item with global
+    count > n/k must exceed n_p/k in at least one partition (averaging
+    argument), so the UNION of per-partition survivors is a SUPERSET of
+    the true heavy hitters — at most k × n_partitions candidates,
+    independent of key cardinality. Pass 2: exact counts for the
+    candidate set only (broadcast semi-join, then one agg whose key
+    space is the candidate set), filter count·k > n. The output is
+    EXACT — the sketch only prunes, the verify pass decides — so the
+    result is independent of partitioning and an engine-agnostic oracle
+    is just GROUP BY + HAVING.
+
+    At 10^10 URL rows with 10^9 distinct URLs, a plain groupBy shuffles
+    10^9 keys; this shuffles k × n_partitions (~10^5) candidates.
+
+    Returns (value, n) with n·k > n_total.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(F.col(value_col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    kk = int(k)
+
+    def mg(it):
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < kk:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in dead:
+                        del counters[key]
+                    for key in counters:
+                        counters[key] -= 1
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = src.mapInPandas(mg, schema="v string").distinct()
+    total = src.agg(F.count("*").alias("n_total"))
+    exact = (
+        src.join(F.broadcast(candidates), "v")
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") * F.lit(kk) > F.col("n_total"))
+        .select(F.col("v").alias("value"), "n")
+    )

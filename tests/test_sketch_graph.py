@@ -557,3 +557,40 @@ class TestLabelPropagation:
         sql = label_propagation_sql_unrolled("SELECT src, dst FROM edges_t", 3)
         got = dict(con.execute(sql).fetchall())
         assert got == self._py_lpa(edges, iterations=3)
+
+
+class TestHeavyHittersExact:
+    def test_equals_exact_groupby_on_skewed_data(self, spark):
+        import random as _r
+        from licenta_crawler_spark.operators.sketch import (
+            heavy_hitters_exact,
+        )
+
+        rng = _r.Random(5)
+        vals = (["hh1"] * 300 + ["hh2"] * 150
+                + [f"tail{i}" for i in range(500)]
+                + [f"mid{i % 7}" for i in range(70)])
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        for k in (5, 10, 50):
+            got = {
+                (r.value, r.n)
+                for r in heavy_hitters_exact(df, "v", k=k).collect()
+            }
+            n = len(vals)
+            from collections import Counter
+            exp = {(v, c) for v, c in Counter(vals).items() if c * k > n}
+            assert got == exp, k
+
+    def test_partitioning_invariance(self, spark):
+        from licenta_crawler_spark.operators.sketch import (
+            heavy_hitters_exact,
+        )
+
+        vals = ["a"] * 60 + [f"u{i}" for i in range(40)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        r1 = {(r.value, r.n)
+              for r in heavy_hitters_exact(df.repartition(1), "v", k=3).collect()}
+        r16 = {(r.value, r.n)
+               for r in heavy_hitters_exact(df.repartition(16), "v", k=3).collect()}
+        assert r1 == r16 == {("a", 60)}
