@@ -2725,6 +2725,40 @@ def heavy_hitter_urls(spark, sf_dir):
     return heavy_hitters_exact(src, "v", k=20)
 
 
+def pagerank_nepotism_discount(spark, sf_dir):
+    """Spam-aware ranking composition: reciprocal host pairs
+    (`reciprocal_host_links` — the mutual-linking ring signal) are
+    REMOVED from the host graph before PageRank runs, the classic
+    nepotistic-link discount — link farms inflate each other's
+    in-degree, and dropping mutual edges denies them that rank without
+    touching organic one-way links. Both stages are verified operators;
+    the whole chain hash-matches one unrolled replay."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        reciprocal_host_links,
+    )
+    from licenta_crawler_spark.operators.pagerank import pagerank_fixed_point
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    edges = (
+        ev.select(
+            (F.col("user_id") % 100).alias("src"),
+            (F.col("event_id") % 100).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    recip = reciprocal_host_links(edges).where("reciprocal").select(
+        "host_a", "host_b"
+    )
+    clean = edges.join(
+        F.broadcast(recip),
+        (F.least("src", "dst") == F.col("host_a"))
+        & (F.greatest("src", "dst") == F.col("host_b")),
+        "left_anti",
+    )
+    return pagerank_fixed_point(clean, iterations=3, materialize_every=3)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2877,6 +2911,7 @@ QUERIES = {
     "lpa_part_communities": lpa_part_communities,
     "hll_intersection_users": hll_intersection_users,
     "heavy_hitter_urls": heavy_hitter_urls,
+    "pagerank_nepotism_discount": pagerank_nepotism_discount,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5328,6 +5363,28 @@ def _hll_intersection_oracle() -> str:
 
 
 ORACLE_SQL["hll_intersection_users"] = _hll_intersection_oracle()
+
+_NEPOTISM_EDGES_SQL = """
+    WITH e0 AS (
+      SELECT DISTINCT (user_id % 100) AS src, (event_id % 100) AS dst
+      FROM events WHERE event_id % 5 = 0
+        AND (user_id % 100) <> (event_id % 100)
+    ),
+    rp AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 GROUP BY 1, 2
+      HAVING sum(CASE WHEN src < dst THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN src > dst THEN 1 ELSE 0 END) > 0
+    )
+    SELECT e0.src, e0.dst
+    FROM e0 LEFT JOIN rp
+      ON least(e0.src, e0.dst) = rp.a AND greatest(e0.src, e0.dst) = rp.b
+    WHERE rp.a IS NULL
+"""
+
+ORACLE_SQL["pagerank_nepotism_discount"] = pagerank_sql_unrolled(
+    _NEPOTISM_EDGES_SQL, iterations=3
+)
 
 # the sketch only PRUNES; the verify pass decides — so the oracle is the
 # plain exact form the operator provably equals
