@@ -2759,6 +2759,35 @@ def pagerank_nepotism_discount(spark, sf_dir):
     return pagerank_fixed_point(clean, iterations=3, materialize_every=3)
 
 
+def typosquat_host_candidates(spark, sf_dir):
+    """Typosquat/fat-finger mirror hostname candidates by the q-gram
+    count filter (`operators/dedup.qgram_edit_candidates`): hosts within
+    edit distance 2 share enough character bigrams to pass the Gravano
+    bound — multiset counting keeps candidates a provable superset.
+    Every 4th store gets a transposed-spelling twin in the synthesis."""
+    from licenta_crawler_spark.operators.dedup import qgram_edit_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = (
+        ev.select(
+            F.concat(
+                F.lit("book-store-"), F.col("user_id") % 20, F.lit(".example")
+            ).alias("host")
+        )
+        .unionAll(
+            ev.where(F.col("user_id") % 4 == 0).select(
+                F.concat(
+                    F.lit("book-stroe-"),
+                    F.col("user_id") % 20,
+                    F.lit(".example"),
+                ).alias("host")
+            )
+        )
+        .distinct()
+    )
+    return qgram_edit_candidates(hosts, q=2, k=2)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -2912,6 +2941,7 @@ QUERIES = {
     "hll_intersection_users": hll_intersection_users,
     "heavy_hitter_urls": heavy_hitter_urls,
     "pagerank_nepotism_discount": pagerank_nepotism_discount,
+    "typosquat_host_candidates": typosquat_host_candidates,
 }
 
 # ------------------------------------------------ generated SQL oracles
@@ -5364,6 +5394,33 @@ def _hll_intersection_oracle() -> str:
 
 ORACLE_SQL["hll_intersection_users"] = _hll_intersection_oracle()
 
+ORACLE_SQL_TYPOSQUAT = """
+    WITH hosts AS (
+      SELECT DISTINCT 'book-store-' || (user_id % 20) || '.example' AS host
+      FROM events
+      UNION
+      SELECT DISTINCT 'book-stroe-' || (user_id % 20) || '.example'
+      FROM events WHERE user_id % 4 = 0
+    ),
+    ex AS (
+      SELECT host AS sid, length(host) AS slen, g AS gram,
+             count(*)::BIGINT AS c
+      FROM (
+        SELECT host, unnest(list_transform(
+          generate_series(1, greatest(length(host) - 1, 0)),
+          i -> substring(host, i::INT, 2))) AS g
+        FROM hosts
+      ) GROUP BY 1, 2, 3
+    )
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           sum(least(a.c, b.c))::BIGINT AS shared,
+           a.slen::BIGINT AS len_a, b.slen::BIGINT AS len_b,
+           (sum(least(a.c, b.c)) >= greatest(a.slen, b.slen) - 1 - 4)
+             AS is_candidate
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.sid < b.sid
+    GROUP BY a.sid, b.sid, a.slen, b.slen
+"""
+
 _NEPOTISM_EDGES_SQL = """
     WITH e0 AS (
       SELECT DISTINCT (user_id % 100) AS src, (event_id % 100) AS dst
@@ -5385,6 +5442,8 @@ _NEPOTISM_EDGES_SQL = """
 ORACLE_SQL["pagerank_nepotism_discount"] = pagerank_sql_unrolled(
     _NEPOTISM_EDGES_SQL, iterations=3
 )
+
+ORACLE_SQL["typosquat_host_candidates"] = ORACLE_SQL_TYPOSQUAT
 
 # the sketch only PRUNES; the verify pass decides — so the oracle is the
 # plain exact form the operator provably equals

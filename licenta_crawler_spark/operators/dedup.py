@@ -552,3 +552,67 @@ def containment_pairs(
         "doc_a", "doc_b", "inter", "n_a", "n_b",
         "cont_a_in_b_millis", "cont_b_in_a_millis",
     )
+
+
+def qgram_edit_candidates(
+    strings: DataFrame,
+    id_col: str = "host",
+    text_col: str = "host",
+    q: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """Edit-distance candidate pairs by the q-gram COUNT FILTER (Gravano
+    et al., VLDB'01 approximate string joins): two strings within edit
+    distance k must share at least ``max(|a|,|b|) - q + 1 - k·q``
+    q-grams — counted as MULTISETS (sum of per-gram min counts; a set
+    intersection would under-count repeated grams and could falsely
+    reject true pairs, so the multiset form is what keeps this a
+    provable SUPERSET). The crawl use is typosquat / fat-finger mirror
+    hostname detection ('book-stroe' for 'book-store') — cheap exact
+    verify (full edit distance) runs on candidates only, off-plan.
+
+    Shape: explode character q-grams WITH per-string counts → inverted-
+    index self-join on the gram (the only wide join; ubiquitous grams
+    bound fan-out like every shingle join here) → per-pair
+    sum(min(c_a, c_b)) → integer threshold. No UDF, no all-pairs.
+
+    Returns (id_a, id_b, shared, len_a, len_b, is_candidate) for pairs
+    sharing >= 1 gram; the flag applies the count-filter bound.
+    """
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(F.col(text_col)) - (q - 1), F.lit(0))
+        ),
+        lambda i: F.col(text_col).substr(i, F.lit(q)),
+    )
+    ex = (
+        strings.select(
+            F.col(id_col).alias("sid"),
+            F.length(F.col(text_col)).cast("long").alias("slen"),
+            F.explode(grams).alias("gram"),
+        )
+        .groupBy("sid", "slen", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.slen").alias("len_a"),
+            F.col("b.slen").alias("len_b"),
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("shared"))
+    )
+    bound = (
+        F.greatest("len_a", "len_b") - F.lit(q - 1) - F.lit(k * q)
+    )
+    return pairs.select(
+        "id_a", "id_b", "shared", "len_a", "len_b",
+        (F.col("shared") >= bound).alias("is_candidate"),
+    )

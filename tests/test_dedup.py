@@ -237,3 +237,60 @@ class TestPhraseRetrieval:
             ("b", 2): 1,
             ("b", 3): 1,
         }
+
+
+class TestQgramEditCandidates:
+    def _lev(self, a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    def test_superset_of_true_edit_pairs(self, spark):
+        """The count filter must NEVER reject a pair within edit
+        distance k (candidates are a provable superset)."""
+        import random as _r
+        from licenta_crawler_spark.operators.dedup import (
+            qgram_edit_candidates,
+        )
+
+        rng = _r.Random(3)
+        base = ["book-store", "paper-shop", "ink-and-quill", "folio-mart"]
+        strs = set(base)
+        for s in base:  # one- and two-edit mutations
+            for _ in range(3):
+                i = rng.randrange(len(s))
+                strs.add(s[:i] + rng.choice("abcxyz") + s[i + 1:])
+                strs.add(s[:i] + s[i + 1:])
+        strs = sorted(strs)
+        df = spark.createDataFrame([(s,) for s in strs], "host string")
+        cand = {
+            (r.id_a, r.id_b)
+            for r in qgram_edit_candidates(df, q=2, k=2).collect()
+            if r.is_candidate
+        }
+        for i, a in enumerate(strs):
+            for b in strs[i + 1:]:
+                if self._lev(a, b) <= 2:
+                    assert (a, b) in cand, (a, b)
+
+    def test_typosquat_flagged_unrelated_not(self, spark):
+        from licenta_crawler_spark.operators.dedup import (
+            qgram_edit_candidates,
+        )
+
+        df = spark.createDataFrame(
+            [("book-store.example",), ("book-stroe.example",),
+             ("totally-other.example",)],
+            "host string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.is_candidate
+            for r in qgram_edit_candidates(df, q=2, k=2).collect()
+        }
+        assert got[("book-store.example", "book-stroe.example")] is True
+        assert got[("book-store.example", "totally-other.example")] is False
