@@ -2801,6 +2801,53 @@ def typosquat_host_candidates(spark, sf_dir):
 # ann_ivf_full_probe proves probe-all ≡ brute force, so the float trainer
 # added no verified behavior of its own, only a guaranteed-red row.)
 QUERIES = {
+    # ---- r04 correctness window (first 50 insertion-order keys) ----
+    # 37 not-yet-driver-verified round-3 keys first (judge-oracled 37/37
+    # in the r03 session; rotation makes the driver record cover them),
+    # then robots_parse + etld1_site_groups (outputs change this round:
+    # Allow: parsing, expanded PSL snapshot), then new round-4 queries.
+    "top_bigrams": top_bigrams,
+    "d1_cuckoo_unseen": d1_cuckoo_unseen,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q20_part_quantity_suppliers": q20_part_quantity_suppliers,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "source_mixing_weights": source_mixing_weights,
+    "backoff_hosts": backoff_hosts,
+    "trap_url_templates": trap_url_templates,
+    "crawl_budget_allocation": crawl_budget_allocation,
+    "mirror_host_similarity": mirror_host_similarity,
+    "adaptive_delay_ewma": adaptive_delay_ewma,
+    "robots_cache_ttl": robots_cache_ttl,
+    "stream_backoff_replay": stream_backoff_replay,
+    "boilerplate_shingle_detect": boilerplate_shingle_detect,
+    "boilerplate_doc_exposure": boilerplate_doc_exposure,
+    "dust_param_rules": dust_param_rules,
+    "redirect_resolution": redirect_resolution,
+    "anchor_text_terms": anchor_text_terms,
+    "change_rate_recrawl": change_rate_recrawl,
+    "dust_strip_urls": dust_strip_urls,
+    "hits_part_links": hits_part_links,
+    "crawl_snapshot_delta": crawl_snapshot_delta,
+    "reciprocal_links": reciprocal_links,
+    "stream_change_replay": stream_change_replay,
+    "media_mime_sniff": media_mime_sniff,
+    "robots_rfc9309": robots_rfc9309,
+    "inverted_index_retrieval": inverted_index_retrieval,
+    "containment_ngram_pairs": containment_ngram_pairs,
+    "kmv_merged_halves": kmv_merged_halves,
+    "phrase_search": phrase_search,
+    "recrawl_budget_allocation": recrawl_budget_allocation,
+    "lpa_part_communities": lpa_part_communities,
+    "hll_intersection_users": hll_intersection_users,
+    "heavy_hitter_urls": heavy_hitter_urls,
+    "pagerank_nepotism_discount": pagerank_nepotism_discount,
+    "typosquat_host_candidates": typosquat_host_candidates,
+    "robots_parse": robots_parse,
+    "etld1_site_groups": etld1_site_groups,
+    # __R04_NEW_QUERIES__ (inserted here as they are built; window ends
+    # at key #50 counted from the top)
+    # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
@@ -2827,7 +2874,6 @@ QUERIES = {
     "label_centroids": label_centroids,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "contrastive_negatives": contrastive_negatives,
-    "robots_parse": robots_parse,
     "q4_priority_with_returns": q4_priority_with_returns,
     "pipeline_training_shards": pipeline_training_shards,
     "embed_projection": embed_projection,
@@ -2837,7 +2883,6 @@ QUERIES = {
     "cohort_weekly_retention": cohort_weekly_retention,
     "event_type_transitions": event_type_transitions,
     "profile_orders_columns": profile_orders_columns,
-    "etld1_site_groups": etld1_site_groups,
     "sessionize_events": sessionize_events,
     "purchase_session_attribution": purchase_session_attribution,
     "stream_join_attribution": stream_join_attribution,
@@ -2851,17 +2896,7 @@ QUERIES = {
     "recrawl_schedule": recrawl_schedule,
     "stream_sessionize_replay": stream_sessionize_replay,
     "stream_politeness_replay": stream_politeness_replay,
-    # ---- end of the round-3 driver window (50 keys) ----
-    # (top_bigrams + the q1 canary ceded their slots to the two streaming
-    # state-machine replays; top_bigrams rotates into the r04 window)
-    "top_bigrams": top_bigrams,
     "q1_pricing_summary": q1_pricing_summary,
-    "d1_cuckoo_unseen": d1_cuckoo_unseen,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q20_part_quantity_suppliers": q20_part_quantity_suppliers,
-    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
-    "source_mixing_weights": source_mixing_weights,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_volume": q5_nation_volume,
     "d1_unseen_anti_join": d1_unseen_anti_join,
@@ -2910,38 +2945,6 @@ QUERIES = {
     "winnowing_fps": winnowing_fps,
     "unpivot_order_flags": unpivot_order_flags,
     "w_ntile_quartiles": w_ntile_quartiles,
-    # -- frontier policy family (registered post-window: rotates into the
-    #    r04 correctness window with the rest of the tail)
-    "backoff_hosts": backoff_hosts,
-    "trap_url_templates": trap_url_templates,
-    "crawl_budget_allocation": crawl_budget_allocation,
-    "mirror_host_similarity": mirror_host_similarity,
-    "adaptive_delay_ewma": adaptive_delay_ewma,
-    "robots_cache_ttl": robots_cache_ttl,
-    "stream_backoff_replay": stream_backoff_replay,
-    "boilerplate_shingle_detect": boilerplate_shingle_detect,
-    "boilerplate_doc_exposure": boilerplate_doc_exposure,
-    "dust_param_rules": dust_param_rules,
-    "redirect_resolution": redirect_resolution,
-    "anchor_text_terms": anchor_text_terms,
-    "change_rate_recrawl": change_rate_recrawl,
-    "dust_strip_urls": dust_strip_urls,
-    "hits_part_links": hits_part_links,
-    "crawl_snapshot_delta": crawl_snapshot_delta,
-    "reciprocal_links": reciprocal_links,
-    "stream_change_replay": stream_change_replay,
-    "media_mime_sniff": media_mime_sniff,
-    "robots_rfc9309": robots_rfc9309,
-    "inverted_index_retrieval": inverted_index_retrieval,
-    "containment_ngram_pairs": containment_ngram_pairs,
-    "kmv_merged_halves": kmv_merged_halves,
-    "phrase_search": phrase_search,
-    "recrawl_budget_allocation": recrawl_budget_allocation,
-    "lpa_part_communities": lpa_part_communities,
-    "hll_intersection_users": hll_intersection_users,
-    "heavy_hitter_urls": heavy_hitter_urls,
-    "pagerank_nepotism_discount": pagerank_nepotism_discount,
-    "typosquat_host_candidates": typosquat_host_candidates,
 }
 
 # ------------------------------------------------ generated SQL oracles
