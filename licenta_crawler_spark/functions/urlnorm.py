@@ -239,16 +239,39 @@ def url_sha1_hex_col(url: Column) -> Column:
 # to CONSTRUCT, measured — is built once per input-column name and reused
 # across every wave/query. (The per-query Catalyst analysis cost still
 # applies; this removes only the Python-side construction cost.)
-_CANON_CACHE: dict[str, tuple[Column, Column]] = {}
+# The cache key includes the active SparkContext's applicationId: the
+# cached Columns hold py4j references into the gateway JVM, so a session
+# restart in the same Python process (stop + new SparkSession, common in
+# test harnesses) would otherwise serve stale JVM handles that error on
+# first use.
+_CANON_CACHE: dict[tuple[str, str], tuple[Column, Column]] = {}
+
+
+def _active_app_id() -> str:
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return "<no-session>"
+    try:
+        return sess.sparkContext.applicationId
+    except Exception:
+        return "<no-context>"
 
 
 def cached_canon_sha1(col_name: str) -> tuple[Column, Column]:
     """(canonical_url, sha1_hex) Column pair for ``F.col(col_name)``,
-    memoized by column name — the hot-loop entry point for P6."""
-    if col_name not in _CANON_CACHE:
+    memoized by (applicationId, column name) — the hot-loop entry point
+    for P6."""
+    app_id = _active_app_id()
+    key = (app_id, col_name)
+    if key not in _CANON_CACHE:
+        # one live gateway at a time: evict entries from dead sessions
+        for k in [k for k in _CANON_CACHE if k[0] != app_id]:
+            del _CANON_CACHE[k]
         canon = canonicalize_url_col(F.col(col_name))
-        _CANON_CACHE[col_name] = (canon, F.sha1(F.encode(canon, "UTF-8")))
-    return _CANON_CACHE[col_name]
+        _CANON_CACHE[key] = (canon, F.sha1(F.encode(canon, "UTF-8")))
+    return _CANON_CACHE[key]
 
 
 def url_sha1_bin_col(url: Column) -> Column:

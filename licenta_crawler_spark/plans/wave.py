@@ -378,7 +378,12 @@ class CrawlEngine:
         wave re-admits those URLs. Requires the deletable backend —
         a Bloom directory cannot unset bits, which is exactly why the
         north star names the cuckoo alternative. Control-plane rare-path:
-        one anti-join + one cogrouped delete, both distributed."""
+        one anti-join + one cogrouped delete, both distributed.
+
+        Document refresh: the re-crawled page keeps its doc_id (sha1 of
+        the canonical final_url), and the documents sink upserts by
+        doc_id (latest wave wins) — so the stale row is replaced when
+        the refetch lands, which is the point of evicting."""
         if self.cfg.seen_filter != "cuckoo":
             raise ValueError(
                 "evict_seen needs seen_filter='cuckoo' — the Bloom "
@@ -818,10 +823,9 @@ class CrawlEngine:
                 F.lit(wave).alias("wave"),
             )
             .dropDuplicates(["doc_id"])
-            .join(st.documents.select("doc_id"), "doc_id", "left_anti")
             # lazy truncation: n_docs below materializes it once; the
-            # documents-table union then reads the cached rows instead of
-            # re-running the dedup/anti-join chain a second time
+            # documents-table upsert then reads the cached rows instead of
+            # re-running the dedup chain a second time
             .localCheckpoint(eager=False)
         )
 
@@ -887,7 +891,17 @@ class CrawlEngine:
                 "fetch_frontier": frontier_rest.unionByName(frontier_done)
                 .unionByName(new_frontier),
                 "crawl_log": st.crawl_log.unionByName(log_rows),
-                "documents": st.documents.unionByName(docs),
+                # upsert by doc_id (latest wave wins), not append+anti-join:
+                # after evict_seen re-admits a URL its refetched spans must
+                # REPLACE the stale row — the pre-r04 left_anti sink kept
+                # the old content forever because a re-crawled page keeps
+                # its doc_id (sha1 of canonical final_url). Steady-state
+                # cost is identical (one anti-join per wave, small side is
+                # this wave's docs); in the common no-recollision wave the
+                # anti-join removes nothing and this degenerates to append.
+                "documents": st.documents.join(
+                    docs.select("doc_id"), "doc_id", "left_anti"
+                ).unionByName(docs),
                 "host_clocks": advance_clocks(st.host_clocks, sched, self.robots),
                 **(
                     {"schedule_log": st.schedule_log.unionByName(

@@ -346,7 +346,15 @@ class IcebergLayoutCatalog:
         single-writer behavior)."""
         snap_id = self.current_snapshot(table)
         while snap_id is not None:
-            info = self.snapshot_info(table, snap_id)
+            try:
+                info = self.snapshot_info(table, snap_id)
+            except FileNotFoundError:
+                # expire_snapshots reclaims snap-*.json past the retention
+                # window while retained children still reference it via
+                # parent_snapshot_id. Reaching a reclaimed ancestor means no
+                # retained commit matched this app_id — for a NEW writer on
+                # an old table that is "no prior batch", not an error.
+                return None
             if "batch_id" in info and (
                 app_id is None or info.get("app_id") == app_id
             ):
@@ -384,17 +392,35 @@ class IcebergLayoutCatalog:
             )
         from pyspark.sql import functions as F
 
-        lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
-        lo, hi = _enc_bound(lo), _enc_bound(hi)
-        if lo is None:  # empty or unencodable update batch: no-op merge
+        n_rows, n_keys, lo_raw, hi_raw = updates.agg(
+            F.count(F.lit(1)), F.count(F.col(key)), F.min(key), F.max(key)
+        ).collect()[0]
+        if n_rows == 0:  # truly empty update batch: no-op merge
             return cur
+        if n_keys == 0:
+            # Non-empty batch whose merge keys are ALL NULL: left_anti on a
+            # NULL key never matches, so "upsert" would silently degrade to
+            # blind append of undeletable rows. Refuse loudly.
+            raise ValueError(
+                f"merge_upsert: all {n_rows} update rows have NULL {key!r}; "
+                "keyed merge is undefined for NULL keys"
+            )
+        lo, hi = _enc_bound(lo_raw), _enc_bound(hi_raw)
         carried, affected = [], []
-        for f in manifest["files"]:
-            b = (f.get("stats") or {}).get(key)
-            if b is not None and (b[1] < lo or b[0] > hi):
-                carried.append(f)
-            else:
-                affected.append(f)
+        if lo is None or hi is None:
+            # Key type has no encodable bounds (e.g. binary): pruning by
+            # manifest stats is impossible. Fall back to the conservative
+            # plan — rewrite every file — instead of silently dropping the
+            # upsert (the pre-r04 bug: returning `cur` here looked like
+            # success while the batch vanished).
+            affected = list(manifest["files"])
+        else:
+            for f in manifest["files"]:
+                b = (f.get("stats") or {}).get(key)
+                if b is not None and (b[1] < lo or b[0] > hi):
+                    carried.append(f)
+                else:
+                    affected.append(f)
 
         snap_id = f"m{info['wave']:06d}-{uuid.uuid4().hex[:8]}"
         tdir = self.root / table
@@ -735,12 +761,23 @@ class IcebergLayoutCatalog:
             if inside:
                 md = pq.read_metadata(self.root / f["path"])
                 nulls = 0
+                null_count_known = True
                 for rg in range(md.num_row_groups):
                     for ci in range(md.row_group(rg).num_columns):
                         c = md.row_group(rg).column(ci)
-                        if c.path_in_schema == column and c.statistics:
-                            nulls += c.statistics.null_count or 0
-                if nulls == 0:
+                        if c.path_in_schema != column:
+                            continue
+                        st = c.statistics
+                        # A row group with min/max but NO null count must
+                        # not be presumed null-free: NULL rows never match
+                        # a range predicate and must survive, so whole-file
+                        # drop is only safe when every row group PROVES
+                        # zero nulls. Unknown -> conservative rewrite.
+                        if st is None or not st.has_null_count:
+                            null_count_known = False
+                        else:
+                            nulls += st.null_count
+                if null_count_known and nulls == 0:
                     dropped.append(f)
                     continue
             affected.append(f)

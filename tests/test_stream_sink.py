@@ -488,3 +488,105 @@ def test_delete_where_keeps_null_rows(spark, tmpd):
     assert s["dropped_files"] == 0 and s["rewritten_files"] == 1
     rows = cat.load(spark, "t").collect()
     assert [(r.id, r.v) for r in rows] == [(3, None)]
+
+
+def test_new_writer_on_expired_table_returns_none_not_crash(spark, tmpd):
+    """ADVICE r04: expire_snapshots reclaims ancestors' snap-*.json while
+    retained children still reference them via parent_snapshot_id. A NEW
+    writer (fresh app_id) probing last_batch_id on such a table must get
+    None ("no prior batch from me"), not FileNotFoundError — its first
+    micro-batch commit was crashing exactly there."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit_a = catalog_batch_committer(cat, "t", app_id="writer-A")
+    for e in range(4):
+        commit_a(_batch(spark, e * 10, e * 10 + 10), e)
+    cat.expire_snapshots("t", keep_last=2)
+
+    # the retained chain still answers for the surviving writer...
+    assert cat.last_batch_id("t", app_id="writer-A") == 3
+    # ...and a brand-new writer walks past the retained window into the
+    # reclaimed ancestry: treat as expired -> None, then commit cleanly
+    assert cat.last_batch_id("t", app_id="writer-B") is None
+    commit_b = catalog_batch_committer(cat, "t", app_id="writer-B")
+    commit_b(_batch(spark, 100, 105), 0)
+    assert cat.load(spark, "t").count() == 45
+    assert cat.last_batch_id("t", app_id="writer-B") == 0
+
+
+def test_merge_upsert_null_and_binary_keys(spark, tmpd):
+    """ADVICE r04: merge_upsert used to silently drop a non-empty update
+    batch whenever the key bounds could not be encoded (binary key,
+    all-NULL keys) while returning a success-looking snapshot id. Now:
+    empty batch -> no-op; all-NULL keys -> loud ValueError; binary key ->
+    the upsert APPLIES via the conservative rewrite-everything plan."""
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    base = spark.createDataFrame(
+        [(bytes([i]), i) for i in range(5)], "k binary, v long"
+    )
+    cat.commit_table("t", base, wave=0)
+    cur = cat.current_snapshot("t")
+
+    # empty batch: genuine no-op, same snapshot
+    assert cat.merge_upsert(spark, "t", base.limit(0), "k") == cur
+
+    # all-NULL keys: refuse loudly instead of appending undeletable rows
+    nulls = spark.createDataFrame([(None, 99)], "k binary, v long")
+    with pytest.raises(ValueError, match="NULL"):
+        cat.merge_upsert(spark, "t", nulls, "k")
+
+    # binary key: bounds pruning impossible -> conservative full rewrite,
+    # but the upsert must LAND (update one key, insert one new key)
+    upd = spark.createDataFrame(
+        [(bytes([2]), 222), (bytes([9]), 9)], "k binary, v long"
+    )
+    snap = cat.merge_upsert(spark, "t", upd, "k")
+    assert snap != cur
+    got = {bytes(r["k"]): r["v"] for r in cat.load(spark, "t").collect()}
+    assert got == {bytes([0]): 0, bytes([1]): 1, bytes([2]): 222,
+                   bytes([3]): 3, bytes([4]): 4, bytes([9]): 9}
+
+
+def test_delete_where_unprovable_null_count_rewrites(spark, tmpd):
+    """ADVICE r04: whole-file drop in delete_where is only safe when the
+    footer PROVES the delete column null-free in that file. A file whose
+    manifest bounds say "fully inside the range" but whose parquet
+    statistics are absent (so the null count is unknowable) must take the
+    conservative rewrite path — its NULL rows never match a range
+    predicate and have to survive."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    cat.commit_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        wave=0,
+    )
+    info = cat.snapshot_info("t", cat.current_snapshot("t"))
+    man_path = cat.root / info["manifest"]
+    man = _json.loads(man_path.read_text())
+
+    # graft in a statless file (write_statistics=False: no min/max, no
+    # null count) holding one in-range row and one NULL row, with
+    # hand-written manifest bounds claiming k fully inside [1, 2] — the
+    # shape an external writer that skips stats produces
+    extra = cat.root / "t" / "data" / "external-nostats.parquet"
+    _pq.write_table(
+        pa.table({"k": pa.array([2, None], pa.int64()),
+                  "s": pa.array(["x", "null-row"])}),
+        extra, write_statistics=False,
+    )
+    man["files"].append({
+        "path": str(extra.relative_to(cat.root)), "rows": 2,
+        "bytes": extra.stat().st_size, "partition_id": 99, "partition": {},
+        "stats": {"k": [2, 2]},
+    })
+    man_path.write_text(_json.dumps(man))
+
+    cat.delete_where(spark, "t", "k", lo=1, hi=2)
+    got = sorted(
+        (r["k"], r["s"]) for r in cat.load(spark, "t").collect()
+    )
+    # every non-NULL k in [1,2] deleted; the NULL row SURVIVES
+    assert got == [(None, "null-row")]

@@ -247,3 +247,26 @@ def test_strip_params_empty_keys_is_identity(spark):
         df.select(strip_params_col(F.col("url"), ()).alias("u")).first().u
         == "/p?sid=1"
     )
+
+
+def test_canon_cache_keyed_by_session(spark):
+    """ADVICE r04: the memoized canonicalizer Columns hold py4j refs into
+    the gateway JVM, so the cache is keyed by (applicationId, column) and
+    entries from a dead session are evicted on next use — a session
+    restart in the same Python process must not serve stale JVM handles."""
+    from licenta_crawler_spark.functions import urlnorm
+
+    urlnorm._CANON_CACHE.clear()
+    urlnorm.cached_canon_sha1("url")
+    app = spark.sparkContext.applicationId
+    assert set(urlnorm._CANON_CACHE) == {(app, "url")}
+
+    # a stale entry from a torn-down session is dropped, not returned
+    urlnorm._CANON_CACHE[("app-from-dead-jvm", "url2")] = (None, None)
+    canon, sha = urlnorm.cached_canon_sha1("url2")
+    assert canon is not None
+    assert ("app-from-dead-jvm", "url2") not in urlnorm._CANON_CACHE
+    assert (app, "url2") in urlnorm._CANON_CACHE
+    # and the live-session entry is a cache HIT (same objects back)
+    again = urlnorm.cached_canon_sha1("url2")
+    assert again[0] is canon and again[1] is sha

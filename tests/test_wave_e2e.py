@@ -530,3 +530,75 @@ def test_all_optins_together_healthy_identity_e2e(spark):
     exp = {h: [u for (u, _, _) in rows]
            for h, rows in oracle.discovery_log.items() if rows}
     assert got == exp
+
+
+def test_evict_then_recrawl_refreshes_documents(spark):
+    """Recrawl eviction end-to-end (ADVICE r04): after evict_seen
+    re-admits a URL, refetching it must REPLACE the stale documents row
+    (upsert by doc_id, latest wave wins) — not silently discard the
+    refreshed spans the way an append-only left_anti sink would. The
+    doc_id is stable across recrawls (sha1 of canonical final_url), so
+    the table's key-uniqueness and total count are preserved."""
+    import dataclasses
+
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    eng = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=4, bloom_min_seen=0, seen_filter="cuckoo",
+                     cuckoo_buckets=1 << 10),
+    )
+    st = eng.run(seed_jobs)
+    n_docs = st.documents.count()
+
+    # deterministic victim: a PRODUCT doc whose crawl_log key matches its
+    # doc_id (no redirect hop), so one eviction key covers both tables
+    victim = (
+        st.documents.alias("d")
+        .join(st.crawl_log.alias("l"),
+              F.col("d.doc_id") == F.col("l.url_sha1"))
+        .filter(F.col("l.page_type") == "PRODUCT")
+        .select("d.doc_id", "d.url", "d.host", "d.wave", "l.seq")
+        .orderBy("d.doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    st2 = eng.evict_seen(
+        st, spark.createDataFrame([(victim["doc_id"],)], "url_sha1 string")
+    )
+    assert st2.documents.count() == n_docs  # eviction keeps the stale row
+
+    # requeue the evicted URL (what a recrawl scheduler does: REPLACE the
+    # finished frontier row with a fresh QUEUED one) and run browse waves
+    # to completion — the victim page models a transient failure
+    # (transient_failures=1), so the first recrawl attempt 503s and the
+    # F6 retry requeue must carry it through, same as the original crawl
+    requeued = spark.createDataFrame(
+        [(victim["host"], victim["url"], victim["doc_id"], victim["seq"],
+          "QUEUED", 0)],
+        schemas.FETCH_FRONTIER,
+    )
+    st3 = dataclasses.replace(
+        st2,
+        fetch_frontier=st2.fetch_frontier.join(
+            requeued.select("host", "url"), ["host", "url"], "left_anti"
+        ).unionByName(requeued),
+    )
+    assert eng.browse_wave(st3)  # the recrawl wave did schedule the refetch
+    for _ in range(4):           # drain F6 retries (cap is small)
+        if not eng.browse_wave(st3):
+            break
+    refreshed = st3.documents.filter(F.col("doc_id") == victim["doc_id"])
+    rows = refreshed.collect()
+    assert len(rows) == 1                      # still keyed by doc_id
+    assert rows[0]["wave"] > victim["wave"]    # latest wave won the upsert
+    assert st3.documents.count() == n_docs     # no duplicate row appended
