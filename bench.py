@@ -129,6 +129,26 @@ def _release_session_state(spark) -> None:
         pass  # py4j surface differences must never fail the bench
 
 
+def _queries_from_driver_tail(tail: str) -> dict[str, float]:
+    """Per-query seconds out of a driver-wrapped BENCH recording whose
+    JSON line was truncated to a tail string. Prefer the intact
+    '"queries": {...}' object; when the tail starts MID-dict (head
+    truncated), fall back to the flat name->number pairs before the
+    first closing brace — a partial map only makes the comparison
+    narrower, never wrong."""
+    import re
+
+    m = re.search(r'"queries":\s*\{', tail)
+    seg = tail[m.end():] if m else tail
+    end = seg.find("}")
+    if end >= 0:
+        seg = seg[:end]
+    return {
+        k: float(v)
+        for k, v in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)', seg)
+    }
+
+
 def _deltas_vs_prev_round(queries: dict[str, float], sf: float, cpus: int) -> dict:
     """Self-reported round-over-round regression guard: compare per-query
     seconds against the newest BENCH_r*.json the driver recorded and flag
@@ -154,12 +174,20 @@ def _deltas_vs_prev_round(queries: dict[str, float], sf: float, cpus: int) -> di
         return {}
     try:
         prev_doc = json.load(open(paths[-1]))
-        prev_doc = prev_doc.get("parsed") or prev_doc
-        prev = prev_doc.get("queries") or {}
+        if "tail" in prev_doc and not prev_doc.get("parsed"):
+            # driver-wrapped recording ({"tail": "<truncated JSON line>",
+            # "parsed": null}): the r03 guard silently no-opped here —
+            # recover the per-query seconds from the tail string (it
+            # carries the full queries dict) instead of going blind
+            prev = _queries_from_driver_tail(prev_doc["tail"])
+            prev_sf, prev_cpus = prev_doc.get("sf"), prev_doc.get("cpus")
+        else:
+            prev_doc = prev_doc.get("parsed") or prev_doc
+            prev = prev_doc.get("queries") or {}
+            prev_sf, prev_cpus = prev_doc.get("sf"), prev_doc.get("cpus")
         # only comparable runs: a different sf or parallelism makes every
         # delta meaningless (2-core runs would flag everything)
-        if (prev_doc.get("sf") not in (None, sf)
-                or prev_doc.get("cpus") not in (None, cpus)):
+        if prev_sf not in (None, sf) or prev_cpus not in (None, cpus):
             return {"prev_round": os.path.basename(paths[-1]),
                     "deltas_vs_prev": {}, "regressions": [],
                     "prev_round_skipped": "sf/cpus mismatch"}

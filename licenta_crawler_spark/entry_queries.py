@@ -1523,11 +1523,16 @@ def robots_parse(spark, sf_dir):
     # as fully case-insensitive and real-world files use every casing —
     # the driver-verified row proves the (?i) parser handles them
     txt = F.concat(
-        F.lit("USER-AGENT: badbot\nCrawl-Delay: 99\nDISALLOW: /all\n\n"
+        F.lit("USER-AGENT: badbot\nCrawl-Delay: 99\nDISALLOW: /all\n"
+              "Allow: /decoy-carveout\n\n"
               "User-Agent: *\nCrawl-Delay: "),
         (F.col("s_nationkey") + 1).cast("string"),
         F.lit("\nDISALLOW: /p"), (F.col("s_suppkey") % 5).cast("string"),
         F.lit("\nDisallow: /q"), (F.col("s_suppkey") % 7).cast("string"),
+        # the RFC 9309 §2.2.2 carve-out shape: Allow under a Disallow —
+        # mixed casing on purpose, same as the other directives
+        F.lit("\nALLOW: /p"), (F.col("s_suppkey") % 5).cast("string"),
+        F.lit("/public\nallow: /r"), (F.col("s_suppkey") % 3).cast("string"),
         F.lit("\nSITEMAP: https://s"), F.col("s_suppkey").cast("string"),
         F.lit("/sitemap.xml"),
     )
@@ -2461,12 +2466,32 @@ _ROBOTS_RULES = [
 ]
 
 
+def _robots_body_for(host: str) -> str:
+    """Deterministic robots.txt body whose '*' section carries exactly
+    ``_ROBOTS_RULES[host]`` — mixed directive casing and a decoy badbot
+    section on purpose, so robots_rfc9309 exercises the full
+    text -> parse_robots_rules -> robots_decision chain."""
+    lines = ["User-agent: badbot", "Disallow: /decoy", "ALLOW: /decoy/sub",
+             "", "USER-AGENT: *"]
+    for h, allow, p in _ROBOTS_RULES:
+        if h == host:
+            lines.append(("Allow: " if allow else "DISALLOW: ") + p)
+    return "\n".join(lines)
+
+
 def robots_rfc9309(spark, sf_dir):
-    """RFC 9309 rule evaluation (`operators/parse.robots_decision`):
-    wildcard patterns ('*', trailing '$') with longest-match precedence
-    and allow-wins-ties, over paths synthesized to hit every rule shape
-    (anchors, ties, wildcard spans, no-rule default-allow)."""
-    from licenta_crawler_spark.operators.parse import robots_decision
+    """RFC 9309 end to end: raw robots.txt TEXT is parsed into rule rows
+    (`parse_robots_rules` — Allow AND Disallow lines, section-resolved,
+    case-insensitive) and evaluated with wildcard patterns ('*', trailing
+    '$'), longest-match precedence and allow-wins-ties, over paths
+    synthesized to hit every rule shape (anchors, ties, wildcard spans,
+    no-rule default-allow). The oracle replays the DECISIONS from the
+    intended literal rule table, so a parser that drops or misreads any
+    line (the pre-r04 parser dropped every `Allow:`) hash-mismatches."""
+    from licenta_crawler_spark.operators.parse import (
+        parse_robots_rules,
+        robots_decision,
+    )
 
     ev = _t(spark, sf_dir, "events")
     path = (
@@ -2496,10 +2521,11 @@ def robots_rfc9309(spark, sf_dir):
         F.concat(F.lit("h"), F.col("user_id") % 2).alias("host"),
         path.alias("path"),
     )
-    rules = spark.createDataFrame(
-        _ROBOTS_RULES, "host string, allow boolean, pattern string"
+    bodies = spark.createDataFrame(
+        [(h, _robots_body_for(h)) for h in ("h0", "h1")],
+        "host string, robots_txt string",
     )
-    return robots_decision(paths, rules)
+    return robots_decision(paths, parse_robots_rules(bodies))
 
 
 _RETRIEVAL_QUERIES = [
@@ -4460,11 +4486,15 @@ ORACLE_SQL = {
         WITH r AS (
           SELECT s_suppkey::VARCHAR AS host,
                  'USER-AGENT: badbot' || chr(10) || 'Crawl-Delay: 99'
-                 || chr(10) || 'DISALLOW: /all' || chr(10) || chr(10)
+                 || chr(10) || 'DISALLOW: /all'
+                 || chr(10) || 'Allow: /decoy-carveout' || chr(10) || chr(10)
                  || 'User-Agent: *' || chr(10) || 'Crawl-Delay: '
                  || (s_nationkey + 1)::VARCHAR
                  || chr(10) || 'DISALLOW: /p' || (s_suppkey % 5)::VARCHAR
                  || chr(10) || 'Disallow: /q' || (s_suppkey % 7)::VARCHAR
+                 || chr(10) || 'ALLOW: /p' || (s_suppkey % 5)::VARCHAR
+                 || '/public'
+                 || chr(10) || 'allow: /r' || (s_suppkey % 3)::VARCHAR
                  || chr(10) || 'SITEMAP: https://s' || s_suppkey::VARCHAR
                  || '/sitemap.xml'
                    AS txt
@@ -4493,6 +4523,9 @@ ORACLE_SQL = {
                  CASE WHEN lower(cur_ua) = '*' THEN
                    nullif(regexp_extract(line, '(?i)^disallow:\s*(\S+)\s*$', 1), '')
                  END AS dis,
+                 CASE WHEN lower(cur_ua) = '*' THEN
+                   nullif(regexp_extract(line, '(?i)^allow:\s*(\S+)\s*$', 1), '')
+                 END AS alw,
                  nullif(regexp_extract(line, '(?i)^sitemap:\s*(\S+)\s*$', 1), '') AS sm
           FROM sec
         )
@@ -4501,6 +4534,9 @@ ORACLE_SQL = {
                array_to_string(coalesce(
                  list(dis ORDER BY dis) FILTER (WHERE dis IS NOT NULL), []), ',')
                  AS disallow_paths,
+               array_to_string(coalesce(
+                 list(alw ORDER BY alw) FILTER (WHERE alw IS NOT NULL), []), ',')
+                 AS allow_paths,
                array_to_string(coalesce(
                  list(sm ORDER BY sm) FILTER (WHERE sm IS NOT NULL), []), ',')
                  AS sitemap_urls

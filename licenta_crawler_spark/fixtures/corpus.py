@@ -65,7 +65,7 @@ class Sitemap:
 class Corpus:
     pages: dict[str, Page]        # canonical url -> Page
     sitemaps: dict[str, Sitemap]  # canonical url -> Sitemap
-    robots: list[dict]            # host, user_agent, crawl_delay_ms, sitemaps, disallow
+    robots: list[dict]            # host, user_agent, crawl_delay_ms, sitemaps, disallow, allow
     seed_jobs: list[dict]         # job_id, homepage, seeds, additional_sitemaps, disallow_cookies
     hosts: list[str]
 
@@ -304,6 +304,14 @@ def build_corpus(
                         # the parser extracts it, the crawler must never
                         # log or fetch it
                         hrefs.append("/cart/book-1")
+                        # ...but its sibling under the RFC 9309 Allow
+                        # carve-out (/cart/allowed) MUST be crawled —
+                        # allow outranks the shorter disallow prefix
+                        carve = f"http://{host}/cart/allowed/book-9"
+                        hrefs.append("/cart/allowed/book-9")
+                        purls.append(carve)
+                        cp = canonicalize_url(carve)
+                        pages[cp] = _product_page(rng, cp, host, [])
                     nxt = shelf_urls[p + 1] if p + 1 < chain else None
                     pages[surl] = _shelf_page(rng, surl, host, p, hrefs, nxt)
                     for purl in purls:
@@ -326,7 +334,8 @@ def build_corpus(
                 seeds.append(alias)
             robots.append(
                 {"host": host, "user_agent": "*", "crawl_delay_ms": delay,
-                 "sitemaps": [], "disallow": ["/cart"]}
+                 "sitemaps": [], "disallow": ["/cart"],
+                 "allow": ["/cart/allowed"] if i == 0 and not is_mega else []}
             )
             seed_jobs.append(
                 {"job_id": f"job-{job_no:04d}", "homepage": homepage, "seeds": seeds,
@@ -384,7 +393,8 @@ def build_corpus(
                     pages[cp] = _product_page(rng, cp, host, [])
             robots.append(
                 {"host": host, "user_agent": "*", "crawl_delay_ms": delay,
-                 "sitemaps": [root], "disallow": ["/private"] if i == 0 else []}
+                 "sitemaps": [root], "disallow": ["/private"] if i == 0 else [],
+                 "allow": []}
             )
             seed_jobs.append(
                 {"job_id": f"job-{job_no:04d}", "homepage": homepage, "seeds": [homepage],

@@ -179,9 +179,9 @@ def parse_robots_directives(
         "host", "line_no", "line",
         F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
     )
-    # Crawl-delay / Disallow bind to the requested agent's section;
-    # Sitemap is SECTION-INDEPENDENT per the robots spec, so it is
-    # extracted unconditionally. Every input host emits a row — a body
+    # Crawl-delay / Disallow / Allow bind to the requested agent's
+    # section; Sitemap is SECTION-INDEPENDENT per the robots spec, so it
+    # is extracted unconditionally. Every input host emits a row — a body
     # with no matching section means "no restrictions", not "no host".
     in_sec = F.lower(F.col("cur_ua")) == user_agent.lower()
     delay = F.when(
@@ -198,13 +198,21 @@ def parse_robots_directives(
             F.lit(""),
         ),
     )
+    alw = F.when(
+        in_sec,
+        F.nullif(
+            F.regexp_extract(F.col("line"), r"(?i)^allow:\s*(\S+)\s*$", 1),
+            F.lit(""),
+        ),
+    )
     sm = F.nullif(
         F.regexp_extract(F.col("line"), r"(?i)^sitemap:\s*(\S+)\s*$", 1),
         F.lit(""),
     )
     return (
         sectioned.select(
-            "host", delay.alias("_delay"), dis.alias("_dis"), sm.alias("_sm")
+            "host", delay.alias("_delay"), dis.alias("_dis"),
+            alw.alias("_alw"), sm.alias("_sm"),
         )
         .groupBy("host")
         .agg(
@@ -213,9 +221,70 @@ def parse_robots_directives(
                 ",", F.array_sort(F.collect_list("_dis"))
             ).alias("disallow_paths"),
             F.concat_ws(
+                ",", F.array_sort(F.collect_list("_alw"))
+            ).alias("allow_paths"),
+            F.concat_ws(
                 ",", F.array_sort(F.collect_list("_sm"))
             ).alias("sitemap_urls"),
         )
+    )
+
+
+def parse_robots_rules(
+    robots_txt: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies into the (host, allow, pattern) rule rows
+    ``robots_decision`` evaluates — the missing link that lets the RFC
+    9309 evaluator run on REAL fetched robots.txt instead of a pre-built
+    rule table. `Allow:` lines matter in practice: `Allow: /public/`
+    under a broad `Disallow: /` is the single most common carve-out
+    pattern (RFC 9309 §2.2.2); a parser that drops them over-blocks.
+
+    Same section resolution as parse_robots_directives (window-carry of
+    the governing User-agent), one output row per Allow/Disallow line in
+    the matching section. Hosts whose section has no rules emit nothing —
+    robots_decision default-allows paths with no matching rule.
+
+    Scale: identical shape to the directive parser — explode lines, one
+    host-keyed window, then a filter; rule rows per host are tiny."""
+    lines = robots_txt.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    ua = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sectioned = lines.select(
+        "host", "line",
+        F.last(ua, ignorenulls=True).over(w).alias("cur_ua"),
+    ).where(F.lower(F.col("cur_ua")) == user_agent.lower())
+    dis = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^disallow:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    alw = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^allow:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    return (
+        sectioned.select(
+            "host",
+            F.when(alw.isNotNull(), F.lit(True))
+            .when(dis.isNotNull(), F.lit(False))
+            .alias("allow"),
+            F.coalesce(alw, dis).alias("pattern"),
+        )
+        .where(F.col("pattern").isNotNull())
+        .dropDuplicates(["host", "allow", "pattern"])
     )
 
 

@@ -28,11 +28,19 @@ from pyspark.sql import functions as F
 from licenta_crawler_spark.functions.text import normalized_text_col
 
 
+#: above this many distinct query terms the literal-array plan is
+#: abandoned: a 10^4-element Catalyst literal array makes the EXPRESSION
+#: TREE itself the bottleneck (analysis + codegen cost per query), so
+#: large vocabularies switch to a broadcast semi-join instead
+VOCAB_LITERAL_MAX = 1000
+
+
 def boolean_retrieval(
     documents: DataFrame,
     queries: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_literal_max: int = VOCAB_LITERAL_MAX,
 ) -> DataFrame:
     """Evaluate a batch of boolean queries against the corpus.
 
@@ -65,10 +73,25 @@ def boolean_retrieval(
     toks = F.array_distinct(
         F.split(normalized_text_col(F.col(text_col)), " ")
     )
-    hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in vocab]))
-    postings = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(hits).alias("term")
-    )
+    if len(vocab) <= vocab_literal_max:
+        # small vocab (the interactive case): intersect each doc's token
+        # set with a literal array BEFORE the explode — zero join, the
+        # exploded stream is already query-relevant
+        hits = F.array_intersect(toks, F.array(*[F.lit(t) for t in vocab]))
+        postings = documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(hits).alias("term")
+        )
+    else:
+        # decontamination-scale vocab (10^4+ terms): a literal array that
+        # big makes the Catalyst expression tree the bottleneck. Explode
+        # the distinct doc tokens and LEFT SEMI against the broadcast
+        # term table instead — same rows out, map-side hash probe, still
+        # no shuffle before the aggregate (the BHJ filters in-stage)
+        postings = documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+        ).join(
+            F.broadcast(q.select("term").distinct()), "term", "left_semi"
+        )
     scored = (
         postings.join(F.broadcast(q), "term")
         .groupBy("query_id", "doc_id")
@@ -100,17 +123,19 @@ def phrase_retrieval(
 
     ``phrases``: (phrase_id, phrase), phrase already in corpus
     normalization. Phrases are grouped by token count (bounded
-    control-plane collect — it's the QUERY batch, not data); for each
-    length the document's k-gram array is filtered against that
-    length's literal phrase set BEFORE the explode, duplicates kept, so
-    occurrence counts are exact and the exploded stream carries only
-    grams some phrase asked about (index-sized, never corpus-sized —
-    same discipline as :func:`boolean_retrieval`).
+    control-plane collect — it's the QUERY batch, not data); every
+    length's k-gram array is built and filtered against that length's
+    literal phrase set in ONE projection over ONE corpus scan
+    (``concat`` of the per-length filtered arrays, then a single
+    explode) — the r03 shape re-scanned the corpus once per distinct
+    phrase length, so a {2,3,4,5}-length query batch cost 4 passes.
+    Duplicates are kept, so occurrence counts are exact, and the
+    exploded stream carries only grams some phrase asked about
+    (index-sized, never corpus-sized — same discipline as
+    :func:`boolean_retrieval`).
 
     Returns (phrase_id, doc_id, n_occurrences), matches only.
     """
-    from functools import reduce
-
     from licenta_crawler_spark.operators.dedup import ngram_join_col
 
     spark = documents.sparkSession
@@ -121,23 +146,26 @@ def phrase_retrieval(
             (r.phrase_id, r.phrase)
         )
     toks = F.split(normalized_text_col(F.col(text_col)), " ")
-    outs = []
-    for k, plist in sorted(by_len.items()):
+
+    def _len_hits(k: int, plist: list):
+        # one-arg lambda: F.filter dispatches on lambda arity, so the
+        # phrase set must ride a closure, not a defaulted second param
         pset = [p for _, p in plist]
-        hits = F.filter(
-            ngram_join_col(toks, k), lambda g: g.isin(*pset)
+        return F.filter(ngram_join_col(toks, k), lambda g: g.isin(*pset))
+
+    per_len = [_len_hits(k, plist) for k, plist in sorted(by_len.items())]
+    hits = per_len[0] if len(per_len) == 1 else F.concat(*per_len)
+    counts = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(hits).alias("phrase")
         )
-        counts = (
-            documents.select(
-                F.col(id_col).alias("doc_id"), F.explode(hits).alias("phrase")
-            )
-            .groupBy("doc_id", "phrase")
-            .agg(F.count("*").alias("n_occurrences"))
-        )
-        pid = spark.createDataFrame(plist, "phrase_id string, phrase string")
-        outs.append(
-            counts.join(F.broadcast(pid), "phrase").select(
-                "phrase_id", "doc_id", "n_occurrences"
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    pid = spark.createDataFrame(
+        [p for plist in by_len.values() for p in plist],
+        "phrase_id string, phrase string",
+    )
+    return counts.join(F.broadcast(pid), "phrase").select(
+        "phrase_id", "doc_id", "n_occurrences"
+    )

@@ -85,12 +85,19 @@ def simulate_crawl(corpus: Corpus, fetch_product_docs: bool = True) -> OracleRes
     active_hosts: set[str] = set()
 
     disallow_by_host = {r["host"]: list(r.get("disallow") or []) for r in corpus.robots}
+    allow_by_host = {r["host"]: list(r.get("allow") or []) for r in corpus.robots}
 
     def upsert(host: str, url: str, referer: str | None, page_type: str) -> bool:
         canon = canonicalize_url(url)
-        # robots disallow (S7): never log or fetch a disallowed path
+        # robots (S7, RFC 9309 §2.2.2): longest-match over disallow AND
+        # allow prefixes, allow wins length ties — never log or fetch a
+        # path whose governing rule is a disallow
         path = urlsplit(canon).path or "/"
-        if any(path.startswith(d) for d in disallow_by_host.get(host, [])):
+        dis = max((len(d) for d in disallow_by_host.get(host, [])
+                   if path.startswith(d)), default=-1)
+        alw = max((len(a) for a in allow_by_host.get(host, [])
+                   if path.startswith(a)), default=-1)
+        if dis >= 0 and alw < dis:
             return False
         key = url_sha1_hex(url)
         if key in seen:

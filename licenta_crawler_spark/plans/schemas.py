@@ -103,6 +103,10 @@ ROBOTS = T.StructType(
         T.StructField("crawl_delay_ms", T.LongType()),
         T.StructField("sitemaps", T.ArrayType(T.StringType())),
         T.StructField("disallow", T.ArrayType(T.StringType())),
+        # RFC 9309 §2.2.2 carve-outs: a path matching BOTH lists follows
+        # longest-match precedence (allow wins exact-length ties) — the
+        # `Allow: /public` under `Disallow: /` pattern
+        T.StructField("allow", T.ArrayType(T.StringType())),
     ]
 )
 

@@ -487,19 +487,38 @@ class CrawlEngine:
         ).withColumn(
             "url_sha1", F.sha1(F.encode(F.col("url_canon"), "UTF-8"))
         ).localCheckpoint()
-        # robots disallow enforcement (S7): a candidate whose canonical
-        # path starts with any of its host's disallow prefixes is rejected
-        # before it is logged or scheduled — it must never be fetched.
-        # The robots table is a broadcast dim; the filter is native.
-        dis = self.robots.select("host", F.col("disallow").alias("_dis"))
+        # robots enforcement (S7, RFC 9309 §2.2.2): a candidate whose
+        # canonical path matches a disallow prefix is rejected before it
+        # is logged or scheduled — UNLESS an allow prefix matches at
+        # least as long (longest-match precedence, allow wins ties: the
+        # `Allow: /public` carve-out under `Disallow: /`). The robots
+        # table is a broadcast dim; the filter is native column math
+        # (array_max over per-prefix match lengths, no explode).
+        dis = self.robots.select(
+            "host", F.col("disallow").alias("_dis"), F.col("allow").alias("_alw")
+        )
+
+        def _best(arr):  # longest matching prefix length, -1 if none
+            return F.coalesce(
+                F.array_max(
+                    F.transform(
+                        arr,
+                        lambda p: F.when(
+                            F.col("_path").startswith(p), F.length(p)
+                        ),
+                    )
+                ),
+                F.lit(-1),
+            )
+
         c = (
             c.join(F.broadcast(dis), "host", "left")
             .withColumn("_path", F.parse_url(F.col("url_canon"), F.lit("PATH")))
             .filter(
-                F.col("_dis").isNull()
-                | ~F.exists("_dis", lambda d: F.col("_path").startswith(d))
+                (_best(F.col("_dis")) < 0)
+                | (_best(F.col("_alw")) >= _best(F.col("_dis")))
             )
-            .drop("_dis", "_path")
+            .drop("_dis", "_alw", "_path")
         )
         # crawler-trap cut (opt-in): URL templates that already exploded
         # on FETCHED content stop admitting new expansions. Trap stats

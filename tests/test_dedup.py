@@ -294,3 +294,52 @@ class TestQgramEditCandidates:
         }
         assert got[("book-store.example", "book-stroe.example")] is True
         assert got[("book-store.example", "totally-other.example")] is False
+
+
+def test_boolean_retrieval_large_vocab_join_path(spark):
+    """r04: past VOCAB_LITERAL_MAX distinct terms the literal-array plan
+    is abandoned for a broadcast LEFT SEMI join (a 5k-element Catalyst
+    literal makes the expression tree itself the bottleneck). Results
+    must be IDENTICAL on both paths; the plan must actually switch."""
+    from licenta_crawler_spark.operators.retrieval import boolean_retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} filler{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # 5k distinct terms; only tok0..tok6 ever match
+    queries = spark.createDataFrame(
+        [("q", f"tok{j}", True) for j in range(2)]
+        + [("pad", f"zz{j}", True) for j in range(5000)],
+        "query_id string, term string, required boolean",
+    )
+    small = boolean_retrieval(docs, queries, vocab_literal_max=10_000)
+    large = boolean_retrieval(docs, queries, vocab_literal_max=1_000)
+    got_small = sorted(map(tuple, small.collect()))
+    got_large = sorted(map(tuple, large.collect()))
+    assert got_small == got_large and got_small  # same rows, non-empty
+    # the large-vocab plan took the join path, the small one did not
+    assert "LeftSemi" in large._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in small._jdf.queryExecution().analyzed().toString()
+
+
+def test_phrase_retrieval_single_corpus_scan(spark):
+    """r04: a phrase batch spanning lengths {2,3,4} must build every
+    per-length gram array in ONE projection — exactly one scan of the
+    documents relation in the optimized plan (the r03 shape scanned once
+    per distinct length)."""
+    from licenta_crawler_spark.operators.retrieval import phrase_retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d x y z")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [("p2", "b c"), ("p3", "b c d"), ("p4", "c d e f")],
+        "phrase_id string, phrase string",
+    )
+    out = phrase_retrieval(docs, q)
+    got = {(r.phrase_id, r.doc_id): r.n_occurrences for r in out.collect()}
+    assert got == {("p2", 1): 1, ("p2", 2): 1, ("p3", 1): 1, ("p3", 2): 1,
+                   ("p4", 1): 1}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 2  # docs scan + phrase-id dim, once each

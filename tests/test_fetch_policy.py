@@ -158,3 +158,41 @@ class TestRobotsRfc9309:
         got = self._decide(spark, rules, ["/q?x=(1)[2]3", "/qAx=1"])
         assert got["/q?x=(1)[2]3"] == (False, "/q?x=(1)[2]")
         assert got["/qAx=1"] == (True, "")
+
+
+def test_parse_robots_allow_lines_and_rule_rows(spark):
+    """r04: `Allow:` lines are extracted (section-bound, case-insensitive)
+    into allow_paths, and parse_robots_rules emits the (host, allow,
+    pattern) rows robots_decision evaluates — the pre-r04 parser silently
+    dropped every Allow line before it could reach the evaluator."""
+    from licenta_crawler_spark.operators.parse import (
+        parse_robots_directives,
+        parse_robots_rules,
+        robots_decision,
+    )
+
+    txt = ("User-agent: badbot\nAllow: /decoy\n\n"
+           "User-agent: *\nDisallow: /\nALLOW: /public\nallow: /img\n"
+           "Disallow: /public/private\n")
+    df = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+
+    got = parse_robots_directives(df).collect()[0]
+    assert got["disallow_paths"] == "/,/public/private"
+    assert got["allow_paths"] == "/img,/public"  # badbot's Allow excluded
+
+    rules = parse_robots_rules(df)
+    assert sorted((r["allow"], r["pattern"]) for r in rules.collect()) == [
+        (False, "/"), (False, "/public/private"),
+        (True, "/img"), (True, "/public"),
+    ]
+
+    # end to end: the carve-out admits /public/x, the nested disallow
+    # re-blocks /public/private/y, everything else falls to Disallow: /
+    paths = spark.createDataFrame(
+        [("h1", "/public/x"), ("h1", "/public/private/y"), ("h1", "/other")],
+        "host string, path string",
+    )
+    dec = {r["path"]: r["allowed"]
+           for r in robots_decision(paths, rules).collect()}
+    assert dec == {"/public/x": True, "/public/private/y": False,
+                   "/other": False}

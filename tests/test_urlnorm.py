@@ -175,6 +175,24 @@ def test_registrable_domain_full_psl_semantics(spark):
         ("kobe.jp", "kobe.jp"),                # 'jp' exact still applies
         ("localhost", None),
         ("", None),
+        # r04 expansion: rules absent from the r03 ~280-rule subset
+        ("www.district.pvt.k12.ma.us", "district.pvt.k12.ma.us"),  # 4-label rule
+        ("school.k12.ca.us", "school.k12.ca.us"),
+        ("pvt.k12.ma.us", None),               # bare deep suffix
+        ("lib.tx.us", None),
+        ("a.b.tokyo.jp", "b.tokyo.jp"),        # prefecture second-level
+        ("corp.bj.cn", "corp.bj.cn"),          # Chinese province
+        ("brewery.beer", "brewery.beer"),      # newer gTLD
+        # private section: hosted-platform tenants are distinct sites
+        ("alice.github.io", "alice.github.io"),
+        ("bob.github.io", "bob.github.io"),
+        ("github.io", None),
+        ("x.blogspot.com.br", "x.blogspot.com.br"),
+        # *.compute.amazonaws.com: the REGION label is the public suffix,
+        # so each instance hostname is its own registrable domain
+        ("ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+         "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"),
+        ("us-east-1.compute.amazonaws.com", None),
     ]
     df = spark.createDataFrame(cases, "host string, want string")
     for r in df.select(

@@ -173,31 +173,38 @@ def test_retry_requeue_f6(engine_run):
 
 
 def test_robots_disallow_never_fetched(engine_run):
-    """S7 robots disallow: URLs under a disallowed path prefix are linked
-    (browse) and sitemap-listed, but never logged, queued, or fetched."""
+    """S7 robots enforcement, both directions (RFC 9309 §2.2.2): URLs
+    under a disallowed prefix are linked (browse) and sitemap-listed but
+    never logged, queued, or fetched — EXCEPT the Allow carve-out
+    (/cart/allowed under Disallow: /cart), whose longer allow prefix
+    outranks the disallow, so it MUST be crawled and produce a doc."""
     corpus, oracle, state = engine_run
-    # the corpus really does link/list disallowed URLs
+    # the corpus really does link/list disallowed URLs AND the carve-out
     linked = [
         u for p in corpus.pages.values() for u in p.product_urls if "/cart" in u
     ]
     listed = [
         u for s in corpus.sitemaps.values() for u in s.children if "/private" in u
     ]
-    assert linked and listed
-    for df, col in [
-        (state.crawl_log, "url"),
-        (state.fetch_frontier, "url"),
-        (state.schedule_log, "url"),
-        (state.documents, "url"),
-    ]:
-        bad = df.filter(
-            F.col(col).contains("/cart") | F.col(col).contains("/private")
-        ).count()
-        assert bad == 0, col
+    carved = [u for u in linked if "/cart/allowed" in u]
+    assert linked and listed and carved
+    blocked = F.col("url").contains("/private") | (
+        F.col("url").contains("/cart")
+        & ~F.col("url").contains("/cart/allowed")
+    )
+    for df in (state.crawl_log, state.fetch_frontier,
+               state.schedule_log, state.documents):
+        assert df.filter(blocked).count() == 0
+    # the carve-out was crawled end to end: logged AND a document landed
+    assert state.crawl_log.filter(
+        F.col("url").contains("/cart/allowed")).count() == 1
+    assert state.documents.filter(
+        F.col("url").contains("/cart/allowed")).count() == 1
     # oracle agrees (its log is already compared elsewhere; double-check)
-    for rows in oracle.discovery_log.values():
-        for u, _, _ in rows:
-            assert "/cart" not in u and "/private" not in u
+    ora = [u for rows in oracle.discovery_log.values() for u, _, _ in rows]
+    assert all("/private" not in u for u in ora)
+    assert all("/cart" not in u or "/cart/allowed" in u for u in ora)
+    assert any("/cart/allowed" in u for u in ora)
 
 
 def test_documents_schema_matches_input_hint(engine_run):
