@@ -616,3 +616,51 @@ def qgram_edit_candidates(
         "id_a", "id_b", "shared", "len_a", "len_b",
         (F.col("shared") >= bound).alias("is_candidate"),
     )
+
+
+def edit_distance_pairs(
+    strings: DataFrame,
+    id_col: str = "host",
+    text_col: str = "host",
+    q: int = 2,
+    k: int = 2,
+) -> DataFrame:
+    """Confirmed edit-distance-<=k pairs: the q-gram count filter bounds
+    the candidates (:func:`qgram_edit_candidates` — a provable superset,
+    inverted-index join, never all-pairs), then Spark's native
+    ``levenshtein`` verifies each candidate exactly — the same
+    candidates→verify discipline as the heavy-hitters operator. The
+    crawl use is CONFIRMED typosquat / fat-finger mirror pairs, not just
+    suspects.
+
+    Scale: the verify stage runs on candidate pairs only. The CANDIDATE
+    side is what broadcasts (post-filter it is tiny — near-duplicate
+    hostnames are rare); the strings table (~10^7 hosts) is the probe
+    side and never broadcasts or re-shuffles. levenshtein is JVM-side,
+    O(len_a·len_b) per candidate on ~10^1-char hostnames.
+
+    Returns (id_a, id_b, edit_distance) with edit_distance <= k.
+    """
+    cand = qgram_edit_candidates(strings, id_col, text_col, q, k).where(
+        F.col("is_candidate")
+    )
+    if id_col == text_col:
+        # the id IS the string (hostname case): verify directly on the
+        # candidate row, zero re-attach joins
+        return cand.select(
+            "id_a", "id_b",
+            F.levenshtein("id_a", "id_b").cast("long").alias("edit_distance"),
+        ).where(F.col("edit_distance") <= k)
+    s = strings.select(
+        F.col(id_col).alias("_sid"), F.col(text_col).alias("_txt")
+    ).distinct()
+    with_a = s.select(
+        F.col("_sid").alias("id_a"), F.col("_txt").alias("_ta")
+    ).join(F.broadcast(cand.select("id_a", "id_b")), "id_a")
+    with_b = s.select(
+        F.col("_sid").alias("id_b"), F.col("_txt").alias("_tb")
+    ).join(F.broadcast(with_a), "id_b")
+    return with_b.select(
+        "id_a", "id_b",
+        F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+    ).where(F.col("edit_distance") <= k)

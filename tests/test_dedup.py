@@ -343,3 +343,57 @@ def test_phrase_retrieval_single_corpus_scan(spark):
                    ("p4", 1): 1}
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 2  # docs scan + phrase-id dim, once each
+
+
+def test_edit_distance_pairs_verifies_candidates(spark):
+    """r04 candidates→verify: the q-gram filter admits a superset; the
+    levenshtein stage keeps exactly the true edit-distance<=k pairs —
+    including killing a candidate that shares many grams but sits at
+    edit distance 3, and (via a distinct text column) verifying against
+    the STRING, not the id."""
+    from licenta_crawler_spark.operators.dedup import (
+        edit_distance_pairs,
+        qgram_edit_candidates,
+    )
+
+    rows = [
+        ("book-store.example",),   # base
+        ("book-stroe.example",),   # transposition: distance 2
+        ("book-store.exampel",),   # transposition at the tail: distance 2
+        # block rotation: shares 14/17 bigrams (passes the gram bound of
+        # 13) but sits at edit distance 8 — the verify stage must kill it
+        ("store-book.example",),
+        ("unrelated-host.test",),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    confirmed = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_pairs(df, q=2, k=2).collect()
+    }
+    assert confirmed == {
+        # pairs are (id_a < id_b); the two typo VARIANTS sit at distance
+        # 4 from each other (2+2) and are correctly absent
+        ("book-store.example", "book-stroe.example"): 2,
+        ("book-store.exampel", "book-store.example"): 2,
+    }
+    # the rotated string WAS a gram-filter candidate (superset) — the
+    # verify stage is what removed it
+    cands = {
+        (r.id_a, r.id_b)
+        for r in qgram_edit_candidates(df, q=2, k=2)
+        .where("is_candidate").collect()
+    }
+    assert ("book-store.example", "store-book.example") in cands
+
+    # id != text: verification must use the text column
+    df2 = spark.createDataFrame(
+        [("h1", "alpha.example"), ("h2", "alpha.exampel"), ("h3", "beta.other")],
+        "hid string, hname string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_pairs(
+            df2, id_col="hid", text_col="hname", q=2, k=2
+        ).collect()
+    }
+    assert got == {("h1", "h2"): 2}

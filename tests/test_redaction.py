@@ -1,0 +1,60 @@
+"""PII/secret redaction boundary formats (operators/redaction.py)."""
+
+from __future__ import annotations
+
+from licenta_crawler_spark.operators.redaction import redact_pii
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return redact_pii(df).collect()[0]
+
+
+def test_email_boundaries(spark):
+    r = _one(spark, "mail a.b+tag%x@sub.domain.co.uk or bad@nodot end")
+    assert r["n_email"] == 1           # 'bad@nodot' has no TLD dot
+    assert "[EMAIL]" in r["redacted"] and "bad@nodot" in r["redacted"]
+
+
+def test_phone_e164_only(spark):
+    r = _one(spark, "call +14155552671 or +0123 or 4155552671 or +4930901820")
+    # +0123 starts with 0 (invalid E.164); bare national number skipped
+    assert r["n_phone"] == 2
+    assert r["redacted"].count("[PHONE]") == 2
+    assert "+14155552671" not in r["redacted"]
+    assert "+0123" in r["redacted"]            # invalid E.164 left intact
+    assert " 4155552671 " in r["redacted"]     # bare national left intact
+
+
+def test_ipv4_octet_bounds(spark):
+    r = _one(spark, "ok 192.168.0.255 bad 999.1.1.1 ver 1.2.3 end 10.0.0.0")
+    assert r["n_ipv4"] == 2            # 999.* fails bounds; 1.2.3 too short
+    assert "999.1.1.1" in r["redacted"]
+    assert r["redacted"].count("[IPV4]") == 2
+
+
+def test_ipv6_skips_timestamps(spark):
+    r = _one(spark, "at 2001:db8:85a3:0:0:8a2e:370:7334 time 12:30:45 x")
+    assert r["n_ipv6"] == 1            # hh:mm:ss has only 2 colons
+    assert "12:30:45" in r["redacted"]
+    assert "[IPV6]" in r["redacted"]
+
+
+def test_aws_key_and_secret_runs(spark):
+    key = "AKIA" + "B" * 16
+    tok = "a1B2" * 10                      # 40 chars exactly
+    short = "a1B2" * 9                     # 36: below threshold
+    r = _one(spark, f"k {key} t {tok} s {short} end")
+    assert r["n_aws_key"] == 1 and r["n_secret"] == 1
+    assert "[AWSKEY]" in r["redacted"] and "[SECRET]" in r["redacted"]
+    assert short in r["redacted"]
+    # lowercase 'akia...' is not an AWS key id
+    assert _one(spark, "akia" + "b" * 16)["n_aws_key"] == 0
+
+
+def test_total_and_clean_text_passthrough(spark):
+    clean = "no personal data in this perfectly ordinary sentence"
+    r = _one(spark, clean)
+    assert r["n_pii"] == 0 and r["redacted"] == clean
+    r2 = _one(spark, "x@y.zz and +123456789 and 1.2.3.4")
+    assert r2["n_pii"] == 3
