@@ -2848,6 +2848,34 @@ def pii_redaction(spark, sf_dir):
     return redact_pii(docs.select("doc_id", injected.alias("text")))
 
 
+_DUP_PARA = " ".join(f"dupblock{j}" for j in range(30))
+_DUP_EXT = " ".join(f"xtend{j}" for j in range(10))
+
+
+def exact_substring_pairs(spark, sf_dir):
+    """Exact long-verbatim-overlap detection (`operators/dedup.
+    shared_substring_pairs`): a 30-token paragraph is injected into
+    every 6th doc (and a 40-token extension into every 24th), and the
+    operator must report the EXACT longest shared run per pair — 30 for
+    mixed pairs, 40 for both-extended pairs — via the stride-1 L-gram
+    diagonal-island plan (one equi-join on the gram string + one window;
+    never all-pairs, no hashing, no collision caveat). The oracle
+    replays injection, gram positions, and the gaps-and-islands
+    recurrence."""
+    from licenta_crawler_spark.operators.dedup import shared_substring_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(did % 6 == 0, F.lit(" " + _DUP_PARA)).otherwise(F.lit("")),
+        F.when(did % 24 == 0, F.lit(" " + _DUP_EXT)).otherwise(F.lit("")),
+    )
+    return shared_substring_pairs(
+        docs.select("doc_id", text2.alias("text")), min_tokens=25
+    )
+
+
 def typosquat_hosts_confirmed(spark, sf_dir):
     """Candidates→verify (r04): the q-gram count filter bounds the
     suspects, then native `levenshtein` confirms edit distance <= 2 on
@@ -2939,6 +2967,7 @@ QUERIES = {
     # at key #50 counted from the top)
     "typosquat_hosts_confirmed": typosquat_hosts_confirmed,
     "pii_redaction": pii_redaction,
+    "exact_substring_pairs": exact_substring_pairs,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5549,6 +5578,41 @@ ORACLE_SQL["pagerank_nepotism_discount"] = pagerank_sql_unrolled(
 )
 
 ORACLE_SQL["typosquat_host_candidates"] = ORACLE_SQL_TYPOSQUAT
+
+ORACLE_SQL["exact_substring_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id AS did,
+             {_NORM_TOKS_SQL.replace('lower(text)', "lower(text || (CASE WHEN doc_id % 6 = 0 THEN ' {p}' ELSE '' END) || (CASE WHEN doc_id % 24 = 0 THEN ' {e}' ELSE '' END))".format(p=_DUP_PARA, e=_DUP_EXT))} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    g AS (
+      SELECT did,
+             unnest(generate_series(1, greatest(len(toks) - 24, 0))) AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 24, 0)),
+                                   i -> array_to_string(toks[i:i+24], ' '))) AS gram
+      FROM t
+    ),
+    hits AS (
+      SELECT a.did AS doc_a, b.did AS doc_b, a.pos AS pos_a,
+             b.pos - a.pos AS diag
+      FROM g a JOIN g b ON a.gram = b.gram AND a.did < b.did
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      FROM hits
+    ),
+    island AS (
+      SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS _len
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           (max(_len) + 24)::BIGINT AS max_shared_run,
+           sum(_len)::BIGINT AS n_shared_grams
+    FROM island GROUP BY doc_a, doc_b
+"""
+
 
 def _pii_redaction_oracle() -> str:
     from licenta_crawler_spark.operators.redaction import pii_redaction_sql

@@ -664,3 +664,65 @@ def edit_distance_pairs(
         "id_a", "id_b",
         F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
     ).where(F.col("edit_distance") <= k)
+
+
+def shared_substring_pairs(
+    documents: DataFrame,
+    min_tokens: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact long-verbatim-overlap pairs — the "deduplicate-text-
+    datasets" shape the near-dup suite misses: two documents sharing a
+    50-token paragraph verbatim while their OVERALL Jaccard stays under
+    any sane threshold (a quote, a boilerplate block, a license header).
+
+    Exactness without an LCS pass: a shared verbatim run of R >= L
+    tokens (L = ``min_tokens``) produces exactly R - L + 1 shared
+    stride-1 L-grams lying on ONE DIAGONAL (pos_b - pos_a constant,
+    pos_a consecutive). So: inverted-index equi-join on the L-gram
+    STRING (no hash, no collision caveat), then the classic
+    gaps-and-islands trick per (pair, diagonal) — max island + L - 1 IS
+    the exact longest shared run. One join + one window, never
+    all-pairs; the join fan-out is bounded because an L-token gram for
+    L >= 20 is effectively a content fingerprint (``max_gram_df``
+    optionally caps pathological boilerplate grams — that cap trades
+    recall on >df-duplicated blocks for a hard fan-out bound, the same
+    valve as every shingle join here, OFF by default for exactness).
+
+    Returns (doc_a, doc_b, max_shared_run, n_shared_grams) for pairs
+    with at least one shared L-gram; max_shared_run >= min_tokens by
+    construction.
+    """
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    grams = documents.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(ngram_join_col(toks, min_tokens)).alias("pos", "gram"),
+    )
+    if max_gram_df is not None:
+        w_df = Window.partitionBy("gram")
+        grams = grams.withColumn("_df", F.count("*").over(w_df)).where(
+            F.col("_df") <= max_gram_df
+        ).drop("_df")
+    a, b = grams.alias("a"), grams.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.did") < F.col("b.did")),
+    ).select(
+        F.col("a.did").alias("doc_a"),
+        F.col("b.did").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = hits.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    ).groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count("*").alias("_len")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("_len") + F.lit(min_tokens - 1)).alias("max_shared_run"),
+        F.sum("_len").alias("n_shared_grams"),
+    )

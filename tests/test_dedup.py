@@ -397,3 +397,64 @@ def test_edit_distance_pairs_verifies_candidates(spark):
         ).collect()
     }
     assert got == {("h1", "h2"): 2}
+
+
+class TestSharedSubstringPairs:
+    def test_shared_paragraph_caught_where_jaccard_misses(self, spark):
+        """Two long, otherwise-distinct docs share one verbatim 30-token
+        paragraph: Jaccard at the standard 0.5 threshold misses the
+        pair; the substring operator reports the EXACT run length."""
+        from licenta_crawler_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            shared_substring_pairs,
+        )
+
+        para = " ".join(f"quote{j}" for j in range(30))
+        a = " ".join(f"alpha{j}" for j in range(120)) + " " + para
+        b = para + " " + " ".join(f"beta{j}" for j in range(120))
+        docs = spark.createDataFrame(
+            [("a", a), ("b", b), ("c", "tiny unrelated doc")],
+            "doc_id string, text string",
+        )
+        got = shared_substring_pairs(docs, min_tokens=25).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == ("a", "b")
+        assert r.max_shared_run == 30          # exact, not just >= 25
+        assert r.n_shared_grams == 6           # 30 - 25 + 1 aligned grams
+        assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+    def test_exact_run_lengths_and_multiple_runs(self, spark):
+        """Two disjoint shared blocks (40 and 26 tokens) on different
+        diagonals: max_shared_run reports the LONGEST, and a shared run
+        shorter than min_tokens contributes nothing."""
+        from licenta_crawler_spark.operators.dedup import (
+            shared_substring_pairs,
+        )
+
+        blk40 = " ".join(f"forty{j}" for j in range(40))
+        blk26 = " ".join(f"twentysix{j}" for j in range(26))
+        blk20 = " ".join(f"twenty{j}" for j in range(20))  # below L
+        mid_a = " ".join(f"fa{j}" for j in range(50))
+        mid_b = " ".join(f"fb{j}" for j in range(70))
+        docs = spark.createDataFrame(
+            [("a", f"{blk40} {mid_a} {blk26} {blk20}"),
+             ("b", f"{blk26} {mid_b} {blk40} end {blk20}")],
+            "doc_id string, text string",
+        )
+        r = shared_substring_pairs(docs, min_tokens=25).collect()[0]
+        assert r.max_shared_run == 40
+        # islands: (40-25+1) + (26-25+1) aligned grams, blk20 invisible
+        assert r.n_shared_grams == 16 + 2
+
+    def test_no_pairs_without_long_overlap(self, spark):
+        from licenta_crawler_spark.operators.dedup import (
+            shared_substring_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", " ".join(f"x{j}" for j in range(100))),
+             ("b", " ".join(f"y{j}" for j in range(100)))],
+            "doc_id string, text string",
+        )
+        assert shared_substring_pairs(docs, min_tokens=25).count() == 0
