@@ -2876,6 +2876,88 @@ def exact_substring_pairs(spark, sf_dir):
     )
 
 
+def gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 App. A) as integer-exact
+    per-doc metrics + the combined gate (`operators/quality.
+    gopher_quality_stats`). Stopwords, symbol runs, and numeric junk are
+    INJECTED deterministically so every rule fires both ways; permille
+    ratios use integer div on both engines."""
+    from licenta_crawler_spark.operators.quality import gopher_quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.lit(
+            " the price of and to quality that we have seen with time"
+        )).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(" ###### ... ### ...")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(
+            " 0001 2345 6789 9999 8888 7777 6666 5555 4444 3333 2222 1111"
+        )).otherwise(F.lit("")),
+    )
+    return gopher_quality_stats(docs.select("doc_id", text2.alias("text")))
+
+
+def c4_line_stats_q(spark, sf_dir):
+    """C4 line filter (Raffel et al. 2020 \u00a72.2) as per-doc stats
+    (`operators/quality.c4_line_stats`): multi-line bodies are
+    synthesized around each doc (a kept sentence, a javascript dropout,
+    a too-short line, a brace dropout, and a punctuation-dependent
+    tail), the filter folds over the line array map-only."""
+    from licenta_crawler_spark.operators.quality import c4_line_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("please enable javascript to continue."),
+        F.lit("too short."),
+        F.lit("terms include { conditions } here today."),
+        F.concat(
+            F.substring("text", 61, 80),
+            F.when(did % 2 == 0, F.lit("!")).otherwise(F.lit("")),
+        ),
+    )
+    return c4_line_stats(docs.select("doc_id", text2.alias("text")))
+
+
+def char_distribution_stats(spark, sf_dir):
+    """Degenerate-text signals without a per-char explode
+    (`operators/quality.char_stats`): per-char counts over the 36-char
+    normalized alphabet via length-minus-replace column math, top-char
+    share in permille, distinct-char count — 36 codegen'd replaces, one
+    scan, exact integers."""
+    from licenta_crawler_spark.operators.quality import char_stats
+
+    return char_stats(_t(spark, sf_dir, "documents"))
+
+
+def bigram_coverage_q(spark, sf_dir):
+    """Fluency proxy with exact integers (`operators/quality.
+    bigram_coverage`): the permille of each doc's bigram occurrences
+    that appear >= 5 times corpus-wide — one corpus scan, one
+    index-sized shuffle on the bigram key, join reuses the same
+    partitioning."""
+    from licenta_crawler_spark.operators.quality import bigram_coverage
+
+    return bigram_coverage(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+def domain_cap_sampling(spark, sf_dir):
+    """Domain-diversity cap (`operators/quality.cap_per_group`): at most
+    20 docs per source, deterministic rank by (n_chars DESC, doc_id ASC)
+    — the standard stage that stops one giant host from dominating a
+    training mix. One shuffle on the group key."""
+    from licenta_crawler_spark.operators.quality import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"),
+        group_col="source", order_col="n_chars", id_col="doc_id", k=20,
+    )
+
+
 def typosquat_hosts_confirmed(spark, sf_dir):
     """Candidates→verify (r04): the q-gram count filter bounds the
     suspects, then native `levenshtein` confirms edit distance <= 2 on
@@ -2968,6 +3050,11 @@ QUERIES = {
     "typosquat_hosts_confirmed": typosquat_hosts_confirmed,
     "pii_redaction": pii_redaction,
     "exact_substring_pairs": exact_substring_pairs,
+    "gopher_quality": gopher_quality,
+    "c4_line_stats": c4_line_stats_q,
+    "char_distribution_stats": char_distribution_stats,
+    "bigram_coverage": bigram_coverage_q,
+    "domain_cap_sampling": domain_cap_sampling,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5578,6 +5665,143 @@ ORACLE_SQL["pagerank_nepotism_discount"] = pagerank_sql_unrolled(
 )
 
 ORACLE_SQL["typosquat_host_candidates"] = ORACLE_SQL_TYPOSQUAT
+
+def _gopher_oracle() -> str:
+    from licenta_crawler_spark.operators.quality import GOPHER_STOPWORDS
+
+    stop = " + ".join(
+        "(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        .format(w=w)
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text
+                 || (CASE WHEN doc_id % 4 = 0 THEN
+                     ' the price of and to quality that we have seen with time'
+                     ELSE '' END)
+                 || (CASE WHEN doc_id % 9 = 0 THEN ' ###### ... ### ...'
+                     ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN
+                     ' 0001 2345 6789 9999 8888 7777 6666 5555 4444 3333 2222 1111'
+                     ELSE '' END) AS text
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+                 length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS sum_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+                 ({stop})::BIGINT AS n_stop_hits,
+                 (len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS symbol_hits
+          FROM d
+        )
+        SELECT doc_id, n_words,
+               (CASE WHEN n_words > 0 THEN sum_chars * 1000 // n_words ELSE 0 END)::BIGINT
+                 AS mean_word_len_millis,
+               (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END)::BIGINT
+                 AS alpha_word_millis,
+               n_stop_hits, symbol_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND (CASE WHEN n_words > 0 THEN sum_chars * 1000 // n_words ELSE 0 END)
+                    BETWEEN 3000 AND 10000
+                AND (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END) >= 800
+                AND n_stop_hits >= 2
+                AND symbol_hits * 10 <= n_words) AS pass_gopher
+        FROM m
+    """
+
+
+ORACLE_SQL["gopher_quality"] = _gopher_oracle()
+
+ORACLE_SQL["c4_line_stats"] = """
+    WITH d AS (
+      SELECT doc_id,
+             substring(text, 1, 60) || '.'
+             || chr(10) || 'please enable javascript to continue.'
+             || chr(10) || 'too short.'
+             || chr(10) || 'terms include { conditions } here today.'
+             || chr(10) || substring(text, 61, 80)
+             || (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END) AS text
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+               ln -> regexp_matches(ln, '[.!?"]\\s*$')
+                 AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                 AND NOT contains(lower(ln), 'javascript')
+                 AND NOT contains(lower(ln), 'lorem ipsum')
+                 AND NOT contains(ln, '{')) AS kept
+      FROM d
+    )
+    SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+           length(array_to_string(kept, ''))::BIGINT AS kept_chars
+    FROM k
+"""
+
+
+def _char_stats_oracle() -> str:
+    from licenta_crawler_spark.operators.quality import _NORM_ALPHABET
+
+    norm = ("replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),"
+            " ' ', '')")
+    cnt = {c: f"(length(n) - length(replace(n, '{c}', '')))" for c in _NORM_ALPHABET}
+    top = "greatest(" + ", ".join(cnt.values()) + ")"
+    distinct = " + ".join(
+        f"(CASE WHEN {e} > 0 THEN 1 ELSE 0 END)" for e in cnt.values()
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {norm} AS n FROM documents),
+        m AS (
+          SELECT doc_id, length(n)::BIGINT AS n_chars,
+                 ({distinct})::BIGINT AS n_distinct_chars,
+                 ({top})::BIGINT AS top
+          FROM t
+        )
+        SELECT doc_id, n_chars, n_distinct_chars,
+               (CASE WHEN n_chars > 0 THEN top * 1000 // n_chars ELSE 0 END)::BIGINT
+                 AS top_char_millis
+        FROM m
+    """
+
+
+ORACLE_SQL["char_distribution_stats"] = _char_stats_oracle()
+
+ORACLE_SQL["bigram_coverage"] = f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM t
+    ),
+    c AS (SELECT bg, count(*)::BIGINT AS df FROM ex GROUP BY bg),
+    p AS (
+      SELECT ex.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(CASE WHEN c.df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_common
+      FROM ex JOIN c USING (bg) GROUP BY ex.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_common,
+           (n_common * 1000 // n_bigrams)::BIGINT AS coverage_millis
+    FROM p
+"""
+
+ORACLE_SQL["domain_cap_sampling"] = """
+    SELECT source AS grp, doc_id, pos
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS pos
+      FROM documents
+    )
+    WHERE pos <= 20
+"""
+
 
 ORACLE_SQL["exact_substring_pairs"] = f"""
     WITH t AS (

@@ -1,0 +1,229 @@
+"""Corpus quality filters — the published heuristic gates a pretraining
+pipeline runs between crawl and dedup (SURVEY §2.8 graft mandate; the
+reference has no analytics surface here).
+
+Everything is integer-exact column math so the DuckDB oracle can replay
+decisions bit-for-bit: ratios are reported in permille via integer
+division (`div`), never floats; counts are longs. All operators are
+map-only single scans except bigram_coverage (one index-sized shuffle
+on the bigram key) and cap_per_group (one shuffle on the group key) —
+at 100 TB each rides the corpus partitioning with no all-pairs step.
+
+Sources (public):
+  * Gopher rules — Rae et al. 2021, "Scaling Language Models" App. A
+    (word-count bounds, mean word length 3-10, symbol-to-word ratio,
+    alphabetic-word fraction, stopword presence).
+  * C4 line filter — Raffel et al. 2020 §2.2 (terminal punctuation,
+    minimum words per line, javascript/brace/lorem-ipsum dropouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# the Gopher stopword-presence probe (a tiny fixed set is the published
+# recipe: the gate asks "does ANY natural-language glue appear", not
+# "what fraction is glue")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: chars of the normalized alphabet — small enough that per-char counts
+#: are plain column math (length minus length-after-removal), no explode
+_NORM_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def gopher_quality_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher-rule metrics + the combined gate.
+
+    Returns (doc_id, n_words, mean_word_len_millis, alpha_word_millis,
+    n_stop_hits, symbol_hits, pass_gopher). Mean word length and the
+    alphabetic-word fraction are permille integers (exact `div`); the
+    gate is the conjunction of the published bounds: word count in
+    [min,max], mean word length in [3,10] chars, >=80% words contain a
+    letter, >=2 distinct stopwords, symbol (#/ellipsis) hits <= 10% of
+    words.
+    """
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    low = F.lower(text)
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0, 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_sum_chars"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long").alias("_n_alpha"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        (
+            F.regexp_count(text, F.lit("#"))
+            + F.regexp_count(text, F.lit(r"\.\.\."))
+        ).cast("long").alias("symbol_hits"),
+    )
+    # permille via integer div (cross-engine exact; see memory notes)
+    mean_mil = F.expr(
+        "CASE WHEN n_words > 0 THEN _sum_chars * 1000 div n_words ELSE 0 END"
+    ).cast("long")
+    alpha_mil = F.expr(
+        "CASE WHEN n_words > 0 THEN _n_alpha * 1000 div n_words ELSE 0 END"
+    ).cast("long")
+    scored = base.select(
+        "doc_id", "n_words",
+        mean_mil.alias("mean_word_len_millis"),
+        alpha_mil.alias("alpha_word_millis"),
+        "n_stop_hits", "symbol_hits",
+    )
+    gate = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_millis").between(3000, 10_000)
+        & (F.col("alpha_word_millis") >= 800)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("symbol_hits") * 10 <= F.col("n_words"))
+    )
+    return scored.withColumn("pass_gopher", gate)
+
+
+def c4_line_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning as per-document stats: split on newlines,
+    keep a line iff it ends in terminal punctuation (. ! ? "), carries
+    >= min_line_words whitespace words, and contains neither
+    'javascript' nor 'lorem ipsum' nor '{'. Returns (doc_id, n_lines,
+    n_kept, kept_chars) — map-only, one pass, no explode (the line
+    array folds through filter/aggregate)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    keep = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+        & ~F.lower(ln).contains("javascript")
+        & ~F.lower(ln).contains("lorem ipsum")
+        & ~ln.contains("{"),
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(keep).cast("long").alias("n_kept"),
+        F.aggregate(
+            keep, F.lit(0).cast("long"), lambda acc, ln: acc + F.length(ln)
+        ).alias("kept_chars"),
+    )
+
+
+def char_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gibberish/degenerate-text signals over the normalized alphabet
+    WITHOUT exploding characters: per-char counts are
+    length(s) - length(replace(s, c, '')) — 36 codegen'd replaces, one
+    scan. Returns (doc_id, n_chars, n_distinct_chars,
+    top_char_millis): a top-char share near 1000 is a repeated-char
+    artifact; a tiny distinct-char count is keyboard mash or binary
+    spill."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    norm = F.regexp_replace(normalized_text_col(F.col(text_col)), " ", "")
+    counts = [
+        (F.length(norm) - F.length(F.regexp_replace(norm, c, ""))).cast("long")
+        for c in _NORM_ALPHABET
+    ]
+    top = F.greatest(*counts)
+    distinct = None
+    for c in counts:
+        d = F.when(c > 0, 1).otherwise(0)
+        distinct = d if distinct is None else distinct + d
+    n = F.length(norm).cast("long")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_chars"),
+        distinct.cast("long").alias("n_distinct_chars"),
+        top.alias("_top"),
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_distinct_chars",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN _top * 1000 div n_chars ELSE 0 END"
+        ).cast("long").alias("top_char_millis"),
+    )
+
+
+def bigram_coverage(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+) -> DataFrame:
+    """Language-model-ish fluency proxy with exact integers: the share
+    of a document's bigram OCCURRENCES that appear >= min_df times in
+    the whole corpus. Natural text reuses corpus-common bigrams;
+    gibberish and boilerplate-free word salad do not. One corpus scan
+    builds the exploded bigram stream; the corpus counts aggregate it
+    (index-sized shuffle on the bigram key, map-side combine); the join
+    back is on the same key, so the plan reuses the partitioning.
+
+    Returns (doc_id, n_bigrams, n_common, coverage_millis)."""
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_join_col(toks, 2)).alias("bg"),
+    )
+    counts = ex.groupBy("bg").agg(F.count("*").alias("df"))
+    per_doc = (
+        ex.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_common"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "n_common",
+        F.expr("n_common * 1000 div n_bigrams").alias("coverage_millis"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Domain-diversity cap — the standard "at most k documents per
+    registrable domain / source" sampling stage that stops one giant
+    host from dominating a training mix. Deterministic: rank by
+    (order_col DESC, id ASC) inside each group, keep rank <= k. One
+    shuffle on the group key; emits (group, id, pos)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, id_col, order_col)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            "pos",
+        )
+    )

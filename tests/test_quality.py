@@ -1,0 +1,106 @@
+"""Corpus quality filters (operators/quality.py): Gopher rules, C4 line
+filter, char-distribution signals, bigram coverage, domain cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.quality import (
+    bigram_coverage,
+    c4_line_stats,
+    cap_per_group,
+    char_stats,
+    gopher_quality_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_gate_each_rule(spark):
+    good = ("the quick brown fox jumps over and over the lazy dog with "
+            "great joy because it must reach fifty words to pass " * 3)
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "the of and " * 5),                        # too few words
+        (3, good + " ##### " * 30),                    # symbol ratio fails
+        (4, good.replace("the", "zzz").replace("and", "qqq")
+            .replace("with", "vvv").replace("to", "kk")
+            .replace("over", "mm").replace("of", "nn")
+            .replace("that", "pp").replace("have", "rr")
+            .replace("be", "ww")),                     # < 2 stopwords
+        (5, " ".join("1234" for _ in range(80))),      # alpha fraction 0
+        (6, " ".join("ab" for _ in range(80))),        # mean word len < 3
+    ]
+    got = {r["doc_id"]: r for r in
+           gopher_quality_stats(_docs(spark, rows)).collect()}
+    assert got[1]["pass_gopher"] is True
+    for bad in (2, 3, 4, 5, 6):
+        assert got[bad]["pass_gopher"] is False, bad
+    assert got[5]["alpha_word_millis"] == 0
+    assert got[6]["mean_word_len_millis"] == 2000
+    assert got[2]["n_words"] == 15
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join([
+        "this sentence is long enough and ends properly.",   # kept
+        "no terminal punctuation here at all",                # dropped
+        "too short.",                                         # dropped (<3)
+        "we use javascript on this page.",                    # dropped
+        "the Lorem Ipsum generator text.",                    # dropped
+        'quoted line with enough words here."',               # kept (quote)
+        "code block { x: 1 } follows.",                       # dropped
+        "another perfectly fine sentence stands here!",       # kept
+    ])
+    r = c4_line_stats(_docs(spark, [(1, text)])).collect()[0]
+    assert r["n_lines"] == 8
+    assert r["n_kept"] == 3
+    assert r["kept_chars"] == (47 + 36 + 44)
+
+
+def test_char_stats_signals(spark):
+    rows = [
+        (1, "aaaaaaaaaa"),                 # one char: top share 1000
+        (2, "abcdefghij"),                 # uniform: top share 100
+        (3, "The Quick! Brown-Fox 99"),    # normalization applies
+        (4, ""),
+    ]
+    got = {r["doc_id"]: r for r in char_stats(_docs(spark, rows)).collect()}
+    assert got[1]["top_char_millis"] == 1000
+    assert got[1]["n_distinct_chars"] == 1
+    assert got[2]["top_char_millis"] == 100
+    assert got[2]["n_distinct_chars"] == 10
+    assert got[3]["n_chars"] == len("thequickbrownfox99")
+    assert got[4]["n_chars"] == 0 and got[4]["top_char_millis"] == 0
+
+
+def test_bigram_coverage_exact(spark):
+    common = "alpha beta"
+    rows = [(i, f"{common} tail{i}") for i in range(6)]  # 'alpha beta' df=6
+    rows.append((99, "alpha beta alpha beta"))  # 3 bigrams, 2 common
+    got = {r["doc_id"]: r for r in
+           bigram_coverage(_docs(spark, rows), min_df=5).collect()}
+    # docs 0-5: bigrams = [alpha beta, beta tailN]; only the first is common
+    assert got[0]["n_bigrams"] == 2 and got[0]["n_common"] == 1
+    assert got[0]["coverage_millis"] == 500
+    # doc 99: [alpha beta, beta alpha, alpha beta] -> 2 of 3 common
+    assert got[99]["n_bigrams"] == 3 and got[99]["n_common"] == 2
+    assert got[99]["coverage_millis"] == 666
+
+
+def test_cap_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", "s1" if i < 30 else "s2", 1000 - i) for i in range(40)],
+        "doc_id string, source string, n_chars long",
+    )
+    out = cap_per_group(df, "source", "n_chars", "doc_id", k=20).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["pos"], r["doc_id"]))
+    assert len(by_grp["s1"]) == 20            # capped
+    assert len(by_grp["s2"]) == 10            # under cap: all kept
+    # deterministic order: highest n_chars first => lowest i first
+    assert sorted(by_grp["s1"])[0] == (1, "d0")
+    assert sorted(by_grp["s1"])[-1] == (20, "d19")
