@@ -2958,6 +2958,31 @@ def domain_cap_sampling(spark, sf_dir):
     )
 
 
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (`operators/cdc.cdc_dedup_stats`):
+    fixed-gear rolling-hash boundaries (closed-form window hash — no
+    sequential scan, vectorized numpy in an Arrow UDF; chunk hashing
+    stays native) find SHIFTED duplicate blocks that fixed-size blocks
+    miss: the same 30-token paragraph is injected at the END of every
+    7th doc and mid-prefix-shifted into every 13th, and the interior
+    chunk fingerprints must match across both placements. Output is the
+    duplicate-chunk ledger (fp, len, copies, reclaimable bytes); the
+    oracle replays the identical integer hash per position in DuckDB."""
+    from licenta_crawler_spark.operators.cdc import cdc_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(" " + _DUP_PARA)).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit(" zq " + _DUP_PARA + " tailmark")).otherwise(F.lit("")),
+    )
+    return cdc_dedup_stats(
+        docs.select("doc_id", text2.alias("text")), mask_bits=6
+    )
+
+
 def typosquat_hosts_confirmed(spark, sf_dir):
     """Candidates→verify (r04): the q-gram count filter bounds the
     suspects, then native `levenshtein` confirms edit distance <= 2 on
@@ -3055,6 +3080,7 @@ QUERIES = {
     "char_distribution_stats": char_distribution_stats,
     "bigram_coverage": bigram_coverage_q,
     "domain_cap_sampling": domain_cap_sampling,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5665,6 +5691,28 @@ ORACLE_SQL["pagerank_nepotism_discount"] = pagerank_sql_unrolled(
 )
 
 ORACLE_SQL["typosquat_host_candidates"] = ORACLE_SQL_TYPOSQUAT
+
+def _cdc_oracle() -> str:
+    from licenta_crawler_spark.operators.cdc import cdc_sql
+
+    inner = (
+        "(SELECT doc_id, text"
+        " || (CASE WHEN doc_id % 7 = 0 THEN ' {p}' ELSE '' END)"
+        " || (CASE WHEN doc_id % 13 = 0 THEN ' zq {p} tailmark' ELSE '' END)"
+        " AS text FROM documents WHERE doc_id < 300)"
+    ).format(p=_DUP_PARA)
+    return f"""
+    WITH _chunks AS ({cdc_sql(inner, mask_bits=6)})
+    SELECT fp, chunk_len, count(*)::BIGINT AS n_copies,
+           ((count(*) - 1) * chunk_len)::BIGINT AS dup_bytes
+    FROM _chunks
+    GROUP BY fp, chunk_len
+    HAVING count(*) >= 2
+    """
+
+
+ORACLE_SQL["cdc_chunk_dedup"] = _cdc_oracle()
+
 
 def _gopher_oracle() -> str:
     from licenta_crawler_spark.operators.quality import GOPHER_STOPWORDS

@@ -1,0 +1,205 @@
+"""Content-defined chunking (CDC) dedup — the rsync/FastCDC-family
+stage that finds SHIFTED duplicate content in byte streams, where
+fixed-size blocks fail: inserting one byte near the start of a file
+moves every fixed block boundary, but content-defined boundaries
+re-align immediately, so all downstream chunks still fingerprint-match.
+For a training-data lake this is the file/binary-level companion to the
+token-level dedup suite (multimodal payloads, raw HTML snapshots,
+tarballs of scraped assets).
+
+Design — "fixed-gear" CDC, chosen deliberately for the execution model:
+a boundary is declared after any position whose rolling hash of the
+LAST ``w`` characters satisfies ``h % 2^mask_bits == 0`` (expected
+chunk length 2^mask_bits). Because the window is FIXED LENGTH, the
+hash at every position has a closed form
+
+    h_i = sum_{j=0..w-1} code(s[i-j]) * B^j  (mod p)
+
+— no sequential recurrence, unlike FastCDC's min/max-size state
+machine. That one property is what makes the operator fit both engines
+exactly:
+
+  * Spark: an Arrow-batched pandas UDF computes ALL positions of a doc
+    as ``w`` shifted numpy vector ops (no per-byte Python loop); chunk
+    assembly (posexplode + substring + md5) stays native, so chunk
+    text never round-trips through Python.
+  * DuckDB oracle: the same closed form as a 16-term expression per
+    position — bit-exact integer math (p = 2^31 - 1 keeps every
+    intermediate < 2^43, safely inside int64 on both engines).
+
+Boundaries depend only on local content, so the chunking of a document
+is independent of every other document — map-only, embarrassingly
+parallel, no shuffle until the fingerprint groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+CDC_P = (1 << 31) - 1   # Mersenne modulus: exact in int64 on both engines
+CDC_B = 257             # polynomial base > alphabet
+CDC_W = 16              # rolling window (chars)
+
+_SPAN = ArrayType(
+    StructType(
+        [StructField("start", IntegerType()), StructField("len", IntegerType())]
+    )
+)
+
+
+def _cut_positions(codes: np.ndarray, w: int, mask: int) -> np.ndarray:
+    """1-based END positions of content-defined cuts. Vectorized: the
+    fixed-window polynomial hash at every position is w shifted
+    multiply-adds, no scan."""
+    n = len(codes)
+    if n < w:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n - w + 1, dtype=np.int64)
+    pw = 1
+    for j in range(w):
+        h = (h + codes[w - 1 - j : n - j] * pw) % CDC_P
+        pw = (pw * CDC_B) % CDC_P
+    return np.nonzero(h % (mask + 1) == 0)[0] + w
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 6,
+    window: int = CDC_W,
+) -> DataFrame:
+    """Chunk every document at content-defined boundaries and fingerprint
+    each chunk (md5 of the chunk substring, computed NATIVELY after the
+    UDF — the UDF ships only (start, len) span structs back, never
+    chunk text).
+
+    Returns (doc_id, chunk_idx, start, chunk_len, fp) — ``start`` is
+    1-based (substring convention in both engines); expected chunk
+    length is 2**mask_bits chars; a document shorter than the window is
+    one whole-doc chunk.
+    """
+    mask = (1 << mask_bits) - 1
+
+    @F.pandas_udf(_SPAN)
+    def spans_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            cuts = _cut_positions(codes, window, mask)
+            n = len(t)
+            spans, prev = [], 0
+            for c in cuts:
+                spans.append({"start": int(prev + 1), "len": int(c - prev)})
+                prev = int(c)
+            if prev < n:
+                spans.append({"start": int(prev + 1), "len": int(n - prev)})
+            out.append(spans)
+        return pd.Series(out)
+
+    spans = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_txt"),
+        F.posexplode(spans_udf(F.col(text_col))).alias("chunk_idx", "s"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("s.start").cast("long").alias("start"),
+        F.col("s.len").cast("long").alias("chunk_len"),
+        F.md5(
+            F.encode(F.expr("substring(_txt, s.start, s.len)"), "UTF-8")
+        ).alias("fp"),
+    )
+
+
+def cdc_dedup_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 6,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate-chunk ledger: fingerprints stored by >= 2
+    documents/positions, with copy counts and reclaimable bytes — what a
+    dedup-aware store would actually save. One groupBy on the
+    fingerprint key after the map-only chunker.
+
+    Returns (fp, chunk_len, n_copies, dup_bytes) where dup_bytes =
+    (n_copies - 1) * chunk_len.
+    """
+    ch = cdc_chunks(documents, id_col, text_col, mask_bits=mask_bits)
+    return (
+        ch.groupBy("fp", "chunk_len")
+        .agg(F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= min_copies)
+        .select(
+            "fp", "chunk_len", "n_copies",
+            ((F.col("n_copies") - 1) * F.col("chunk_len")).alias("dup_bytes"),
+        )
+    )
+
+
+def cdc_sql(
+    table_expr: str,
+    mask_bits: int = 6,
+    window: int = CDC_W,
+) -> str:
+    """DuckDB replay of :func:`cdc_chunks` over ``table_expr`` (must
+    yield (doc_id, text)): the identical closed-form hash per position
+    (w explicit terms), the same cut rule, chunk spans via lag, md5
+    fingerprints. Returns SQL yielding (doc_id, chunk_idx, start,
+    chunk_len, fp)."""
+    terms = []
+    pw = 1
+    for j in range(window):
+        terms.append(f"ord(substring(text, i - {j}, 1))::BIGINT * {pw}")
+        pw = (pw * CDC_B) % CDC_P
+    hash_expr = "(" + " + ".join(terms) + f") % {CDC_P}"
+    mask = (1 << mask_bits) - 1
+    return f"""
+    WITH _d AS (SELECT doc_id, text FROM {table_expr}),
+    _pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series({window}, length(text))) AS i
+      FROM _d WHERE length(text) >= {window}
+    ),
+    _cuts AS (
+      SELECT doc_id, text, i AS cut
+      FROM _pos WHERE ({hash_expr}) % {mask + 1} = 0
+    ),
+    _all_cuts AS (
+      SELECT doc_id, text, cut FROM _cuts
+      UNION ALL
+      SELECT doc_id, text, length(text) AS cut
+      FROM _d
+      WHERE length(text) > 0 AND length(text) NOT IN (
+        SELECT cut FROM _cuts c WHERE c.doc_id = _d.doc_id)
+    ),
+    _spans AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1
+               AS chunk_idx,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1
+               AS start,
+             cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+               AS chunk_len
+      FROM _all_cuts
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, start::BIGINT AS start,
+           chunk_len::BIGINT AS chunk_len,
+           md5(substring(text, start::INT, chunk_len::INT)) AS fp
+    FROM _spans
+    """
