@@ -102,6 +102,22 @@ def main() -> None:
             queries[name] = round(time.perf_counter() - t0, 3)
             _release_session_state(spark)
 
+        # the iterative fixed-point family pays a 2-5x FIRST-execution
+        # premium (AQE replanning + codegen for each round's new plan
+        # shape); suite totals overstate their steady-state cost, so a
+        # warm re-measurement is published alongside (r03 verdict #10)
+        warm: dict[str, float] = {}
+        for name in _FIXED_POINT_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warm[name] = round(time.perf_counter() - t0, 3)
+            _release_session_state(spark)
+        out["queries_warm_fixed_point"] = warm
+
     out["queries"] = queries
     out["value"] = round(sum(queries.values()), 3)
     out["unit"] = "sec"
@@ -111,6 +127,16 @@ def main() -> None:
     )
     out.update(_deltas_vs_prev_round(queries, sf, cpus))
     print(json.dumps(out))
+
+
+# iterative fixed-point queries re-measured warm after the main sweep:
+# their cold sample includes one-time AQE replan/codegen per round shape
+_FIXED_POINT_QUERIES = (
+    "pagerank_links", "ppr_seeded_links", "hits_part_links",
+    "lpa_part_communities", "kcore_part_copurchase",
+    "dedup_components_minhash", "bfs_depth_part_links",
+    "pagerank_nepotism_discount",
+)
 
 
 def _release_session_state(spark) -> None:
