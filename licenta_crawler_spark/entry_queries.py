@@ -3013,6 +3013,22 @@ def typosquat_hosts_confirmed(spark, sf_dir):
     return edit_distance_pairs(hosts, q=2, k=2)
 
 
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (`operators/ann.semantic_dedup_fp`): fixed-point k-means clusters
+    bound the candidate set (per-cell self-join — never N^2), then the
+    duplicate predicate cos >= 9/20 is decided entirely in int64
+    (dot^2*t_den^2 vs t_num^2*ss_a*ss_b), so DuckDB replays the whole
+    train→assign→pair→keep chain bit-for-bit. One row per vector with
+    its cell, duplicate-partner count, and the SemDeDup keep flag
+    (lowest id per duplicate relation survives)."""
+    from licenta_crawler_spark.operators.ann import semantic_dedup_fp
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_fp(e, n_cells=8, sample_n=256, scale=1000,
+                             t_num=9, t_den=20)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3081,6 +3097,7 @@ QUERIES = {
     "bigram_coverage": bigram_coverage_q,
     "domain_cap_sampling": domain_cap_sampling,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5712,6 +5729,86 @@ def _cdc_oracle() -> str:
 
 
 ORACLE_SQL["cdc_chunk_dedup"] = _cdc_oracle()
+
+# SemDeDup replay: the fixed-point k-means trainer CTEs (qe..a2) mirror
+# the ann_ivf_topk oracle exactly (same trainer, factored into
+# operators/ann.ivf_train_assign_fp); the pair stage then re-derives the
+# int64 duplicate predicate dot^2*400 >= 81*ss_a*ss_b within cells.
+ORACLE_SQL["semantic_dedup_embeddings"] = """
+    WITH qe AS (
+      SELECT vec_id::BIGINT AS vid,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             trunc(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qx
+      FROM embeddings
+    ),
+    seedss AS (
+      SELECT vid AS cell, sum(qx*qx) AS ss FROM qe WHERE vid < 8
+      GROUP BY vid HAVING sum(qx*qx) > 0
+    ),
+    seede AS (SELECT vid AS cell, pos, qx AS sx FROM qe WHERE vid < 8),
+    sa AS (
+      SELECT s.vid, d.cell, sum(s.qx * d.sx) AS dot
+      FROM qe s JOIN seede d USING (pos)
+      WHERE s.vid < 256
+      GROUP BY s.vid, d.cell
+    ),
+    a1 AS (
+      SELECT vid, cell FROM (
+        SELECT sa.vid, sa.cell,
+               row_number() OVER (
+                 PARTITION BY sa.vid
+                 ORDER BY sa.dot / sqrt(ss.ss) DESC, sa.cell) AS rn
+        FROM sa JOIN seedss ss USING (cell)
+      ) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT a1.cell, qe.pos, sum(qe.qx) AS sd
+      FROM a1 JOIN qe USING (vid) GROUP BY a1.cell, qe.pos
+    ),
+    centss AS (
+      SELECT cell, sum(sd*sd) AS ss FROM cent
+      GROUP BY cell HAVING sum(sd*sd) > 0
+    ),
+    fd AS (
+      SELECT qe.vid, cent.cell, sum(qe.qx * cent.sd) AS dot
+      FROM qe JOIN cent USING (pos) GROUP BY qe.vid, cent.cell
+    ),
+    a2 AS (
+      SELECT vid, cell FROM (
+        SELECT fd.vid, fd.cell,
+               row_number() OVER (
+                 PARTITION BY fd.vid
+                 ORDER BY fd.dot / sqrt(c.ss) DESC, fd.cell) AS rn
+        FROM fd JOIN centss c USING (cell)
+      ) WHERE rn = 1
+    ),
+    ssv AS (SELECT vid, sum(qx*qx) AS ss FROM qe GROUP BY vid),
+    pd AS (
+      SELECT pa.vid AS a, pb.vid AS b, sum(ea.qx * eb.qx) AS dot
+      FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vid < pb.vid
+      JOIN qe ea ON ea.vid = pa.vid
+      JOIN qe eb ON eb.vid = pb.vid AND eb.pos = ea.pos
+      GROUP BY pa.vid, pb.vid
+    ),
+    dups AS (
+      SELECT a, b FROM pd
+      JOIN ssv sva ON sva.vid = pd.a
+      JOIN ssv svb ON svb.vid = pd.b
+      WHERE dot > 0 AND dot*dot*400 >= 81 * sva.ss * svb.ss
+    ),
+    partners AS (
+      SELECT a AS vid, b AS p FROM dups
+      UNION ALL SELECT b AS vid, a AS p FROM dups
+    ),
+    st AS (
+      SELECT vid, count(*)::BIGINT AS n_dups, min(p) AS mp
+      FROM partners GROUP BY vid
+    )
+    SELECT a2.vid AS vec_id, a2.cell::BIGINT AS cell,
+           coalesce(st.n_dups, 0)::BIGINT AS n_dups,
+           (coalesce(st.mp, 9223372036854775807) > a2.vid) AS keep
+    FROM a2 LEFT JOIN st USING (vid)
+"""
 
 
 def _gopher_oracle() -> str:

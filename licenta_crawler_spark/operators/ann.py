@@ -513,6 +513,154 @@ def dot_long(a: Column, b: Column) -> Column:
     )
 
 
+def ivf_train_assign_fp(
+    vectors: DataFrame,
+    *,
+    n_cells: int = 8,
+    sample_n: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared fixed-point IVF trainer + full-table assignment: returns
+    ``(assigned, cvec)`` where ``assigned`` is (vid, cell, qv) — every
+    vector labelled with its nearest trained centroid — and ``cvec`` is
+    (cell, sv, ss), the integer centroid sums with their squared norms.
+
+    Trainer semantics (identical to the documented ``ann_topk_ivf_fp``
+    contract it was factored out of): cell c is seeded by the vector with
+    id c; the sample (id < sample_n) assigns to seed cells by cosine
+    (tie -> lowest cell); a cell's centroid is the INTEGER SUM of its
+    members (the member count cancels in cosine), so every arithmetic
+    step is an associative integer sum and the only floats are single
+    correctly-rounded divide/sqrt ops at comparison points — bit-identical
+    across the JVM, numpy and DuckDB on any partitioning."""
+    qv = vectors.select(
+        F.col(id_col).cast("long").alias("vid"),
+        quantize_col(F.col(vec_col), scale).alias("qv"),
+    )
+    seeds = (
+        qv.filter(F.col("vid") < n_cells)
+        .select(F.col("vid").alias("cell"), F.col("qv").alias("sv"))
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+    samp = qv.filter(F.col("vid") < sample_n)
+
+    def _argmin_cell(scored: DataFrame, extra: list[str]) -> DataFrame:
+        # argmax score (tie -> lowest cell) as a map-side-combinable
+        # min(struct(-score, cell, ...)) — no per-key window sort.
+        m = scored.groupBy("vid").agg(
+            F.min(F.struct((-F.col("score")).alias("ns"), F.col("cell"), *[F.col(c) for c in extra])).alias("m")
+        )
+        return m.select("vid", F.col("m.cell").alias("cell"), *[F.col(f"m.{c}").alias(c) for c in extra])
+
+    a1 = _argmin_cell(
+        samp.crossJoin(F.broadcast(seeds)).select(
+            "vid", "cell", "qv",
+            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        ),
+        ["qv"],
+    )
+    cent = (
+        a1.select("cell", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("sd"))
+    )
+    cvec = (
+        cent.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
+            ).alias("sv")
+        )
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+    a2 = _argmin_cell(
+        qv.crossJoin(F.broadcast(cvec)).select(
+            "vid", "cell", "qv",
+            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        ),
+        ["qv"],
+    )
+    return a2, cvec
+
+
+def semantic_dedup_fp(
+    vectors: DataFrame,
+    *,
+    n_cells: int = 8,
+    sample_n: int = 256,
+    scale: int = 1000,
+    t_num: int = 9,
+    t_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding table with the fixed-point k-means trainer, then find
+    near-duplicate pairs ONLY within each cluster and keep the lowest-id
+    member of every duplicate relation.
+
+    Why the cluster stage exists at all: at 10^9+ vectors the pairwise
+    cosine matrix is unthinkable; SemDeDup's observation is that semantic
+    duplicates land in the same k-means cell, so the candidate set is
+    sum(|cell|^2) instead of N^2 — the cell id is the join key and the
+    per-cell self-join is the only shuffle beyond training. n_cells grows
+    with N (cells ~ N / target_cell_size) to bound cell sizes.
+
+    Exactness: the duplicate predicate cos(a,b) >= t_num/t_den is
+    evaluated ENTIRELY in int64 — cos >= t  iff  dot > 0 and
+    dot^2 * t_den^2 >= t_num^2 * ss_a * ss_b — so no float enters the
+    decision and DuckDB replays it bit-for-bit. Overflow headroom:
+    |component| <= scale <= 2^13, dims <= 64 keeps ss <= 2^32 and every
+    product here < 2^62 (ANSI mode would throw loudly otherwise).
+
+    Output: one row per vector — (vec_id, cell, n_dups, keep) where
+    ``keep`` is false iff some same-cell duplicate partner has a smaller
+    id (SemDeDup keeps one representative per duplicate relation).
+    Reference scope: beyond mcdobr/licenta-crawler (595-LoC crawler);
+    this is the graft's LLM-training-data mandate."""
+    assigned, _ = ivf_train_assign_fp(
+        vectors, n_cells=n_cells, sample_n=sample_n, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = assigned.select(F.col("vid").alias("a"), "cell", F.col("qv").alias("qa"))
+    b = assigned.select(F.col("vid").alias("b"), "cell", F.col("qv").alias("qb"))
+    dot = dot_long(F.col("qa"), F.col("qb"))
+    ssa = dot_long(F.col("qa"), F.col("qa"))
+    ssb = dot_long(F.col("qb"), F.col("qb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            dot.alias("dot"), ssa.alias("ssa"), ssb.alias("ssb"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(t_den * t_den)
+                >= F.lit(t_num * t_num) * F.col("ssa") * F.col("ssb")
+            )
+        )
+        .select("a", "b")
+    )
+    partners = dups.select(F.col("a").alias("vid"), F.col("b").alias("p")).unionAll(
+        dups.select(F.col("b").alias("vid"), F.col("a").alias("p"))
+    )
+    stats = partners.groupBy("vid").agg(
+        F.count("*").alias("n_dups"), F.min("p").alias("min_p")
+    )
+    return assigned.join(stats, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce(F.col("min_p"), F.lit(2**63 - 1)) > F.col("vid")).alias("keep"),
+    )
+
+
 def ann_topk_ivf_fp(
     vectors: DataFrame,
     q_int: list[int],
@@ -558,60 +706,15 @@ def ann_topk_ivf_fp(
     md5/literal-hyperplane variants of minhash/simhash."""
     qlit = F.array(*[F.lit(int(v)).cast("long") for v in q_int])
     qss = int(sum(int(v) * int(v) for v in q_int))
-    qv = vectors.select(
-        F.col(id_col).cast("long").alias("vid"),
-        quantize_col(F.col(vec_col), scale).alias("qv"),
-    )
-    seeds = (
-        qv.filter(F.col("vid") < n_cells)
-        .select(F.col("vid").alias("cell"), F.col("qv").alias("sv"))
-        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
-        .filter(F.col("ss") > 0)
-    )
-    samp = qv.filter(F.col("vid") < sample_n)
-
-    def _argmin_cell(scored: DataFrame, extra: list[str]) -> DataFrame:
-        # argmax score (tie -> lowest cell) as a map-side-combinable
-        # min(struct(-score, cell, ...)) — no per-key window sort.
-        m = scored.groupBy("vid").agg(
-            F.min(F.struct((-F.col("score")).alias("ns"), F.col("cell"), *[F.col(c) for c in extra])).alias("m")
-        )
-        return m.select("vid", F.col("m.cell").alias("cell"), *[F.col(f"m.{c}").alias(c) for c in extra])
-
-    a1 = _argmin_cell(
-        samp.crossJoin(F.broadcast(seeds)).select(
-            "vid", "cell", "qv",
-            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
-        ),
-        ["qv"],
-    )
-    cent = (
-        a1.select("cell", F.posexplode("qv").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.sum("x").alias("sd"))
-    )
-    cvec = (
-        cent.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
-            ).alias("sv")
-        )
-        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
-        .filter(F.col("ss") > 0)
+    a2, cvec = ivf_train_assign_fp(
+        vectors, n_cells=n_cells, sample_n=sample_n, scale=scale,
+        id_col=id_col, vec_col=vec_col,
     )
     probe = (
         cvec.withColumn("score", dot_long(F.col("sv"), qlit) / F.sqrt(F.col("ss")))
         .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("cell"))))
         .filter(F.col("rn") <= n_probe)
         .select("cell")
-    )
-    a2 = _argmin_cell(
-        qv.crossJoin(F.broadcast(cvec)).select(
-            "vid", "cell", "qv",
-            (dot_long(F.col("qv"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
-        ),
-        ["qv"],
     )
     hits = a2.join(F.broadcast(probe), "cell")
     scored = hits.select(

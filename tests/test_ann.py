@@ -222,3 +222,70 @@ def test_random_projection_replay_and_distance_preservation(spark):
             d = ((cp[i] - cp[j]) ** 2).sum()
             (within if i % 4 == j % 4 else between).append(d)
     assert max(within) < min(between)
+
+
+class TestSemanticDedupFp:
+    """SemDeDup: cluster-bounded duplicate relation with keep-lowest-id
+    survivors, decided entirely in int64."""
+
+    def _table(self, spark):
+        # 3 well-separated direction clusters; ids 0..2 seed the cells.
+        # Injected duplicates: 40/41 identical, 42 a tiny perturbation of
+        # 40 (cos ~0.9996), 43 an unrelated singleton direction.
+        rng = random.Random(7)
+        base = {
+            0: [0.9 if i < 10 else 0.01 for i in range(64)],
+            1: [0.9 if 20 <= i < 30 else 0.01 for i in range(64)],
+            2: [0.9 if 40 <= i < 50 else 0.01 for i in range(64)],
+        }
+        rows = []
+        for vid in range(40):
+            c = base[vid % 3]
+            # wide noise keeps organic same-cluster cosines ~0.8 — well
+            # under the 0.95 duplicate threshold but same-cell
+            rows.append((vid, [x + rng.uniform(-0.3, 0.3) for x in c]))
+        dup = [x + 0.001 * i for i, x in enumerate(base[0])]
+        rows.append((40, dup))
+        rows.append((41, list(dup)))
+        rows.append((42, [x + (0.002 if i == 0 else 0.0) for i, x in enumerate(dup)]))
+        rows.append((43, [(-0.8 if i % 2 else 0.7) for i in range(64)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_duplicates_found_and_keep_flags(self, spark):
+        from licenta_crawler_spark.operators.ann import semantic_dedup_fp
+
+        out = {
+            r["vec_id"]: r.asDict()
+            for r in semantic_dedup_fp(
+                self._table(spark), n_cells=3, sample_n=40, scale=1000,
+                t_num=19, t_den=20,
+            ).collect()
+        }
+        assert len(out) == 44
+        # 40/41 are exact duplicates, 42 is a near-exact copy: all three
+        # must be mutual partners, only the lowest id (40) survives
+        assert out[40]["n_dups"] >= 2 and out[40]["keep"] is True
+        assert out[41]["n_dups"] >= 2 and out[41]["keep"] is False
+        assert out[42]["n_dups"] >= 2 and out[42]["keep"] is False
+        # same cell (the whole point: candidates come from the cluster)
+        assert out[40]["cell"] == out[41]["cell"] == out[42]["cell"]
+        # the unrelated singleton has no partners and survives
+        assert out[43]["n_dups"] == 0 and out[43]["keep"] is True
+        # cluster members are NOT 0.95-duplicates of each other
+        organics = [v for k, v in out.items() if k < 40]
+        assert all(v["n_dups"] == 0 and v["keep"] is True for v in organics)
+
+    def test_partitioning_invariance(self, spark):
+        from licenta_crawler_spark.operators.ann import semantic_dedup_fp
+
+        t = self._table(spark)
+        a = sorted(
+            semantic_dedup_fp(t, n_cells=3, sample_n=40, t_num=19, t_den=20)
+            .collect()
+        )
+        b = sorted(
+            semantic_dedup_fp(
+                t.repartition(13), n_cells=3, sample_n=40, t_num=19, t_den=20
+            ).collect()
+        )
+        assert a == b
