@@ -3029,6 +3029,18 @@ def semantic_dedup_embeddings(spark, sf_dir):
                              t_num=9, t_den=20)
 
 
+def lm_surprisal_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality split
+    (`operators/quality.unigram_surprisal_buckets`): mean per-token
+    surprisal under a corpus-trained unigram LM, integer-exact via
+    floor(log2) = len(bin(x))-1, corpus cut into terciles by ntile over
+    a deterministic total order. One corpus scan + a vocab-sized model
+    join + a doc-level sort."""
+    from licenta_crawler_spark.operators.quality import unigram_surprisal_buckets
+
+    return unigram_surprisal_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3098,6 +3110,7 @@ QUERIES = {
     "domain_cap_sampling": domain_cap_sampling,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "lm_surprisal_buckets": lm_surprisal_buckets,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5729,6 +5742,35 @@ def _cdc_oracle() -> str:
 
 
 ORACLE_SQL["cdc_chunk_dedup"] = _cdc_oracle()
+
+ORACLE_SQL["lm_surprisal_buckets"] = f"""
+    WITH words AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest({_NORM_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ),
+    model AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+    nt AS (SELECT sum(cnt)::BIGINT AS n_total FROM model),
+    scored AS (
+      SELECT doc_id, tf,
+             (length(bin(n_total // cnt)) - 1)::BIGINT AS bits
+      FROM tf JOIN model USING (term) CROSS JOIN nt
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             sum(tf * bits)::BIGINT AS total_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, total_bits,
+           ((total_bits * 1000) // n_tokens)::BIGINT AS mean_bits_permille,
+           ntile(3) OVER (
+             ORDER BY (total_bits * 1000) // n_tokens ASC, doc_id ASC
+           )::BIGINT AS bucket
+    FROM per_doc
+"""
 
 # SemDeDup replay: the fixed-point k-means trainer CTEs (qe..a2) mirror
 # the ann_ivf_topk oracle exactly (same trainer, factored into

@@ -227,3 +227,72 @@ def cap_per_group(
             "pos",
         )
     )
+
+
+def unigram_surprisal_buckets(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality split (Wenzek et al. 2020 §3):
+    score every document by its mean per-token surprisal under a unigram
+    LM trained on the corpus itself, then cut the corpus into
+    ``n_buckets`` equal tranches (CCNet's head/middle/tail) — head =
+    most-fluent (lowest perplexity) third, the usual keep set.
+
+    Integer-exact stand-in for -log2 p(token): surprisal_bits(t) =
+    floor(log2(N_total div cnt(t))) computed as length(bin(x)) - 1 —
+    both engines print binary without leading zeros, so the floor-log2
+    is bit-identical and no float enters the score. Doc score =
+    (sum of occurrence surprisals * 1000) div n_tokens (permille).
+
+    Scale: one corpus scan -> (doc,term) tf with map-side combine; the
+    unigram model is a vocab-sized aggregate joined back on term
+    (AQE handles stopword skew; the model table is index-sized, never
+    corpus-sized); the final ntile is a sort of DOC-level rows only. At
+    10^10+ docs swap ntile for approx-quantile cutpoints — same
+    semantics, no global sort (documented trade, like profile.py's HLL
+    swap). Docs that normalize to zero tokens carry no LM evidence and
+    are excluded (CCNet drops empty lines before scoring).
+
+    Reference scope: beyond mcdobr/licenta-crawler — §2.8 LLM-pipeline
+    mandate."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    words = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n_total = model.select(F.sum("cnt").alias("n_total"))
+    scored = (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "tf",
+            (F.length(F.bin(F.expr("n_total div cnt"))) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("total_bits").cast("long").alias("total_bits"),
+            F.expr("(total_bits * 1000) div n_tokens").alias("mean_bits_permille"),
+        )
+    )
+    w = Window.orderBy(F.asc("mean_bits_permille"), F.asc("doc_id"))
+    return per_doc.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long")
+    )

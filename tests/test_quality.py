@@ -104,3 +104,54 @@ def test_cap_per_group_deterministic(spark):
     # deterministic order: highest n_chars first => lowest i first
     assert sorted(by_grp["s1"])[0] == (1, "d0")
     assert sorted(by_grp["s1"])[-1] == (20, "d19")
+
+
+class TestUnigramSurprisalBuckets:
+    """CCNet-style LM split: hand-replayed integer surprisal + buckets."""
+
+    def test_exact_math_and_buckets(self, spark):
+        from licenta_crawler_spark.operators.quality import (
+            unigram_surprisal_buckets,
+        )
+
+        rows = [
+            (1, "aa aa aa aa"),          # 4x the most common token
+            (2, "aa aa bb bb"),          # half common, half mid
+            (3, "rare uniq thing"),      # three hapaxes
+            (4, ""),                     # normalizes to zero tokens
+        ]
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in unigram_surprisal_buckets(
+                _docs(spark, rows), n_buckets=3
+            ).collect()
+        }
+        # empty doc carries no LM evidence -> excluded
+        assert set(out) == {1, 2, 3}
+        # corpus: N=11 tokens; cnt(aa)=6, cnt(bb)=2, hapaxes=1
+        # bits = floor(log2(N div cnt)): aa -> log2(1)=0, bb -> log2(5)=2,
+        # hapax -> log2(11)=3
+        assert out[1]["n_tokens"] == 4 and out[1]["total_bits"] == 0
+        assert out[2]["total_bits"] == 2 * 0 + 2 * 2 == 4
+        assert out[3]["total_bits"] == 3 * 3 == 9
+        assert out[2]["mean_bits_permille"] == 4 * 1000 // 4
+        assert out[3]["mean_bits_permille"] == 9 * 1000 // 3
+        # head = most fluent, tail = most surprising
+        assert out[1]["bucket"] == 1
+        assert out[2]["bucket"] == 2
+        assert out[3]["bucket"] == 3
+
+    def test_bucket_sizes_balanced_and_deterministic(self, spark):
+        from licenta_crawler_spark.operators.quality import (
+            unigram_surprisal_buckets,
+        )
+
+        rows = [(i, "tok%d common words here" % (i % 7)) for i in range(12)]
+        df = _docs(spark, rows)
+        a = sorted(unigram_surprisal_buckets(df, n_buckets=3).collect())
+        b = sorted(
+            unigram_surprisal_buckets(df.repartition(5), n_buckets=3).collect()
+        )
+        assert a == b
+        sizes = [sum(1 for r in a if r["bucket"] == k) for k in (1, 2, 3)]
+        assert sizes == [4, 4, 4]
