@@ -3041,6 +3041,22 @@ def lm_surprisal_buckets(spark, sf_dir):
     return unigram_surprisal_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
 
 
+def nb_quality_classifier(spark, sf_dir):
+    """Hashed-feature NB linear classifier
+    (`operators/quality.nb_hash_classifier_scores`), trained in-plan on
+    the even-id half of the corpus (positive class: lang = 'en') and
+    scored on the held-out odd half. The 256-bucket model is broadcast
+    regardless of corpus size; scores are exact int64 bit log-odds so
+    DuckDB replays the trained weights themselves."""
+    from licenta_crawler_spark.operators.quality import nb_hash_classifier_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_hash_classifier_scores(
+        d, label=F.col("lang") == "en", train=F.col("doc_id") % 2 == 0,
+        n_buckets=256,
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3111,6 +3127,7 @@ QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "lm_surprisal_buckets": lm_surprisal_buckets,
+    "nb_quality_classifier": nb_quality_classifier,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5770,6 +5787,37 @@ ORACLE_SQL["lm_surprisal_buckets"] = f"""
              ORDER BY (total_bits * 1000) // n_tokens ASC, doc_id ASC
            )::BIGINT AS bucket
     FROM per_doc
+"""
+
+ORACLE_SQL["nb_quality_classifier"] = f"""
+    WITH words AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             (lang = 'en') AS y,
+             (doc_id % 2 = 0) AS is_train,
+             unnest({_NORM_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, y, is_train,
+             {_MD5_H60.format(v="term")} % 256 AS b
+      FROM words WHERE term <> ''
+    ),
+    model AS (
+      SELECT b,
+             (length(bin(sum(CASE WHEN y THEN 1 ELSE 0 END) + 1)) - 1)
+             - (length(bin(sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)) - 1)
+             AS w
+      FROM feats WHERE is_train GROUP BY b
+    ),
+    tf AS (
+      SELECT doc_id, b, count(*)::BIGINT AS tf
+      FROM feats WHERE NOT is_train GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(tf * coalesce(w, 0))::BIGINT AS score_bits,
+           (sum(tf * coalesce(w, 0)) > 0) AS predicted
+    FROM tf LEFT JOIN model USING (b)
+    GROUP BY doc_id
 """
 
 # SemDeDup replay: the fixed-point k-means trainer CTEs (qe..a2) mirror

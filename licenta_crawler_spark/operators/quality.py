@@ -296,3 +296,75 @@ def unigram_surprisal_buckets(
     return per_doc.withColumn(
         "bucket", F.ntile(n_buckets).over(w).cast("long")
     )
+
+
+def nb_hash_classifier_scores(
+    docs: DataFrame,
+    label: "F.Column",
+    train: "F.Column",
+    *,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-shaped linear quality classifier (Joulin et al. 2017 /
+    the DCLM & LLaMA "quality model" stage): hashing-trick bag-of-words
+    features, weights learned as naive-Bayes log-odds, score = sparse
+    dot product — train and apply in ONE pass over the corpus.
+
+    ``label`` marks the positive class, ``train`` the training split
+    (both boolean Columns over the input row). Weights are the integer
+    bit log-odds w(b) = floor(log2(pos_b + 1)) - floor(log2(neg_b + 1))
+    per hashed bucket (add-one smoothing; floor-log2 = len(bin(x)) - 1,
+    bit-identical in both engines), so scores are exact int64 and the
+    DuckDB oracle replays the trained model, not just the plumbing.
+    Held-out docs (train = false) are scored: score_bits =
+    sum_b tf(b) * w(b), predicted = score_bits > 0. Buckets never seen
+    in training weigh 0 by the smoothing, so out-of-vocabulary tokens
+    are neutral, not errors.
+
+    Scale: the model is ``n_buckets`` rows — broadcast to the scorers
+    regardless of corpus size (that is WHY the hashing trick exists);
+    one corpus scan feeds both halves, the only shuffles are the
+    (doc,bucket) tf agg and the bucket-count agg, both map-side
+    combinable. Reference scope: beyond mcdobr/licenta-crawler —
+    §2.8 LLM-pipeline mandate."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    words = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        label.alias("y"),
+        train.alias("is_train"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term") != "")
+    feats = words.select(
+        "doc_id", "y", "is_train",
+        (md5_hash60_col(F.col("term")) % F.lit(n_buckets)).alias("b"),
+    )
+    fl2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    model = (
+        feats.filter(F.col("is_train"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg"),
+        )
+        .select("b", (fl2(F.col("pos") + 1) - fl2(F.col("neg") + 1)).alias("w"))
+    )
+    tf = (
+        feats.filter(~F.col("is_train"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0))).alias("score_bits"))
+        .select(
+            "doc_id",
+            F.col("score_bits").cast("long").alias("score_bits"),
+            (F.col("score_bits") > 0).alias("predicted"),
+        )
+    )

@@ -155,3 +155,63 @@ class TestUnigramSurprisalBuckets:
         assert a == b
         sizes = [sum(1 for r in a if r["bucket"] == k) for k in (1, 2, 3)]
         assert sizes == [4, 4, 4]
+
+
+class TestNbHashClassifier:
+    """Hashing-trick NB classifier: learns a separable vocabulary and
+    generalizes to held-out docs; OOV tokens stay neutral."""
+
+    def test_learns_separable_vocab(self, spark):
+        from licenta_crawler_spark.operators.quality import (
+            nb_hash_classifier_scores,
+        )
+
+        spammy = "buy cheap pills now winner prize click casino"
+        hammy = "the committee reviewed quarterly results and budget plans"
+        rows = []
+        for i in range(40):
+            text = spammy if i % 2 == 0 else hammy
+            rows.append((i, text + " filler%d" % (i % 3)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in nb_hash_classifier_scores(
+                df,
+                label=F.col("doc_id") % 2 == 0,  # spam = positive
+                train=F.col("doc_id") < 20,
+                n_buckets=64,
+            ).collect()
+        }
+        # only held-out docs are scored
+        assert set(out) == set(range(20, 40))
+        for i in range(20, 40):
+            assert out[i]["predicted"] is (i % 2 == 0), (i, out[i])
+
+    def test_oov_neutral_and_deterministic(self, spark):
+        from licenta_crawler_spark.operators.quality import (
+            nb_hash_classifier_scores,
+        )
+
+        rows = [
+            (0, "alpha beta"), (1, "gamma delta"),
+            # held-out doc of ONLY tokens absent from training: with
+            # 64k buckets the hash collides with nothing trained, so
+            # every bucket weighs 0 and the score must be exactly 0
+            (2, "zzznever seenbefore qqqunknown"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = nb_hash_classifier_scores(
+            df, label=F.col("doc_id") == 0, train=F.col("doc_id") < 2,
+            n_buckets=65536,
+        )
+        rows_out = sorted(out.collect())
+        assert [r["doc_id"] for r in rows_out] == [2]
+        assert rows_out[0]["score_bits"] == 0
+        assert rows_out[0]["predicted"] is False
+        again = sorted(
+            nb_hash_classifier_scores(
+                df.repartition(7), label=F.col("doc_id") == 0,
+                train=F.col("doc_id") < 2, n_buckets=65536,
+            ).collect()
+        )
+        assert again == rows_out
