@@ -3057,6 +3057,19 @@ def nb_quality_classifier(spark, sf_dir):
     )
 
 
+def bpe_merge_rules(spark, sf_dir):
+    """BPE tokenizer training (`operators/bpe.bpe_train`): the first 6
+    merge rules learned from the corpus — pair counting and greedy
+    non-overlapping rewrite run over the word-frequency DICTIONARY
+    (vocab-sized rounds; the corpus is scanned once), merges decided by
+    (count DESC, left ASC, right ASC) so the whole training run is a
+    deterministic function of the corpus that DuckDB replays via the
+    unrolled per-round window CTEs."""
+    from licenta_crawler_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3128,6 +3141,7 @@ QUERIES = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "lm_surprisal_buckets": lm_surprisal_buckets,
     "nb_quality_classifier": nb_quality_classifier,
+    "bpe_merge_rules": bpe_merge_rules,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5788,6 +5802,14 @@ ORACLE_SQL["lm_surprisal_buckets"] = f"""
            )::BIGINT AS bucket
     FROM per_doc
 """
+
+def _bpe_oracle() -> str:
+    from licenta_crawler_spark.operators.bpe import bpe_train_sql_unrolled
+
+    return bpe_train_sql_unrolled(6, _NORM_TOKS_SQL)
+
+
+ORACLE_SQL["bpe_merge_rules"] = _bpe_oracle()
 
 ORACLE_SQL["nb_quality_classifier"] = f"""
     WITH words AS (

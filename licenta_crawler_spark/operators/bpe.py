@@ -1,0 +1,188 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+corpus-scale "train the tokenizer" stage of an LLM data pipeline.
+
+Shape that survives 100 TB: the trainer never iterates over the corpus.
+One corpus scan builds the WORD-FREQUENCY DICTIONARY (vocab-sized, ~10^7
+rows at web scale — the classic BPE trick), and every merge round runs
+over the exploded symbol table of that dictionary: pair counting is a
+``lead()`` window + one map-side-combinable agg, and merge application is
+pure window math (no joins): greedy left-to-right non-overlap within a
+run of adjacent matches = "keep every other match inside each island",
+the same gaps-and-islands trick as shared_substring_pairs. Per-round
+state truncates through parquet (graph.py discipline — never a
+localCheckpoint chain).
+
+Determinism contract (what makes the DuckDB oracle bit-exact): the merge
+winner each round is argmax pair count with tie-break (count DESC, left
+ASC, right ASC) — symbols are ASCII from the normalized alphabet and
+both engines compare strings bytewise, so the k learned merges are a
+pure function of the corpus. The only driver-side step is collecting the
+single winning pair per round (bounded control plane: 1 row × n_merges,
+same class as the IVF seed collect).
+
+Reference scope: beyond mcdobr/licenta-crawler (595-LoC crawler) —
+the graft's §2.8 LLM-training-data mandate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from licenta_crawler_spark.operators.graph import _scratch_truncate
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) dictionary from normalized whitespace tokens — the
+    one corpus-sized aggregation; everything after is dictionary-sized."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Returns (step, left_sym, right_sym, pair_freq): step r merged the
+    adjacent symbol pair (left_sym, right_sym), which occurred
+    pair_freq times (frequency-weighted over the word dictionary,
+    counting overlapping adjacencies — the published counting rule)
+    in the symbol sequences produced by merges 1..r-1.
+
+    Merge application per word is the standard greedy left-to-right
+    non-overlapping rewrite: within every maximal run of consecutive
+    match positions (runs longer than 1 only when left==right, e.g.
+    'aaaa' under ('a','a')), every other match is applied."""
+    spark = docs.sparkSession
+    wf = word_freq_table(docs, text_col)
+    seqs = wf.select(
+        "word", "freq", F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym")
+    ).filter(F.col("sym") != "")
+
+    truncate, cleanup = _scratch_truncate(spark)
+    seqs = truncate(seqs, "seq0")
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            by_pos = Window.partitionBy("word").orderBy("pos")
+            paired = seqs.withColumn("nx", F.lead("sym").over(by_pos))
+            best = (
+                paired.filter(F.col("nx").isNotNull())
+                .groupBy("sym", "nx")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("sym"), F.asc("nx"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            ma, mb, cnt = best[0]["sym"], best[0]["nx"], int(best[0]["c"])
+            merges.append((step, ma, mb, cnt))
+
+            # windows-only greedy rewrite: mt marks matches; mrn numbers
+            # matches within the word (running sum); pos - mrn is constant
+            # inside a maximal run of consecutive matches (the island);
+            # every other match per island is applied (off % 2 == 0); a
+            # row is consumed when its LEFT neighbor was applied.
+            t = paired.withColumn(
+                "mt", (F.col("sym") == ma) & (F.col("nx") == mb)
+            ).withColumn("mrn", F.sum(F.col("mt").cast("int")).over(by_pos))
+            isl = F.when(F.col("mt"), F.col("pos") - F.col("mrn"))
+            t = t.withColumn("isl", isl)
+            by_isl = Window.partitionBy("word", "isl")
+            t = t.withColumn(
+                "sel",
+                F.col("mt")
+                & (((F.col("mrn") - F.min(F.when(F.col("mt"), F.col("mrn"))).over(by_isl)) % 2) == 0),
+            )
+            t = t.withColumn("consumed", F.coalesce(F.lag("sel").over(by_pos), F.lit(False)))
+            new = t.filter(~F.col("consumed")).select(
+                "word",
+                "freq",
+                (F.row_number().over(by_pos) - 1).alias("pos"),
+                F.when(F.col("sel"), F.lit(ma + mb)).otherwise(F.col("sym")).alias("sym"),
+            )
+            seqs = truncate(new, f"seq{step}")
+    finally:
+        cleanup()
+    return spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def bpe_train_sql_unrolled(n_merges: int, norm_toks_sql: str) -> str:
+    """DuckDB replay of ``bpe_train`` on the ``documents`` view: the k
+    rounds are unrolled into per-round CTE blocks (the pagerank/HITS
+    oracle discipline) running the IDENTICAL window math — lead() pair
+    counting, running-sum match numbering, pos - mrn islands,
+    every-other-match selection, lag() consumption, row_number
+    reindexing."""
+    ctes = [
+        f"""wf AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest({norm_toks_sql}) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    seq0 AS (
+      SELECT word, freq, generate_subscripts(string_split(word, ''), 1) - 1 AS pos,
+             unnest(string_split(word, '')) AS sym
+      FROM wf
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = f"seq{r - 1}"
+        ctes.append(f"""p{r} AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nx
+      FROM {p}
+    ),
+    best{r} AS (
+      SELECT sym AS ma, nx AS mb, sum(freq)::BIGINT AS c
+      FROM p{r} WHERE nx IS NOT NULL
+      GROUP BY sym, nx ORDER BY c DESC, ma ASC, mb ASC LIMIT 1
+    ),
+    t{r} AS (
+      SELECT p.word, p.freq, p.pos, p.sym, b.ma, b.mb,
+             (p.sym = b.ma AND p.nx = b.mb) AS mt
+      FROM p{r} p CROSS JOIN best{r} b
+    ),
+    u{r} AS (
+      SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY pos) AS mrn
+      FROM t{r}
+    ),
+    v{r} AS (
+      SELECT *, CASE WHEN mt THEN pos - mrn END AS isl FROM u{r}
+    ),
+    w{r} AS (
+      SELECT *, mt AND (
+               (mrn - min(CASE WHEN mt THEN mrn END)
+                        OVER (PARTITION BY word, isl)) % 2 = 0) AS sel
+      FROM v{r}
+    ),
+    x{r} AS (
+      SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+                         false) AS consumed
+      FROM w{r}
+    ),
+    seq{r} AS (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN sel THEN ma || mb ELSE sym END AS sym
+      FROM x{r} WHERE NOT consumed
+    )""")
+    steps = "\n      UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, ma AS left_sym, mb AS right_sym, c AS pair_freq FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {steps}"

@@ -1,0 +1,83 @@
+"""BPE trainer (operators/bpe.py): the distributed window-math trainer
+must agree with an independent dictionary-based reference implementation
+of classic BPE (overlapping pair counts, greedy left-to-right
+non-overlapping merge, (count DESC, pair ASC) winner)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from licenta_crawler_spark.operators.bpe import bpe_train
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Reference trainer over the word-frequency dictionary."""
+    wf = Counter(words)
+    seqs = {w: list(w) for w in wf}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += wf[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((step, a, b, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _run(spark, texts, n_merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in bpe_train(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+    words = [w for t in texts for w in t.lower().split() if w]
+    return got, _ref_bpe(words, n_merges)
+
+
+def test_matches_reference_on_random_corpus(spark):
+    rng = random.Random(3)
+    vocab = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+             for _ in range(40)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(20)]
+    got, exp = _run(spark, texts, 8)
+    assert got == exp
+
+
+def test_overlapping_run_island_semantics(spark):
+    # 'aaaa' under merge (a,a): greedy non-overlap -> [aa, aa]; counting
+    # stays overlapping (3 adjacencies in 'aaaa' before the merge)
+    got, exp = _run(spark, ["aaaa aaa baab"], 3)
+    assert got == exp
+    assert got[0][1:3] == ("a", "a")
+    assert got[0][3] == 3 + 2 + 1  # aaaa:3, aaa:2, baab:1 (freq-weighted)
+
+
+def test_tie_break_lexicographic(spark):
+    # 'xy' and 'yz' both occur exactly twice: the smaller pair wins
+    got, _ = _run(spark, ["xyq yz xy qyz"], 1)
+    assert (got[0][1], got[0][2]) == ("x", "y")
+
+
+def test_merged_symbols_keep_merging(spark):
+    # after (l,o) -> 'lo', round 2 must be able to merge ('lo','w')
+    got, exp = _run(spark, ["low low low lower lowest"], 3)
+    assert got == exp
+    learned = {(a, b) for _, a, b, _ in got}
+    assert ("lo", "w") in learned or ("l", "o") in learned
