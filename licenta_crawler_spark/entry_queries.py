@@ -3070,6 +3070,39 @@ def bpe_merge_rules(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+def rendezvous_host_shards(spark, sf_dir):
+    """HRW fetcher sharding (`operators/frontier_policy.rendezvous_shard`)
+    with the resize invariant made visible: every host is assigned under
+    8 AND 9 shards in the same map-only pass; per-shard rows report the
+    host count, how many hosts a grow-to-9 resize moves, and how many
+    move anywhere OTHER than the new shard — provably zero under HRW
+    (an old shard's relative ranking never changes when a candidate is
+    appended), which is the whole point versus mod-hashing."""
+    from licenta_crawler_spark.operators.frontier_policy import rendezvous_shard
+
+    hosts = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lit("shop-"), (F.col("o_custkey") % 2000).cast("long"),
+                F.lit(".example"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+    both = rendezvous_shard(
+        rendezvous_shard(hosts, n_shards=8, out_col="shard"),
+        n_shards=9, out_col="shard9",
+    )
+    return both.groupBy("shard").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum((F.col("shard9") != F.col("shard")).cast("long")).alias("n_moved"),
+        F.sum(
+            ((F.col("shard9") != F.col("shard")) & (F.col("shard9") != 8)).cast("long")
+        ).alias("n_moved_elsewhere"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3142,6 +3175,7 @@ QUERIES = {
     "lm_surprisal_buckets": lm_surprisal_buckets,
     "nb_quality_classifier": nb_quality_classifier,
     "bpe_merge_rules": bpe_merge_rules,
+    "rendezvous_host_shards": rendezvous_host_shards,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5802,6 +5836,38 @@ ORACLE_SQL["lm_surprisal_buckets"] = f"""
            )::BIGINT AS bucket
     FROM per_doc
 """
+
+def _hrw_scores_sql(n: int) -> str:
+    return (
+        "["
+        + ", ".join(
+            _MD5_H60.format(v=f"host || '#{s}'") for s in range(n)
+        )
+        + "]"
+    )
+
+
+ORACLE_SQL["rendezvous_host_shards"] = f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'shop-' || (o_custkey % 2000) || '.example' AS host
+      FROM orders
+    ),
+    assigned AS (
+      SELECT host,
+             (list_position(s8, list_max(s8)) - 1)::BIGINT AS shard,
+             (list_position(s9, list_max(s9)) - 1)::BIGINT AS shard9
+      FROM (
+        SELECT host, {_hrw_scores_sql(8)} AS s8, {_hrw_scores_sql(9)} AS s9
+        FROM hosts
+      )
+    )
+    SELECT shard, count(*)::BIGINT AS n_hosts,
+           sum(CASE WHEN shard9 <> shard THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+           sum(CASE WHEN shard9 <> shard AND shard9 <> 8 THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved_elsewhere
+    FROM assigned GROUP BY shard
+"""
+
 
 def _bpe_oracle() -> str:
     from licenta_crawler_spark.operators.bpe import bpe_train_sql_unrolled

@@ -669,3 +669,44 @@ def reciprocal_host_links(
             (F.col("ab_links") > 0) & (F.col("ba_links") > 0),
         )
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    *,
+    key_col: str = "host",
+    n_shards: int = 8,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: pin each host to the
+    fetcher shard with the highest hash(host, shard) score — the
+    standard way to keep per-host politeness state (clocks, backoff,
+    robots cache) resident on ONE fetcher while the fleet resizes.
+
+    Why HRW over mod-hashing at crawl scale: growing n -> n+1 shards
+    moves exactly the hosts whose new-shard score wins — an expected
+    1/(n+1) of them — and every moved host lands ON THE NEW SHARD
+    (an old shard's relative ranking never changes when a candidate is
+    appended), so a fleet resize invalidates the minimum possible
+    politeness state instead of reshuffling ~all of it.
+
+    Pure map: the n candidate scores are an in-row array of md5-derived
+    hashes (bit-replayable in DuckDB), argmax via array_position of the
+    array max — no explode, no shuffle, no UDF. md5 ties are 2^-60
+    events; array_position takes the FIRST (lowest-shard) maximum in
+    both engines, so even a tie is deterministic.
+
+    Reference counterpart: the single-node reference keeps all host
+    state in one process (BrowserCrawler.java:32 `[inferred]`); this is
+    the distributed replacement the north rule mandates."""
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    scores = F.array(
+        *[
+            md5_hash60_col(F.concat(F.col(key_col), F.lit(f"#{s}")))
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn(
+        out_col, (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+    )

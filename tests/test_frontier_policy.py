@@ -597,3 +597,42 @@ class TestReciprocalHostLinks:
             ("a", "b"): (2, 1, True),
             ("a", "c"): (1, 0, False),
         }
+
+
+class TestRendezvousShard:
+    """HRW sharding: balance, the resize invariant, determinism."""
+
+    def _hosts(self, spark, n=1000):
+        return spark.createDataFrame(
+            [(f"host-{i}.example",) for i in range(n)], "host string"
+        )
+
+    def test_resize_moves_only_to_new_shard(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            rendezvous_shard,
+        )
+
+        both = rendezvous_shard(
+            rendezvous_shard(self._hosts(spark), n_shards=8, out_col="s8"),
+            n_shards=9, out_col="s9",
+        ).collect()
+        moved = [r for r in both if r["s8"] != r["s9"]]
+        # every moved host lands on the NEW shard — the HRW invariant
+        assert moved and all(r["s9"] == 8 for r in moved)
+        # expected churn ~1/9 of hosts; allow wide slack on 1000 samples
+        assert 0.05 < len(moved) / len(both) < 0.20
+
+    def test_balanced_and_deterministic(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            rendezvous_shard,
+        )
+
+        h = self._hosts(spark, 2000)
+        a = sorted(rendezvous_shard(h, n_shards=8).collect())
+        b = sorted(rendezvous_shard(h.repartition(11), n_shards=8).collect())
+        assert a == b
+        sizes = {}
+        for r in a:
+            sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert set(sizes) == set(range(8))
+        assert max(sizes.values()) < 2 * min(sizes.values())
