@@ -3103,6 +3103,24 @@ def rendezvous_host_shards(spark, sf_dir):
     )
 
 
+def stream_trending_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING trending-host detector's
+    decayed-counter carry (streaming/windowed.streaming_trending): fetch
+    hits synthesized with an explicit micro-batch number replay per host
+    through the SAME _fold_trending (one integer halving per elapsed
+    batch + top-up); the oracle is the unrolled shift-and-add recurrence
+    over per-batch conditional counts — exact because pure-shift gaps
+    compose ((x>>1)>>1 == x>>2)."""
+    from licenta_crawler_spark.streaming.windowed import batch_replay_trending
+
+    ev = _t(spark, sf_dir, "events")
+    hits = ev.select(
+        F.concat(F.lit("h"), F.col("user_id") % 200).alias("host"),
+        (F.col("event_id") % 4).cast("long").alias("batch_no"),
+    )
+    return batch_replay_trending(hits, threshold=16)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3176,6 +3194,7 @@ QUERIES = {
     "nb_quality_classifier": nb_quality_classifier,
     "bpe_merge_rules": bpe_merge_rules,
     "rendezvous_host_shards": rendezvous_host_shards,
+    "stream_trending_replay": stream_trending_replay,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5836,6 +5855,33 @@ ORACLE_SQL["lm_surprisal_buckets"] = f"""
            )::BIGINT AS bucket
     FROM per_doc
 """
+
+def _trending_oracle(n_batches: int = 4, threshold: int = 16) -> str:
+    cs = ", ".join(
+        f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END)::BIGINT AS c{i}"
+        for i in range(n_batches)
+    )
+    ds, prev = [], None
+    for i in range(n_batches):
+        ds.append(f"c{i} AS d{i}" if prev is None else f"(({prev} >> 1) + c{i}) AS d{i}")
+        prev = f"d{i}"
+    selects = "\n      UNION ALL ".join(
+        f"SELECT host, {i}::BIGINT AS batch_no, c{i} AS hits, d{i} AS decayed, "
+        f"d{i} >= {threshold} AS trending FROM d WHERE c{i} > 0"
+        for i in range(n_batches)
+    )
+    return f"""
+    WITH hits AS (
+      SELECT 'h' || (user_id % 200) AS host, event_id % 4 AS b FROM events
+    ),
+    c AS (SELECT host, {cs} FROM hits GROUP BY host),
+    d AS (SELECT *, {", ".join(ds)} FROM c)
+    {selects}
+    """
+
+
+ORACLE_SQL["stream_trending_replay"] = _trending_oracle()
+
 
 def _hrw_scores_sql(n: int) -> str:
     return (

@@ -580,3 +580,80 @@ def batch_replay_change_detect(
     return visits.groupBy("url").applyInPandas(
         replay, schema=CHANGE_OUT_SCHEMA
     )
+
+
+# ------------------------------------------------- trending heavy hitters
+TREND_STATE_SCHEMA = "last_batch long, count long"
+TREND_OUT_SCHEMA = (
+    "host string, batch_no long, hits long, decayed long, trending boolean"
+)
+
+
+def _fold_trending(batch_hits, last_batch, count, threshold):
+    """The per-host exponentially-decayed counter fold shared by the
+    STREAMING trending detector and its batch replay twin: one halving
+    per elapsed micro-batch (integer right shift — exact, and pure-shift
+    gaps compose: (x>>1)>>1 == x>>2, so absent batches need no state
+    touch), then the batch's hits are added. Trending iff the decayed
+    count clears the threshold. Returns (rows, last_batch', count')."""
+    out = []
+    for b, n in batch_hits:
+        gap = 0 if last_batch is None else int(b) - int(last_batch)
+        count = (count >> min(max(gap, 0), 63)) + int(n)
+        out.append((int(b), int(n), count, count >= threshold))
+        last_batch = int(b)
+    return out, last_batch, count
+
+
+def streaming_trending(hits: DataFrame, threshold: int = 8) -> DataFrame:
+    """Streaming trending-host detector: fetch hits arrive as
+    (host, hit_id, batch_no) rows; the state store carries ONE decayed
+    counter per host (plus the last batch number), halved per elapsed
+    micro-batch and topped up with the batch's hits — the streaming
+    form of a time-decayed heavy-hitter sketch, O(|active hosts|) state
+    with no watermark. A host must keep earning hits to stay trending;
+    a burst two batches ago counts a quarter. All integer arithmetic,
+    so the batch replay twin is driver-oracle-checkable."""
+
+    def fn(key, pdfs, state: GroupState):
+        last_batch, count = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        per_batch = (
+            rows.groupby("batch_no").size().sort_index().items()
+        )
+        out, last_batch, count = _fold_trending(
+            per_batch, last_batch, count, threshold
+        )
+        state.update((int(last_batch), int(count)))
+        yield pd.DataFrame(
+            [(key[0], b, n, d, t) for b, n, d, t in out],
+            columns=["host", "batch_no", "hits", "decayed", "trending"],
+        )
+
+    return hits.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=TREND_OUT_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_replay_trending(
+    hits: DataFrame, threshold: int = 8, batch_col: str = "batch_no"
+) -> DataFrame:
+    """BATCH replay of streaming_trending's state machine — the
+    driver-oracle-checkable twin: micro-batches replay in ascending
+    batch order through the SAME ``_fold_trending``; the oracle is the
+    unrolled shift-and-add recurrence over per-batch conditional
+    counts."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_batch = pdf.groupby(batch_col).size().sort_index().items()
+        out, _, _ = _fold_trending(per_batch, None, 0, threshold)
+        return pd.DataFrame(
+            [(pdf["host"].iloc[0], b, n, d, t) for b, n, d, t in out],
+            columns=["host", "batch_no", "hits", "decayed", "trending"],
+        )
+
+    return hits.groupBy("host").applyInPandas(replay, schema=TREND_OUT_SCHEMA)

@@ -534,3 +534,58 @@ def test_streaming_change_detect_state_spans_batches(spark, tmpdirs):
         ("/b", 1): (0, 1, 0),
         ("/b", 2): (1, 2, 1),   # state carried: k != m
     }
+
+
+def test_streaming_trending_decay_spans_batches(spark, tmpdirs):
+    """Streaming trending detector: the decayed counter persists in the
+    state store — a burst host halves per elapsed batch and drops below
+    the threshold unless it keeps earning hits; a batch GAP decays by
+    the full elapsed distance (shift composition)."""
+    from licenta_crawler_spark.streaming.windowed import (
+        _fold_trending,
+        streaming_trending,
+    )
+
+    SCHEMA = "host string, hit_id long, batch_no long"
+    b1 = spark.createDataFrame(
+        [("hot", i, 0) for i in range(10)] + [("slow", 0, 0)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [("hot", 10, 1)] + [("slow", 1, 1)], SCHEMA
+    )
+    b3 = spark.createDataFrame(
+        [("hot", 11, 3), ("slow", 2, 3)], SCHEMA  # batch 2 skipped: gap=2
+    )
+    src = f"{tmpdirs}/trend-src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_trending(stream, threshold=6)
+        .writeStream.format("memory").queryName("trend")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/trend-ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        b3.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r["host"], r["batch_no"]): (r["hits"], r["decayed"], r["trending"])
+                for r in spark.table("trend").collect()}
+    finally:
+        q.stop()
+
+    assert rows == {
+        ("hot", 0): (10, 10, True),
+        ("hot", 1): (1, 6, True),     # 10>>1 + 1
+        ("hot", 3): (1, 2, False),    # 6>>2 + 1 — gap of 2 composes
+        ("slow", 0): (1, 1, False),
+        ("slow", 1): (1, 1, False),   # 1>>1 + 1
+        ("slow", 3): (1, 1, False),
+    }
+    # the batch replay twin runs the SAME fold: spot-check the carry
+    out, last, count = _fold_trending([(0, 10), (1, 1), (3, 1)], None, 0, 6)
+    assert [(b, d) for b, _, d, _ in out] == [(0, 10), (1, 6), (3, 2)]
+    assert (last, count) == (3, 2)
