@@ -626,6 +626,12 @@ def semantic_dedup_fp(
         vectors, n_cells=n_cells, sample_n=sample_n, scale=scale,
         id_col=id_col, vec_col=vec_col,
     )
+    # the assignment feeds FOUR plan legs (both self-join sides, the
+    # partner stats, and the final left join): materialize it once or
+    # Catalyst re-runs the whole trainer per leg (observed 70-exchange
+    # plan). Lazy so query construction stays free; single checkpoint,
+    # not a loop — the compounding-stats trap doesn't apply.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(F.col("vid").alias("a"), "cell", F.col("qv").alias("qa"))
     b = assigned.select(F.col("vid").alias("b"), "cell", F.col("qv").alias("qb"))
     dot = dot_long(F.col("qa"), F.col("qb"))
