@@ -3121,6 +3121,28 @@ def stream_trending_replay(spark, sf_dir):
     return batch_replay_trending(hits, threshold=16)
 
 
+def dedup_keep_list(spark, sf_dir):
+    """The dedup pipeline's ACTUAL deliverable, end to end: MinHash-LSH
+    pairs -> connected components -> one keep/drop verdict per document
+    (canonical = min doc id of the cluster; singletons keep themselves).
+    The full chain — banded candidate join, exact verify, min-label
+    propagation, corpus left join — hash-matches one recursive-CTE
+    replay, so the composition is verified, not just the stages."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_dedup(
+        d, n_hashes=16, n_bands=4, threshold=0.5, hash_fn="md5", band_key="concat"
+    )
+    comp = dedup_components(pairs)
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        canonical.alias("canonical"),
+        (canonical == F.col("doc_id")).alias("keep"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3195,6 +3217,7 @@ QUERIES = {
     "bpe_merge_rules": bpe_merge_rules,
     "rendezvous_host_shards": rendezvous_host_shards,
     "stream_trending_replay": stream_trending_replay,
+    "dedup_keep_list": dedup_keep_list,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -3658,6 +3681,38 @@ def _dedup_components_sql() -> str:
         )
         SELECT a AS doc_id, least(a, min(b)) AS component
         FROM reach GROUP BY a
+    """
+
+
+def _dedup_keep_list_sql() -> str:
+    """The composed dedup deliverable: same recursive-CTE closure as
+    _dedup_components_sql, joined back to the (filtered) corpus for the
+    per-document keep/drop verdict."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          {_minhash_pairs_sql()}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS component
+          FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS canonical,
+               (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+        FROM (
+          SELECT doc_id::VARCHAR AS doc_id FROM documents WHERE doc_id < 2000
+        ) d
+        LEFT JOIN comp c USING (doc_id)
     """
 
 
@@ -4395,6 +4450,7 @@ ORACLE_SQL = {
         GROUP BY node
     """,
     "dedup_components_minhash": _dedup_components_sql(),
+    "dedup_keep_list": _dedup_keep_list_sql(),
     "json_props_stats": """
         SELECT event_type,
                count(k)::BIGINT AS n_with_k,
