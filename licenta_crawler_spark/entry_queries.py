@@ -3143,6 +3143,28 @@ def dedup_keep_list(spark, sf_dir):
     )
 
 
+def incremental_dedup_pairs(spark, sf_dir):
+    """Ingest-time incremental near-dup detection
+    (`operators/dedup.minhash_lsh_dedup_incremental`): only the arriving
+    docs (every 5th id plays the increment) probe their band keys
+    against the standing index, so a daily increment pays for its own
+    probes instead of re-deduplicating the corpus; output = the batch
+    pair set restricted to pairs touching a new doc, which is exactly
+    how the oracle replays it."""
+    from licenta_crawler_spark.operators.dedup import (
+        minhash_lsh_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    new_ids = d.filter(F.col("doc_id").cast("long") % 5 == 0).select("doc_id")
+    return minhash_lsh_dedup_incremental(
+        d, new_ids, n_hashes=16, n_bands=4, threshold=0.5,
+        hash_fn="md5", band_key="concat",
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3218,6 +3240,7 @@ QUERIES = {
     "rendezvous_host_shards": rendezvous_host_shards,
     "stream_trending_replay": stream_trending_replay,
     "dedup_keep_list": dedup_keep_list,
+    "incremental_dedup_pairs": incremental_dedup_pairs,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -4451,6 +4474,16 @@ ORACLE_SQL = {
     """,
     "dedup_components_minhash": _dedup_components_sql(),
     "dedup_keep_list": _dedup_keep_list_sql(),
+    # incremental = the batch pair set restricted to pairs touching a new
+    # doc (every 5th id) — the probe-vs-index join can add no pair beyond
+    # this and misses none (same bands, same verify)
+    "incremental_dedup_pairs": f"""
+        WITH pairs AS (
+          {_minhash_pairs_sql()}
+        )
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE (doc_a::BIGINT % 5 = 0) OR (doc_b::BIGINT % 5 = 0)
+    """,
     "json_props_stats": """
         SELECT event_type,
                count(k)::BIGINT AS n_with_k,

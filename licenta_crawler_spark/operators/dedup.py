@@ -726,3 +726,79 @@ def shared_substring_pairs(
         (F.max("_len") + F.lit(min_tokens - 1)).alias("max_shared_run"),
         F.sum("_len").alias("n_shared_grams"),
     )
+
+
+def minhash_lsh_dedup_incremental(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    band_key: str = "hash",
+) -> DataFrame:
+    """Incremental near-dup detection — the INGEST-time path: only pairs
+    touching a NEW document (``new_ids``: one ``id_col`` per arriving
+    doc) are found, so a daily increment pays for its own band probes
+    against the standing index instead of re-deduplicating the corpus.
+
+    Shape: probe side = new docs' band rows; index side = all band rows
+    (at production scale the index side is the PERSISTED ingest-time
+    band table — e.g. a bucketed catalog table keyed on (band, bucket) —
+    so the join co-locates without a corpus shuffle; here it is derived
+    in-plan from the same signatures). new×new pairs emit once
+    (least/greatest normalization), old×old pairs never form because
+    neither side probes. Exact-Jaccard verify runs on candidates only,
+    identical to the batch pipeline — the output is exactly the batch
+    pair set restricted to pairs touching a new doc (the oracle replays
+    it that way).
+
+    Reference scope: beyond mcdobr/licenta-crawler — §2.8 mandate
+    (continuous-crawl corpus maintenance)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n, hash_fn)
+    rows_per_band = n_hashes // n_bands
+    if band_key == "concat":
+        key = lambda b: F.concat_ws(  # noqa: E731
+            ":",
+            b.cast("string"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+        )
+    else:
+        key = lambda b: F.hash(  # noqa: E731
+            b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        ).cast("string")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), key)
+        ).alias("band", "bucket"),
+    )
+    probe = banded.join(
+        new_ids.select(F.col(id_col).alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    a, b = probe.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verify_jaccard(cand, docs, id_col, text_col, shingle_n, threshold)

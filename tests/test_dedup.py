@@ -458,3 +458,45 @@ class TestSharedSubstringPairs:
             "doc_id string, text string",
         )
         assert shared_substring_pairs(docs, min_tokens=25).count() == 0
+
+
+class TestIncrementalDedup:
+    """Ingest-time incremental near-dup: only pairs touching a new doc
+    are found; old-old duplicates never pay."""
+
+    def test_restriction_and_equivalence(self, spark):
+        from licenta_crawler_spark.operators.dedup import (
+            minhash_lsh_dedup,
+            minhash_lsh_dedup_incremental,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tonight")
+        rows = [
+            ("old1", base), ("old2", base),            # old-old dup pair
+            ("new1", base + " extra"),                 # new-old dup
+            ("new2", base + " extra"),                 # new-new dup
+            ("new3", "completely unrelated text about database engines "
+                     "and query optimizers running distributed plans"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        new_ids = spark.createDataFrame(
+            [("new1",), ("new2",), ("new3",)], "doc_id string"
+        )
+        inc = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup_incremental(
+                docs, new_ids, n_hashes=16, n_bands=4, threshold=0.5
+            ).collect()
+        }
+        # old-old pair absent; every new-touching batch pair present
+        batch = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(
+                docs, n_hashes=16, n_bands=4, threshold=0.5
+            ).collect()
+        }
+        assert ("old1", "old2") in batch and ("old1", "old2") not in inc
+        expected = {p for p in batch if p[0].startswith("new") or p[1].startswith("new")}
+        assert inc == expected
+        assert ("new1", "new2") in inc  # new-new emits exactly once
