@@ -3165,6 +3165,35 @@ def incremental_dedup_pairs(spark, sf_dir):
     )
 
 
+def bowtie_link_regions(spark, sf_dir):
+    """Broder bow-tie decomposition (`operators/graph.bowtie_regions`)
+    of a sparse synthetic directed link graph (~2.4 edges/node so all
+    four regions are populated), pivot = node 0: per-node scc/in/out/
+    other labels from the capped forward + backward frontier closures;
+    the oracle unrolls both closures round by round."""
+    from licenta_crawler_spark.operators.graph import bowtie_regions
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2400)
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    m = ok % 4
+    src = (
+        F.when(m == 0, ok % 80)                 # core ↔ core
+        .when(m == 1, 80 + (ok % 80))           # IN → core
+        .when(m == 2, ck % 80)                  # core → OUT
+        .otherwise(240 + (ok % 40))             # disconnected cluster
+    )
+    dst = (
+        F.when(m == 0, (ok * 7 + ck) % 80)
+        .when(m == 1, ck % 80)
+        .when(m == 2, 160 + (ok % 80))
+        .otherwise(240 + ((ok + ck) % 40))
+    )
+    edges = o.select(
+        src.cast("long").alias("src"), dst.cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return bowtie_regions(edges, pivot=0, max_hops=6)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3241,6 +3270,7 @@ QUERIES = {
     "stream_trending_replay": stream_trending_replay,
     "dedup_keep_list": dedup_keep_list,
     "incremental_dedup_pairs": incremental_dedup_pairs,
+    "bowtie_link_regions": bowtie_link_regions,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5915,6 +5945,59 @@ def _cdc_oracle() -> str:
 
 
 ORACLE_SQL["cdc_chunk_dedup"] = _cdc_oracle()
+
+
+
+def _bowtie_sql(max_hops: int = 6) -> str:
+    """Unrolled replay of BOTH capped closures (forward on src->dst,
+    backward on the reversed edges) + the region classification."""
+    head = """
+        WITH raw AS (
+          SELECT CASE o_orderkey % 4
+                   WHEN 0 THEN o_orderkey % 80
+                   WHEN 1 THEN 80 + (o_orderkey % 80)
+                   WHEN 2 THEN o_custkey % 80
+                   ELSE 240 + (o_orderkey % 40)
+                 END::BIGINT AS src,
+                 CASE o_orderkey % 4
+                   WHEN 0 THEN (o_orderkey * 7 + o_custkey) % 80
+                   WHEN 1 THEN o_custkey % 80
+                   WHEN 2 THEN 160 + (o_orderkey % 80)
+                   ELSE 240 + ((o_orderkey + o_custkey) % 40)
+                 END::BIGINT AS dst
+          FROM orders WHERE o_orderkey < 2400
+        ),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        fv0 AS (SELECT 0::BIGINT AS node),
+        bv0 AS (SELECT 0::BIGINT AS node)
+    """
+    body = ""
+    for r in range(1, max_hops + 1):
+        body += f"""
+        , fv{r} AS (
+          SELECT node FROM fv{r-1}
+          UNION
+          SELECT e.dst FROM e JOIN fv{r-1} v ON e.src = v.node
+        )
+        , bv{r} AS (
+          SELECT node FROM bv{r-1}
+          UNION
+          SELECT e.src FROM e JOIN bv{r-1} v ON e.dst = v.node
+        )"""
+    return head + body + f"""
+        , nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        SELECT n.node,
+               CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'scc'
+                    WHEN b.node IS NOT NULL THEN 'in'
+                    WHEN f.node IS NOT NULL THEN 'out'
+                    ELSE 'other' END AS region
+        FROM nodes n
+        LEFT JOIN fv{max_hops} f ON f.node = n.node
+        LEFT JOIN bv{max_hops} b ON b.node = n.node
+    """
+
+
+ORACLE_SQL["bowtie_link_regions"] = _bowtie_sql()
 
 ORACLE_SQL["lm_surprisal_buckets"] = f"""
     WITH words AS (

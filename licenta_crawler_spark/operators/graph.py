@@ -632,3 +632,61 @@ def label_propagation_sql_unrolled(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{iterations}"
     )
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    pivot: int,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Broder bow-tie decomposition of a directed link graph (Broder et
+    al. 2000, "Graph structure in the Web") around a pivot node: every
+    node is classified by reachability —
+
+      * ``scc``   — reaches the pivot AND is reached from it (the pivot's
+        strongly connected component, the web's "core");
+      * ``in``    — reaches the pivot but isn't reached back (pages that
+        LINK INTO the core: new/weakly-linked sites);
+      * ``out``   — reached from the pivot but can't get back (pages the
+        core links to that never link back: leaf content, archives);
+      * ``other`` — neither (tendrils/tubes/disconnected, reported as one
+        coarse class).
+
+    The crawl meaning: seed lists drawn from IN+SCC cover OUT for free;
+    seeds drawn from OUT never discover the core — the decomposition is
+    the standard diagnostic for seed-list quality and frontier reach.
+
+    Both closures run as the SAME synchronous frontier expansion as
+    :func:`bfs_hops` (forward on (src→dst), backward on the reversed
+    edges), so reachability is bounded by ``max_hops`` BY DESIGN, like
+    the crawl-depth policy it mirrors; the oracle replays the identical
+    capped closure. Per-round cost is frontier-sized; the visited set
+    never reshuffles its history."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(int(pivot),)], "node long")
+    fwd = bfs_hops(edges, seeds, max_hops, src=src, dst=dst).select(
+        "node", F.lit(1).alias("_f")
+    )
+    bwd = bfs_hops(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")),
+        seeds, max_hops, src="_s", dst="_d",
+    ).select("node", F.lit(1).alias("_b"))
+    nodes = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .unionAll(edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), "scc")
+            .when(F.col("_b").isNotNull(), "in")
+            .when(F.col("_f").isNotNull(), "out")
+            .otherwise("other")
+            .alias("region"),
+        )
+    )

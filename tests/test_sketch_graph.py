@@ -594,3 +594,46 @@ class TestHeavyHittersExact:
         r16 = {(r.value, r.n)
                for r in heavy_hitters_exact(df.repartition(16), "v", k=3).collect()}
         assert r1 == r16 == {("a", 60)}
+
+
+class TestBowtieRegions:
+    """Broder bow-tie: textbook fixture with every region + the hop cap."""
+
+    def test_textbook_bowtie(self, spark):
+        from licenta_crawler_spark.operators.graph import bowtie_regions
+
+        edges = spark.createDataFrame(
+            [
+                (1, 2), (2, 3), (3, 1),   # core cycle (the SCC)
+                (10, 1),                  # IN: links into the core
+                (3, 20),                  # OUT: linked from the core
+                (10, 30),                 # tendril off IN -> other
+                (40, 41),                 # disconnected -> other
+            ],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["region"]
+            for r in bowtie_regions(edges, pivot=1, max_hops=6).collect()
+        }
+        assert got == {
+            1: "scc", 2: "scc", 3: "scc",
+            10: "in", 20: "out",
+            30: "other", 40: "other", 41: "other",
+        }
+
+    def test_hop_cap_policy(self, spark):
+        from licenta_crawler_spark.operators.graph import bowtie_regions
+
+        # chain 1 -> 2 -> ... -> 6 with a back edge 2 -> 1: node 6 is 5
+        # hops out, so max_hops=3 reports it 'other' BY POLICY
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)] + [(2, 1)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["region"]
+            for r in bowtie_regions(edges, pivot=1, max_hops=3).collect()
+        }
+        assert got[2] == "scc" and got[4] == "out"
+        assert got[6] == "other"  # beyond the cap, absent from the closure
