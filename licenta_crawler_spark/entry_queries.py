@@ -3194,6 +3194,38 @@ def bowtie_link_regions(spark, sf_dir):
     return bowtie_regions(edges, pivot=0, max_hops=6)
 
 
+def canonical_url_election(spark, sf_dir):
+    """Canonical-URL election over content-duplicate URL groups (the
+    serving artifact downstream of mirror/DUST detection): per content
+    fingerprint, elect the (shortest, then lexicographically smallest)
+    URL — the published canonicalization heuristic — as ONE map-side-
+    combinable min(struct(len, url)) aggregation, no window sort. URL
+    spellings synthesized as param variants of the same page id."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    url = F.concat(
+        F.lit("https://shop-"), (F.col("l_suppkey") % 25).cast("string"),
+        F.lit(".example/p/"), F.col("l_partkey").cast("string"),
+        F.when(F.col("l_linenumber") % 3 == 1, F.lit("?ref=home"))
+        .when(F.col("l_linenumber") % 3 == 2, F.lit("?ref=search&sid=9"))
+        .otherwise(F.lit("")),
+    )
+    pages = li.select(
+        F.concat(F.lit("fp:"), (F.col("l_partkey") % 500).cast("string")).alias(
+            "content_fp"
+        ),
+        url.alias("url"),
+    ).distinct()
+    m = pages.groupBy("content_fp").agg(
+        F.count("*").alias("n_urls"),
+        F.min(F.struct(F.length("url").alias("l"), F.col("url"))).alias("m"),
+    )
+    return m.select(
+        "content_fp",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("m.url").alias("canonical_url"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3271,6 +3303,7 @@ QUERIES = {
     "dedup_keep_list": dedup_keep_list,
     "incremental_dedup_pairs": incremental_dedup_pairs,
     "bowtie_link_regions": bowtie_link_regions,
+    "canonical_url_election": canonical_url_election,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -5998,6 +6031,29 @@ def _bowtie_sql(max_hops: int = 6) -> str:
 
 
 ORACLE_SQL["bowtie_link_regions"] = _bowtie_sql()
+
+ORACLE_SQL["canonical_url_election"] = """
+    WITH pages AS (
+      SELECT DISTINCT
+        'fp:' || (l_partkey % 500) AS content_fp,
+        'https://shop-' || (l_suppkey % 25) || '.example/p/' || l_partkey
+        || (CASE l_linenumber % 3
+              WHEN 1 THEN '?ref=home'
+              WHEN 2 THEN '?ref=search&sid=9'
+              ELSE '' END) AS url
+      FROM lineitem WHERE l_orderkey < 4000
+    ),
+    ranked AS (
+      SELECT content_fp, url,
+             row_number() OVER (
+               PARTITION BY content_fp ORDER BY length(url), url
+             ) AS rn,
+             count(*) OVER (PARTITION BY content_fp) AS n_urls
+      FROM pages
+    )
+    SELECT content_fp, n_urls::BIGINT AS n_urls, url AS canonical_url
+    FROM ranked WHERE rn = 1
+"""
 
 ORACLE_SQL["lm_surprisal_buckets"] = f"""
     WITH words AS (
