@@ -3226,6 +3226,49 @@ def canonical_url_election(spark, sf_dir):
     )
 
 
+def sitemap_lastmod_schedule(spark, sf_dir):
+    """Sitemap `<lastmod>` freshness scheduling
+    (`operators/parse.sitemap_lastmod_entries`): sitemap XML synthesized
+    in-plan (some entries with lastmod, some without — the tag is
+    optional), parsed back with the pure-expression extractor, then
+    ranked freshest-first per host (ISO dates compare as strings —
+    no date parsing, engine-exact; missing lastmod ranks last)."""
+    from licenta_crawler_spark.operators.parse import sitemap_lastmod_entries
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    day = (F.col("o_orderkey") % 28 + 1).cast("int")
+    entry = F.concat(
+        F.lit("<url><loc> https://h"), (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
+        F.lit(" </loc>"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0,
+            F.concat(
+                F.lit("<lastmod>2026-0"), (F.col("o_orderkey") % 6 + 1).cast("string"),
+                F.lit("-"), F.lpad(day.cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        o.select((F.col("o_custkey") % 10).alias("h"), entry.alias("e"))
+        .groupBy("h")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("e"))).alias("inner"))
+        .select(
+            F.concat(F.lit("https://h"), F.col("h"), F.lit(".example/sitemap.xml")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("inner"), F.lit("</urlset>")).alias("body"),
+        )
+    )
+    entries = sitemap_lastmod_entries(xml)
+    w = Window.partitionBy("sitemap_url").orderBy(
+        F.desc("lastmod"), F.asc("loc")
+    )
+    return entries.withColumn(
+        "fetch_rank", F.row_number().over(w).cast("long")
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3304,6 +3347,7 @@ QUERIES = {
     "incremental_dedup_pairs": incremental_dedup_pairs,
     "bowtie_link_regions": bowtie_link_regions,
     "canonical_url_election": canonical_url_election,
+    "sitemap_lastmod_schedule": sitemap_lastmod_schedule,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6053,6 +6097,42 @@ ORACLE_SQL["canonical_url_election"] = """
     )
     SELECT content_fp, n_urls::BIGINT AS n_urls, url AS canonical_url
     FROM ranked WHERE rn = 1
+"""
+
+ORACLE_SQL["sitemap_lastmod_schedule"] = """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000),
+    entries AS (
+      SELECT (o_custkey % 10) AS h,
+        '<url><loc> https://h' || (o_custkey % 10) || '.example/p/' || o_orderkey
+        || ' </loc>'
+        || (CASE WHEN o_orderkey % 3 <> 0 THEN
+              '<lastmod>2026-0' || (o_orderkey % 6 + 1) || '-'
+              || lpad((o_orderkey % 28 + 1)::VARCHAR, 2, '0') || '</lastmod>'
+            ELSE '' END)
+        || '</url>' AS e
+      FROM o
+    ),
+    xml AS (
+      SELECT 'https://h' || h || '.example/sitemap.xml' AS url,
+             '<urlset>' || string_agg(e, '' ORDER BY e) || '</urlset>' AS body
+      FROM entries GROUP BY h
+    ),
+    blocks AS (
+      SELECT url AS sitemap_url,
+             unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS blk
+      FROM xml
+    ),
+    parsed AS (
+      SELECT sitemap_url,
+             regexp_extract(blk, '<loc>\s*(.*?)\s*</loc>', 1) AS loc,
+             regexp_extract(blk, '<lastmod>\s*(.*?)\s*</lastmod>', 1) AS lastmod
+      FROM blocks
+    )
+    SELECT sitemap_url, loc, lastmod,
+           row_number() OVER (
+             PARTITION BY sitemap_url ORDER BY lastmod DESC, loc ASC
+           )::BIGINT AS fetch_rank
+    FROM parsed WHERE loc <> ''
 """
 
 ORACLE_SQL["lm_surprisal_buckets"] = f"""

@@ -358,3 +358,34 @@ def robots_decision(
         F.coalesce("allow", F.lit(True)).alias("allowed"),
         F.coalesce("pattern", F.lit("")).alias("matched_pattern"),
     )
+
+
+def sitemap_lastmod_entries(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "body",
+) -> DataFrame:
+    """Per-URL ``<lastmod>`` extraction from sitemap urlsets — the
+    freshness signal the sitemaps protocol publishes and recrawl
+    schedulers consume (sitemaps.org §<lastmod>). The SAX path
+    (:func:`parse_sitemaps`) deliberately keeps only ``<loc>`` (reference
+    parity); this extractor is PURE column math — regexp_extract_all of
+    the ``<url>`` blocks, one explode, two regexp_extracts — so it rides
+    whole-stage codegen with no Python worker, and a SQL oracle replays
+    it verbatim.
+
+    Returns (sitemap_url, loc, lastmod) with lastmod = '' when the
+    optional tag is absent. ISO-8601 lastmod strings sort correctly as
+    plain strings, so downstream freshness ranking needs no date
+    parsing (and stays engine-exact)."""
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+    b = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"), F.explode(blocks).alias("blk")
+    )
+    return b.select(
+        "sitemap_url",
+        F.regexp_extract(F.col("blk"), r"<loc>\s*(.*?)\s*</loc>", 1).alias("loc"),
+        F.regexp_extract(
+            F.col("blk"), r"<lastmod>\s*(.*?)\s*</lastmod>", 1
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")

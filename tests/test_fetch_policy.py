@@ -196,3 +196,29 @@ def test_parse_robots_allow_lines_and_rule_rows(spark):
            for r in robots_decision(paths, rules).collect()}
     assert dec == {"/public/x": True, "/public/private/y": False,
                    "/other": False}
+
+
+class TestSitemapLastmod:
+    def test_extraction_and_optional_tag(self, spark):
+        from licenta_crawler_spark.operators.parse import (
+            sitemap_lastmod_entries,
+        )
+
+        xml = (
+            "<urlset>"
+            "<url><loc> https://a/1 </loc><lastmod>2026-03-01</lastmod></url>"
+            "<url><loc>https://a/2</loc></url>"
+            "<url><lastmod>2026-01-01</lastmod></url>"  # no loc -> dropped
+            "<url><loc>https://a/3</loc><lastmod> 2026-05-09 </lastmod></url>"
+            "</urlset>"
+        )
+        df = spark.createDataFrame([("https://a/sm.xml", xml)], "url string, body string")
+        got = {
+            r["loc"]: r["lastmod"]
+            for r in sitemap_lastmod_entries(df).collect()
+        }
+        assert got == {
+            "https://a/1": "2026-03-01",
+            "https://a/2": "",
+            "https://a/3": "2026-05-09",
+        }
