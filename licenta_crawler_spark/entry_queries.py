@@ -3315,6 +3315,19 @@ def vocab_growth_curve(spark, sf_dir):
     return out
 
 
+def bpe_token_budget(spark, sf_dir):
+    """ENCODE under the learned BPE vocabulary
+    (`operators/bpe.bpe_encode_stats`): per-document word/char/token
+    counts after the 6 trained merges — encoding a corpus with merges
+    learned from it is a DICTIONARY LOOKUP (the trainer's final symbol
+    table is every word's encoding), so per-doc budgets cost one explode
+    + one word-key join, never a per-document re-tokenization; the
+    oracle extends the unrolled training replay with the same lookup."""
+    from licenta_crawler_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3395,6 +3408,7 @@ QUERIES = {
     "canonical_url_election": canonical_url_election,
     "sitemap_lastmod_schedule": sitemap_lastmod_schedule,
     "vocab_growth_curve": vocab_growth_curve,
+    "bpe_token_budget": bpe_token_budget,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6291,6 +6305,15 @@ def _bpe_oracle() -> str:
 
 
 ORACLE_SQL["bpe_merge_rules"] = _bpe_oracle()
+
+
+def _bpe_encode_oracle() -> str:
+    from licenta_crawler_spark.operators.bpe import bpe_encode_sql_unrolled
+
+    return bpe_encode_sql_unrolled(6, _NORM_TOKS_SQL)
+
+
+ORACLE_SQL["bpe_token_budget"] = _bpe_encode_oracle()
 
 ORACLE_SQL["nb_quality_classifier"] = f"""
     WITH words AS (

@@ -45,24 +45,12 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    *,
-    n_merges: int = 6,
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules from the corpus.
-
-    Returns (step, left_sym, right_sym, pair_freq): step r merged the
-    adjacent symbol pair (left_sym, right_sym), which occurred
-    pair_freq times (frequency-weighted over the word dictionary,
-    counting overlapping adjacencies — the published counting rule)
-    in the symbol sequences produced by merges 1..r-1.
-
-    Merge application per word is the standard greedy left-to-right
-    non-overlapping rewrite: within every maximal run of consecutive
-    match positions (runs longer than 1 only when left==right, e.g.
-    'aaaa' under ('a','a')), every other match is applied."""
+def _bpe_train_loop(
+    docs: DataFrame, n_merges: int, text_col: str, keep_seqs: bool
+):
+    """Shared trainer loop: returns (merges, final_seqs-or-None). When
+    ``keep_seqs``, the final symbol table is localCheckpoint'ed before
+    the scratch dir is reclaimed (single checkpoint, not a chain)."""
     spark = docs.sparkSession
     wf = word_freq_table(docs, text_col)
     seqs = wf.select(
@@ -113,10 +101,72 @@ def bpe_train(
                 F.when(F.col("sel"), F.lit(ma + mb)).otherwise(F.col("sym")).alias("sym"),
             )
             seqs = truncate(new, f"seq{step}")
+        final = seqs.localCheckpoint(eager=True) if keep_seqs else None
     finally:
         cleanup()
-    return spark.createDataFrame(
+    return merges, final
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Returns (step, left_sym, right_sym, pair_freq): step r merged the
+    adjacent symbol pair (left_sym, right_sym), which occurred
+    pair_freq times (frequency-weighted over the word dictionary,
+    counting overlapping adjacencies — the published counting rule)
+    in the symbol sequences produced by merges 1..r-1.
+
+    Merge application per word is the standard greedy left-to-right
+    non-overlapping rewrite: within every maximal run of consecutive
+    match positions (runs longer than 1 only when left==right, e.g.
+    'aaaa' under ('a','a')), every other match is applied."""
+    merges, _ = _bpe_train_loop(docs, n_merges, text_col, keep_seqs=False)
+    return docs.sparkSession.createDataFrame(
         merges, "step long, left_sym string, right_sym string, pair_freq long"
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    *,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE under the learned vocabulary: after training the first
+    ``n_merges`` merges on the corpus, report per document how the
+    tokenizer compresses it — (doc_id, n_words, n_chars, n_bpe_tokens).
+
+    Key property the DataFrame shape exploits: encoding a corpus with
+    the merges learned FROM that corpus is a dictionary lookup — the
+    trainer's final symbol table already IS every word's encoding, so
+    per-word token counts aggregate off the (vocab-sized) dictionary
+    and join back to the corpus words by word string. No per-document
+    re-tokenization ever runs; the corpus-sized work is one explode +
+    one join on the word key. That is also how real pipelines budget
+    token counts at 100 TB (word-frequency dictionary × per-word token
+    length)."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    _, final = _bpe_train_loop(docs, n_merges, text_col, keep_seqs=True)
+    lens = final.groupBy("word").agg(F.count("*").alias("n_bpe"))
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    words = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.explode(toks).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(lens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
     )
 
 
@@ -127,6 +177,38 @@ def bpe_train_sql_unrolled(n_merges: int, norm_toks_sql: str) -> str:
     counting, running-sum match numbering, pos - mrn islands,
     every-other-match selection, lag() consumption, row_number
     reindexing."""
+    ctes = _bpe_ctes(n_merges, norm_toks_sql)
+    steps = "\n      UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, ma AS left_sym, mb AS right_sym, c AS pair_freq FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {steps}"
+
+
+def bpe_encode_sql_unrolled(n_merges: int, norm_toks_sql: str) -> str:
+    """DuckDB replay of ``bpe_encode_stats``: the same unrolled training
+    CTEs, then per-word token lengths off the final symbol table joined
+    back to the corpus words."""
+    ctes = _bpe_ctes(n_merges, norm_toks_sql)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    lens AS (
+      SELECT word, count(*)::BIGINT AS n_bpe FROM seq{n_merges} GROUP BY word
+    ),
+    dw AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest({norm_toks_sql}) AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(length(word))::BIGINT AS n_chars,
+           sum(n_bpe)::BIGINT AS n_bpe_tokens
+    FROM dw JOIN lens USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id"""
+    )
+
+
+def _bpe_ctes(n_merges: int, norm_toks_sql: str) -> list[str]:
     ctes = [
         f"""wf AS (
       SELECT word, count(*)::BIGINT AS freq FROM (
@@ -181,8 +263,4 @@ def bpe_train_sql_unrolled(n_merges: int, norm_toks_sql: str) -> str:
              CASE WHEN sel THEN ma || mb ELSE sym END AS sym
       FROM x{r} WHERE NOT consumed
     )""")
-    steps = "\n      UNION ALL ".join(
-        f"SELECT {r}::BIGINT AS step, ma AS left_sym, mb AS right_sym, c AS pair_freq FROM best{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {steps}"
+    return ctes

@@ -81,3 +81,33 @@ def test_merged_symbols_keep_merging(spark):
     assert got == exp
     learned = {(a, b) for _, a, b, _ in got}
     assert ("lo", "w") in learned or ("l", "o") in learned
+
+
+def test_encode_stats_dictionary_lookup(spark):
+    from licenta_crawler_spark.operators.bpe import bpe_encode_stats
+
+    texts = ["low low lower", "lowest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           bpe_encode_stats(df, n_merges=3).collect()}
+    # replay: train on the dictionary, encode each word, sum per doc
+    words = [w for t in texts for w in t.split()]
+    merges = _ref_bpe(words, 3)
+    seqs = {w: list(w) for w in set(words)}
+    for _, a, b, _ in merges:
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = out
+    for did, t in enumerate(texts):
+        ws = t.split()
+        assert got[did]["n_words"] == len(ws)
+        assert got[did]["n_chars"] == sum(len(w) for w in ws)
+        assert got[did]["n_bpe_tokens"] == sum(len(seqs[w]) for w in ws)
+        assert got[did]["n_bpe_tokens"] < got[did]["n_chars"]  # it compressed
