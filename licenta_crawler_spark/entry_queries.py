@@ -3328,6 +3328,23 @@ def bpe_token_budget(spark, sf_dir):
     return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+def bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (`operators/retrieval.bm25_retrieval`):
+    two ranked queries, top-10 each, scored with the exact-rational
+    k1=6/5, b=3/4 fixed point — one corpus pass (query-vocab tokens
+    explode, doc lengths ride the same scan), integer idf, per-query
+    top-k window over matched rows only."""
+    from licenta_crawler_spark.operators.retrieval import bm25_retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("r1", "join"), ("r1", "hash"), ("r2", "window"), ("r2", "stream"),
+         ("r2", "customer")],
+        "query_id string, term string",
+    )
+    return bm25_retrieval(d, q, k=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3409,6 +3426,7 @@ QUERIES = {
     "sitemap_lastmod_schedule": sitemap_lastmod_schedule,
     "vocab_growth_curve": vocab_growth_curve,
     "bpe_token_budget": bpe_token_budget,
+    "bm25_search": bm25_search,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6208,6 +6226,44 @@ ORACLE_SQL["vocab_growth_curve"] = f"""
            (SELECT count(*) FROM w WHERE w.doc_id < ks.n_docs)::BIGINT AS n_tokens,
            (SELECT count(*) FROM firsts f WHERE f.first_doc < ks.n_docs)::BIGINT AS n_vocab
     FROM ks
+"""
+
+ORACLE_SQL["bm25_search"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('r1','join'), ('r1','hash'), ('r2','window'),
+                            ('r2','stream'), ('r2','customer'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total, count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(((n_docs * 1000000) // df) * (44 * t_total) * tf
+                 // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)
+             )::BIGINT AS score_fp
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score_fp, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+      )::BIGINT AS rk
+      FROM scored
+    ) WHERE rk <= 10
 """
 
 ORACLE_SQL["lm_surprisal_buckets"] = f"""

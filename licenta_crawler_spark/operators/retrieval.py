@@ -22,7 +22,7 @@ matches a doc iff the doc contributes k distinct required terms
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from licenta_crawler_spark.functions.text import normalized_text_col
@@ -168,4 +168,83 @@ def phrase_retrieval(
     )
     return counts.join(F.broadcast(pid), "phrase").select(
         "phrase_id", "doc_id", "n_occurrences"
+    )
+
+
+def bm25_retrieval(
+    documents: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_literal_max: int = VOCAB_LITERAL_MAX,
+) -> DataFrame:
+    """RANKED retrieval: BM25 top-k per query (Robertson & Zaragoza
+    2009), batch of queries in ONE corpus pass — the missing ranked
+    sibling of :func:`boolean_retrieval`.
+
+    Exact-integer scoring: with k1 = 6/5 and b = 3/4 the BM25 term
+    ratio is the exact rational (44·T·tf) / (20·T·tf + 6·T + 18·dl·N)
+    (T = total corpus tokens, N = docs, dl = doc length), and idf is
+    the integer rarity weight (N·10^6) div df — so the per-(query,doc)
+    score is one int64 division per term and cross-engine exact. The
+    rank ordering matches float BM25 wherever the fixed-point gap
+    exceeds one ulp; ties break on doc id. Overflow headroom:
+    N·10^6 · 44·T · tf_max must stay < 2^63 — holds through ~10^5 docs
+    × 10^5 tokens at this scale constant; shrink the idf scale with
+    corpus size (documented trade, same class as the pagerank scale).
+
+    Plan shape (the 10^9-doc property): the corpus explodes ONLY its
+    query-vocabulary tokens (literal-array filter under
+    ``vocab_literal_max`` terms, broadcast left-semi above); doc
+    lengths ride the same single scan; df/T/N are index-sized or
+    scalar aggregates; the final top-k is a per-query window over
+    matched rows only."""
+    qv = queries.select("query_id", "term").distinct()
+    vocab = [r.term for r in qv.select("term").distinct().collect()]
+    toks_all = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks_all.alias("toks"),
+        F.size(toks_all).cast("long").alias("dl"),
+    )
+    if len(vocab) <= vocab_literal_max:
+        lit = F.array(*[F.lit(t) for t in vocab])
+        hits = base.select(
+            "doc_id", "dl",
+            F.explode(F.filter(F.col("toks"), lambda t: F.array_contains(lit, t))).alias("term"),
+        )
+    else:
+        hits = base.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        ).join(F.broadcast(qv.select("term").distinct()), "term", "left_semi")
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = base.select(
+        F.sum("dl").alias("t_total"), F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qv), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id", "doc_id",
+            F.expr(
+                "((n_docs * 1000000) div df) * (44 * t_total) * tf"
+                " div (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"
+            ).alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score_fp", "rk")
     )

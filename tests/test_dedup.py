@@ -500,3 +500,68 @@ class TestIncrementalDedup:
         expected = {p for p in batch if p[0].startswith("new") or p[1].startswith("new")}
         assert inc == expected
         assert ("new1", "new2") in inc  # new-new emits exactly once
+
+
+class TestBm25Retrieval:
+    def test_ordering_matches_float_bm25(self, spark):
+        import math
+        import random
+
+        from licenta_crawler_spark.operators.retrieval import bm25_retrieval
+
+        rng = random.Random(5)
+        vocab = ["alpha", "beta", "gamma", "delta", "rare"]
+        docs = []
+        for i in range(30):
+            words = [rng.choice(vocab[:4]) for _ in range(rng.randint(5, 25))]
+            if i % 7 == 0:
+                words.append("rare")
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("q", "alpha"), ("q", "rare")], "query_id string, term string"
+        )
+        got = [
+            r["doc_id"]
+            for r in bm25_retrieval(df, q, k=10)
+            .orderBy("rk").collect()
+        ]
+
+        # independent float BM25 (k1=1.2, b=0.75, idf = N*1e6//df surrogate)
+        toks = {i: t.split() for i, t in docs}
+        N = len(docs)
+        T = sum(len(t) for t in toks.values())
+        avgdl = T / N
+        df_ = {
+            w: sum(1 for t in toks.values() if w in t) for w in ("alpha", "rare")
+        }
+        def score(i):
+            s = 0.0
+            for w in ("alpha", "rare"):
+                tf = toks[i].count(w)
+                if not tf:
+                    continue
+                idf = (N * 1_000_000) // df_[w]
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl))
+            return s
+        exp = sorted(
+            (i for i in toks if score(i) > 0),
+            key=lambda i: (-score(i), i),
+        )[:10]
+        assert got == exp
+        # rare-term docs dominate the top
+        assert all(d % 7 == 0 for d in got[:3])
+
+    def test_length_normalization(self, spark):
+        from licenta_crawler_spark.operators.retrieval import bm25_retrieval
+
+        df = spark.createDataFrame(
+            [
+                (1, "target filler " * 1 + "pad " * 2),
+                (2, "target filler " * 1 + "pad " * 40),  # same tf, longer
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame([("q", "target")], "query_id string, term string")
+        got = {r["doc_id"]: r["rk"] for r in bm25_retrieval(df, q).collect()}
+        assert got[1] == 1 and got[2] == 2  # shorter doc wins at equal tf
