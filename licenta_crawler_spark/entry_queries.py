@@ -3300,19 +3300,24 @@ def vocab_growth_curve(spark, sf_dir):
             for k in cutoffs
         ]
     )
-    rows = vocab.crossJoin(mass)
-    per_k = [
-        rows.select(
-            F.lit(k).cast("long").alias("n_docs"),
-            F.col(f"t{k}").alias("n_tokens"),
-            F.col(f"v{k}").alias("n_vocab"),
-        )
-        for k in cutoffs
-    ]
-    out = per_k[0]
-    for p in per_k[1:]:
-        out = out.unionAll(p)
-    return out
+    # one row holding all cutoffs, exploded in-row — a union of per-k
+    # selects would re-run both aggregates once per branch (observed
+    # 16-scan plan)
+    rows = vocab.crossJoin(mass).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("n_docs"),
+                        F.col(f"t{k}").alias("n_tokens"),
+                        F.col(f"v{k}").alias("n_vocab"),
+                    )
+                    for k in cutoffs
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.n_docs", "s.n_tokens", "s.n_vocab")
 
 
 def bpe_token_budget(spark, sf_dir):
