@@ -51,8 +51,12 @@ def _run(spark, texts, n_merges):
     return got, _ref_bpe(words, n_merges)
 
 
-def test_matches_reference_on_random_corpus(spark):
-    rng = random.Random(3)
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_matches_reference_on_random_corpus(spark, seed):
+    rng = random.Random(seed)
     vocab = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
              for _ in range(40)]
     texts = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(20)]
