@@ -3350,6 +3350,41 @@ def bm25_search(spark, sf_dir):
     return bm25_retrieval(d, q, k=10)
 
 
+def media_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup detection over the media payload column
+    (`operators/multimodal.dhash_expr` + the banded hamming join from
+    `dedup.simhash_near_pairs_from_hashes`): 64-bit dHash per payload —
+    9x8 byte-grid samples, horizontal gradient bits, pure hex/conv
+    column math — then hamming<=6 pairs via 4x16-bit band buckets,
+    never all-pairs. Payloads synthesized as 20 base patterns each with
+    a one-byte-flipped variant (a near dup by construction) plus
+    unrelated singletons."""
+    from licenta_crawler_spark.operators.dedup import (
+        simhash_near_pairs_from_hashes,
+    )
+    from licenta_crawler_spark.operators.multimodal import dhash_expr
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    g = (F.col("event_id") % 20).cast("string")
+    base = F.repeat(F.md5(F.concat(F.lit("img"), g)), 4)
+    # the flip lands ON a sampled grid offset (byte 41 = sample m=23),
+    # so the variant is a hamming-1..2 near dup, not an exact dup
+    variant = F.concat(
+        F.substring(base, 1, 41), F.lit("X"), F.substring(base, 43, 10000)
+    )
+    media = (
+        ev.select(
+            F.concat(F.lit("m"), F.col("event_id")).alias("doc_id"),
+            F.when((F.col("event_id") / 20).cast("long") % 2 == 0, base)
+            .otherwise(variant)
+            .alias("s"),
+        )
+        .select("doc_id", F.encode(F.col("s"), "UTF-8").alias("payload"))
+    )
+    sig = media.select("doc_id", dhash_expr("payload").alias("simhash"))
+    return simhash_near_pairs_from_hashes(sig, k=6, n_bands=4)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3432,6 +3467,7 @@ QUERIES = {
     "vocab_growth_curve": vocab_growth_curve,
     "bpe_token_budget": bpe_token_budget,
     "bm25_search": bm25_search,
+    "media_phash_near_dup": media_phash_near_dup,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6357,6 +6393,60 @@ ORACLE_SQL["rendezvous_host_shards"] = f"""
              AS n_moved_elsewhere
     FROM assigned GROUP BY shard
 """
+
+
+def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:
+    """DuckDB replay of media_phash_near_dup: identical byte-grid dHash
+    (hex/substr arithmetic), identical banded hamming join."""
+    px = [
+        f"('0x' || substr(hx, 2*(({m} * (n - 1)) // 71) + 1, 2))::INT"
+        for m in range(72)
+    ]
+    bits = " + ".join(
+        f"((({px[i * 9 + j]}) > ({px[i * 9 + j + 1]}))::BIGINT << {i * 8 + j})"
+        for i in range(8)
+        for j in range(8)
+        if i * 8 + j < 63
+    )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket, simhash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH ev AS (SELECT event_id FROM events WHERE event_id < 50),
+    strs AS (
+      SELECT 'm' || event_id AS doc_id,
+             repeat(md5('img' || (event_id % 20)), 4) AS base,
+             (event_id // 20) % 2 AS v
+      FROM ev
+    ),
+    media AS (
+      SELECT doc_id,
+             encode(CASE WHEN v = 0 THEN base
+                    ELSE substr(base, 1, 41) || 'X' || substr(base, 43, 10000)
+                    END) AS payload
+      FROM strs
+    ),
+    hx AS (
+      SELECT doc_id, hex(payload) AS hx,
+             octet_length(payload)::BIGINT AS n
+      FROM media
+    ),
+    sig AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM hx),
+    banded AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+    """
+
+
+ORACLE_SQL["media_phash_near_dup"] = _phash_oracle()
 
 
 def _bpe_oracle() -> str:

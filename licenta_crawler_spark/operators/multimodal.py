@@ -218,3 +218,36 @@ def sniff_mime_col(payload):
         .when(h.startswith("3C"), F.lit("text/html"))
         .otherwise(F.lit("application/octet-stream"))
     )
+
+
+def dhash_expr(payload_col: str = "payload") -> "F.Column":
+    """64-bit difference hash (dHash — the standard perceptual image
+    fingerprint) over a binary column, as PURE column math: sample a
+    9×8 grid of bytes at evenly spaced offsets, set bit (i,j) iff
+    sample[i,9j] > sample[i,9j+1] (the horizontal gradient), pack the
+    64 bits into a long.
+
+    Honest scope note: with no codec libraries in this container the
+    grid samples RAW PAYLOAD bytes; in production the identical
+    expression runs over the decoded 9×8 luma plane (one struct column
+    from the decode stage) — the sampling/gradient/packing/pairing
+    structure, which is the Spark-side content of the operator, is
+    unchanged. Every step is hex()/substr()/conv() arithmetic, so the
+    DuckDB oracle replays the hash bit-for-bit, and near-duplicate
+    pairing reuses the banded hamming join
+    (`dedup.simhash_near_pairs_from_hashes`) — no all-pairs product.
+    Requires length(payload) >= 2."""
+    px = [
+        f"cast(conv(substr(hex({payload_col}), "
+        f"2*(({m} * (length({payload_col}) - 1)) div 71) + 1, 2), 16, 10) as int)"
+        for m in range(72)
+    ]
+    bits = " + ".join(
+        f"(cast(({px[i * 9 + j]}) > ({px[i * 9 + j + 1]}) as bigint) << {i * 8 + j})"
+        for i in range(8)
+        for j in range(8)
+        if i * 8 + j < 63  # 63-bit pack: bit 63 would overflow a signed
+        # left shift in strict engines — same discipline as the 60-bit
+        # md5 simhash variant; one gradient bit of recall is the cost
+    )
+    return F.expr(f"cast({bits} as bigint)")

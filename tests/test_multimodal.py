@@ -150,3 +150,53 @@ def test_sniff_mime_magic_bytes(spark):
     )
     for r in out.collect():
         assert r["got"] == r["want"], r["want"]
+
+
+class TestDhash:
+    """dHash over the payload byte grid: python-replay equality and
+    gradient-bit sensitivity."""
+
+    @staticmethod
+    def _py_dhash(payload: bytes) -> int:
+        n = len(payload)
+        px = [payload[(m * (n - 1)) // 71] for m in range(72)]
+        h = 0
+        for i in range(8):
+            for j in range(8):
+                pos = i * 8 + j
+                if pos < 63 and px[i * 9 + j] > px[i * 9 + j + 1]:
+                    h |= 1 << pos
+        return h
+
+    def test_matches_python_replay(self, spark):
+        from licenta_crawler_spark.operators.multimodal import dhash_expr
+
+        import hashlib
+        payloads = [
+            hashlib.md5(f"img{i}".encode()).hexdigest().encode() * 4
+            for i in range(10)
+        ] + [b"ab", bytes(range(256))]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+        )
+        got = {r["doc_id"]: r["h"] for r in
+               df.select("doc_id", dhash_expr("payload").alias("h")).collect()}
+        for i, p in enumerate(payloads):
+            assert got[i] == self._py_dhash(p), i
+
+    def test_sampled_flip_changes_few_bits(self, spark):
+        from licenta_crawler_spark.operators.multimodal import dhash_expr
+
+        base = b"0123456789abcdef" * 8  # 128 bytes, stride ~1.79
+        sampled_off = (23 * 127) // 71  # sample m=23
+        flipped = bytearray(base); flipped[sampled_off] = 0xFF
+        unsampled = bytearray(base); unsampled[40] = 0xFF  # between samples
+        df = spark.createDataFrame(
+            [(0, base), (1, bytes(flipped)), (2, bytes(unsampled))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["h"] for r in
+               df.select("doc_id", dhash_expr("payload").alias("h")).collect()}
+        d01 = bin(got[0] ^ got[1]).count("1")
+        assert 1 <= d01 <= 2          # one sampled byte -> 1-2 gradient bits
+        assert got[0] == got[2]       # unsampled byte -> identical hash
