@@ -3385,6 +3385,48 @@ def media_phash_near_dup(spark, sf_dir):
     return simhash_near_pairs_from_hashes(sig, k=6, n_bands=4)
 
 
+def stream_lsh_dedup_replay(spark, sf_dir):
+    """Driver-checkable proof of the STREAMING LSH dedup state machine
+    (streaming/windowed.streaming_lsh_dedup): documents' band buckets
+    (same md5 banded-minhash column math as the batch pipeline) replay
+    per bucket in arrival order through the SAME _fold_lsh_bucket —
+    every arrival pairs with the bucket's residents; the oracle is the
+    plain band self-join oriented by the (batch_no, doc_id) arrival
+    tuple."""
+    from licenta_crawler_spark.operators.dedup import minhash_signatures
+    from licenta_crawler_spark.streaming.windowed import batch_replay_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(d, n_hashes=16, shingle_n=3, hash_fn="md5")
+    rpb = 4
+    key = lambda b: F.concat_ws(  # noqa: E731
+        ":",
+        b.cast("string"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rpb + 1, rpb),
+                lambda v: v.cast("string"),
+            ),
+        ),
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(3)), key)
+        ).alias("band", "bucket"),
+    )
+    rows = banded.select(
+        "bucket",
+        F.col("band").cast("long").alias("band"),
+        "doc_id",
+        (F.col("doc_id").cast("long") % 3).alias("batch_no"),
+    )
+    return batch_replay_lsh_dedup(rows)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3468,6 +3510,7 @@ QUERIES = {
     "bpe_token_budget": bpe_token_budget,
     "bm25_search": bm25_search,
     "media_phash_near_dup": media_phash_near_dup,
+    "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6393,6 +6436,58 @@ ORACLE_SQL["rendezvous_host_shards"] = f"""
              AS n_moved_elsewhere
     FROM assigned GROUP BY shard
 """
+
+
+def _stream_lsh_oracle(n_hashes=16, n_bands=4) -> str:
+    """Band self-join oriented by the (batch_no, doc_id) arrival tuple —
+    replays the streaming LSH dedup fold (same CTE construction as
+    _minhash_pairs_sql up to `banded`)."""
+    rpb = n_hashes // n_bands
+    seeds = xor_seeds(n_hashes)
+    hcols = ",\n           ".join(
+        f"xor({_MD5_H60.format(v='shingle')}, {seeds[i]}) AS h{i}"
+        for i in range(n_hashes)
+    )
+    sigcols = ", ".join(f"min(h{i}) AS s{i}" for i in range(n_hashes))
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b}::BIGINT AS band, '{b}:' || {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"s{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 2000
+        ),
+        shs AS (
+          SELECT doc_id, list_distinct(
+            list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks FROM docs)
+        ),
+        hashed AS (
+          SELECT doc_id,
+           {hcols}
+          FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shs)
+        ),
+        sig AS (SELECT doc_id, {sigcols} FROM hashed GROUP BY doc_id),
+        banded AS (
+    {bands}
+        ),
+        arr AS (
+          SELECT doc_id, band, bucket, (doc_id::BIGINT % 3) AS batch_no
+          FROM banded
+        )
+        SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM arr a JOIN arr b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND (a.batch_no < b.batch_no
+              OR (a.batch_no = b.batch_no AND a.doc_id < b.doc_id))
+    """
+
+
+ORACLE_SQL["stream_lsh_dedup_replay"] = _stream_lsh_oracle()
 
 
 def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:

@@ -657,3 +657,80 @@ def batch_replay_trending(
         )
 
     return hits.groupBy("host").applyInPandas(replay, schema=TREND_OUT_SCHEMA)
+
+
+# ----------------------------------------------- streaming LSH dedup
+LSH_STATE_SCHEMA = "docs string"
+LSH_OUT_SCHEMA = "band long, doc_a string, doc_b string"
+_LSH_SEP = "\x1f"
+
+
+def _fold_lsh_bucket(arrivals, stored):
+    """The per-(band,bucket) fold shared by the STREAMING LSH dedup and
+    its batch replay twin: documents arrive in (batch_no, doc_id) order;
+    each arrival pairs with EVERY doc already resident in the bucket
+    (earlier arrival first), then joins it. Returns (pairs, stored')."""
+    pairs = []
+    for doc in arrivals:
+        for old in stored:
+            pairs.append((old, doc))
+        stored = stored + [doc]
+    return pairs, stored
+
+
+def streaming_lsh_dedup(buckets: DataFrame) -> DataFrame:
+    """Near-dup candidate detection ON THE CRAWL STREAM: as fetched
+    documents arrive, their LSH band buckets (computed upstream with
+    the same banded-minhash column math as the batch pipeline) key a
+    state store holding each bucket's resident doc ids — a new arrival
+    emits a candidate pair per resident and joins the bucket. The crawl
+    never waits for a batch dedup pass; candidate pairs stream out for
+    the exact-verify stage.
+
+    State per key is the bucket's membership — the streaming equivalent
+    of the persisted band index the incremental batch path probes
+    (`dedup.minhash_lsh_dedup_incremental`), so total state is
+    index-sized (the inherent floor for dedup: you must remember what
+    you have seen). Input rows: (bucket string, band long, doc_id
+    string, batch_no long); within a micro-batch rows fold in
+    (batch_no, doc_id) order — deterministic under any partitioning."""
+
+    def fn(key, pdfs, state: GroupState):
+        stored = state.get[0].split(_LSH_SEP) if state.exists and state.get[0] else []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["batch_no", "doc_id"], kind="mergesort"
+        )
+        pairs, stored = _fold_lsh_bucket(rows["doc_id"].tolist(), stored)
+        state.update((_LSH_SEP.join(stored),))
+        band = int(rows["band"].iloc[0])
+        yield pd.DataFrame(
+            [(band, a, b) for a, b in pairs],
+            columns=["band", "doc_a", "doc_b"],
+        )
+
+    return buckets.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=LSH_OUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_replay_lsh_dedup(buckets: DataFrame) -> DataFrame:
+    """BATCH replay of streaming_lsh_dedup's state machine — the
+    driver-oracle-checkable twin: per bucket, arrivals replay in
+    (batch_no, doc_id) order through the SAME ``_fold_lsh_bucket``; the
+    oracle is the plain band self-join oriented by arrival order."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(["batch_no", "doc_id"], kind="mergesort")
+        pairs, _ = _fold_lsh_bucket(rows["doc_id"].tolist(), [])
+        return pd.DataFrame(
+            [(int(rows["band"].iloc[0]), a, b) for a, b in pairs],
+            columns=["band", "doc_a", "doc_b"],
+        )
+
+    return buckets.groupBy("bucket").applyInPandas(
+        replay, schema=LSH_OUT_SCHEMA
+    )

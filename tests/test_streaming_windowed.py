@@ -589,3 +589,42 @@ def test_streaming_trending_decay_spans_batches(spark, tmpdirs):
     out, last, count = _fold_trending([(0, 10), (1, 1), (3, 1)], None, 0, 6)
     assert [(b, d) for b, _, d, _ in out] == [(0, 10), (1, 6), (3, 2)]
     assert (last, count) == (3, 2)
+
+
+def test_streaming_lsh_dedup_state_spans_batches(spark, tmpdirs):
+    """Streaming LSH dedup: bucket residents persist in the state store —
+    a batch-2 arrival pairs with batch-1 residents (earlier doc first),
+    and unrelated buckets never pair."""
+    from licenta_crawler_spark.streaming.windowed import streaming_lsh_dedup
+
+    SCHEMA = "bucket string, band long, doc_id string, batch_no long"
+    b1 = spark.createDataFrame(
+        [("0:k1", 0, "d2", 0), ("0:k1", 0, "d1", 0), ("0:k9", 0, "d3", 0)],
+        SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [("0:k1", 0, "d4", 1), ("0:k9", 0, "d5", 1)], SCHEMA
+    )
+    src = f"{tmpdirs}/lsh-src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_lsh_dedup(stream)
+        .writeStream.format("memory").queryName("lshdedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/lsh-ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {(r["doc_a"], r["doc_b"]) for r in spark.table("lshdedup").collect()}
+    finally:
+        q.stop()
+
+    assert got == {
+        ("d1", "d2"),             # within batch 1, (batch, doc_id) order
+        ("d1", "d4"), ("d2", "d4"),  # batch-2 arrival vs both residents
+        ("d3", "d5"),             # the other bucket, across the boundary
+    }
