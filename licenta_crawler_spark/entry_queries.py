@@ -3427,6 +3427,29 @@ def stream_lsh_dedup_replay(spark, sf_dir):
     return batch_replay_lsh_dedup(rows)
 
 
+def intra_doc_repeats(spark, sf_dir):
+    """Exact longest WITHIN-document verbatim repeat
+    (`operators/dedup.self_repeat_stats`): the 30-token paragraph is
+    injected TWICE into every 6th doc, so those docs must report a
+    30-token self-repeat exactly; other docs report only their natural
+    repeated 5-grams. Same diagonal-island machinery as the cross-doc
+    operator, self-joined within the doc (quadratic only in a doc's
+    internal duplication)."""
+    from licenta_crawler_spark.operators.dedup import self_repeat_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(did % 6 == 0,
+               F.lit(" " + _DUP_PARA + " zbridge " + _DUP_PARA)
+               ).otherwise(F.lit("")),
+    )
+    return self_repeat_stats(
+        docs.select("doc_id", text2.alias("text")), min_tokens=5
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3511,6 +3534,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "media_phash_near_dup": media_phash_near_dup,
     "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
+    "intra_doc_repeats": intra_doc_repeats,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6488,6 +6512,40 @@ def _stream_lsh_oracle(n_hashes=16, n_bands=4) -> str:
 
 
 ORACLE_SQL["stream_lsh_dedup_replay"] = _stream_lsh_oracle()
+
+
+ORACLE_SQL["intra_doc_repeats"] = f"""
+    WITH t AS (
+      SELECT doc_id AS did,
+             {_NORM_TOKS_SQL.replace("lower(text)", "lower(text || (CASE WHEN doc_id % 6 = 0 THEN ' {p} zbridge {p}' ELSE '' END))".format(p=_DUP_PARA))} AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+      SELECT did,
+             unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                                   i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    ),
+    hits AS (
+      SELECT a.did, a.pos AS pos_a, b.pos - a.pos AS diag
+      FROM g a JOIN g b ON a.did = b.did AND a.gram = b.gram AND a.pos < b.pos
+    ),
+    runs AS (
+      SELECT did, diag,
+             pos_a - row_number() OVER (
+               PARTITION BY did, diag ORDER BY pos_a) AS grp
+      FROM hits
+    ),
+    island AS (
+      SELECT did, diag, grp, count(*)::BIGINT AS _len
+      FROM runs GROUP BY did, diag, grp
+    )
+    SELECT did AS doc_id,
+           (max(_len) + 4)::BIGINT AS max_self_repeat,
+           sum(_len)::BIGINT AS n_repeat_grams
+    FROM island GROUP BY did
+"""
 
 
 def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:

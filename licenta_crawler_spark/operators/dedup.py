@@ -802,3 +802,54 @@ def minhash_lsh_dedup_incremental(
         .distinct()
     )
     return verify_jaccard(cand, docs, id_col, text_col, shingle_n, threshold)
+
+
+def self_repeat_stats(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact longest WITHIN-document verbatim repeat — the
+    self-repetition signal (looping templates, copy-pasted blocks,
+    generator glitches) that Gopher's ratio heuristics approximate and
+    this measures exactly: the same gaps-and-islands machinery as
+    :func:`shared_substring_pairs`, but the gram equi-join pairs a
+    document WITH ITSELF at two positions (pos_a < pos_b), so a
+    repeated run of R >= L tokens at offset d = pos_b - pos_a shows up
+    as R - L + 1 consecutive pos_a hits on diagonal d, and
+    max island + L - 1 is the exact longest repeat.
+
+    Scale: per-doc work is bounded by the doc's own repeated-gram
+    multiset (sum of c·(c-1)/2 over per-doc gram counts) — quadratic
+    only in a document's internal duplication, never cross-doc; the
+    shuffle keys are (doc, diag). Docs with no repeated L-gram are
+    absent (no repetition >= L exists).
+
+    Returns (doc_id, max_self_repeat, n_repeat_grams)."""
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    grams = documents.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(ngram_join_col(toks, min_tokens)).alias("pos", "gram"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.did") == F.col("b.did"))
+        & (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.did").alias("did"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("did", "diag").orderBy("pos_a")
+    runs = hits.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    ).groupBy("did", "diag", "grp").agg(F.count("*").alias("_len"))
+    return runs.groupBy("did").agg(
+        (F.max("_len") + F.lit(min_tokens - 1)).alias("max_self_repeat"),
+        F.sum("_len").alias("n_repeat_grams"),
+    ).select(
+        F.col("did").alias("doc_id"), "max_self_repeat", "n_repeat_grams"
+    )

@@ -565,3 +565,26 @@ class TestBm25Retrieval:
         q = spark.createDataFrame([("q", "target")], "query_id string, term string")
         got = {r["doc_id"]: r["rk"] for r in bm25_retrieval(df, q).collect()}
         assert got[1] == 1 and got[2] == 2  # shorter doc wins at equal tf
+
+
+class TestSelfRepeatStats:
+    def test_injected_repeat_exact_length(self, spark):
+        from licenta_crawler_spark.operators.dedup import self_repeat_stats
+
+        para = " ".join(f"blk{j}" for j in range(30))
+        rows = [
+            (1, f"alpha beta {para} bridge {para} tail"),   # 30-run twice
+            (2, "all distinct words here nothing repeats at five grams"),
+            (3, "loop " * 12),                               # periodic
+        ]
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in self_repeat_stats(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                min_tokens=5,
+            ).collect()
+        }
+        assert got[1]["max_self_repeat"] == 30
+        assert 2 not in got                 # no repeated 5-gram at all
+        # 'loop'x12: longest overlapping repeat = 11 tokens (offset 1)
+        assert got[3]["max_self_repeat"] == 11
