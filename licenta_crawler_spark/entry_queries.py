@@ -3382,6 +3382,11 @@ def media_phash_near_dup(spark, sf_dir):
         .select("doc_id", F.encode(F.col("s"), "UTF-8").alias("payload"))
     )
     sig = media.select("doc_id", dhash_expr("payload").alias("simhash"))
+    # the banded self-join consumes sig on BOTH legs and in four band
+    # rows; without a materialization Catalyst re-plans the 126-term
+    # gradient expression per consumer (measured 20 s for 50 rows —
+    # all planning/codegen, not compute)
+    sig = sig.localCheckpoint(eager=False)
     return simhash_near_pairs_from_hashes(sig, k=6, n_bands=4)
 
 
@@ -3396,7 +3401,10 @@ def stream_lsh_dedup_replay(spark, sf_dir):
     from licenta_crawler_spark.operators.dedup import minhash_signatures
     from licenta_crawler_spark.streaming.windowed import batch_replay_lsh_dedup
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+    # 500 docs x 4 bands: the replay pays python per-GROUP overhead on
+    # near-singleton buckets, so the verification corpus stays small —
+    # the streaming operator itself amortizes over real micro-batches
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     sigs = minhash_signatures(d, n_hashes=16, shingle_n=3, hash_fn="md5")
@@ -6482,7 +6490,7 @@ def _stream_lsh_oracle(n_hashes=16, n_bands=4) -> str:
     )
     return f"""
         WITH docs AS (
-          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 2000
+          SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE doc_id < 500
         ),
         shs AS (
           SELECT doc_id, list_distinct(

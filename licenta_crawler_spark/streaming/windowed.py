@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -731,6 +731,14 @@ def batch_replay_lsh_dedup(buckets: DataFrame) -> DataFrame:
             columns=["band", "doc_a", "doc_b"],
         )
 
-    return buckets.groupBy("bucket").applyInPandas(
-        replay, schema=LSH_OUT_SCHEMA
+    # singleton buckets emit no pairs by definition — drop them BEFORE
+    # the Arrow group pass (per-group python overhead dominates on the
+    # near-singleton bucket distribution; the streaming op can't do
+    # this, its state must remember singletons for future arrivals)
+    w = Window.partitionBy("bucket")
+    multi = (
+        buckets.withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") > 1)
+        .drop("_n")
     )
+    return multi.groupBy("bucket").applyInPandas(replay, schema=LSH_OUT_SCHEMA)
