@@ -3458,6 +3458,36 @@ def intra_doc_repeats(spark, sf_dir):
     )
 
 
+def hyperanf_reachability(spark, sf_dir):
+    """HyperANF neighborhood function (`operators/graph.
+    hyperanf_neighborhood`) over the same structured directed graph as
+    the bow-tie query: per-node reach estimates at hops 0..3 from
+    per-node fixed-point HLL registers — one edge join + one register
+    max-merge per round; the oracle replays the full register recursion
+    and the integer estimate pipeline."""
+    from licenta_crawler_spark.operators.graph import hyperanf_neighborhood
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2400)
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    m = ok % 4
+    src = (
+        F.when(m == 0, ok % 80)
+        .when(m == 1, 80 + (ok % 80))
+        .when(m == 2, ck % 80)
+        .otherwise(240 + (ok % 40))
+    )
+    dst = (
+        F.when(m == 0, (ok * 7 + ck) % 80)
+        .when(m == 1, ck % 80)
+        .when(m == 2, 160 + (ok % 80))
+        .otherwise(240 + ((ok + ck) % 40))
+    )
+    edges = o.select(
+        src.cast("long").alias("src"), dst.cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return hyperanf_neighborhood(edges, rounds=3, p=6)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3543,6 +3573,7 @@ QUERIES = {
     "media_phash_near_dup": media_phash_near_dup,
     "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
     "intra_doc_repeats": intra_doc_repeats,
+    "hyperanf_reachability": hyperanf_reachability,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6554,6 +6585,84 @@ ORACLE_SQL["intra_doc_repeats"] = f"""
            sum(_len)::BIGINT AS n_repeat_grams
     FROM island GROUP BY did
 """
+
+
+def _hyperanf_oracle(rounds: int = 3, p: int = 6) -> str:
+    """Unrolled replay of the HyperANF register recursion + the integer
+    HLL estimate pipeline per hop (same constants as _hll_sql)."""
+    m = 1 << p
+    rem = 60 - p
+    alpha_num, alpha_den = _hll_alpha_num_den(m)
+    lc = ", ".join(str(x) for x in _hll_lc_table(m))
+    blocks = ["""
+    WITH raw_e AS (
+      SELECT CASE o_orderkey % 4
+               WHEN 0 THEN o_orderkey % 80
+               WHEN 1 THEN 80 + (o_orderkey % 80)
+               WHEN 2 THEN o_custkey % 80
+               ELSE 240 + (o_orderkey % 40)
+             END::BIGINT AS src,
+             CASE o_orderkey % 4
+               WHEN 0 THEN (o_orderkey * 7 + o_custkey) % 80
+               WHEN 1 THEN o_custkey % 80
+               WHEN 2 THEN 160 + (o_orderkey % 80)
+               ELSE 240 + ((o_orderkey + o_custkey) % 40)
+             END::BIGINT AS dst
+      FROM orders WHERE o_orderkey < 2400
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw_e WHERE src <> dst),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    h0 AS (
+      SELECT n AS grp,
+             ('0x' || substr(md5(n::VARCHAR), 1, 15))::BIGINT AS h
+      FROM nodes
+    ),
+    regs0 AS (
+      SELECT grp, (h % {m})::INT AS bucket,
+             max(least(CASE WHEN h // {m} = 0 THEN {rem1}
+                            ELSE {rem1} - length(bin(h // {m})) END, 32))
+               AS mrho
+      FROM h0 GROUP BY 1, 2
+    )""".format(m=m, rem1=rem + 1)]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+    regs{r} AS (
+      SELECT grp, bucket, max(mrho) AS mrho FROM (
+        SELECT grp, bucket, mrho FROM regs{r - 1}
+        UNION ALL
+        SELECT e.src AS grp, x.bucket, x.mrho
+        FROM e JOIN regs{r - 1} x ON x.grp = e.dst
+      ) GROUP BY grp, bucket
+    )""")
+    for r in range(rounds + 1):
+        blocks.append(f"""
+    agg{r} AS (
+      SELECT grp, SUM(1::BIGINT << (32 - mrho))::BIGINT AS s_present,
+             COUNT(*)::BIGINT AS n_present
+      FROM regs{r} GROUP BY grp
+    ),
+    raw{r} AS (
+      SELECT grp, n_present,
+             ({alpha_num}::BIGINT
+              * (({m * m}::BIGINT * {1 << 32}::BIGINT)
+                 // (s_present + ({m} - n_present) * ({1 << 32}::BIGINT)))
+             ) // {alpha_den} AS raw_i
+      FROM agg{r}
+    ),
+    est{r} AS (
+      SELECT grp AS node, {r}::BIGINT AS hop,
+             (CASE WHEN ({m} - n_present) > 0 AND raw_i * 2 <= {5 * m}
+                   THEN list_extract([{lc}], ({m} - n_present)::INT)
+                   ELSE raw_i END)::BIGINT AS est_reach
+      FROM raw{r}
+    )""")
+    tail = "\n    UNION ALL ".join(
+        f"SELECT node, hop, est_reach FROM est{r}" for r in range(rounds + 1)
+    )
+    return ",".join(blocks) + f"\n    {tail}"
+
+
+ORACLE_SQL["hyperanf_reachability"] = _hyperanf_oracle()
 
 
 def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:

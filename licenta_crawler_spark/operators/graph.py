@@ -690,3 +690,80 @@ def bowtie_regions(
             .alias("region"),
         )
     )
+
+
+def hyperanf_neighborhood(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna 2011): the neighborhood function
+    — |ball(v, r)| for every node and hop — via per-node HLL register
+    sets, the algorithm behind the published web-graph "degrees of
+    separation" measurements. Exact per-node BFS needs O(n) state per
+    node; HyperANF keeps 2^p registers per node and one round is just
+    ball(v, r) = ball(v, r-1) ∪ (∪_{v→u} ball(u, r-1)) — and HLL union
+    is per-bucket max, so every round is ONE edge join + ONE
+    (node, bucket) max-aggregation on register rows. State is
+    O(n · 2^p) rows, rounds truncate through parquet like every
+    iterative operator here.
+
+    Determinism/exactness: registers use the md5 fixed-point HLL
+    (`sketch.hll_registers`) and the integer estimate pipeline
+    (`sketch.hll_estimate_from_registers`), so registers AND estimates
+    are bit-identical across engines and the oracle replays the whole
+    r-round recursion. Returns (node, hop, est_reach) for hop 0..rounds
+    (hop 0 = the node itself; estimates carry standard HLL error, the
+    registers themselves are exact)."""
+    from licenta_crawler_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).distinct()
+    nodes = e.select(F.col("s").alias("n")).unionAll(
+        e.select(F.col("d").alias("n"))
+    ).distinct()
+    truncate, cleanup = _scratch_truncate(spark)
+    try:
+        regs = truncate(
+            hll_registers(nodes.select("n", F.col("n").alias("v")), "n", "v",
+                          p=p, hash_fn="md5"),
+            "regs0",
+        )
+        ests = [
+            hll_estimate_from_registers(regs, "node", p=p).select(
+                "node", F.lit(0).cast("long").alias("hop"),
+                F.col("est_distinct").alias("est_reach"),
+            )
+        ]
+        for r in range(1, rounds + 1):
+            contrib = e.join(regs, regs["grp"] == e["d"]).select(
+                F.col("s").alias("grp"), "bucket", "mrho"
+            )
+            merged = (
+                regs.unionByName(contrib)
+                .groupBy("grp", "bucket")
+                .agg(F.max("mrho").alias("mrho"))
+            )
+            regs = truncate(merged, f"regs{r}")
+            ests.append(
+                hll_estimate_from_registers(regs, "node", p=p).select(
+                    "node", F.lit(r).cast("long").alias("hop"),
+                    F.col("est_distinct").alias("est_reach"),
+                )
+            )
+        out = ests[0]
+        for x in ests[1:]:
+            out = out.unionByName(x)
+        # the union reads the per-round scratch parquet: materialize the
+        # (nodes x rounds)-sized result before the scratch dir is
+        # reclaimed
+        return out.localCheckpoint(eager=True)
+    finally:
+        cleanup()

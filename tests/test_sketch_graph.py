@@ -637,3 +637,72 @@ class TestBowtieRegions:
         }
         assert got[2] == "scc" and got[4] == "out"
         assert got[6] == "other"  # beyond the cap, absent from the closure
+
+
+class TestHyperAnf:
+    """HyperANF: python-replay equality of registers AND estimates, plus
+    the structural properties (hop-0 singleton, monotone reach, sinks)."""
+
+    @staticmethod
+    def _py_hyperanf(edges, rounds, p):
+        import hashlib
+        import math
+
+        m = 1 << p
+        rem = 60 - p
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {n: [] for n in nodes}
+        for a, b in edges:
+            out[a].append(b)
+
+        def regs_of(values):
+            r = {}
+            for v in values:
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                b, rest = h % m, h // m
+                rho = min((rem + 1) if rest == 0 else (rem + 1) - rest.bit_length(), 32)
+                r[b] = max(r.get(b, 0), rho)
+            return r
+
+        def est(r):
+            s = sum(1 << (32 - x) for x in r.values()) + (m - len(r)) * (1 << 32)
+            an, ad = round(0.7213 / (1 + 1.079 / m) * 10**6), 10**6
+            raw = (an * ((m * m * (1 << 32)) // s)) // ad
+            n_empty = m - len(r)
+            if n_empty > 0 and raw * 2 <= 5 * m:
+                return round(m * math.log(m / n_empty))
+            return raw
+
+        balls = {n: {n} for n in nodes}
+        result = {(n, 0): est(regs_of(balls[n])) for n in nodes}
+        for hop in range(1, rounds + 1):
+            balls = {
+                n: balls[n] | set().union(*(balls[u] for u in out[n]), set())
+                if out[n] else balls[n]
+                for n in nodes
+            }
+            for n in nodes:
+                result[(n, hop)] = est(regs_of(balls[n]))
+        return result
+
+    def test_python_replay_equality(self, spark):
+        import random
+
+        from licenta_crawler_spark.operators.graph import hyperanf_neighborhood
+
+        rng = random.Random(17)
+        edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(70)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node"], r["hop"]): r["est_reach"]
+            for r in hyperanf_neighborhood(df, rounds=3, p=6).collect()
+        }
+        exp = self._py_hyperanf(edges, 3, 6)
+        assert got == exp
+        # structure: hop 0 estimates a singleton; reach never shrinks
+        nodes = {n for n, _ in exp}
+        assert all(got[(n, 0)] == 1 for n in nodes)
+        assert all(
+            got[(n, h)] <= got[(n, h + 1)] for n in nodes for h in range(3)
+        )
