@@ -96,6 +96,15 @@ class EngineConfig:
     seen_filter: str = "bloom"
     cuckoo_buckets: int = 1 << 14  # per shard; capacity = shards*buckets*4
     track_schedule: bool = True  # keep the per-fetch schedule log (tests/metrics)
+    # fetch-batch partitioner: "roundrobin" (default — even rows/task) or
+    # "hrw" (rendezvous-hash by host — ALL of a host's scheduled rows
+    # land in one fetch task, so per-host connection/cookie state in the
+    # fetch worker is reused instead of re-established per task, and the
+    # host→shard map is resize-minimal like the politeness state pinning
+    # in operators/frontier_policy.rendezvous_shard). Identity-preserving
+    # by construction: partition placement never changes WHAT is fetched,
+    # only where — pinned by the hrw e2e identity test.
+    fetch_sharding: str = "roundrobin"
     # global per-wave fetch budget (None = unlimited): apportioned across
     # hosts largest-remainder by queued-candidate count, enforced as
     # per-host caps inside the O1 scheduler (operators/frontier_policy).
@@ -299,6 +308,27 @@ class CrawlEngine:
         the e2e bench before this."""
         return max(1, min(self.spark.sparkContext.defaultParallelism,
                           (n_rows + 63) // 64))
+
+    def _fetch_repartition(self, df: DataFrame, n_rows: int) -> DataFrame:
+        """Place scheduled fetch rows into tasks per ``cfg.fetch_sharding``
+        (see EngineConfig): round-robin for even row counts, or HRW by
+        host so a host's rows co-locate in one task (session reuse). HRW
+        shard ids map to partitions by hash — a shard collision only
+        merges two hosts into one task, never splits a host."""
+        parts = self._fetch_parts(n_rows)
+        if self.cfg.fetch_sharding == "hrw":
+            from licenta_crawler_spark.operators.frontier_policy import (
+                rendezvous_shard,
+            )
+
+            return (
+                rendezvous_shard(
+                    df, key_col="host", n_shards=parts, out_col="_shard"
+                )
+                .repartition(parts, "_shard")
+                .drop("_shard")
+            )
+        return df.repartition(parts)
 
     def _begin_wave(self, st: CrawlState, phase: str) -> str:
         """Tag every Spark job this wave schedules so the per-wave job
@@ -655,10 +685,12 @@ class CrawlEngine:
             return False
 
         fetched = fetch_batches(
-            sched.select("url", "host", F.col("prio1").alias("queue_pos"), "scheduled_at")
-            .join(F.broadcast(self._fetch_policy(st)), "host", "left")
-            .fillna({"disallow_cookies": False})
-            .repartition(self._fetch_parts(n_sched)),
+            self._fetch_repartition(
+                sched.select("url", "host", F.col("prio1").alias("queue_pos"), "scheduled_at")
+                .join(F.broadcast(self._fetch_policy(st)), "host", "left")
+                .fillna({"disallow_cookies": False}),
+                n_sched,
+            ),
             self.resolver_bc,
         )
         parsed = parse_sitemaps(fetched, passthrough=["host", "queue_pos"]).localCheckpoint()
@@ -783,12 +815,14 @@ class CrawlEngine:
             F.broadcast(sched.select("host", "url", "kind")), ["host", "url", "kind"]
         )
         fetched = fetch_batches(
-            sched.select("url", "host", "kind", "scheduled_at")
-            .join(F.broadcast(retry_hits), ["host", "url", "kind"], "left")
-            .fillna({"retries": 0})
-            .join(F.broadcast(self._fetch_policy(st)), "host", "left")
-            .fillna({"disallow_cookies": False})
-            .repartition(self._fetch_parts(n_sched)),
+            self._fetch_repartition(
+                sched.select("url", "host", "kind", "scheduled_at")
+                .join(F.broadcast(retry_hits), ["host", "url", "kind"], "left")
+                .fillna({"retries": 0})
+                .join(F.broadcast(self._fetch_policy(st)), "host", "left")
+                .fillna({"disallow_cookies": False}),
+                n_sched,
+            ),
             self.resolver_bc,
         )
         parsed = parse_pages(fetched, passthrough=["host", "kind"]).localCheckpoint()

@@ -609,3 +609,64 @@ def test_evict_then_recrawl_refreshes_documents(spark):
     assert len(rows) == 1                      # still keyed by doc_id
     assert rows[0]["wave"] > victim["wave"]    # latest wave won the upsert
     assert st3.documents.count() == n_docs     # no duplicate row appended
+
+
+def test_hrw_fetch_sharding_identity_e2e(spark):
+    """fetch_sharding='hrw' places each host's scheduled rows into one
+    fetch task (session reuse) — placement must never change WHAT is
+    crawled: the full crawl reproduces the reference oracle exactly."""
+    corpus = build_corpus(
+        n_browse_hosts=2, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(2, 3),
+    )
+    oracle = simulate_crawl(corpus)
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    eng = CrawlEngine(
+        spark, resolver_bc, robots,
+        EngineConfig(max_per_host=7, fetch_sharding="hrw"),
+    )
+    st = eng.run(seed_jobs)
+    got: dict[str, list] = {}
+    for r in st.crawl_log.orderBy("host", "seq").collect():
+        got.setdefault(r["host"], []).append(r["url"])
+    exp = {h: [u for (u, _, _) in rows]
+           for h, rows in oracle.discovery_log.items() if rows}
+    assert got == exp
+
+
+def test_hrw_fetch_sharding_colocates_hosts(spark):
+    """Under HRW sharding every host's rows land in exactly ONE
+    partition of the fetch batch (round-robin splits them)."""
+    from pyspark.sql import functions as F
+
+    from licenta_crawler_spark.plans.wave import CrawlEngine, EngineConfig
+
+    rows = [(f"h{i % 5}.example", f"https://h{i % 5}.example/p/{i}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "host string, url string")
+
+    class _Shim:
+        cfg = EngineConfig(fetch_sharding="hrw")
+        spark = None
+        _fetch_parts = CrawlEngine._fetch_parts
+    shim = _Shim(); shim.spark = spark
+    out = CrawlEngine._fetch_repartition(shim, df, 200).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per_host = out.groupBy("host").agg(
+        F.countDistinct("pid").alias("n_parts")
+    ).collect()
+    assert per_host and all(r["n_parts"] == 1 for r in per_host)
+
+    shim.cfg = EngineConfig(fetch_sharding="roundrobin")
+    rr = CrawlEngine._fetch_repartition(shim, df, 200).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    split = rr.groupBy("host").agg(F.countDistinct("pid").alias("n")).collect()
+    assert any(r["n"] > 1 for r in split)  # round-robin splits hosts
