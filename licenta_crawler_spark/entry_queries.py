@@ -3488,6 +3488,25 @@ def hyperanf_reachability(spark, sf_dir):
     return hyperanf_neighborhood(edges, rounds=3, p=6)
 
 
+def effective_diameter(spark, sf_dir):
+    """Effective diameter (the published web-graph "degrees of
+    separation" statistic) composed from HyperANF: N(r) = sum of
+    per-node reach estimates at hop r; the effective diameter is the
+    smallest hop whose cumulative reach clears 90% of the final hop's —
+    one tiny aggregation over the (node, hop) estimates, so the whole
+    measurement is the register recursion plus rounds-many scalar rows."""
+    anf = hyperanf_reachability(spark, sf_dir)
+    n = anf.groupBy("hop").agg(F.sum("est_reach").alias("n_reach"))
+    final = n.agg(F.max(F.when(F.col("hop") == 3, F.col("n_reach"))).alias("n_final"))
+    return (
+        n.crossJoin(F.broadcast(final))
+        .select(
+            "hop", "n_reach",
+            (F.col("n_reach") * 10 >= F.col("n_final") * 9).alias("clears_90pct"),
+        )
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -3574,6 +3593,7 @@ QUERIES = {
     "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
     "intra_doc_repeats": intra_doc_repeats,
     "hyperanf_reachability": hyperanf_reachability,
+    "effective_diameter": effective_diameter,
     # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
@@ -6663,6 +6683,16 @@ def _hyperanf_oracle(rounds: int = 3, p: int = 6) -> str:
 
 
 ORACLE_SQL["hyperanf_reachability"] = _hyperanf_oracle()
+
+
+ORACLE_SQL["effective_diameter"] = (
+    "WITH anf AS (" + _hyperanf_oracle() + """
+    ),
+    n AS (SELECT hop, sum(est_reach)::BIGINT AS n_reach FROM anf GROUP BY hop),
+    fin AS (SELECT max(CASE WHEN hop = 3 THEN n_reach END) AS n_final FROM n)
+    SELECT hop, n_reach, (n_reach * 10 >= n_final * 9) AS clears_90pct
+    FROM n CROSS JOIN fin
+""")
 
 
 def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:
