@@ -3520,11 +3520,32 @@ def effective_diameter(spark, sf_dir):
 # ann_ivf_full_probe proves probe-all ≡ brute force, so the float trainer
 # added no verified behavior of its own, only a guaranteed-red row.)
 QUERIES = {
-    # ---- r04 correctness window (first 50 insertion-order keys) ----
-    # 37 not-yet-driver-verified round-3 keys first (judge-oracled 37/37
-    # in the r03 session; rotation makes the driver record cover them),
-    # then robots_parse + etld1_site_groups (outputs change this round:
-    # Allow: parsing, expanded PSL snapshot), then new round-4 queries.
+    # ---- r05 correctness window (first 50 insertion-order keys) ----
+    # The 17 round-4 additions that landed past the r04 window (judge
+    # oracled 17/17 in the r04 session; rotation makes the driver record
+    # cover them), then etld1_site_groups (output may change again with
+    # the full PSL snapshot), then new round-5 queries below the marker.
+    "nb_quality_classifier": nb_quality_classifier,
+    "bpe_merge_rules": bpe_merge_rules,
+    "rendezvous_host_shards": rendezvous_host_shards,
+    "stream_trending_replay": stream_trending_replay,
+    "dedup_keep_list": dedup_keep_list,
+    "incremental_dedup_pairs": incremental_dedup_pairs,
+    "bowtie_link_regions": bowtie_link_regions,
+    "canonical_url_election": canonical_url_election,
+    "sitemap_lastmod_schedule": sitemap_lastmod_schedule,
+    "vocab_growth_curve": vocab_growth_curve,
+    "bpe_token_budget": bpe_token_budget,
+    "bm25_search": bm25_search,
+    "media_phash_near_dup": media_phash_near_dup,
+    "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
+    "intra_doc_repeats": intra_doc_repeats,
+    "hyperanf_reachability": hyperanf_reachability,
+    "effective_diameter": effective_diameter,
+    "etld1_site_groups": etld1_site_groups,
+    # __R05_NEW_QUERIES__ (inserted here as they are built; window ends
+    # at key #50 counted from the top)
+    # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -3563,9 +3584,6 @@ QUERIES = {
     "pagerank_nepotism_discount": pagerank_nepotism_discount,
     "typosquat_host_candidates": typosquat_host_candidates,
     "robots_parse": robots_parse,
-    "etld1_site_groups": etld1_site_groups,
-    # __R04_NEW_QUERIES__ (inserted here as they are built; window ends
-    # at key #50 counted from the top)
     "typosquat_hosts_confirmed": typosquat_hosts_confirmed,
     "pii_redaction": pii_redaction,
     "exact_substring_pairs": exact_substring_pairs,
@@ -3577,24 +3595,6 @@ QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "lm_surprisal_buckets": lm_surprisal_buckets,
-    "nb_quality_classifier": nb_quality_classifier,
-    "bpe_merge_rules": bpe_merge_rules,
-    "rendezvous_host_shards": rendezvous_host_shards,
-    "stream_trending_replay": stream_trending_replay,
-    "dedup_keep_list": dedup_keep_list,
-    "incremental_dedup_pairs": incremental_dedup_pairs,
-    "bowtie_link_regions": bowtie_link_regions,
-    "canonical_url_election": canonical_url_election,
-    "sitemap_lastmod_schedule": sitemap_lastmod_schedule,
-    "vocab_growth_curve": vocab_growth_curve,
-    "bpe_token_budget": bpe_token_budget,
-    "bm25_search": bm25_search,
-    "media_phash_near_dup": media_phash_near_dup,
-    "stream_lsh_dedup_replay": stream_lsh_dedup_replay,
-    "intra_doc_repeats": intra_doc_repeats,
-    "hyperanf_reachability": hyperanf_reachability,
-    "effective_diameter": effective_diameter,
-    # ---- driver-verified in r01-r03; re-checked opportunistically ----
     "json_props_stats": json_props_stats,
     "orders_by_month": orders_by_month,
     "pct_value_by_type": pct_value_by_type,
