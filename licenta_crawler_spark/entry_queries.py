@@ -3335,10 +3335,11 @@ def bpe_token_budget(spark, sf_dir):
 
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval (`operators/retrieval.bm25_retrieval`):
-    two ranked queries, top-10 each, scored with the exact-rational
-    k1=6/5, b=3/4 fixed point — one corpus pass (query-vocab tokens
-    explode, doc lengths ride the same scan), integer idf, per-query
-    top-k window over matched rows only."""
+    two ranked queries, top-10 each, scored with the k1=6/5, b=3/4
+    fixed point (overflow-safe r05 shape: length-norm then saturation
+    ratio then idf, never N·T in one product) — one corpus pass
+    (query-vocab tokens explode, doc lengths ride the same scan),
+    integer idf, per-query top-k window over matched rows only."""
     from licenta_crawler_spark.operators.retrieval import bm25_retrieval
 
     d = _t(spark, sf_dir, "documents")
@@ -6419,8 +6420,10 @@ ORACLE_SQL["bm25_search"] = f"""
     dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-             sum(((n_docs * 1000000) // df) * (44 * t_total) * tf
-                 // (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
              )::BIGINT AS score_fp
       FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
       GROUP BY q.query_id, tf.doc_id

@@ -185,15 +185,23 @@ def bm25_retrieval(
     sibling of :func:`boolean_retrieval`.
 
     Exact-integer scoring: with k1 = 6/5 and b = 3/4 the BM25 term
-    ratio is the exact rational (44·T·tf) / (20·T·tf + 6·T + 18·dl·N)
-    (T = total corpus tokens, N = docs, dl = doc length), and idf is
-    the integer rarity weight (N·10^6) div df — so the per-(query,doc)
-    score is one int64 division per term and cross-engine exact. The
-    rank ordering matches float BM25 wherever the fixed-point gap
-    exceeds one ulp; ties break on doc id. Overflow headroom:
-    N·10^6 · 44·T · tf_max must stay < 2^63 — holds through ~10^5 docs
-    × 10^5 tokens at this scale constant; shrink the idf scale with
-    corpus size (documented trade, same class as the pagerank scale).
+    ratio is (44·tf) / (20·tf + 6 + 18·dl·N/T) (T = total corpus
+    tokens, N = docs, dl = doc length). It is evaluated in three
+    int64 steps that never put N and T in the same product:
+    length-norm L = (18000·dl·N) div T (scale 1000), saturation
+    ratio_fp = (44·10^6·tf) div (20000·tf + 6000 + L) (scale 1000,
+    bounded by 2200 since the tf terms dominate), idf_fp =
+    (N·10^6) div df, and the term score is (idf_fp·ratio_fp) div
+    1000 — cross-engine exact (identical truncating division both
+    sides). Rank ordering matches float BM25 wherever the
+    fixed-point gap exceeds one ulp; ties break on doc id.
+    Overflow headroom (all must hold, each documented at its
+    binding step): idf_fp·ratio_fp ≤ 2.2·10^9·N < 2^63 → N <
+    4·10^9 docs; 18000·dl·N < 2^63 → dl·N < 5·10^14 (10^9 docs of
+    length ≤ 5·10^5); 20000·tf < 2^63 trivially. Past 4·10^9 docs
+    shrink the idf scale (documented trade, same class as the
+    pagerank scale). The former shape multiplied idf by 44·T·tf
+    and overflowed near N·T·tf ≈ 2.1·10^11 when df = 1.
 
     Plan shape (the 10^9-doc property): the corpus explodes ONLY its
     query-vocabulary tokens (literal-array filter under
@@ -233,8 +241,10 @@ def bm25_retrieval(
         .select(
             "query_id", "doc_id",
             F.expr(
-                "((n_docs * 1000000) div df) * (44 * t_total) * tf"
-                " div (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"
+                "(((n_docs * 1000000) div df)"
+                " * ((44000000 * tf) div"
+                "    (20000 * tf + 6000 + (18000 * dl * n_docs) div t_total))"
+                ") div 1000"
             ).alias("c"),
         )
         .groupBy("query_id", "doc_id")

@@ -566,6 +566,22 @@ class TestBm25Retrieval:
         got = {r["doc_id"]: r["rk"] for r in bm25_retrieval(df, q).collect()}
         assert got[1] == 1 and got[2] == 2  # shorter doc wins at equal tf
 
+    def test_no_int64_overflow_on_rare_repeated_term(self, spark):
+        """Regression for the pre-r05 formula, whose idf·44·T·tf product
+        wrapped int64 once N·T·tf > ~2.1e11 with df=1 (Spark runs this
+        expression non-ANSI, so the wrap was a silent wrong ranking).
+        Corpus: 100 docs × 10k tokens (T = 1e6); doc 0 repeats a df=1
+        term 10k times → N·T·tf = 1e12, ~5× past the old wrap point."""
+        from licenta_crawler_spark.operators.retrieval import bm25_retrieval
+
+        filler = "pad " * 10_000
+        rows = [(0, "zzz " * 10_000)] + [(i, filler) for i in range(1, 100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = spark.createDataFrame([("q", "zzz")], "query_id string, term string")
+        out = bm25_retrieval(df, q, k=10).collect()
+        assert [r["doc_id"] for r in out] == [0]
+        assert out[0]["score_fp"] > 0  # the old shape wrapped negative here
+
 
 class TestSelfRepeatStats:
     def test_injected_repeat_exact_length(self, spark):
