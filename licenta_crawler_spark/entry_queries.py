@@ -3270,54 +3270,19 @@ def sitemap_lastmod_schedule(spark, sf_dir):
 
 
 def vocab_growth_curve(spark, sf_dir):
-    """Heaps-law vocabulary growth — the corpus diagnostic tokenizer and
-    vocab-size planning reads (V(n) ~ K·n^β): distinct vocabulary and
-    token mass at nested corpus prefixes. One corpus scan: per-term
-    FIRST document (min doc_id) makes every prefix's vocabulary a
-    conditional count — no per-prefix rescan; token mass per prefix is
-    a conditional sum in the same pass shape."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(normalized_text_col(F.col("text")), " ")
-    words = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term") != "")
-    cutoffs = [50, 100, 200, 500]
-    firsts = words.groupBy("term").agg(
-        F.min("doc_id").alias("first_doc"), F.count("*").alias("occ_total")
+    """Heaps-law vocabulary growth (`operators/corpus.vocab_growth`) —
+    the corpus diagnostic tokenizer and vocab-size planning reads
+    (V(n) ~ K·n^β): distinct vocabulary and token mass at nested corpus
+    prefixes of the first k docs in id order. Rank semantics (k-th
+    smallest id boundary via a bounded TakeOrdered, never a dense-id
+    assumption or a global window); one corpus scan decides every
+    cutoff conditionally."""
+    from licenta_crawler_spark.operators.corpus import vocab_growth
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    # occurrences within a prefix need the per-(term,doc) detail, so the
-    # token-mass sums ride the words relation; vocab rides `firsts`
-    vocab = firsts.select(
-        *[
-            F.sum((F.col("first_doc") < k).cast("long")).alias(f"v{k}")
-            for k in cutoffs
-        ]
-    )
-    mass = words.select(
-        *[
-            F.sum((F.col("doc_id") < k).cast("long")).alias(f"t{k}")
-            for k in cutoffs
-        ]
-    )
-    # one row holding all cutoffs, exploded in-row — a union of per-k
-    # selects would re-run both aggregates once per branch (observed
-    # 16-scan plan)
-    rows = vocab.crossJoin(mass).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).cast("long").alias("n_docs"),
-                        F.col(f"t{k}").alias("n_tokens"),
-                        F.col(f"v{k}").alias("n_vocab"),
-                    )
-                    for k in cutoffs
-                ]
-            )
-        ).alias("s")
-    )
-    return rows.select("s.n_docs", "s.n_tokens", "s.n_vocab")
+    return vocab_growth(d, cutoffs=[50, 100, 200, 500])
 
 
 def bpe_token_budget(spark, sf_dir):
@@ -3399,7 +3364,10 @@ def stream_lsh_dedup_replay(spark, sf_dir):
     every arrival pairs with the bucket's residents; the oracle is the
     plain band self-join oriented by the (batch_no, doc_id) arrival
     tuple."""
-    from licenta_crawler_spark.operators.dedup import minhash_signatures
+    from licenta_crawler_spark.operators.dedup import (
+        banded_signature_rows,
+        minhash_signatures,
+    )
     from licenta_crawler_spark.streaming.windowed import batch_replay_lsh_dedup
 
     # 500 docs x 4 bands: the replay pays python per-GROUP overhead on
@@ -3409,24 +3377,8 @@ def stream_lsh_dedup_replay(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     sigs = minhash_signatures(d, n_hashes=16, shingle_n=3, hash_fn="md5")
-    rpb = 4
-    key = lambda b: F.concat_ws(  # noqa: E731
-        ":",
-        b.cast("string"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rpb + 1, rpb),
-                lambda v: v.cast("string"),
-            ),
-        ),
-    )
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(3)), key)
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signature_rows(sigs, n_bands=4, rows_per_band=4,
+                                   band_key="concat")
     rows = banded.select(
         "bucket",
         F.col("band").cast("long").alias("band"),
@@ -3498,7 +3450,9 @@ def effective_diameter(spark, sf_dir):
     measurement is the register recursion plus rounds-many scalar rows."""
     anf = hyperanf_reachability(spark, sf_dir)
     n = anf.groupBy("hop").agg(F.sum("est_reach").alias("n_reach"))
-    final = n.agg(F.max(F.when(F.col("hop") == 3, F.col("n_reach"))).alias("n_final"))
+    # the final reach is the MAX-hop row, derived — not a hop literal
+    # that would silently null out if hyperanf's `rounds` ever changed
+    final = n.agg(F.max_by("n_reach", "hop").alias("n_final"))
     return (
         n.crossJoin(F.broadcast(final))
         .select(
@@ -6388,12 +6342,20 @@ ORACLE_SQL["vocab_growth_curve"] = f"""
       FROM documents
     ),
     w AS (SELECT doc_id, term FROM words WHERE term <> ''),
-    firsts AS (SELECT term, min(doc_id) AS first_doc FROM w GROUP BY term),
-    ks AS (SELECT unnest([50, 100, 200, 500])::BIGINT AS n_docs)
-    SELECT ks.n_docs,
-           (SELECT count(*) FROM w WHERE w.doc_id < ks.n_docs)::BIGINT AS n_tokens,
-           (SELECT count(*) FROM firsts f WHERE f.first_doc < ks.n_docs)::BIGINT AS n_vocab
-    FROM ks
+    firsts AS (SELECT term, min(doc_id) AS first_id FROM w GROUP BY term),
+    ks AS (SELECT unnest([50, 100, 200, 500])::BIGINT AS n_docs),
+    ranked AS (
+      SELECT i, row_number() OVER (ORDER BY i) AS rk
+      FROM (SELECT DISTINCT doc_id AS i FROM w)
+    ),
+    bounds AS (
+      SELECT ks.n_docs, max(r.i) AS bound
+      FROM ks JOIN ranked r ON r.rk <= ks.n_docs GROUP BY ks.n_docs
+    )
+    SELECT b.n_docs,
+           (SELECT count(*) FROM w WHERE w.doc_id <= b.bound)::BIGINT AS n_tokens,
+           (SELECT count(*) FROM firsts f WHERE f.first_id <= b.bound)::BIGINT AS n_vocab
+    FROM bounds b
 """
 
 ORACLE_SQL["bm25_search"] = f"""
@@ -6692,7 +6654,7 @@ ORACLE_SQL["effective_diameter"] = (
     "WITH anf AS (" + _hyperanf_oracle() + """
     ),
     n AS (SELECT hop, sum(est_reach)::BIGINT AS n_reach FROM anf GROUP BY hop),
-    fin AS (SELECT max(CASE WHEN hop = 3 THEN n_reach END) AS n_final FROM n)
+    fin AS (SELECT max_by(n_reach, hop) AS n_final FROM n)
     SELECT hop, n_reach, (n_reach * 10 >= n_final * 9) AS clears_90pct
     FROM n CROSS JOIN fin
 """)

@@ -344,3 +344,77 @@ def boilerplate_doc_stats(
             ),
         )
     )
+
+
+def vocab_growth(
+    documents: DataFrame,
+    cutoffs: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth V(n) ~ K·n^β over nested corpus
+    prefixes: for each cutoff k, tokens and distinct vocabulary of the
+    FIRST k documents in ``id_col`` order (any orderable id type —
+    sparse longs, strings; rank semantics, no dense-integer-id
+    assumption).
+
+    Prefix membership is decided against the k-th smallest doc id,
+    fetched via ``orderBy(id).limit(max(cutoffs))`` — a TakeOrdered of
+    at most max(cutoffs) rows (the cutoff list is a human-sized
+    diagnostic knob, so this is a bounded control-plane collect, the
+    same class as a query-batch collect — never a global window, which
+    would single-partition 10^9 doc rows). Everything else is ONE
+    corpus scan: per-term first-prefix membership makes every cutoff's
+    vocabulary a conditional count, token mass a conditional sum.
+
+    Returns (n_docs, n_tokens, n_vocab) — one row per cutoff. A cutoff
+    larger than the corpus covers the whole corpus.
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    cutoffs = sorted(set(int(k) for k in cutoffs))
+    ids = [
+        r["i"]
+        for r in documents.select(F.col(id_col).alias("i"))
+        .distinct()
+        .orderBy("i")
+        .limit(max(cutoffs))
+        .collect()
+    ]
+    # boundary id for cutoff k = the k-th smallest doc id (or the max id
+    # when the corpus is smaller than k)
+    bounds = {k: ids[min(k, len(ids)) - 1] for k in cutoffs}
+    toks = F.split(normalized_text_col(F.col(text_col)), " ")
+    words = documents.select(
+        F.col(id_col).alias("_vg_id"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    firsts = words.groupBy("term").agg(F.min("_vg_id").alias("first_id"))
+    vocab = firsts.select(
+        *[
+            F.sum((F.col("first_id") <= F.lit(bounds[k])).cast("long")).alias(f"v{k}")
+            for k in cutoffs
+        ]
+    )
+    mass = words.select(
+        *[
+            F.sum((F.col("_vg_id") <= F.lit(bounds[k])).cast("long")).alias(f"t{k}")
+            for k in cutoffs
+        ]
+    )
+    # one row holding all cutoffs, exploded in-row — a union of per-k
+    # selects would re-run both aggregates once per branch
+    rows = vocab.crossJoin(mass).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("n_docs"),
+                        F.col(f"t{k}").alias("n_tokens"),
+                        F.col(f"v{k}").alias("n_vocab"),
+                    )
+                    for k in cutoffs
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.n_docs", "s.n_tokens", "s.n_vocab")

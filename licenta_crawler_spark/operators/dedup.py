@@ -257,16 +257,22 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4,
+def banded_signature_rows(
+    sigs: DataFrame, n_bands: int, rows_per_band: int,
     band_key: str = "hash",
 ) -> DataFrame:
-    """Band the signatures; docs sharing any band bucket are candidates.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """(doc_id, band, bucket) band rows — the ONE banding definition
+    shared by the batch pair-finder (:func:`lsh_candidate_pairs`), the
+    incremental ingest-time probe
+    (:func:`minhash_lsh_dedup_incremental`) and the streaming-replay
+    twin (``entry_queries.stream_lsh_dedup_replay``). Equivalence of
+    those three paths with the batch pipeline depends on the band key
+    staying byte-identical, so it must never be re-derived at a call
+    site.
 
-    ``band_key``: 'hash' (default) joins on hash(band, slice) — compact
-    shuffle keys; 'concat' joins on the literal 'b:v,v,..' string, which a
-    SQL oracle can reproduce verbatim."""
+    ``band_key``: 'hash' (default) keys on hash(band, slice) — compact
+    shuffle keys; 'concat' keys on the literal 'b:v,v,..' string, which
+    a SQL oracle can reproduce verbatim."""
     if band_key == "concat":
         key = lambda b: F.concat_ws(  # noqa: E731
             ":",
@@ -283,12 +289,22 @@ def lsh_candidate_pairs(
         key = lambda b: F.hash(  # noqa: E731
             b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
         ).cast("string")
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), key)
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4,
+    band_key: str = "hash",
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. Banding comes
+    from :func:`banded_signature_rows` (the shared definition)."""
+    banded = banded_signature_rows(sigs, n_bands, rows_per_band, band_key)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -759,29 +775,7 @@ def minhash_lsh_dedup_incremental(
     Reference scope: beyond mcdobr/licenta-crawler — §2.8 mandate
     (continuous-crawl corpus maintenance)."""
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n, hash_fn)
-    rows_per_band = n_hashes // n_bands
-    if band_key == "concat":
-        key = lambda b: F.concat_ws(  # noqa: E731
-            ":",
-            b.cast("string"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
-                ),
-            ),
-        )
-    else:
-        key = lambda b: F.hash(  # noqa: E731
-            b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        ).cast("string")
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), key)
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signature_rows(sigs, n_bands, n_hashes // n_bands, band_key)
     probe = banded.join(
         new_ids.select(F.col(id_col).alias("doc_id")).distinct(),
         "doc_id",

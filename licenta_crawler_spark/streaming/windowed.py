@@ -595,13 +595,19 @@ def _fold_trending(batch_hits, last_batch, count, threshold):
     per elapsed micro-batch (integer right shift — exact, and pure-shift
     gaps compose: (x>>1)>>1 == x>>2, so absent batches need no state
     touch), then the batch's hits are added. Trending iff the decayed
-    count clears the threshold. Returns (rows, last_batch', count')."""
+    count clears the threshold. Returns (rows, last_batch', count').
+
+    last_batch advances MONOTONICALLY: an out-of-order batch_no (late
+    replay across micro-batch triggers) decays nothing (gap clamps to
+    0) and must not regress the high-water mark, or the next in-order
+    batch would recompute its gap from the regressed value and
+    double-decay the counter."""
     out = []
     for b, n in batch_hits:
         gap = 0 if last_batch is None else int(b) - int(last_batch)
         count = (count >> min(max(gap, 0), 63)) + int(n)
         out.append((int(b), int(n), count, count >= threshold))
-        last_batch = int(b)
+        last_batch = int(b) if last_batch is None else max(last_batch, int(b))
     return out, last_batch, count
 
 

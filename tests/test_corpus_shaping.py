@@ -272,3 +272,25 @@ def test_boilerplate_partition_invariant(spark):
     ka = sorted(map(tuple, a.collect()))
     kb = sorted(map(tuple, b.collect()))
     assert ka == kb and len(ka) > 0
+
+
+def test_vocab_growth_sparse_string_ids(spark):
+    """Rank semantics, not id-value semantics: prefix cutoffs pick the
+    first k docs in id order even when ids are sparse strings (the
+    pre-r05 shape compared doc_id < k numerically and silently
+    mis-bucketed anything non-dense)."""
+    from licenta_crawler_spark.operators.corpus import vocab_growth
+
+    rows = [
+        ("doc-aa", "alpha beta"),        # rank 1
+        ("doc-cq", "alpha gamma gamma"), # rank 2
+        ("doc-zz", "delta"),             # rank 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["n_docs"]: (r["n_tokens"], r["n_vocab"])
+        for r in vocab_growth(df, cutoffs=[1, 2, 9]).collect()
+    }
+    assert got[1] == (2, 2)       # alpha beta
+    assert got[2] == (5, 3)       # + alpha gamma gamma -> vocab {alpha,beta,gamma}
+    assert got[9] == (6, 4)       # cutoff past corpus end covers everything

@@ -628,3 +628,20 @@ def test_streaming_lsh_dedup_state_spans_batches(spark, tmpdirs):
         ("d1", "d4"), ("d2", "d4"),  # batch-2 arrival vs both residents
         ("d3", "d5"),             # the other bucket, across the boundary
     }
+
+
+def test_fold_trending_out_of_order_batch_keeps_high_water_mark():
+    """A late (out-of-order) batch_no decays nothing AND must not
+    regress last_batch: the next in-order batch computes its gap from
+    the high-water mark, not the stale replay, so the counter is never
+    double-decayed."""
+    from licenta_crawler_spark.streaming.windowed import _fold_trending
+
+    out, last, count = _fold_trending([(5, 4)], None, 0, threshold=8)
+    assert (last, count) == (5, 4)
+    # late batch 3 arrives after 5: gap clamps to 0, mark stays at 5
+    out, last, count = _fold_trending([(3, 2)], last, count, threshold=8)
+    assert (last, count) == (5, 6)
+    # next in-order batch 6: ONE halving from the mark (6-5), not two
+    out, last, count = _fold_trending([(6, 5)], last, count, threshold=8)
+    assert (last, count) == (6, (6 >> 1) + 5)
