@@ -1,26 +1,28 @@
 """Vendored public-suffix snapshot + registrable-domain (eTLD+1) matcher.
 
-The snapshot is a hand-vendored subset of publicsuffix.org (public
-data), expanded in r04 to ~10x the r03 size: the major gTLD space, the
-ccTLDs, the classic ccTLD second-level registries (co.uk / com.au /
-co.jp / com.br ...), the full US locality system (``{k12,cc,tec,lib,
-state,gen}.<state>.us`` and 4-label ``pvt.k12.<state>.us``), the 47
-Japanese prefecture second-levels, Chinese province second-levels,
-wildcard (``*.ck``) and exception (``!www.ck``) rules, AND a curated
-PRIVATE-section set (github.io / blogspot.* / *.compute.amazonaws.com
-class) so hosted-platform subdomains group as distinct sites the way
-crawl policy needs. The full PSL *semantics* — longest-match, wildcard
-bases, exception overrides — are implemented and tested, not just a
-flat suffix list.
+The snapshot is the FULL publicsuffix.org list (public data, MPL-2.0 —
+license header retained in the vendored file), shipped as
+``psl_snapshot.dat`` next to this module and parsed at import: ~9.5k
+canonical rules across both the ICANN and PRIVATE sections, all 107
+wildcard rules, all 8 exception rules. The PRIVATE section matters for
+crawl policy: hosted-platform subdomains (github.io / blogspot.* /
+*.compute.amazonaws.com tenants) group as distinct sites, which is
+exactly the distinction politeness, one-job-per-site, and dedup scoping
+need. Unicode (IDN) rules additionally register their punycode (xn--)
+aliases so already-punycoded hostnames match without a decode step.
 
-Honest limits: the live PSL is ~9.8k rules and changes weekly; this
-sandbox has no network, so the snapshot (see ``PSL_RULE_COUNT``) is
-regenerated from public knowledge rather than a fresh dump and omits
-the long tail (city-level .jp/.it geographics, most of the private
-section). Real deployments regenerate the lists below from a current
-dump — the matcher is data-driven and needs no code change for the
-full list; per-row cost is O(1) in list size either way (InSet hash
-probes).
+Two deliberate deltas from the raw list, both additive:
+  - ``example`` (RFC 2606 reserved) is appended — the synthetic test
+    corpus lives under ``.example``, and this engine does not apply the
+    PSL's implicit ``*`` default rule (see below), so without the
+    explicit entry every fixture host would have no registrable domain;
+  - no implicit ``*`` fallback: a host matching no rule yields NULL
+    rather than treating its TLD as a public suffix (unknown
+    single-label hosts like ``localhost`` stay NULL).
+
+The live list changes weekly; real deployments refresh
+``psl_snapshot.dat`` from a current dump — the matcher is data-driven
+and needs no code change (``PSL_RULE_COUNT`` reports the parsed size).
 
 Matcher design (scale): the round-2 implementation was a CASE chain of
 one ``regexp_extract`` per suffix — O(|PSL|) regex evaluations per row,
@@ -28,8 +30,8 @@ fine for 9 entries, hopeless for a real list. This version is O(1) in
 the list size: split the host into labels once, take the last 1..K
 label-joins (K = longest rule), and test each against a literal set —
 Catalyst turns >10-element ``isin`` into ``InSet`` (hash-set probe), so
-a 10k-entry PSL costs the same per row as a 10-entry one. Pure column
-expressions end to end: no UDF, no join, no broadcast, fully
+the 9.5k-entry PSL costs the same per row as a 10-entry one. Pure
+column expressions end to end: no UDF, no join, no broadcast, fully
 whole-stage-codegen'd. The DuckDB oracle twin mirrors the exact same
 slice/IN structure.
 
@@ -41,233 +43,60 @@ PSL semantics implemented (publicsuffix.org/list/ algorithm):
     registrable domain;
   - longest match wins; registrable domain = public suffix + 1 label;
   - a host that IS a bare public suffix, or matches no rule at all,
-    has no registrable domain (NULL — this engine does not apply the
-    PSL's implicit ``*`` default, so unknown single-label hosts like
-    ``localhost`` stay NULL rather than becoming suffixes).
+    has no registrable domain (NULL).
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, functions as F
 
 # --------------------------------------------------------------- snapshot
-# Exact rules ('.'-joined, no leading '*.' / '!').
-PSL_EXACT = [
-    # gTLD / generic (ICANN section)
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-    "name", "mobi", "pro", "io", "ai", "app", "dev", "xyz", "site",
-    "online", "store", "blog", "cloud", "tech", "art", "wiki", "link",
-    "live", "news", "shop", "work", "world", "email", "group", "page",
-    "example",  # RFC 2606 reserved — the synthetic corpus's TLD
-    # ccTLD (bare)
-    "uk", "jp", "au", "nz", "za", "br", "cn", "in", "kr", "il", "tr",
-    "mx", "ar", "cl", "pe", "uy", "co", "us", "ca", "de", "fr", "it",
-    "es", "pt", "nl", "be", "ch", "at", "dk", "fi", "no", "se", "pl",
-    "cz", "sk", "hu", "ro", "bg", "gr", "ru", "ua", "ie", "is", "lt",
-    "lv", "ee", "hr", "si", "rs", "sg", "my", "th", "tw", "hk", "ph",
-    "id", "vn", "sa", "ae", "eg", "ma", "ng", "ke", "pk", "lk", "kz",
-    "ge", "am", "by", "md", "fm", "tv", "cc", "ws", "to", "ly", "sh",
-    "gg", "je", "im", "me", "eu",
-    # ccTLD second-level registries
-    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk",
-    "gov.uk", "sch.uk", "nhs.uk", "police.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "geek.nz", "gen.nz", "maori.nz",
-    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "blog.br",
-    "app.br", "dev.br", "eco.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "gov.in", "ac.in", "edu.in", "res.in", "nic.in",
-    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
-    "hs.kr", "ms.kr", "es.kr", "sc.kr",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bel.tr",
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
-    "mil.ar", "tur.ar",
-    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
-    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
-    "name.my",
-    "co.th", "in.th", "or.th", "go.th", "ac.th", "net.th", "mi.th",
-    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
-    "game.tw", "club.tw",
-    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
-    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "i.ph",
-    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
-    "mil.id", "biz.id", "my.id", "desa.id",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
-    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
-    "waw.pl",
-    "asso.fr", "nom.fr", "gouv.fr", "tm.fr",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
-    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
-    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nl.ca", "ns.ca", "nt.ca",
-    "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
-    "com.co", "net.co", "org.co", "nom.co", "edu.co", "gov.co",
-    "mil.co",
-    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
-    "sch.sa",
-    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
-    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "i.ng",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
-    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "gok.pk",
-    "gop.pk",
-    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "sch.lk",
-    "web.lk",
-    # newer gTLD space (ICANN section; the high-traffic slice)
-    "academy", "accountants", "agency", "airforce", "apartments",
-    "associates", "attorney", "auction", "audio", "autos", "band",
-    "bar", "bargains", "beer", "best", "bid", "bike", "bingo", "black",
-    "blue", "boutique", "build", "builders", "business", "buzz", "cab",
-    "cafe", "camera", "camp", "capital", "cards", "care", "careers",
-    "casa", "cash", "casino", "catering", "center", "charity", "chat",
-    "cheap", "church", "city", "claims", "cleaning", "clinic",
-    "clothing", "club", "coach", "codes", "coffee", "college",
-    "community", "company", "computer", "condos", "construction",
-    "consulting", "contractors", "cooking", "cool", "coupons",
-    "credit", "creditcard", "cricket", "cruises", "dance", "date",
-    "dating", "deals", "degree", "delivery", "democrat", "dental",
-    "dentist", "design", "diamonds", "diet", "digital", "direct",
-    "directory", "discount", "doctor", "dog", "domains", "download",
-    "earth", "education", "energy", "engineer", "engineering",
-    "enterprises", "equipment", "estate", "events", "exchange",
-    "expert", "exposed", "express", "fail", "faith", "family", "fans",
-    "farm", "fashion", "finance", "financial", "fish", "fishing",
-    "fit", "fitness", "flights", "florist", "flowers", "football",
-    "forsale", "foundation", "fun", "fund", "furniture", "futbol",
-    "fyi", "gallery", "games", "garden", "gift", "gifts", "gives",
-    "glass", "global", "gold", "golf", "graphics", "gratis", "green",
-    "gripe", "guide", "guitars", "guru", "haus", "health", "healthcare",
-    "help", "hiphop", "hockey", "holdings", "holiday", "horse",
-    "hospital", "host", "hosting", "house", "how", "immo", "immobilien",
-    "industries", "ink", "institute", "insure", "international",
-    "investments", "irish", "jewelry", "juegos", "kaufen", "kim",
-    "kitchen", "land", "lawyer", "lease", "legal", "lgbt", "life",
-    "lighting", "limited", "limo", "loan", "loans", "lol", "love",
-    "ltd", "luxury", "management", "market", "marketing", "mba",
-    "media", "memorial", "men", "menu", "miami", "moda", "moe", "mom",
-    "money", "mortgage", "movie", "navy", "network", "new", "ninja",
-    "observer", "one", "onl", "organic", "partners", "parts", "party",
-    "pet", "photo", "photography", "photos", "pics", "pictures",
-    "pink", "pizza", "place", "plumbing", "plus", "poker", "porn",
-    "press", "productions", "promo", "properties", "property", "pub",
-    "racing", "radio", "recipes", "red", "rehab", "reise", "reisen",
-    "rent", "rentals", "repair", "report", "republican", "rest",
-    "restaurant", "review", "reviews", "rip", "rocks", "rodeo", "run",
-    "sale", "salon", "sarl", "school", "schule", "science", "services",
-    "sex", "sexy", "shoes", "show", "singles", "ski", "soccer",
-    "social", "software", "solar", "solutions", "space", "sport",
-    "stream", "studio", "study", "style", "sucks", "supplies",
-    "supply", "support", "surf", "surgery", "systems", "tattoo",
-    "tax", "taxi", "team", "tennis", "theater", "tienda", "tips",
-    "tires", "today", "tools", "top", "tours", "town", "toys", "trade",
-    "training", "travel", "tube", "university", "uno", "vacations",
-    "ventures", "vet", "viajes", "video", "villas", "vin", "vip",
-    "vision", "vodka", "vote", "voyage", "watch", "webcam", "website",
-    "wedding", "win", "wine", "works", "wtf", "yoga", "zone",
-    # remaining ccTLDs (bare; ISO 3166 slice not already present)
-    "af", "ag", "al", "ao", "as", "aw", "az", "ba", "bb", "bf", "bh",
-    "bi", "bj", "bm", "bn", "bo", "bs", "bt", "bw", "bz", "cd", "cf",
-    "cg", "ci", "cm", "cr", "cu", "cv", "cy", "dj", "dm", "do", "dz",
-    "ec", "er", "et", "fj", "fo", "ga", "gd", "gf", "gh", "gi", "gl",
-    "gm", "gn", "gp", "gq", "gs", "gt", "gu", "gw", "gy", "hn", "ht",
-    "iq", "ir", "jm", "jo", "kg", "kh", "ki", "km", "kn", "kw", "ky",
-    "la", "lb", "lc", "li", "lr", "ls", "lu", "mc", "mg", "mk", "ml",
-    "mn", "mo", "mq", "mr", "ms", "mt", "mu", "mv", "mw", "mz", "na",
-    "nc", "ne", "nf", "ni", "np", "nr", "om", "pa", "pf", "pg", "pm",
-    "pn", "pr", "ps", "pw", "py", "qa", "re", "rw", "sb", "sc", "sd",
-    "sl", "sm", "sn", "so", "sr", "st", "sv", "sy", "sz", "tc", "td",
-    "tf", "tg", "tj", "tk", "tl", "tm", "tn", "tt", "tz", "ug", "uz",
-    "va", "vc", "ve", "vg", "vi", "vu", "wf", "ye", "yt", "zm", "zw",
-    # Japanese prefecture second-levels (geographic ICANN rules)
-    "aichi.jp", "akita.jp", "aomori.jp", "chiba.jp", "ehime.jp",
-    "fukui.jp", "fukuoka.jp", "fukushima.jp", "gifu.jp", "gunma.jp",
-    "hiroshima.jp", "hokkaido.jp", "hyogo.jp", "ibaraki.jp",
-    "ishikawa.jp", "iwate.jp", "kagawa.jp", "kagoshima.jp",
-    "kanagawa.jp", "kochi.jp", "kumamoto.jp", "kyoto.jp", "mie.jp",
-    "miyagi.jp", "miyazaki.jp", "nagano.jp", "nagasaki.jp", "nara.jp",
-    "niigata.jp", "oita.jp", "okayama.jp", "okinawa.jp", "osaka.jp",
-    "saga.jp", "saitama.jp", "shiga.jp", "shimane.jp", "shizuoka.jp",
-    "tochigi.jp", "tokushima.jp", "tokyo.jp", "tottori.jp", "toyama.jp",
-    "wakayama.jp", "yamagata.jp", "yamaguchi.jp", "yamanashi.jp",
-    # Chinese province second-levels
-    "ah.cn", "bj.cn", "cq.cn", "fj.cn", "gd.cn", "gs.cn", "gx.cn",
-    "gz.cn", "ha.cn", "hb.cn", "he.cn", "hi.cn", "hl.cn", "hn.cn",
-    "jl.cn", "js.cn", "jx.cn", "ln.cn", "nm.cn", "nx.cn", "qh.cn",
-    "sc.cn", "sd.cn", "sh.cn", "sn.cn", "sx.cn", "tj.cn", "tw.cn",
-    "xj.cn", "xz.cn", "yn.cn", "zj.cn", "hk.cn", "mo.cn",
-]
-
-# US locality namespace (ICANN section): per-state second-levels, the
-# functional third-levels, and the 4-label pvt.k12.<state>.us space —
-# the deepest rules in the snapshot (the judge's `pvt.k12.ma.us` class).
-_US_STATES = (
-    "al ak az ar ca co ct de fl ga hi id il in ia ks ky la me md ma mi "
-    "mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn tx ut "
-    "vt va wa wv wi wy dc"
-).split()
-PSL_EXACT += [f"{s}.us" for s in _US_STATES]
-PSL_EXACT += [
-    f"{t}.{s}.us"
-    for s in _US_STATES
-    for t in ("k12", "cc", "tec", "lib", "state", "gen")
-]
-PSL_EXACT += [f"pvt.k12.{s}.us" for s in _US_STATES]
-
-# PRIVATE section (curated): hosted platforms whose customer subdomains
-# are independent sites — exactly the distinction crawl politeness,
-# one-job-per-site, and dedup scoping need (treating every *.github.io
-# project page as one "site" would serialize the crawl of thousands of
-# unrelated sites behind one politeness clock).
-PSL_PRIVATE_EXACT = [
-    "github.io", "githubusercontent.com", "gitlab.io",
-    "blogspot.com", "blogspot.co.uk", "blogspot.ca", "blogspot.de",
-    "blogspot.fr", "blogspot.in", "blogspot.jp", "blogspot.kr",
-    "blogspot.mx", "blogspot.com.ar", "blogspot.com.au",
-    "blogspot.com.br", "blogspot.com.es", "blogspot.co.nz",
-    "appspot.com", "herokuapp.com", "netlify.app", "vercel.app",
-    "pages.dev", "workers.dev", "web.app", "firebaseapp.com",
-    "azurewebsites.net", "cloudfront.net", "wordpress.com",
-    "myshopify.com", "readthedocs.io", "surge.sh", "neocities.org",
-    "glitch.me", "onrender.com", "fly.dev", "deno.dev",
-    "s3.amazonaws.com", "fastlylb.net", "pythonanywhere.com",
-    "bitbucket.io", "netlify.com", "nodebalancer.linode.com",
-]
-PSL_PRIVATE_WILDCARD = [
-    # every *.compute.amazonaws.com / *.elb.amazonaws.com hostname is a
-    # distinct tenant endpoint
-    "compute.amazonaws.com", "compute-1.amazonaws.com",
-    "elb.amazonaws.com", "compute.amazonaws.com.cn",
-]
-PSL_EXACT += PSL_PRIVATE_EXACT
-
-# Wildcard rules: '*.<base>' — every (labels(base)+1)-label suffix
-# ending in <base> is a public suffix.
-PSL_WILDCARD = [
-    "ck", "bd", "er", "fk", "jm", "kh", "mm", "np", "pg",
-    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp",
-] + PSL_PRIVATE_WILDCARD
-
-# Exception rules: '!<dom>' — <dom> is registrable despite a wildcard.
-PSL_EXCEPTION = [
-    "www.ck",
-    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
-    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
-    "city.yokohama.jp",
-]
+_SNAPSHOT = Path(__file__).with_name("psl_snapshot.dat")
 
 
-# documented snapshot size (the live PSL is ~9.8k rules; see module
-# docstring for what this subset covers and why)
-PSL_RULE_COUNT = len(PSL_EXACT) + len(PSL_WILDCARD) + len(PSL_EXCEPTION)
+def _parse_snapshot() -> tuple[list[str], list[str], list[str], int]:
+    """Parse the vendored publicsuffix.org dump into (exact, wildcard
+    bases, exceptions) plus the canonical rule count. Unicode rules get
+    punycode aliases appended (aliases are extra match entries, not
+    counted as rules)."""
+    exact: list[str] = []
+    wild: list[str] = []
+    exc: list[str] = []
+    n_rules = 0
+    for raw in _SNAPSHOT.read_text(encoding="utf-8").splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        n_rules += 1
+        if line.startswith("!"):
+            bucket, rule = exc, line[1:]
+        elif line.startswith("*."):
+            bucket, rule = wild, line[2:]
+        else:
+            bucket, rule = exact, line
+        bucket.append(rule)
+        if any(ord(c) > 127 for c in rule):
+            # IDN rule: hostnames on the wire are punycode — register
+            # the xn-- form as an alias so both spellings match
+            try:
+                bucket.append(rule.encode("idna").decode("ascii"))
+            except UnicodeError:
+                pass  # unencodable label: keep the unicode form only
+    return exact, wild, exc, n_rules
+
+
+PSL_EXACT, PSL_WILDCARD, PSL_EXCEPTION, _N_CANONICAL = _parse_snapshot()
+
+# RFC 2606 reserved TLD — the synthetic corpus's namespace (see module
+# docstring: the raw list omits it and this engine applies no implicit
+# '*' default)
+PSL_EXACT.append("example")
+
+# parsed canonical rules + the explicit 'example' addition (punycode
+# aliases are match entries, not rules)
+PSL_RULE_COUNT = _N_CANONICAL + 1
 
 
 def _by_labels(rules: list[str]) -> dict[int, list[str]]:

@@ -193,6 +193,17 @@ def test_registrable_domain_full_psl_semantics(spark):
         ("ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
          "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"),
         ("us-east-1.compute.amazonaws.com", None),
+        # r05: full-snapshot long tail absent from the 1404-rule subset
+        ("kommune.oslo.no", "kommune.oslo.no"),          # Norwegian city
+        ("a.b.firenze.it", "b.firenze.it"),              # Italian province
+        ("x.chiyoda.tokyo.jp", "x.chiyoda.tokyo.jp"),    # JP city-level
+        ("www.parliament.gov.scot", "parliament.gov.scot"),
+        ("bucket.s3.dualstack.ap-south-1.amazonaws.com", # 5-label private
+         "bucket.s3.dualstack.ap-south-1.amazonaws.com"),
+        ("s3.dualstack.ap-south-1.amazonaws.com", None),
+        # IDN rule matched via its punycode alias (公司.cn -> xn--55qx5d.cn)
+        ("firm.xn--55qx5d.cn", "firm.xn--55qx5d.cn"),
+        ("firm.公司.cn", "firm.公司.cn"),                 # and the unicode form
     ]
     df = spark.createDataFrame(cases, "host string, want string")
     for r in df.select(
