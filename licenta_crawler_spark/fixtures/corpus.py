@@ -98,13 +98,28 @@ def sitemap_xml(sm: Sitemap) -> bytes:
     return _gzip.compress(body, mtime=0) if sm.gzipped else body
 
 
+def _validators(body) -> tuple[str | None, int | None]:
+    """Deterministic content-derived validators the synthetic server
+    exposes: a strong ETag (quoted sha1 prefix of the body bytes) and a
+    Last-Modified epoch. Both are pure functions of the body, so
+    unchanged content revalidates (304) and any body edit moves both —
+    the same coupling a CMS's content-hash ETag gives a real crawler."""
+    import hashlib
+
+    b = body if isinstance(body, (bytes, bytearray)) else str(body).encode()
+    h = hashlib.sha1(bytes(b)).hexdigest()
+    return f'"{h[:16]}"', 1_600_000_000 + int(h[:8], 16) % 100_000_000
+
+
 def corpus_to_resolver(corpus: "Corpus") -> dict[str, dict]:
     """Flatten the corpus into the broadcastable fetch-resolver map:
-    canonical url -> {status, redirect_to, kind, body}. HTML pages carry
-    str bodies; sitemaps carry (possibly gzipped) XML bytes + a
-    content_encoding marker, exercising the S4 transport-decode path."""
+    canonical url -> {status, redirect_to, kind, body, etag,
+    last_modified}. HTML pages carry str bodies; sitemaps carry
+    (possibly gzipped) XML bytes + a content_encoding marker,
+    exercising the S4 transport-decode path."""
     res: dict[str, dict] = {}
     for url, p in corpus.pages.items():
+        etag, lastmod = _validators(p.html) if p.status == 200 else (None, None)
         res[url] = {
             "status": p.status,
             "redirect_to": p.redirect_to,
@@ -112,14 +127,20 @@ def corpus_to_resolver(corpus: "Corpus") -> dict[str, dict]:
             "body": p.html if p.status == 200 else "",
             "content_encoding": None,
             "transient_failures": p.transient_failures,
+            "etag": etag,
+            "last_modified": lastmod,
         }
     for url, s in corpus.sitemaps.items():
+        body = sitemap_xml(s)
+        etag, lastmod = (None, None) if s.redirect_to else _validators(body)
         res[url] = {
             "status": 301 if s.redirect_to else 200,
             "redirect_to": s.redirect_to,
             "kind": "sitemap",
-            "body": sitemap_xml(s),
+            "body": body,
             "content_encoding": "gzip" if s.gzipped else None,
+            "etag": etag,
+            "last_modified": lastmod,
         }
     return res
 

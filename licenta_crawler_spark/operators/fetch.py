@@ -30,37 +30,65 @@ REDIRECT_STATUSES = {301, 302, 303}  # SitemapSaxCrawler.java:134-138
 
 FETCHED_SCHEMA = (
     "url string, final_url string, status int, body_kind string, "
-    "body string, n_redirects int, cookies_blocked boolean"
+    "body string, n_redirects int, cookies_blocked boolean, "
+    "etag string, last_modified bigint"
 )
 
-
-def _resolve(resolver: dict, url: str, attempt: int = 0) -> tuple[str, int, str, str, int]:
-    """Follow the redirect chain; returns (final_url, status, kind, body, hops).
+def _resolve(
+    resolver: dict,
+    url: str,
+    attempt: int = 0,
+    if_none_match: str | None = None,
+    if_modified_since: int | None = None,
+) -> tuple[str, int, str, str, int, str | None, int | None]:
+    """Follow the redirect chain; returns (final_url, status, kind, body,
+    hops, etag, last_modified).
 
     ``attempt`` is the zero-based retry count of this fetch: the synthetic
     corpus models transient failures (timeouts in the reference,
     BrowserCrawler.java:175,197) as the first N attempts returning 503 —
-    the wave engine requeues 5xx rows with retries+1 up to the cap (F6)."""
+    the wave engine requeues 5xx rows with retries+1 up to the cap (F6).
+
+    Conditional revalidation (RFC 9110 §13.1.1-2, §15.4.5): when the
+    caller supplies validators from a prior 200 of the same key, an
+    unchanged resource answers 304 with NO body — If-None-Match decides
+    when present (strong ETag compare), If-Modified-Since only applies
+    without it. The 304 echoes the current validators. In production
+    these are literally the request headers on the per-partition HTTP
+    session; the sandbox resolver entry carries the server-side pair."""
     # scheduled URLs are already canonical — probe first, canonicalize only
     # on a miss (the canonicalizer is the expensive part of this kernel)
     cur = url if url in resolver else canonicalize_url(url)
     for hops in range(MAX_REDIRECTS + 1):
         entry = resolver.get(cur)
         if entry is None:
-            return cur, 404, "missing", "", hops
+            return cur, 404, "missing", "", hops, None, None
         if entry["redirect_to"] and entry["status"] in REDIRECT_STATUSES:
             nxt = entry["redirect_to"]
             cur = nxt if nxt in resolver else canonicalize_url(nxt)  # S2+S3
             continue
         if attempt < (entry.get("transient_failures") or 0):
-            return cur, 503, "transient", "", hops
+            return cur, 503, "transient", "", hops, None, None
+        etag = entry.get("etag")
+        lastmod = entry.get("last_modified")
+        if int(entry["status"]) == 200:
+            if if_none_match is not None:
+                if etag is not None and if_none_match == etag:
+                    return cur, 304, entry["kind"], "", hops, etag, lastmod
+            elif (
+                if_modified_since is not None
+                and lastmod is not None
+                and lastmod <= if_modified_since
+            ):
+                return cur, 304, entry["kind"], "", hops, etag, lastmod
         body = entry["body"]
         if isinstance(body, (bytes, bytearray)):
             if entry.get("content_encoding") == "gzip" or body[:2] == b"\x1f\x8b":
                 body = gzip.decompress(bytes(body))  # S4
             body = body.decode("utf-8", errors="replace")
-        return cur, int(entry["status"]), entry["kind"], body, hops
-    return cur, -1, "redirect_cap", "", MAX_REDIRECTS + 1  # F6: too many hops
+        return cur, int(entry["status"]), entry["kind"], body, hops, etag, lastmod
+    # F6: too many hops
+    return cur, -1, "redirect_cap", "", MAX_REDIRECTS + 1, None, None
 
 
 def fetch_batches(df: DataFrame, resolver_bc) -> DataFrame:
@@ -77,6 +105,7 @@ def fetch_batches(df: DataFrame, resolver_bc) -> DataFrame:
 
     use_attempt = "retries" in df.columns
     use_cookies = "disallow_cookies" in df.columns
+    use_cond = "if_none_match" in df.columns  # conditional revalidation
 
     def run(it):
         resolver = resolver_bc.value
@@ -88,15 +117,31 @@ def fetch_batches(df: DataFrame, resolver_bc) -> DataFrame:
             # disabled per host; the sandbox resolver is stateless, so the
             # honored policy is recorded in the fetched-page metadata
             cookies = pdf["disallow_cookies"] if use_cookies else None
+            inm = pdf["if_none_match"] if use_cond else None
+            ims = pdf["if_modified_since"] if use_cond else None
             for i, url in enumerate(pdf["url"]):
                 a = int(attempts.iloc[i]) if attempts is not None else 0
                 blocked = bool(cookies.iloc[i]) if cookies is not None else False
-                rows.append((url, *_resolve(resolver, url, a), blocked))
+                c_inm = c_ims = None
+                if use_cond:
+                    # ''/-1 are the caller's no-validator sentinels (they
+                    # keep the long column null-free through Arrow)
+                    v = inm.iloc[i]
+                    c_inm = None if v is None or pd.isna(v) or v == "" else str(v)
+                    v = ims.iloc[i]
+                    c_ims = None if v is None or pd.isna(v) or int(v) < 0 else int(v)
+                f, s, k, b, h, etag, lm = _resolve(
+                    resolver, url, a, c_inm, c_ims
+                )
+                rows.append((url, f, s, k, b, h, blocked, etag, lm))
             out = pd.DataFrame(
                 rows,
                 columns=["url", "final_url", "status", "body_kind", "body",
-                         "n_redirects", "cookies_blocked"],
+                         "n_redirects", "cookies_blocked", "etag",
+                         "last_modified"],
             )
+            if rows:
+                out["last_modified"] = out["last_modified"].astype("Int64")
             for c in passthrough:
                 out[c] = pdf[c].to_numpy()
             yield out

@@ -710,3 +710,76 @@ def rendezvous_shard(
     return df.withColumn(
         out_col, (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
     )
+
+
+def revalidation_outcomes(
+    fetch_log: DataFrame,
+    *,
+    url_col: str = "url",
+    etag_col: str = "etag",
+    lastmod_col: str = "last_modified",
+    bytes_col: str = "body_bytes",
+    order_cols: tuple = ("ts_ms",),
+) -> DataFrame:
+    """Conditional-fetch (RFC 9110 §13.1.1-2) outcome ledger over a
+    time-ordered per-URL fetch log — the analytical twin of the wave
+    engine's revalidation path (EngineConfig.revalidate; the decision
+    rule is operators/fetch._resolve's conditional branch expressed as
+    column math).
+
+    Input: one row per fetch with the SERVER-side validators observed at
+    that fetch (``etag_col`` nullable — an etag-less origin; ``lastmod_col``
+    nullable) and the full body size. The validators a real crawler would
+    SEND on fetch *i* are exactly those stored after fetch *i-1* (a 304
+    echoes the still-current pair, a 200 carries the new one — either way
+    the store holds the previous row's server pair), so one ``lag()``
+    window reconstructs the request headers without materializing the
+    validator store.
+
+    Decision, per RFC 9110 precedence (mirrors fetch.py:74-83):
+
+    * first fetch of a URL -> unconditional 200, ``validator='none'``;
+    * a stored ETag decides when present: 304 iff it still matches
+      (strong compare) — ``validator='etag'``;
+    * otherwise a stored Last-Modified decides: 304 iff the current
+      lastmod is not newer — ``validator='lastmod'``;
+    * neither stored -> unconditional 200, ``validator='none'``.
+
+    ``bytes_saved`` is the body size a 304 avoided transferring — the
+    bandwidth lever: summed per host it is the recrawl traffic a
+    validator-aware fetcher does NOT pay.
+
+    Scale: ONE shuffle (the per-URL lag window) over the fetch log; no
+    UDF, no join — 10^10 URLs × k revisits is linear. The reference
+    fetches unconditionally every time (SitemapSaxCrawler.java:96-128
+    sets UA/timeouts, no caching headers)."""
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(url_col).orderBy(*order)
+    sent_inm = F.lag(F.col(etag_col)).over(w)
+    sent_ims = F.lag(F.col(lastmod_col)).over(w)
+    first = F.row_number().over(w) == 1
+    validator = (
+        F.when(first, F.lit("none"))
+        .when(sent_inm.isNotNull(), F.lit("etag"))
+        .when(sent_ims.isNotNull(), F.lit("lastmod"))
+        .otherwise(F.lit("none"))
+    )
+    revalidated = (
+        F.when(first, F.lit(False))
+        .when(sent_inm.isNotNull(), F.col(etag_col) == sent_inm)
+        .when(sent_ims.isNotNull(), F.col(lastmod_col) <= sent_ims)
+        .otherwise(F.lit(False))
+    )
+    revalidated = F.coalesce(revalidated, F.lit(False))
+    return fetch_log.select(
+        *[F.col(c) for c in fetch_log.columns],
+        validator.alias("validator"),
+        revalidated.alias("revalidated"),
+        F.when(revalidated, F.lit(304)).otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.when(revalidated, F.col(bytes_col))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

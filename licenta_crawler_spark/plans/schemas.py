@@ -138,3 +138,35 @@ METRICS = T.StructType(
         T.StructField("n_hosts", T.LongType()),
     ]
 )
+
+# conditional-fetch revalidation (EngineConfig.revalidate): per fetch key
+# the validators the last 200 response carried — sent back as
+# If-None-Match / If-Modified-Since on any re-fetch of the same key —
+# plus the next-page link that 200's parse extracted: a 304 means the
+# content is unchanged, so the cached link IS the current link, and the
+# nav chain advances without a body transfer or re-parse (the shelf
+# pagination case — two seeds' chains may traverse the same URL)
+VALIDATORS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),        # canonical (schedule key)
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.LongType()),
+        T.StructField("next_url", T.StringType()),
+    ]
+)
+
+# append-only ledger of CONDITIONAL fetch outcomes: one row per fetch that
+# carried validators; revalidated=true means the server answered 304 (no
+# body transferred, no re-parse, document row untouched)
+FETCH_LEDGER = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("revalidated", T.BooleanType(), False),
+        # which validator decided: 'etag' | 'lastmod' | 'none' (changed)
+        T.StructField("validator", T.StringType(), False),
+    ]
+)

@@ -48,7 +48,9 @@ def _retry_state_col(status_col, retries_col):
     """QUEUED-with-retry / FETCHED / FAILED from a fetch status (F6):
     5xx is retryable below the cap; 200 done; anything else terminal."""
     return (
-        F.when(status_col == 200, F.lit("FETCHED"))
+        # 304 Not Modified is a SUCCESSFUL fetch outcome (conditional
+        # revalidation): the key is done for this wave, content unchanged
+        F.when(status_col.isin(200, 304), F.lit("FETCHED"))
         .when(
             (status_col >= 500) & (retries_col + 1 < MAX_FETCH_RETRIES),
             F.lit("QUEUED"),
@@ -59,7 +61,7 @@ def _retry_state_col(status_col, retries_col):
 
 def _retry_count_col(status_col, retries_col):
     return (
-        F.when(status_col == 200, retries_col)
+        F.when(status_col.isin(200, 304), retries_col)
         .otherwise(retries_col + 1)
         .cast("int")
     )
@@ -129,6 +131,20 @@ class EngineConfig:
     # instead of inflating the frontier. Pure column expression
     # (functions/urlnorm.strip_params_col) — no extra shuffle or join.
     strip_params: tuple = ()
+    # conditional-fetch revalidation (opt-in): remember each fetch key's
+    # ETag / Last-Modified from its last 200 and send them back
+    # (If-None-Match / If-Modified-Since) on any RE-fetch of the same key
+    # — the evict_seen / change-rate recrawl path. An unchanged page
+    # answers 304: no body transfer, no re-parse, no documents-row churn;
+    # the outcome lands in the fetch_ledger state table (the
+    # validator/304 ledger). At recrawl scale this is the single biggest
+    # bandwidth lever: a daily refresh of 10^9 mostly-static pages pays
+    # headers, not bodies. First fetches are unconditional by
+    # construction (empty validator table), so enabling this never
+    # changes WHAT a fresh crawl produces — pinned by the e2e identity
+    # assertion in the revalidation test. Browse-path only: sitemap
+    # queues are fetch-once, so there is no sitemap re-fetch to save.
+    revalidate: bool = False
     max_waves: int = 10_000
     checkpointer: object | None = None  # sources.checkpoint.IcebergLayoutCatalog
     # scratch mode only: parquet round-trip every K-th wave, cheap
@@ -150,6 +166,10 @@ class CrawlState:
     documents: DataFrame
     host_clocks: DataFrame
     schedule_log: DataFrame
+    # conditional revalidation state (None unless cfg.revalidate): per
+    # fetch key the last 200's validators, and the 304/200 outcome ledger
+    validators: DataFrame | None = None
+    fetch_ledger: DataFrame | None = None
     metrics: list = field(default_factory=list)
     wave: int = 0
     # back-reference keeping the engine (and its scratch dir of materialized
@@ -281,6 +301,8 @@ class CrawlEngine:
             schedule_log=empty(
                 "host string, url string, kind string, scheduled_at long, wave int"
             ),
+            validators=empty(schemas.VALIDATORS) if self.cfg.revalidate else None,
+            fetch_ledger=empty(schemas.FETCH_LEDGER) if self.cfg.revalidate else None,
             engine=self,
         )
         # snapshot the admitted state (wave -1) so a crawl killed before its
@@ -814,18 +836,44 @@ class CrawlEngine:
         retry_hits = retry_src.join(
             F.broadcast(sched.select("host", "url", "kind")), ["host", "url", "kind"]
         )
-        fetched = fetch_batches(
-            self._fetch_repartition(
-                sched.select("url", "host", "kind", "scheduled_at")
-                .join(F.broadcast(retry_hits), ["host", "url", "kind"], "left")
-                .fillna({"retries": 0})
-                .join(F.broadcast(self._fetch_policy(st)), "host", "left")
-                .fillna({"disallow_cookies": False}),
-                n_sched,
-            ),
-            self.resolver_bc,
+        fetch_in = (
+            sched.select("url", "host", "kind", "scheduled_at")
+            .join(F.broadcast(retry_hits), ["host", "url", "kind"], "left")
+            .fillna({"retries": 0})
+            .join(F.broadcast(self._fetch_policy(st)), "host", "left")
+            .fillna({"disallow_cookies": False})
         )
-        parsed = parse_pages(fetched, passthrough=["host", "kind"]).localCheckpoint()
+        passthrough = ["host", "kind"]
+        if self.cfg.revalidate:
+            # stored validators for RE-fetched keys ride the request as
+            # If-None-Match / If-Modified-Since. Same discipline as the
+            # retry attach: the big validator table never shuffles — the
+            # scheduled batch's keys broadcast INTO its scan, and only the
+            # (<= n_sched) hit rows broadcast back onto the schedule.
+            # Sentinels (''/-1) instead of nulls keep the long column
+            # Arrow-safe through the fetch/parse passthrough.
+            val_hits = st.validators.join(
+                F.broadcast(sched.select("host", "url")), ["host", "url"]
+            )
+            fetch_in = fetch_in.join(
+                F.broadcast(
+                    val_hits.select(
+                        "host", "url",
+                        F.col("etag").alias("if_none_match"),
+                        F.col("last_modified").alias("if_modified_since"),
+                        F.col("next_url").alias("cached_next"),
+                    )
+                ),
+                ["host", "url"],
+                "left",
+            ).fillna({"if_none_match": "", "if_modified_since": -1,
+                      "cached_next": ""})
+            passthrough += ["etag", "last_modified", "cached_next",
+                            "if_none_match", "if_modified_since"]
+        fetched = fetch_batches(
+            self._fetch_repartition(fetch_in, n_sched), self.resolver_bc
+        )
+        parsed = parse_pages(fetched, passthrough=passthrough).localCheckpoint()
 
         shelves = parsed.filter(F.col("kind") == "SHELF").join(
             active.select(
@@ -883,9 +931,22 @@ class CrawlEngine:
         )
 
         # ---- nav updates: advance chains (navigation != discovery)
+        # a 304 SHELF advances its chain from the CACHED next link: Not
+        # Modified means the body (hence the pagination link) is exactly
+        # what the stored 200 parsed — two seeds' chains may traverse the
+        # same URL, and the second traversal must not stall the chain
+        eff_next = (
+            F.when(F.col("status") == 200, F.col("next_url"))
+            .when(
+                (F.col("status") == 304) & (F.col("cached_next") != ""),
+                F.col("cached_next"),
+            )
+            if self.cfg.revalidate
+            else F.when(F.col("status") == 200, F.col("next_url"))
+        )
         fetched_nav = shelves.select(
             "job_id", "host", "seed_index", "page_index",
-            F.col("status").alias("_status"), F.col("next_url").alias("_next"),
+            F.col("status").alias("_status"), eff_next.alias("_next"),
             F.col("final_url").alias("_final"),
         )
         nav_rest = st.nav.join(
@@ -903,7 +964,9 @@ class CrawlEngine:
             )
         )
         nav_next = (
-            fetched_nav.filter((F.col("_status") == 200) & F.col("_next").isNotNull())
+            fetched_nav.filter(
+                F.col("_status").isin(200, 304) & F.col("_next").isNotNull()
+            )
             .select(
                 "job_id", "host", "seed_index",
                 (F.col("page_index") + 1).alias("page_index"),
@@ -937,9 +1000,36 @@ class CrawlEngine:
         n_docs = docs.count()
         if self.cfg.use_bloom and n_new:
             self._note_new_seen(st, log_rows, n_new, wave)
+        reval_tables = {}
+        if self.cfg.revalidate:
+            # validator upsert (latest 200 wins per fetch key) + the
+            # append-only conditional-outcome ledger. 304 rows refresh
+            # nothing: the stored validators are still current by
+            # definition of Not Modified.
+            new_vals = (
+                parsed.filter(F.col("status") == 200)
+                .select("host", "url", "etag", "last_modified", "next_url")
+                .dropDuplicates(["host", "url"])
+            )
+            reval_tables["validators"] = st.validators.join(
+                new_vals.select("host", "url"), ["host", "url"], "left_anti"
+            ).unionByName(new_vals)
+            ledger_rows = parsed.filter(
+                (F.col("if_none_match") != "") | (F.col("if_modified_since") >= 0)
+            ).select(
+                "host", "url",
+                F.lit(wave).cast("int").alias("wave"),
+                F.col("status").cast("int").alias("status"),
+                (F.col("status") == 304).alias("revalidated"),
+                # If-None-Match decides when present (RFC 9110 §13.1.2)
+                F.when(F.col("if_none_match") != "", F.lit("etag"))
+                .otherwise(F.lit("lastmod")).alias("validator"),
+            )
+            reval_tables["fetch_ledger"] = st.fetch_ledger.unionByName(ledger_rows)
         self._checkpoint(
             st,
             {
+                **reval_tables,
                 "nav": nav_rest.unionByName(nav_done).unionByName(nav_next),
                 "fetch_frontier": frontier_rest.unionByName(frontier_done)
                 .unionByName(new_frontier),
@@ -995,6 +1085,14 @@ class CrawlEngine:
             host_clocks=load("host_clocks", schemas.HOST_CLOCK),
             schedule_log=spark.createDataFrame(
                 [], "host string, url string, kind string, scheduled_at long, wave int"
+            ),
+            validators=(
+                load("validators", schemas.VALIDATORS)
+                if self.cfg.revalidate else None
+            ),
+            fetch_ledger=(
+                load("fetch_ledger", schemas.FETCH_LEDGER)
+                if self.cfg.revalidate else None
             ),
             wave=wave,
             engine=self,

@@ -670,3 +670,172 @@ def test_hrw_fetch_sharding_colocates_hosts(spark):
     )
     split = rr.groupBy("host").agg(F.countDistinct("pid").alias("n")).collect()
     assert any(r["n"] > 1 for r in split)  # round-robin splits hosts
+
+
+def test_conditional_revalidation_e2e(spark):
+    """Conditional-fetch revalidation end-to-end (EngineConfig.revalidate,
+    VERDICT r04 #2): the recrawl path sends the stored validators and an
+    unchanged page answers 304 — no body, no re-parse, documents row
+    untouched — while a changed page answers 200 and refreshes both the
+    document and the stored validators. Three victims cover the rule:
+
+      * v1 unchanged, etag-bearing origin -> 304 via If-None-Match;
+      * v2 changed between crawls        -> 200, doc + validators refresh;
+      * v3 etag-less origin (Last-Modified only) -> 304 via
+        If-Modified-Since (the RFC 9110 fallback path).
+
+    Plus the fresh-crawl identity assertion: enabling revalidate never
+    changes WHAT a first crawl produces (first fetches carry no
+    validators by construction)."""
+    import dataclasses
+
+    from licenta_crawler_spark.fixtures.corpus import _validators
+
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+    resolver = corpus_to_resolver(corpus)
+    robots = spark.createDataFrame(corpus.robots, schemas.ROBOTS)
+    seed_jobs = spark.createDataFrame(
+        corpus.seed_jobs,
+        "job_id string, homepage string, seeds array<string>, "
+        "additional_sitemaps array<string>, disallow_cookies boolean",
+    )
+    cfg = dict(max_per_host=4, bloom_min_seen=0, seen_filter="cuckoo",
+               cuckoo_buckets=1 << 10)
+
+    # ---- baseline crawl WITHOUT revalidation (identity reference)
+    eng_a = CrawlEngine(
+        spark, spark.sparkContext.broadcast(resolver), robots,
+        EngineConfig(**cfg),
+    )
+    st_a = eng_a.run(seed_jobs)
+    base_docs = {r["doc_id"] for r in st_a.documents.collect()}
+    base_log = {}
+    for r in st_a.crawl_log.orderBy("host", "seq").collect():
+        base_log.setdefault(r["host"], []).append(r["url"])
+
+    # deterministic victims: PRODUCT rows whose crawl_log key equals the
+    # doc_id (no redirect hop) and whose page never 503s (so the recrawl
+    # ledger has exactly one conditional attempt per victim)
+    def _victims(st, n):
+        rows = (
+            st.documents.alias("d")
+            .join(st.crawl_log.alias("l"),
+                  F.col("d.doc_id") == F.col("l.url_sha1"))
+            .filter(F.col("l.page_type") == "PRODUCT")
+            .select("d.doc_id", "d.url", "d.host", "d.wave", "l.seq")
+            .orderBy("d.doc_id")
+            .collect()
+        )
+        rows = [r for r in rows
+                if not (resolver.get(r["url"]) or {}).get("transient_failures")]
+        assert len(rows) >= n
+        return rows[:n]
+
+    v1, v2, v3 = _victims(st_a, 3)
+
+    # v3 models an etag-less origin from the START: strip its ETag before
+    # the revalidating crawl so the stored validator pair is (null, lastmod)
+    resolver_b = {u: dict(e) for u, e in resolver.items()}
+    resolver_b[v3["url"]]["etag"] = None
+
+    # ---- revalidating crawl: fresh-crawl identity + empty ledger
+    eng = CrawlEngine(
+        spark, spark.sparkContext.broadcast(resolver_b), robots,
+        EngineConfig(revalidate=True, **cfg),
+    )
+    st = eng.run(seed_jobs)
+    # fresh-crawl identity: same documents, same per-host ordered
+    # discovery log (doc WAVE is not part of the identity contract — a
+    # retried page's landing wave is a scheduling artifact)
+    assert {r["doc_id"] for r in st.documents.collect()} == base_docs
+    got_log: dict[str, list] = {}
+    for r in st.crawl_log.orderBy("host", "seq").collect():
+        got_log.setdefault(r["host"], []).append(r["url"])
+    assert got_log == base_log
+    # a FRESH crawl's only conditional fetches are second traversals of a
+    # URL shared by two seeds' chains — content can't change mid-crawl,
+    # so every one of them is a 304 or a transient 5xx retry attempt
+    # (which also carried the validators); never a changed-content 200.
+    # The cached-next handoff kept the crawl log identical regardless.
+    fresh_led = st.fetch_ledger.collect()
+    assert all(
+        (r["revalidated"] and r["status"] == 304)
+        or (not r["revalidated"] and r["status"] >= 500)
+        for r in fresh_led
+    )
+    recrawl_from = st.wave  # ledger rows at/after this wave are ours
+    # pre-recrawl doc waves from THIS engine's state (victim refresh checks)
+    pre_wave = {
+        r["doc_id"]: r["wave"]
+        for r in st.documents.filter(
+            F.col("doc_id").isin([v["doc_id"] for v in (v1, v2, v3)])
+        ).collect()
+    }
+    vals = {r["url"]: r for r in st.validators.collect()}
+    assert v1["url"] in vals and vals[v1["url"]]["etag"] is not None
+    assert vals[v3["url"]]["etag"] is None          # etag-less origin
+    assert vals[v3["url"]]["last_modified"] is not None
+    old_etag_v2 = vals[v2["url"]]["etag"]
+
+    # ---- between crawls: v2's content changes (body AND validators move,
+    # the content-derived coupling a real CMS gives)
+    new_body = resolver_b[v2["url"]]["body"] + "<p>changed rev2</p>"
+    etag2, lastmod2 = _validators(new_body)
+    resolver_b[v2["url"]].update(
+        body=new_body, etag=etag2, last_modified=lastmod2
+    )
+    eng.resolver_bc = spark.sparkContext.broadcast(resolver_b)
+
+    # ---- evict + requeue the three victims (the recrawl scheduler path)
+    victims = spark.createDataFrame(
+        [(v["doc_id"],) for v in (v1, v2, v3)], "url_sha1 string"
+    )
+    st2 = eng.evict_seen(st, victims)
+    requeued = spark.createDataFrame(
+        [(v["host"], v["url"], v["doc_id"], v["seq"], "QUEUED", 0)
+         for v in (v1, v2, v3)],
+        schemas.FETCH_FRONTIER,
+    )
+    st3 = dataclasses.replace(
+        st2,
+        fetch_frontier=st2.fetch_frontier.join(
+            requeued.select("host", "url"), ["host", "url"], "left_anti"
+        ).unionByName(requeued),
+    )
+    assert eng.browse_wave(st3)
+    for _ in range(4):
+        if not eng.browse_wave(st3):
+            break
+
+    # ---- ledger: exactly one conditional attempt per victim
+    led = {r["url"]: r for r in st3.fetch_ledger.collect()
+           if r["wave"] >= recrawl_from}
+    assert set(led) == {v1["url"], v2["url"], v3["url"]}
+    assert led[v1["url"]]["status"] == 304
+    assert led[v1["url"]]["revalidated"] is True
+    assert led[v1["url"]]["validator"] == "etag"
+    assert led[v2["url"]]["status"] == 200
+    assert led[v2["url"]]["revalidated"] is False
+    assert led[v2["url"]]["validator"] == "etag"
+    assert led[v3["url"]]["status"] == 304
+    assert led[v3["url"]]["revalidated"] is True
+    assert led[v3["url"]]["validator"] == "lastmod"
+
+    # ---- documents: 304s never re-parse (wave unchanged), the 200
+    # refreshes (wave advanced, new span present), no duplicate rows
+    docs = {r["doc_id"]: r for r in st3.documents.collect()}
+    assert docs[v1["doc_id"]]["wave"] == pre_wave[v1["doc_id"]]
+    assert docs[v3["doc_id"]]["wave"] == pre_wave[v3["doc_id"]]
+    assert docs[v2["doc_id"]]["wave"] > pre_wave[v2["doc_id"]]
+    assert any("changed rev2" in (s["text"] or "")
+               for s in docs[v2["doc_id"]]["spans"])
+    assert st3.documents.count() == len(base_docs)
+
+    # ---- validators: the 200 refreshed v2's stored pair; 304s kept theirs
+    vals3 = {r["url"]: r for r in st3.validators.collect()}
+    assert vals3[v2["url"]]["etag"] == etag2 != old_etag_v2
+    assert vals3[v1["url"]]["etag"] == vals[v1["url"]]["etag"]
+    assert vals3[v3["url"]]["etag"] is None
