@@ -127,6 +127,36 @@ def main() -> None:
     )
     out.update(_deltas_vs_prev_round(queries, sf, cpus))
     print(json.dumps(out))
+    _write_self_record(out, mode)
+
+
+def _write_self_record(out: dict, mode: str) -> None:
+    """Persist the FULL result as BENCH_SELF_r{N}.json (r04 verdict #8):
+    the driver's BENCH_r{N}.json recording truncates the stdout line to a
+    tail string, so the regression guard and the judge were reverse-
+    parsing it — this file is the intact document. N = newest driver
+    round + 1 (the self record is written DURING round N, the driver
+    records after it). Only full suite runs are recorded; a frontier-only
+    spot check must not shadow a 160-query comparison baseline."""
+    if mode != "all":
+        return
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
+    driver = [round_no(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
+    n = max([r for r in driver if r is not None], default=0) + 1
+    try:
+        with open(os.path.join(here, f"BENCH_SELF_r{n:02d}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # never fail the bench over the side record
+        sys.stderr.write(f"BENCH_SELF record not written: {e}\n")
 
 
 # iterative fixed-point queries re-measured warm after the main sweep:
@@ -186,18 +216,24 @@ def _deltas_vs_prev_round(queries: dict[str, float], sf: float, cpus: int) -> di
         m = re.search(r"r(\d+)", os.path.basename(p))
         return int(m.group(1)) if m else None
 
+    here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(
         (
             p
-            for p in glob.glob(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-            )
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if round_no(p) is not None  # ignore non-numeric suffixes
         ),
         key=round_no,
     )
     if not paths:
         return {}
+    # prefer the intact self-record of the same round (full queries dict,
+    # no tail-string reverse parsing) when bench.py wrote one
+    self_path = os.path.join(
+        here, f"BENCH_SELF_r{round_no(paths[-1]):02d}.json"
+    )
+    if os.path.exists(self_path):
+        paths.append(self_path)
     try:
         prev_doc = json.load(open(paths[-1]))
         if "tail" in prev_doc and not prev_doc.get("parsed"):
