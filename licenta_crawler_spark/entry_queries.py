@@ -2290,6 +2290,77 @@ def change_rate_recrawl(spark, sf_dir):
     return change_rate_stats(log, order_cols=("event_id",))
 
 
+def conditional_fetch_ledger(spark, sf_dir):
+    """Conditional-fetch revalidation ledger (EngineConfig.revalidate;
+    operators/frontier_policy.revalidation_outcomes — the analytical
+    twin of the wave engine's ETag/If-Modified-Since recrawl path).
+    User buckets are URL proxies in three origin families: %3==0 serves
+    a strong ETag + Last-Modified that both move with content (etags
+    decide), %3==1 is an etag-less origin (Last-Modified decides),
+    %3==2 regenerates its ETag on EVERY response while Last-Modified
+    never moves — the RFC 9110 precedence proof: If-None-Match must
+    decide (always 200) even though If-Modified-Since alone would have
+    said 304. Per (url, validator): fetch count, 304 count, and the
+    body bytes the 304s avoided transferring."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        revalidation_outcomes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id") % 40
+    ch = (
+        F.when(u % 5 == 0, F.lit("static"))
+        .otherwise(F.col("event_type"))
+    )
+    log = ev.select(
+        F.concat(F.lit("/u/"), u).alias("url"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        F.when(u % 3 == 0, F.concat(F.lit('"'), ch, F.lit('"')))
+        .when(u % 3 == 2, F.concat(F.lit('"r'), F.col("event_id"), F.lit('"')))
+        .alias("etag"),
+        F.when(u % 3 == 2, F.lit(1_600_000_000).cast("long"))
+        .otherwise(
+            (F.lit(1_600_000_000) + F.length(ch) * 131 + F.ascii(ch))
+            .cast("long")
+        )
+        .alias("last_modified"),
+        (F.lit(500) + F.col("event_id") % 4096).cast("long").alias("body_bytes"),
+    )
+    led = revalidation_outcomes(log, order_cols=("ts_ms", "event_id"))
+    return led.groupBy("url", "validator").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(F.col("revalidated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_304"),
+        F.sum("bytes_saved").cast("long").alias("bytes_saved"),
+    )
+
+
+def stream_crawl_wave_replay(spark, sf_dir):
+    """Driver-checkable proof of the COMPOSED streaming pipeline's
+    steady-state semantics (streaming/pipeline.batch_replay_crawl_waves
+    — intake → first-seen dedup → per-host FIFO → one-fetch-per-wave
+    politeness, the one-wave-per-micro-batch loop of
+    ComposedCrawlStream): URL arrivals synthesized with an explicit
+    intake micro-batch; per host the fetch wave follows the queue
+    recurrence fetch(i) = max(arr(i), fetch(i-1)+1), computed via its
+    running-max closed form. The oracle replays the identical dedup +
+    two-window math; the pytest additionally replays the recurrence
+    itself row-by-row in Python."""
+    from licenta_crawler_spark.streaming.pipeline import batch_replay_crawl_waves
+
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 37).cast("string")
+    arrivals = ev.select(
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat(F.lit("/p"), (F.col("event_id") % 211).cast("string")).alias("url"),
+        (F.col("event_id") % 13).cast("long").alias("arrival_batch"),
+        "event_id",
+    )
+    return batch_replay_crawl_waves(arrivals)
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3500,6 +3571,8 @@ QUERIES = {
     "etld1_site_groups": etld1_site_groups,
     # __R05_NEW_QUERIES__ (inserted here as they are built; window ends
     # at key #50 counted from the top)
+    "conditional_fetch_ledger": conditional_fetch_ledger,
+    "stream_crawl_wave_replay": stream_crawl_wave_replay,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -5816,6 +5889,81 @@ ORACLE_SQL = {
                itv AS next_interval_ms,
                last_ms + itv AS next_due_ms
         FROM itvd
+    """,
+    "conditional_fetch_ledger": """
+        WITH log AS (
+          SELECT '/u/' || (user_id % 40) AS url,
+                 epoch_ms(ts) AS ts_ms,
+                 event_id,
+                 CASE WHEN (user_id % 40) % 5 = 0 THEN 'static'
+                      ELSE event_type END AS ch,
+                 CASE WHEN (user_id % 40) % 3 = 0 THEN '"' || ch || '"'
+                      WHEN (user_id % 40) % 3 = 2
+                        THEN '"r' || event_id || '"'
+                 END AS etag,
+                 CASE WHEN (user_id % 40) % 3 = 2 THEN 1600000000::BIGINT
+                      ELSE (1600000000 + length(ch) * 131 + ascii(ch))::BIGINT
+                 END AS last_modified,
+                 (500 + event_id % 4096)::BIGINT AS body_bytes
+          FROM events
+        ),
+        led AS (
+          SELECT url, body_bytes, etag, last_modified,
+                 lag(etag) OVER w AS s_inm,
+                 lag(last_modified) OVER w AS s_ims,
+                 row_number() OVER w AS rn
+          FROM log WINDOW w AS (PARTITION BY url ORDER BY ts_ms, event_id)
+        ),
+        dec AS (
+          SELECT url, body_bytes,
+                 CASE WHEN rn = 1 THEN 'none'
+                      WHEN s_inm IS NOT NULL THEN 'etag'
+                      WHEN s_ims IS NOT NULL THEN 'lastmod'
+                      ELSE 'none' END AS validator,
+                 CASE WHEN rn = 1 THEN FALSE
+                      WHEN s_inm IS NOT NULL
+                        THEN coalesce(etag = s_inm, FALSE)
+                      WHEN s_ims IS NOT NULL
+                        THEN coalesce(last_modified <= s_ims, FALSE)
+                      ELSE FALSE END AS revalidated
+          FROM led
+        )
+        SELECT url, validator,
+               count(*) AS n_fetches,
+               sum(CASE WHEN revalidated THEN 1 ELSE 0 END)::BIGINT AS n_304,
+               sum(CASE WHEN revalidated THEN body_bytes ELSE 0 END)::BIGINT
+                 AS bytes_saved
+        FROM dec GROUP BY url, validator
+    """,
+    "stream_crawl_wave_replay": """
+        WITH arr AS (
+          SELECT 'h' || (user_id % 37) AS host,
+                 '/p' || (event_id % 211) AS url,
+                 (event_id % 13)::BIGINT AS arrival_batch,
+                 event_id
+          FROM events
+        ),
+        first AS (
+          SELECT host, url, arrival_batch, event_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY host, url
+                     ORDER BY arrival_batch, event_id) AS rn
+            FROM arr) WHERE rn = 1
+        ),
+        q AS (
+          SELECT host, url, arrival_batch,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY arrival_batch, event_id
+                 ) - 1 AS queue_idx
+          FROM first
+        )
+        SELECT host, url, arrival_batch, queue_idx,
+               queue_idx + max(arrival_batch - queue_idx) OVER (
+                 PARTITION BY host ORDER BY queue_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS fetch_wave,
+               fetch_wave - arrival_batch AS idle_waves
+        FROM q
     """,
     "dust_strip_urls": """
         WITH u AS (

@@ -1,0 +1,222 @@
+"""ONE continuous foreachBatch crawl pipeline: intake → schedule → fetch
+→ parse → dedup → exactly-once sink, driven end-to-end by Structured
+Streaming micro-batches.
+
+The per-stage streaming twins (job intake, politeness clock, backoff,
+change detect, LSH dedup, exactly-once catalog sink) each hold
+individually; this module is their COMPOSITION — the point where
+state-store semantics interact. One micro-batch does:
+
+  1. *intake*: admit the batch's job files (cross-batch F3 rejection and
+     state merge exactly as the intake façade — this class extends it);
+  2. *crawl*: advance ONE engine wave — the wave itself IS
+     schedule → fetch → parse → dedup (politeness clocks, retry/backoff
+     caps, Bloom/cuckoo seen-filter, robots admission all live inside
+     ``sitemap_wave``/``browse_wave``);
+  3. *sink*: append the wave's NEW crawl-log rows to the catalog as one
+     exactly-once snapshot stamped ``(app_id, epoch)``;
+  4. *self-tick*: if the frontier still has work, drop a marker file
+     into the watched directory so the NEXT micro-batch fires without
+     external input — the crawl is the stream.
+
+Exactly-once across the whole batch, not just the sink: a replayed epoch
+(offset checkpoint lost, engine/catalog state not) is detected from the
+sink stamp BEFORE the wave runs and skipped entirely — replaying it
+would otherwise advance an extra wave whose rows the stamped sink then
+dropped. With the check, batch effects (engine state + sink rows) are
+atomic-per-epoch from the catalog's point of view.
+
+Why one wave per micro-batch (vs the intake façade's drain-per-batch):
+it is the production shape — job intake interleaves with crawl progress,
+a slow host's waves never block admission of new jobs, and each wave's
+discoveries become independently durable (and downstream-consumable via
+``read_appended_since``) the moment its snapshot commits. The reference
+processes jobs on an unbounded thread pool as they POST
+(CrawlJobResource.java:74-81); this is that concurrency re-expressed as
+micro-batch interleaving.
+
+Scale: the driver-side loop does O(1) work per batch (a tick file and
+two counts); everything else is the wave engine's own distributed plan.
+State between batches is the engine's checkpointer (restart-resumable)
+plus the stream's offset checkpoint — both O(frontier), never O(corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from licenta_crawler_spark.sources.checkpoint import IcebergLayoutCatalog
+from licenta_crawler_spark.streaming.facade import (
+    JOB_REQUEST_SCHEMA,
+    StreamingCrawlService,
+)
+
+TICK_JOB_ID = "__tick__"  # marker rows: fire a wave, admit nothing
+
+
+def batch_replay_crawl_waves(
+    arrivals: DataFrame,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    batch_col: str = "arrival_batch",
+    order_cols: tuple = ("arrival_batch", "event_id"),
+) -> DataFrame:
+    """Analytic twin of the composed pipeline's intake→dedup→politeness
+    composition: given a stream of URL arrivals stamped with the intake
+    micro-batch that admitted them, compute the wave each URL is fetched
+    in under the pipeline's steady-state rules — first-seen dedup
+    (D1/D2: later arrivals of a seen URL are dropped), per-host FIFO,
+    ONE fetch per host per wave (the politeness clock at
+    max_per_host=1), and no URL fetched before its arrival batch.
+
+    The per-host queue recurrence is
+    ``fetch(i) = max(arr(i), fetch(i-1) + 1)``; substituting forward
+    gives the closed form ``fetch(i) = i + max_{j<=i}(arr(j) - j)`` —
+    a RUNNING MAX, so the whole replay is first-seen dedup + two
+    windows over one host-keyed shuffle (no iteration, no state), and
+    any SQL engine replays it bit-for-bit. ``idle_waves`` = fetch -
+    arrival is the queueing delay the politeness budget imposed.
+
+    Scale: 10^10 arrivals is one shuffle on host; the running max is
+    whole-stage-codegen'd column math. The live pipeline needs the
+    stateful one-wave-per-epoch loop only because arrivals are unbounded
+    — on any bounded replay window this closed form IS the composition.
+    """
+    order = [F.col(c) for c in order_cols]
+    w_dup = Window.partitionBy(host_col, url_col).orderBy(*order)
+    first = (
+        arrivals.withColumn("_dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+    w_q = Window.partitionBy(host_col).orderBy(*order)
+    arr = F.col(batch_col).cast("long")
+    queued = first.withColumn("queue_idx", F.row_number().over(w_q) - 1)
+    w_run = Window.partitionBy(host_col).orderBy("queue_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fetch_wave = F.col("queue_idx") + F.max(arr - F.col("queue_idx")).over(w_run)
+    return queued.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        arr.alias("arrival_batch"),
+        F.col("queue_idx"),
+        fetch_wave.alias("fetch_wave"),
+        (fetch_wave - arr).alias("idle_waves"),
+    )
+
+
+class ComposedCrawlStream(StreamingCrawlService):
+    """The composed pipeline: intake façade + one-wave-per-batch crawl +
+    exactly-once crawl-log sink + self-ticking continuation."""
+
+    def __init__(
+        self,
+        engine,
+        catalog: IcebergLayoutCatalog,
+        log_table: str = "crawl_log_stream",
+        app_id: str = "composed-crawl",
+    ):
+        super().__init__(engine)
+        self.catalog = catalog
+        self.log_table = log_table
+        self.app_id = app_id
+        self.watch_dir: str | None = None
+        self.finished = False
+
+    # ------------------------------------------------------------ plumbing
+    def _write_tick(self, epoch_id: int) -> None:
+        path = os.path.join(
+            self.watch_dir, f"tick-{epoch_id}-{uuid.uuid4().hex[:8]}.json"
+        )
+        with open(path, "w") as fh:
+            json.dump({"job_id": TICK_JOB_ID}, fh)
+            fh.write("\n")
+
+    def _log_delta(self, prev_log: DataFrame | None) -> DataFrame:
+        """Rows appended to the crawl log since ``prev_log`` — an
+        append-only log with per-host monotone ``seq``, so the delta is
+        a join against the (host-count-sized, broadcast) per-host
+        previous high-water mark, never a log-sized anti-join."""
+        cur = self.state.crawl_log
+        if prev_log is None:
+            return cur
+        marks = prev_log.groupBy("host").agg(F.max("seq").alias("_hwm"))
+        return (
+            cur.join(F.broadcast(marks), "host", "left")
+            .filter(F.col("_hwm").isNull() | (F.col("seq") > F.col("_hwm")))
+            .drop("_hwm")
+        )
+
+    # ------------------------------------------------------------ the sink
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # whole-batch replay guard: effects of this epoch (wave + sink
+        # rows) are already durable — running the wave again would
+        # advance state while the stamped sink dropped its rows
+        last = self.catalog.last_batch_id(self.log_table, app_id=self.app_id)
+        if last is not None and epoch_id <= last:
+            return
+
+        jobs = batch_df.filter(
+            F.col("job_id").isNotNull() & (F.col("job_id") != TICK_JOB_ID)
+        )
+        had_jobs = not jobs.isEmpty()
+        prev_log = self.state.crawl_log if self.state is not None else None
+        if had_jobs:
+            self._admit_merge(jobs)
+            self.finished = False
+        if self.state is None:
+            return  # a tick arrived before any job file — nothing to crawl
+        st = self.state
+
+        # ONE wave: sitemap BFS level first (EP2 precedence, as run_from),
+        # else one browse politeness window
+        did_work = self.engine.sitemap_wave(st) or self.engine.browse_wave(st)
+
+        # exactly-once append of this wave's new discoveries (admitted
+        # seeds included — admission appends them to the log too). Empty
+        # deltas still commit: the stamp ledger stays contiguous so the
+        # replay guard above is exact.
+        self.catalog.commit_append(
+            self.log_table, self._log_delta(prev_log), epoch_id,
+            app_id=self.app_id,
+        )
+
+        if did_work or had_jobs:
+            self._write_tick(epoch_id)  # keep the stream crawling
+        else:
+            self.engine.finalize_jobs(st)
+            self.finished = True
+
+    # ------------------------------------------------------------- wiring
+    def start(
+        self,
+        spark: SparkSession,
+        watch_dir: str,
+        stream_checkpoint_dir: str,
+        available_now: bool = False,
+    ):
+        """Start the composed stream over ``watch_dir`` (job files AND
+        self-tick markers — ``availableNow`` would freeze the file
+        listing at start and never see the ticks, so the default is the
+        continuous micro-batch trigger; callers stop the query when
+        ``finished`` flips)."""
+        self.watch_dir = watch_dir
+        stream = spark.readStream.schema(JOB_REQUEST_SCHEMA).json(watch_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", stream_checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="0 seconds")
+        return writer.start()
