@@ -2109,6 +2109,33 @@ def adaptive_delay_ewma(spark, sf_dir):
     return out.select("user_id", "event_id", "ewma_ms", "next_delay_ms")
 
 
+def adaptive_shard_budget(spark, sf_dir):
+    """Per-host adaptive parallelism under injected latency skew
+    (operators/frontier_policy.adaptive_shard_budget — the EWMA delay ×
+    Hamilton wave budget × HRW placement composition): 23 hosts, one of
+    which ('h3') observes 25× the baseline latency. Its EWMA delay grows,
+    its polite rate (wave_ms div delay) collapses, and the apportioned
+    wave budget reallocates toward the healthy hosts — while placement
+    stays pure in-row HRW math. All int64; the oracle replays the lags,
+    the largest-remainder split, and the md5 shard scores exactly."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        adaptive_shard_budget as _asb,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.col("user_id") % 23
+    base = F.lit(100) + F.col("event_id") % 400
+    log = ev.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        "event_id",
+        (base * F.when(h == 3, 25).otherwise(1)).cast("long").alias("latency_ms"),
+    )
+    return _asb(
+        log, ts_cols=("event_id",), n_shards=4, wave_ms=60_000,
+        total_budget=997,
+    )
+
+
 def robots_cache_ttl(spark, sf_dir):
     """Robots-cache freshness: each page fetch (click) joined as-of to
     the host's latest robots fetch (view) at-or-before it; a fetch is
@@ -3573,6 +3600,7 @@ QUERIES = {
     # at key #50 counted from the top)
     "conditional_fetch_ledger": conditional_fetch_ledger,
     "stream_crawl_wave_replay": stream_crawl_wave_replay,
+    "adaptive_shard_budget": adaptive_shard_budget,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6632,6 +6660,76 @@ ORACLE_SQL["rendezvous_host_shards"] = f"""
              AS n_moved_elsewhere
     FROM assigned GROUP BY shard
 """
+
+
+def _adaptive_shard_budget_sql(
+    window=16, k_num=3, min_ms=100, max_ms=30000,
+    wave_ms=60000, total_budget=997, n_shards=4,
+) -> str:
+    """Replay the EWMA lags, the rate cut, the largest-remainder split
+    and the md5 HRW scores — one integer pipeline end to end."""
+    lags = ",\n                 ".join(
+        f"lag(x, {k}) OVER w AS x{k}" for k in range(window)
+    )
+    num = " + ".join(
+        f"coalesce(x{k} * {1 << (window - 1 - k)}, 0)" for k in range(window)
+    )
+    den = " + ".join(
+        f"(CASE WHEN x{k} IS NOT NULL THEN {1 << (window - 1 - k)} ELSE 0 END)"
+        for k in range(window)
+    )
+    return f"""
+        WITH f AS (
+          SELECT 'h' || (user_id % 23) AS host, event_id,
+                 ((100 + event_id % 400) *
+                  (CASE WHEN user_id % 23 = 3 THEN 25 ELSE 1 END))::BIGINT AS x
+          FROM events
+        ),
+        l AS (
+          SELECT host, event_id,
+                 {lags}
+          FROM f
+          WINDOW w AS (PARTITION BY host ORDER BY event_id)
+        ),
+        e AS (
+          SELECT host, event_id,
+                 ({num})::BIGINT AS num, ({den})::BIGINT AS den,
+                 row_number() OVER (PARTITION BY host ORDER BY event_id DESC)
+                   AS rn
+          FROM l
+        ),
+        cur AS (
+          SELECT host, (num // den)::BIGINT AS ewma_ms,
+                 least(greatest({k_num} * (num // den), {min_ms}),
+                       {max_ms})::BIGINT AS next_delay_ms
+          FROM e WHERE rn = 1
+        ),
+        s AS (
+          SELECT host, ewma_ms, next_delay_ms,
+                 ({wave_ms} // next_delay_ms)::BIGINT AS rate
+          FROM cur
+        ),
+        t AS (SELECT sum(rate)::BIGINT AS ssum FROM s),
+        b AS (
+          SELECT host, ewma_ms, next_delay_ms, rate,
+                 ({total_budget} * rate) // ssum AS fl,
+                 ({total_budget} * rate) % ssum AS rem
+          FROM s, t
+        ),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                 {total_budget} - sum(fl) OVER () AS leftover
+          FROM b
+        )
+        SELECT (list_position(sc, list_max(sc)) - 1)::BIGINT AS shard,
+               host, ewma_ms, next_delay_ms, rate,
+               (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+                 AS alloc
+        FROM (SELECT *, {_hrw_scores_sql(n_shards)} AS sc FROM r)
+    """
+
+
+ORACLE_SQL["adaptive_shard_budget"] = _adaptive_shard_budget_sql()
 
 
 def _stream_lsh_oracle(n_hashes=16, n_bands=4) -> str:

@@ -783,3 +783,72 @@ def revalidation_outcomes(
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+def adaptive_shard_budget(
+    fetch_log: DataFrame,
+    *,
+    host_col: str = "host",
+    ts_cols: tuple = ("ts",),
+    latency_col: str = "latency_ms",
+    n_shards: int = 8,
+    wave_ms: int = 60_000,
+    total_budget: int = 10_000,
+    window: int = 16,
+    k_num: int = 3,
+    min_ms: int = 100,
+    max_ms: int = 30_000,
+) -> DataFrame:
+    """Per-host adaptive parallelism: compose the latency EWMA
+    (``ewma_delay``), the Hamilton wave budget (``allocate_budget``) and
+    HRW fetcher placement (``rendezvous_shard``) so a SLOW host's share
+    of the wave narrows without starving fast hosts.
+
+    The coupling is the host's polite throughput: with adaptive delay
+    ``d`` ms between its fetches, a host can absorb at most
+    ``wave_ms div d`` fetches per wave — that rate is its budget score,
+    so apportionment follows capacity instead of queue depth. A host
+    whose EWMA latency rises gets a longer delay, a smaller rate, and a
+    proportionally smaller slice of the NEXT wave — while every other
+    host's rate is untouched, and Hamilton's floor guarantees each
+    host with nonzero rate at least ``total*rate div Σrate`` slots (the
+    no-starvation property; exact-sum by largest remainder). Uniform
+    latencies ⇒ uniform rates ⇒ the allocation is EXACTLY the equal
+    Hamilton split — enabling the composition on a healthy fleet changes
+    nothing (pinned by test).
+
+    HRW placement rides along as pure in-row math: the output is keyed
+    (shard, host), so each fetcher shard reads its own budget slice and
+    the slice moves WITH the host on fleet resize (minimal-reshuffle
+    HRW invariant).
+
+    All int64 (EWMA shifts, integer division, largest remainder) —
+    bit-replayable cross-engine. Plan: the EWMA's one host-keyed window
+    shuffle + a last-row-per-host cut, the apportionment's broadcast
+    totals + one rank window, one host-dim join to attach allocs — every
+    stage is host-cardinality (~10^7), never URL-cardinality."""
+    ewma = ewma_delay(
+        fetch_log, host_col=host_col, ts_cols=ts_cols,
+        latency_col=latency_col, window=window, k_num=k_num,
+        min_ms=min_ms, max_ms=max_ms,
+    )
+    order = [F.col(c).desc() for c in ts_cols]
+    w_last = Window.partitionBy(host_col).orderBy(*order)
+    cur = (
+        ewma.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(host_col).alias("host"), "ewma_ms", "next_delay_ms",
+            F.expr(f"CAST({int(wave_ms)} AS BIGINT) div next_delay_ms")
+            .alias("rate"),
+        )
+    )
+    allocs = allocate_budget(
+        cur.select("host", F.col("rate").alias("score")),
+        host_col="host", score_col="score", total_budget=total_budget,
+    ).select("host", "alloc")
+    out = cur.join(allocs, "host")
+    out = rendezvous_shard(out, key_col="host", n_shards=n_shards)
+    return out.select(
+        "shard", "host", "ewma_ms", "next_delay_ms", "rate", "alloc"
+    )

@@ -636,3 +636,72 @@ class TestRendezvousShard:
             sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
         assert set(sizes) == set(range(8))
         assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+class TestAdaptiveShardBudget:
+    """EWMA delay × Hamilton budget × HRW placement composition
+    (adaptive_shard_budget): healthy-fleet identity + skew reallocation."""
+
+    PARAMS = dict(ts_cols=("ts",), n_shards=4, wave_ms=60_000, total_budget=101)
+
+    def _log(self, spark, slow_host=None, factor=25):
+        rows = [
+            (f"h{i}", t, (200 + t % 50) * (factor if f"h{i}" == slow_host else 1))
+            for i in range(8)
+            for t in range(20)
+        ]
+        return spark.createDataFrame(rows, "host string, ts long, latency_ms long")
+
+    def test_healthy_fleet_identity(self, spark):
+        """No slow host ⇒ uniform rates ⇒ EXACTLY the constant-score
+        Hamilton split, and placement is EXACTLY plain HRW — enabling the
+        adaptive composition on a healthy fleet changes nothing."""
+        from licenta_crawler_spark.operators.frontier_policy import (
+            adaptive_shard_budget,
+            allocate_budget,
+            rendezvous_shard,
+        )
+
+        out = {r.host: r for r in
+               adaptive_shard_budget(self._log(spark), **self.PARAMS).collect()}
+        allocs = {h: r.alloc for h, r in out.items()}
+        assert sum(allocs.values()) == 101
+        const = allocate_budget(
+            spark.createDataFrame([(f"h{i}", 1) for i in range(8)],
+                                  "host string, score long"),
+            total_budget=101,
+        )
+        assert allocs == {r.host: r.alloc for r in const.collect()}
+        hrw = rendezvous_shard(
+            spark.createDataFrame([(h,) for h in out], "host string"),
+            n_shards=4,
+        )
+        assert {h: r.shard for h, r in out.items()} == {
+            r.host: r.shard for r in hrw.collect()
+        }
+
+    def test_slow_host_narrows_without_starvation(self, spark):
+        """25× latency on h3 ⇒ its delay grows, its rate collapses, its
+        slice shrinks; every healthy host's slice only grows; the sum
+        still equals the budget and h3 keeps its Hamilton floor."""
+        from licenta_crawler_spark.operators.frontier_policy import (
+            adaptive_shard_budget,
+        )
+
+        base = {r.host: r for r in
+                adaptive_shard_budget(self._log(spark), **self.PARAMS).collect()}
+        skew = {r.host: r for r in
+                adaptive_shard_budget(self._log(spark, slow_host="h3"),
+                                      **self.PARAMS).collect()}
+        assert skew["h3"].next_delay_ms > base["h3"].next_delay_ms
+        assert skew["h3"].rate < base["h3"].rate
+        assert skew["h3"].alloc < base["h3"].alloc
+        for h in base:
+            if h != "h3":
+                assert skew[h].alloc >= base[h].alloc  # healthy hosts gain
+                assert skew[h].rate == base[h].rate    # their rates untouched
+                assert skew[h].shard == base[h].shard  # placement unmoved
+        assert sum(r.alloc for r in skew.values()) == 101
+        rates = {h: r.rate for h, r in skew.items()}
+        floor = (101 * rates["h3"]) // sum(rates.values())
+        assert skew["h3"].alloc >= floor  # Hamilton no-starvation floor
