@@ -2388,6 +2388,46 @@ def stream_crawl_wave_replay(spark, sf_dir):
     return batch_replay_crawl_waves(arrivals)
 
 
+def reval_change_rate(spark, sf_dir):
+    """The no-change-observation bridge: conditional revalidation feeds
+    the Cho–Garcia-Molina change-rate model WITHOUT ever hashing a
+    re-downloaded body — the validator pair the server returns IS the
+    content fingerprint (a 304 leaves it unchanged ⇒ an UNCHANGED
+    visit; a changed 200 moves it ⇒ a CHANGED visit), so the recrawl
+    interval adapts on header-only traffic. Per-URL content versions
+    advance at url-specific periods; origin family %3==1 is etag-less,
+    so its fingerprint is the Last-Modified fallback. The ledger goes
+    through the SAME change_rate_stats the body-hash recrawl model uses
+    (one url shuffle; the agg reuses the window partitioning)."""
+    from licenta_crawler_spark.operators.frontier_policy import change_rate_stats
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id") % 60
+    base = ev.select(
+        F.concat(F.lit("/u/"), u).alias("url"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        (F.lit(1) + u % 4).cast("long").alias("period"),
+        (u % 3).alias("fam"),
+    )
+    wv = Window.partitionBy("url").orderBy("ts_ms", "event_id")
+    ver = base.withColumn("visit", (F.row_number().over(wv) - 1).cast("long"))
+    ver = ver.withColumn("version", F.expr("visit div period"))
+    etag = F.when(
+        F.col("fam") != 1,
+        F.concat(F.lit('"'), F.col("url"), F.lit("-"),
+                 F.col("version"), F.lit('"')),
+    )
+    lastmod = (F.lit(1_600_000_000) + F.col("version") * 3600).cast("long")
+    log = ver.select(
+        "url", "ts_ms", "event_id",
+        F.coalesce(etag, F.concat(F.lit("#lm:"), lastmod)).alias("validator_fp"),
+    )
+    return change_rate_stats(
+        log, hash_col="validator_fp", order_cols=("event_id",)
+    )
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3601,6 +3641,7 @@ QUERIES = {
     "conditional_fetch_ledger": conditional_fetch_ledger,
     "stream_crawl_wave_replay": stream_crawl_wave_replay,
     "adaptive_shard_budget": adaptive_shard_budget,
+    "reval_change_rate": reval_change_rate,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -5962,6 +6003,56 @@ ORACLE_SQL = {
                sum(CASE WHEN revalidated THEN body_bytes ELSE 0 END)::BIGINT
                  AS bytes_saved
         FROM dec GROUP BY url, validator
+    """,
+    "reval_change_rate": """
+        WITH base AS (
+          SELECT '/u/' || (user_id % 60) AS url,
+                 epoch_ms(ts) AS ts_ms, event_id,
+                 (1 + (user_id % 60) % 4)::BIGINT AS period,
+                 (user_id % 60) % 3 AS fam
+          FROM events
+        ),
+        ver AS (
+          SELECT *, (row_number() OVER (
+                       PARTITION BY url ORDER BY ts_ms, event_id
+                     ) - 1) // period AS version
+          FROM base
+        ),
+        log AS (
+          SELECT url, ts_ms, event_id,
+                 coalesce(
+                   CASE WHEN fam <> 1
+                        THEN '"' || url || '-' || version || '"' END,
+                   '#lm:' || (1600000000 + version * 3600)
+                 ) AS h
+          FROM ver
+        ),
+        obs AS (
+          SELECT url, ts_ms,
+                 CASE WHEN lag(h) OVER w IS NULL THEN NULL
+                      WHEN h <> lag(h) OVER w THEN 1 ELSE 0 END AS changed
+          FROM log WINDOW w AS (PARTITION BY url ORDER BY ts_ms, event_id)
+        ),
+        agg AS (
+          SELECT url, count(*) AS n_visits,
+                 coalesce(sum(changed), 0)::BIGINT AS n_changes,
+                 min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+          FROM obs GROUP BY url
+        ),
+        itvd AS (
+          SELECT *, CASE WHEN n_visits < 2 THEN 86400000
+                         ELSE greatest(3600000, least(2592000000,
+                           (last_ms - first_ms) // greatest(n_changes, 1)))
+                    END AS itv
+          FROM agg
+        )
+        SELECT url, n_visits, n_changes, last_ms,
+               CASE WHEN n_visits >= 2
+                    THEN (n_changes * 1000) // (n_visits - 1)
+               END AS change_ratio_millis,
+               itv AS next_interval_ms,
+               last_ms + itv AS next_due_ms
+        FROM itvd
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (
