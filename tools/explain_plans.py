@@ -56,10 +56,14 @@ SHOW = [
     "crawl_snapshot_delta",    # one full-outer hash join, no BNLJ
     "reciprocal_links",        # pair-key agg: no self-join at all
     "inverted_index_retrieval",  # vocab-intersect BEFORE explode, broadcast query dim
-    "phrase_search",           # k-gram filter before explode, per-length union
+    "phrase_search",           # single corpus scan: one Generate for all gram lengths
     "containment_ngram_pairs", # inverted-index join, no cartesian
     "robots_rfc9309",          # broadcast rule dim + top-1 window over matches
     "recrawl_budget_allocation",  # change-rate window -> Hamilton rank, composed
+    "conditional_fetch_ledger",   # lag window reconstructs request validators, one url shuffle
+    "stream_crawl_wave_replay",   # dedup + queue windows over ONE host shuffle, no iteration
+    "adaptive_shard_budget",      # EWMA window + broadcast totals + rank; HRW in-row
+    "reval_change_rate",          # validator-fp lag window + agg reuse one url partitioning
 ]
 
 CHECKS = {
@@ -94,10 +98,14 @@ CHECKS = {
     "crawl_snapshot_delta": ["FullOuter"],
     "reciprocal_links": ["HashAggregate"],
     "inverted_index_retrieval": ["Generate", "BroadcastExchange", "HashAggregate"],
-    "phrase_search": ["Generate", "BroadcastExchange", "Union"],
+    "phrase_search": ["Generate", "BroadcastExchange"],
     "containment_ngram_pairs": ["HashAggregate", "Join"],
     "robots_rfc9309": ["BroadcastExchange", "Window"],
     "recrawl_budget_allocation": ["Window", "HashAggregate"],
+    "conditional_fetch_ledger": ["Window", "HashAggregate"],
+    "stream_crawl_wave_replay": ["Window"],
+    "adaptive_shard_budget": ["Window", "BroadcastExchange"],
+    "reval_change_rate": ["Window", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -131,6 +139,13 @@ ANTI_CHECKS = {
     "containment_ngram_pairs": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "robots_rfc9309": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     "recrawl_budget_allocation": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # revalidation / composed-replay / adaptive-budget family: pure
+    # window + integer column math — Python or a cartesian means the
+    # exactness contract silently left codegen
+    "conditional_fetch_ledger": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "stream_crawl_wave_replay": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    "adaptive_shard_budget": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    "reval_change_rate": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
