@@ -2428,6 +2428,67 @@ def reval_change_rate(spark, sf_dir):
     )
 
 
+def cache_freshness(spark, sf_dir):
+    """HTTP cache-freshness recrawl gate (RFC 9111 §4.2;
+    operators/frontier_policy.cache_freshness_schedule) — the tier
+    ABOVE conditional revalidation: fresh copies send no request at
+    all. Four origin families prove the lifetime precedence: %4==0
+    serves BOTH max-age and Expires (max-age must win), %4==1 is
+    Expires-only (with a Last-Modified present that must NOT be used
+    for lifetime), %4==2 has only Last-Modified (the 10% heuristic),
+    %4==3 serves no freshness info (lifetime 0, action splits
+    revalidate/refetch on having an ETag)."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        cache_freshness_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id") % 48
+    fam = u % 4
+    fetched = (F.lit(1_600_000_000) + F.col("event_id") % 450).cast("long")
+    log = ev.select(
+        F.concat(F.lit("/u/"), u).alias("url"),
+        "event_id",
+        fetched.alias("fetched_at_s"),
+        fetched.alias("date_s"),
+        F.when(fam == 0, (F.lit(100) + (u * 17) % 700).cast("long"))
+        .alias("max_age_s"),
+        F.when(fam == 0, fetched + 50)
+        .when(fam == 1, fetched + 200 + u * 7)
+        .cast("long")
+        .alias("expires_s"),
+        F.when(fam == 1, fetched - 7200)
+        .when(fam == 2, fetched - 3600 * (1 + u % 5))
+        .cast("long")
+        .alias("last_modified_s"),
+        F.when(
+            (fam == 0) | (u % 8 == 3),
+            F.concat(F.lit('"e'), u, F.lit('"')),
+        ).alias("etag"),
+    )
+    return cache_freshness_schedule(
+        log,
+        now_s=1_600_000_500,
+        order_cols=("fetched_at_s", "event_id"),
+    )
+
+
+def dsir_importance_select(spark, sf_dir):
+    """DSIR data selection (operators/quality.dsir_importance_weights):
+    hashed unigram+bigram importance weights of the raw pool
+    (doc_id %% 7 != 0) against a target corpus (doc_id %% 7 == 0), add-1
+    smoothed over 512 buckets, floor-log2 fixed-point log-ratio, top-25%
+    keep set."""
+    from licenta_crawler_spark.operators.quality import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    tgt = d.filter(F.col("doc_id") % 7 == 0)
+    return dsir_importance_weights(
+        raw, tgt, n_buckets=512, keep_permille=250
+    )
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3642,6 +3703,8 @@ QUERIES = {
     "stream_crawl_wave_replay": stream_crawl_wave_replay,
     "adaptive_shard_budget": adaptive_shard_budget,
     "reval_change_rate": reval_change_rate,
+    "cache_freshness_schedule": cache_freshness,
+    "dsir_importance_select": dsir_importance_select,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6053,6 +6116,138 @@ ORACLE_SQL = {
                itv AS next_interval_ms,
                last_ms + itv AS next_due_ms
         FROM itvd
+    """,
+    "cache_freshness_schedule": """
+        WITH log AS (
+          SELECT '/u/' || (user_id % 48) AS url,
+                 event_id,
+                 (1600000000 + event_id % 450)::BIGINT AS fetched_at_s,
+                 (1600000000 + event_id % 450)::BIGINT AS date_s,
+                 CASE WHEN (user_id % 48) % 4 = 0
+                      THEN (100 + ((user_id % 48) * 17) % 700)::BIGINT
+                 END AS max_age_s,
+                 CASE WHEN (user_id % 48) % 4 = 0
+                      THEN (1600000000 + event_id % 450 + 50)::BIGINT
+                      WHEN (user_id % 48) % 4 = 1
+                      THEN (1600000000 + event_id % 450 + 200
+                            + (user_id % 48) * 7)::BIGINT
+                 END AS expires_s,
+                 CASE WHEN (user_id % 48) % 4 = 1
+                      THEN (1600000000 + event_id % 450 - 7200)::BIGINT
+                      WHEN (user_id % 48) % 4 = 2
+                      THEN (1600000000 + event_id % 450
+                            - 3600 * (1 + (user_id % 48) % 5))::BIGINT
+                 END AS last_modified_s,
+                 CASE WHEN (user_id % 48) % 4 = 0 OR (user_id % 48) % 8 = 3
+                      THEN '"e' || (user_id % 48) || '"' END AS etag
+          FROM events
+        ),
+        latest AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY url
+                      ORDER BY fetched_at_s DESC, event_id DESC) AS rn
+          FROM log
+        ),
+        calc AS (
+          SELECT url, fetched_at_s,
+                 (CASE WHEN max_age_s IS NOT NULL
+                       THEN greatest(max_age_s, 0)
+                       WHEN expires_s IS NOT NULL
+                       THEN greatest(expires_s - date_s, 0)
+                       WHEN last_modified_s IS NOT NULL
+                       THEN greatest(
+                         ((date_s - last_modified_s) * 10) // 100, 0)
+                       ELSE 0 END)::BIGINT AS lifetime_s,
+                 CASE WHEN max_age_s IS NOT NULL THEN 'max-age'
+                      WHEN expires_s IS NOT NULL THEN 'expires'
+                      WHEN last_modified_s IS NOT NULL THEN 'heuristic'
+                      ELSE 'none' END AS source,
+                 (1600000500 - fetched_at_s)::BIGINT AS age_s,
+                 etag IS NOT NULL AS has_etag,
+                 last_modified_s IS NOT NULL AS has_lm
+          FROM latest WHERE rn = 1
+        )
+        SELECT url, fetched_at_s, lifetime_s, source, age_s,
+               age_s < lifetime_s AS fresh,
+               fetched_at_s + lifetime_s AS stale_at_s,
+               CASE WHEN age_s < lifetime_s THEN 'serve-cached'
+                    WHEN has_etag OR has_lm THEN 'revalidate'
+                    ELSE 'refetch' END AS action
+        FROM calc
+    """,
+    "dsir_importance_select": """
+        WITH pool_docs AS (
+          SELECT doc_id::BIGINT AS doc_id, text FROM documents
+          WHERE doc_id % 7 <> 0
+        ),
+        tgt_docs AS (
+          SELECT doc_id::BIGINT AS doc_id, text FROM documents
+          WHERE doc_id % 7 = 0
+        ),
+        pool_grams AS (
+          SELECT doc_id, unnest(toks || list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+          FROM (SELECT doc_id, list_filter(
+                  string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  t -> t <> '') AS toks FROM pool_docs)
+        ),
+        tgt_grams AS (
+          SELECT doc_id, unnest(toks || list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+          FROM (SELECT doc_id, list_filter(
+                  string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  t -> t <> '') AS toks FROM tgt_docs)
+        ),
+        pool_tf AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT % 512 AS bucket,
+                 count(*)::BIGINT AS tf
+          FROM pool_grams GROUP BY doc_id, bucket
+        ),
+        raw_model AS (
+          SELECT bucket, (sum(tf) + 1)::BIGINT AS cnt_raw
+          FROM pool_tf GROUP BY bucket
+        ),
+        tgt_model AS (
+          SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % 512 AS bucket,
+                 (count(*) + 1)::BIGINT AS cnt_tgt
+          FROM tgt_grams GROUP BY bucket
+        ),
+        tot AS (
+          SELECT (SELECT (sum(cnt_raw) + (512 - count(*)))::BIGINT
+                  FROM raw_model) AS t_raw,
+                 (SELECT (sum(cnt_tgt) + (512 - count(*)))::BIGINT
+                  FROM tgt_model) AS t_tgt
+        ),
+        scored AS (
+          SELECT p.doc_id, p.tf,
+                 (length(bin(t_raw // cnt_raw)) - 1)::BIGINT AS bits_raw,
+                 (length(bin(t_tgt // coalesce(cnt_tgt, 1)))
+                  - 1)::BIGINT AS bits_tgt
+          FROM pool_tf p JOIN raw_model USING (bucket)
+          LEFT JOIN tgt_model USING (bucket) CROSS JOIN tot
+        ),
+        per_doc AS (
+          SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+                 sum(tf * (bits_raw - bits_tgt))::BIGINT AS weight_bits
+          FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_feats, weight_bits,
+               (((weight_bits + 63 * n_feats) * 1000) // n_feats
+                - 63000)::BIGINT AS mean_bits_permille,
+               row_number() OVER (
+                 ORDER BY ((weight_bits + 63 * n_feats) * 1000) // n_feats
+                          DESC, doc_id ASC)::BIGINT AS keep_rank,
+               row_number() OVER (
+                 ORDER BY ((weight_bits + 63 * n_feats) * 1000) // n_feats
+                          DESC, doc_id ASC)
+                 <= ((SELECT count(*) FROM per_doc) * 250) // 1000
+                 AS selected
+        FROM per_doc
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

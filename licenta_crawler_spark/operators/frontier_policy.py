@@ -852,3 +852,106 @@ def adaptive_shard_budget(
     return out.select(
         "shard", "host", "ewma_ms", "next_delay_ms", "rate", "alloc"
     )
+
+
+def cache_freshness_schedule(
+    fetch_log: DataFrame,
+    *,
+    now_s: int,
+    url_col: str = "url",
+    fetched_col: str = "fetched_at_s",
+    date_col: str = "date_s",
+    max_age_col: str = "max_age_s",
+    expires_col: str = "expires_s",
+    lastmod_col: str = "last_modified_s",
+    etag_col: str = "etag",
+    heuristic_pct: int = 10,
+    order_cols: tuple = ("fetched_at_s",),
+) -> DataFrame:
+    """HTTP cache-freshness recrawl gate (RFC 9111 §4.2): decide, per
+    URL, whether the stored copy is still FRESH (serve it, send no
+    request at all), stale-but-revalidatable (the conditional-fetch
+    path — ``revalidation_outcomes`` / EngineConfig.revalidate), or
+    stale with no validators (full refetch). This is the missing first
+    tier of the recrawl decision stack: freshness answers "must we talk
+    to the origin", revalidation answers "must we re-download the body".
+
+    Freshness lifetime per RFC 9111 §4.2.1-2 precedence, from the
+    LATEST stored response per URL:
+
+    * ``Cache-Control: max-age`` when present (wins over Expires);
+    * else ``Expires - Date`` (clamped at 0 — an already-expired
+      Expires means immediately stale);
+    * else the §4.2.2 heuristic: ``heuristic_pct``% (default the
+      RFC-suggested 10%) of ``Date - Last-Modified``;
+    * else 0 — no freshness information, immediately stale.
+
+    ``age_s`` is the simple ``now - fetched_at`` current-age (the
+    Age-header / response-delay correction terms of §4.2.3 need the
+    request/response clock pair a synthetic ledger does not carry —
+    documented simplification, conservative for a crawler whose fetch
+    timestamp IS its stored Date in steady state). Fresh iff
+    ``age_s < lifetime_s``.
+
+    Scale: one url-keyed window shuffle cuts the latest response per
+    URL; everything after is in-row integer column math (no UDF, no
+    join) — linear at 10^10 URLs, and the same window partitioning the
+    revalidation ledger already pays. The reference has no cache layer
+    at all (SitemapSaxCrawler.java:96-128 fetches unconditionally);
+    this is §2.8 crawl-scale mandate surface."""
+    order = [F.col(c).desc() for c in order_cols]
+    w_last = Window.partitionBy(url_col).orderBy(*order)
+    latest = (
+        fetch_log.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    max_age = F.col(max_age_col).cast("long")
+    expires = F.col(expires_col).cast("long")
+    date = F.col(date_col).cast("long")
+    lastmod = F.col(lastmod_col).cast("long")
+    lifetime = (
+        F.when(max_age.isNotNull(), F.greatest(max_age, F.lit(0)))
+        .when(expires.isNotNull(), F.greatest(expires - date, F.lit(0)))
+        .when(
+            lastmod.isNotNull(),
+            F.greatest(
+                F.expr(
+                    f"((CAST({date_col} AS BIGINT) - CAST({lastmod_col} AS "
+                    f"BIGINT)) * {int(heuristic_pct)}) div 100"
+                ),
+                F.lit(0),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    source = (
+        F.when(max_age.isNotNull(), F.lit("max-age"))
+        .when(expires.isNotNull(), F.lit("expires"))
+        .when(lastmod.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("none"))
+    )
+    out = latest.select(
+        F.col(url_col).alias("url"),
+        F.col(fetched_col).cast("long").alias("fetched_at_s"),
+        lifetime.alias("lifetime_s"),
+        source.alias("source"),
+        (F.lit(int(now_s)) - F.col(fetched_col).cast("long")).alias("age_s"),
+        F.col(etag_col).isNotNull().alias("_has_etag"),
+        lastmod.isNotNull().alias("_has_lm"),
+    )
+    fresh = F.col("age_s") < F.col("lifetime_s")
+    return out.select(
+        "url",
+        "fetched_at_s",
+        "lifetime_s",
+        "source",
+        "age_s",
+        fresh.alias("fresh"),
+        (F.col("fetched_at_s") + F.col("lifetime_s")).alias("stale_at_s"),
+        F.when(fresh, F.lit("serve-cached"))
+        .when(F.col("_has_etag") | F.col("_has_lm"), F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+        .alias("action"),
+    )

@@ -368,3 +368,151 @@ def nb_hash_classifier_scores(
             (F.col("score_bits") > 0).alias("predicted"),
         )
     )
+
+
+def dsir_importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    n_buckets: int = 512,
+    keep_permille: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every RAW document by its log importance weight
+    log p_target(doc) - log p_raw(doc) under two hashed-n-gram unigram
+    bag models — one trained on the small high-quality TARGET corpus,
+    one on the raw pool itself — then keep the top ``keep_permille`` of
+    the pool. The standard pretraining-data trick for "make the crawl
+    look like Wikipedia/books without a learned classifier".
+
+    Features are the paper's hashed n-grams: word unigrams AND bigrams
+    hashed into ``n_buckets`` buckets (md5 -> 60-bit int -> mod B, the
+    repo-wide cross-engine hash), so model size is B regardless of
+    vocabulary. Models are add-1 smoothed over the B buckets.
+
+    Integer-exact stand-in for the log-likelihood ratio (same trade as
+    ``unigram_surprisal_buckets``): per feature occurrence,
+    ``bits_raw - bits_target`` where ``bits_m = floor(log2(total_m div
+    cnt_m))`` via ``length(bin(x)) - 1`` — surprisal under the raw model
+    minus surprisal under the target model, positive = target-like. The
+    per-token mean is computed on a +63-bits-per-token shifted numerator
+    (bits <= 63 so the shifted sum is provably non-negative — Spark
+    ``div`` truncates toward zero while DuckDB ``//`` floors, so only
+    non-negative integer division is cross-engine exact) and un-shifted
+    AFTER the division.
+
+    Scale: two corpus scans (features for the pool + the target model —
+    the target corpus is the small one by construction), map-side
+    combine onto (doc, bucket), both models are B-row aggregates
+    broadcast back onto the bucket key; the final keep-rank is a sort of
+    doc-level rows only (at 10^10 docs swap for an approx-quantile
+    threshold on the permille score — same documented trade as the
+    surprisal buckets). No UDF anywhere."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = F.split(normalized_text_col(F.col(text_col)), " ")
+        toks = F.filter(toks, lambda t: t != "")
+        grams = F.concat(toks, ngram_join_col(toks, 2))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15),
+                16, 10,
+            )
+            .cast("long") % n_buckets
+        )
+        return (
+            df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.explode(grams).alias("gram"),
+            )
+            .select("doc_id", bucket.alias("bucket"))
+        )
+
+    pool = feats(raw_docs).groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("tf")
+    )
+    raw_model = pool.groupBy("bucket").agg(
+        (F.sum("tf") + 1).cast("long").alias("cnt_raw")
+    )
+    tgt_model = (
+        feats(target_docs)
+        .groupBy("bucket")
+        .agg((F.count("*") + 1).cast("long").alias("cnt_tgt"))
+    )
+    # add-1 smoothing totals: every one of the B buckets contributes its
+    # +1 even when unseen — raw_model only materializes seen buckets, so
+    # the unseen remainder is added as a scalar (B - seen) on each side
+    raw_seen = raw_model.select(
+        F.sum("cnt_raw").alias("s_raw"), F.count("*").alias("b_raw")
+    )
+    tgt_seen = tgt_model.select(
+        F.sum("cnt_tgt").alias("s_tgt"), F.count("*").alias("b_tgt")
+    )
+    tot = (
+        raw_seen.crossJoin(tgt_seen)
+        .select(
+            (F.col("s_raw") + (F.lit(int(n_buckets)) - F.col("b_raw")))
+            .cast("long")
+            .alias("t_raw"),
+            (F.col("s_tgt") + (F.lit(int(n_buckets)) - F.col("b_tgt")))
+            .cast("long")
+            .alias("t_tgt"),
+        )
+    )
+    scored = (
+        pool.join(F.broadcast(raw_model), "bucket")
+        .join(F.broadcast(tgt_model), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            (F.length(F.bin(F.expr("t_raw div cnt_raw"))) - 1)
+            .cast("long")
+            .alias("bits_raw"),
+            (
+                F.length(
+                    F.bin(F.expr("t_tgt div coalesce(cnt_tgt, CAST(1 AS BIGINT))"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits_tgt"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_feats"),
+        F.sum(F.col("tf") * (F.col("bits_raw") - F.col("bits_tgt")))
+        .cast("long")
+        .alias("weight_bits"),
+    )
+    per_doc = per_doc.select(
+        "doc_id",
+        "n_feats",
+        "weight_bits",
+        (
+            F.expr("((weight_bits + 63 * n_feats) * 1000) div n_feats")
+            - F.lit(63000)
+        ).alias("mean_bits_permille"),
+    )
+    n_docs = per_doc.select(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.desc("mean_bits_permille"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_bits",
+            "mean_bits_permille",
+            "keep_rank",
+            (
+                F.col("keep_rank")
+                <= F.expr(f"(n_docs * {int(keep_permille)}) div 1000")
+            ).alias("selected"),
+        )
+    )

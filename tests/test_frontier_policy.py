@@ -705,3 +705,78 @@ class TestAdaptiveShardBudget:
         rates = {h: r.rate for h, r in skew.items()}
         floor = (101 * rates["h3"]) // sum(rates.values())
         assert skew["h3"].alloc >= floor  # Hamilton no-starvation floor
+
+
+class TestCacheFreshness:
+    """RFC 9111 freshness gate (cache_freshness_schedule)."""
+
+    SCHEMA = ("url string, event_id long, fetched_at_s long, date_s long, "
+              "max_age_s long, expires_s long, last_modified_s long, "
+              "etag string")
+
+    def _run(self, spark, rows, now_s=1000):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            cache_freshness_schedule,
+        )
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {
+            r.url: r
+            for r in cache_freshness_schedule(
+                df, now_s=now_s, order_cols=("fetched_at_s", "event_id")
+            ).collect()
+        }
+
+    def test_lifetime_precedence(self, spark):
+        rows = [
+            # max-age=300 beats a 50 s Expires window
+            ("/a", 1, 900, 900, 300, 950, None, '"e1"'),
+            # Expires-Date=200 beats a Last-Modified heuristic
+            ("/b", 2, 900, 900, None, 1100, 890, None),
+            # heuristic: 10% of (date - lastmod) = 10% of 4000 = 400
+            ("/c", 3, 900, 900, None, None, 900 - 4000, None),
+            # nothing -> lifetime 0
+            ("/d", 4, 900, 900, None, None, None, None),
+        ]
+        got = self._run(spark, rows)
+        assert (got["/a"].lifetime_s, got["/a"].source) == (300, "max-age")
+        assert (got["/b"].lifetime_s, got["/b"].source) == (200, "expires")
+        assert (got["/c"].lifetime_s, got["/c"].source) == (400, "heuristic")
+        assert (got["/d"].lifetime_s, got["/d"].source) == (0, "none")
+
+    def test_action_tiers(self, spark):
+        rows = [
+            # fresh (age 100 < 300) -> no request at all
+            ("/fresh", 1, 900, 900, 300, None, None, None),
+            # stale with an ETag -> conditional revalidation
+            ("/etag", 2, 900, 900, 50, None, None, '"x"'),
+            # stale with only Last-Modified -> still revalidatable
+            ("/lm", 3, 900, 900, 50, None, 800, None),
+            # stale, no validators -> full refetch
+            ("/bare", 4, 900, 900, 50, None, None, None),
+        ]
+        got = self._run(spark, rows)
+        assert got["/fresh"].action == "serve-cached"
+        assert got["/fresh"].fresh is True
+        assert got["/etag"].action == "revalidate"
+        assert got["/lm"].action == "revalidate"
+        assert got["/bare"].action == "refetch"
+        assert got["/bare"].stale_at_s == 950
+
+    def test_expired_expires_clamps_to_zero(self, spark):
+        # Expires before Date must clamp at 0, not go negative
+        got = self._run(spark, [("/x", 1, 900, 900, None, 700, None, None)])
+        assert got["/x"].lifetime_s == 0
+        assert got["/x"].fresh is False
+
+    def test_latest_response_wins(self, spark):
+        # older row had max-age 500; the latest fetch (no headers)
+        # must drive the decision
+        rows = [
+            ("/u", 1, 800, 800, 500, None, None, '"old"'),
+            ("/u", 2, 950, 950, None, None, None, None),
+        ]
+        got = self._run(spark, rows)
+        assert got["/u"].fetched_at_s == 950
+        assert got["/u"].lifetime_s == 0
+        assert got["/u"].action == "refetch"

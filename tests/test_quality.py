@@ -215,3 +215,51 @@ class TestNbHashClassifier:
             ).collect()
         )
         assert again == rows_out
+
+
+class TestDsirImportance:
+    """DSIR importance resampling (dsir_importance_weights)."""
+
+    def _run(self, spark, raw_rows, tgt_rows, **kw):
+        from licenta_crawler_spark.operators.quality import (
+            dsir_importance_weights,
+        )
+
+        return dsir_importance_weights(
+            _docs(spark, raw_rows), _docs(spark, tgt_rows), **kw
+        )
+
+    def test_target_like_docs_rank_first(self, spark):
+        tgt = [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+        raw = (
+            # target vocabulary verbatim -> high weight
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+            # disjoint junk vocabulary -> low weight
+            + [(10 + i, "xx yy zz qq ww vv uu tt ss rr") for i in range(9)]
+        )
+        got = {r.doc_id: r for r in
+               self._run(spark, raw, tgt, keep_permille=250).collect()}
+        target_like = {0, 1, 2}
+        worst_target_like = max(got[d].mean_bits_permille for d in target_like)
+        best_junk = max(
+            got[d].mean_bits_permille for d in got if d not in target_like
+        )
+        assert min(got[d].mean_bits_permille for d in target_like) > best_junk
+        # 12 docs * 250 permille -> exactly the 3 target-like docs kept
+        assert {d for d, r in got.items() if r.selected} == target_like
+        assert sorted(got[d].keep_rank for d in target_like) == [1, 2, 3]
+        assert worst_target_like >= 0  # target-like must not look raw-average
+
+    def test_keep_count_floor_and_tiebreak(self, spark):
+        # 5 identical docs: floor(5*400/1000)=2 kept, tie broken by doc_id
+        raw = [(i, "same text here") for i in (7, 3, 9, 1, 5)]
+        tgt = [(100, "same text here")]
+        got = {r.doc_id: r for r in
+               self._run(spark, raw, tgt, keep_permille=400).collect()}
+        assert [d for d in sorted(got) if got[d].selected] == [1, 3]
+        assert got[1].keep_rank == 1 and got[3].keep_rank == 2
+
+    def test_feature_count_unigrams_plus_bigrams(self, spark):
+        # "a b c" -> 3 unigrams + 2 bigrams = 5 features
+        got = self._run(spark, [(1, "a b c")], [(2, "a b")]).collect()[0]
+        assert got.n_feats == 5
