@@ -64,6 +64,8 @@ SHOW = [
     "stream_crawl_wave_replay",   # dedup + queue windows over ONE host shuffle, no iteration
     "adaptive_shard_budget",      # EWMA window + broadcast totals + rank; HRW in-row
     "reval_change_rate",          # validator-fp lag window + agg reuse one url partitioning
+    "cache_freshness_schedule",   # one url window cut, then pure in-row lifetime math
+    "dsir_importance_select",     # explode->agg features; B-row models broadcast back
 ]
 
 CHECKS = {
@@ -106,6 +108,8 @@ CHECKS = {
     "stream_crawl_wave_replay": ["Window"],
     "adaptive_shard_budget": ["Window", "BroadcastExchange"],
     "reval_change_rate": ["Window", "HashAggregate"],
+    "cache_freshness_schedule": ["Window"],
+    "dsir_importance_select": ["Generate", "HashAggregate", "BroadcastExchange", "Window"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -146,6 +150,10 @@ ANTI_CHECKS = {
     "stream_crawl_wave_replay": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
     "adaptive_shard_budget": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     "reval_change_rate": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # freshness gate: the latest-response window is the ONLY exchange
+    "cache_freshness_schedule": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Join"],
+    # model joins must broadcast (B=512 rows); no Python, no all-pairs
+    "dsir_importance_select": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
