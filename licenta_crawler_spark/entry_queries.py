@@ -2489,6 +2489,32 @@ def dsir_importance_select(spark, sf_dir):
     )
 
 
+def gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (operators/quality.
+    gopher_repetition_stats) over four synthetic document families
+    (the fixture corpus has no newlines or engineered repetition, so
+    each family forces one filter): %4==1 duplicates its first 80
+    chars as two identical lines, %4==2 is the whole text repeated
+    (dup-5/10-gram coverage ~1000), %4==3 is prefixed with
+    'buy now '*12 (top-2-gram mass), %4==0 stays organic."""
+    from licenta_crawler_spark.operators.quality import (
+        gopher_repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fam = F.col("doc_id") % 4
+    l1 = F.substring(F.col("text"), 1, 80)
+    txt = (
+        F.when(fam == 1, F.concat(l1, F.lit("\n"), l1, F.lit("\n"),
+                                  F.expr("substring(text, 81)")))
+        .when(fam == 2, F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .when(fam == 3, F.concat(F.repeat(F.lit("buy now "), 12),
+                                 F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return gopher_repetition_stats(d.select("doc_id", txt.alias("text")))
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3705,6 +3731,7 @@ QUERIES = {
     "reval_change_rate": reval_change_rate,
     "cache_freshness_schedule": cache_freshness,
     "dsir_importance_select": dsir_importance_select,
+    "gopher_repetition": gopher_repetition,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6248,6 +6275,125 @@ ORACLE_SQL = {
                  <= ((SELECT count(*) FROM per_doc) * 250) // 1000
                  AS selected
         FROM per_doc
+    """,
+    "gopher_repetition": """
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS doc_id,
+                 CASE doc_id % 4
+                   WHEN 1 THEN substr(text, 1, 80) || chr(10)
+                               || substr(text, 1, 80) || chr(10)
+                               || substr(text, 81)
+                   WHEN 2 THEN text || ' ' || text
+                   WHEN 3 THEN repeat('buy now ', 12) || text
+                   ELSE text
+                 END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                   t -> t <> '') AS toks
+          FROM docs
+        ),
+        totals AS (
+          SELECT doc_id, len(toks)::BIGINT AS n_toks,
+                 coalesce(list_sum(list_transform(toks,
+                   t -> length(t))), 0)::BIGINT AS tok_chars
+          FROM base
+        ),
+        lc AS (
+          SELECT doc_id, line, count(*)::BIGINT AS c
+          FROM (SELECT doc_id, unnest(list_filter(list_transform(
+                  string_split(text, chr(10)), l -> trim(l)),
+                  l -> l <> '')) AS line FROM docs)
+          GROUP BY doc_id, line
+        ),
+        line_stats AS (
+          SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                 count(*)::BIGINT AS n_uniq_lines,
+                 sum(c * length(line))::BIGINT AS line_chars,
+                 sum(CASE WHEN c > 1 THEN c * length(line)
+                     ELSE 0 END)::BIGINT AS dup_line_chars
+          FROM lc GROUP BY doc_id
+        ),
+        g0 AS (
+          SELECT doc_id, n, unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - n + 1, 0)),
+                   i -> struct_pack(pos := i - 1,
+                          gram := array_to_string(
+                            toks[i : i + n - 1], ' ')))) AS u
+          FROM base CROSS JOIN (SELECT unnest([2,3,4,5,10]) AS n) ns
+        ),
+        gf AS (
+          SELECT doc_id, n, u.gram AS gram, count(*)::BIGINT AS tf,
+                 list(u.pos) AS poss
+          FROM g0 GROUP BY doc_id, n, u.gram
+        ),
+        top AS (
+          SELECT doc_id, n,
+                 (tf * (length(gram) - (n - 1)))::BIGINT AS top_chars
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, n
+                  ORDER BY tf DESC, gram ASC) AS rk
+                FROM gf WHERE n IN (2, 3, 4) AND tf >= 2)
+          WHERE rk = 1
+        ),
+        cover_pos AS (
+          SELECT DISTINCT doc_id, n, tp
+          FROM (SELECT doc_id, n, unnest(flatten(list_transform(poss,
+                  p -> generate_series(p, p + n - 1)))) AS tp
+                FROM gf WHERE n IN (5, 10) AND tf >= 2)
+        ),
+        tokpos AS (
+          SELECT doc_id, u.tp AS tp, u.tlen AS tlen
+          FROM (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(toks)),
+                  i -> struct_pack(tp := i - 1,
+                         tlen := length(toks[i])))) AS u FROM base)
+        ),
+        cover AS (
+          SELECT c.doc_id, c.n, sum(t.tlen)::BIGINT AS cov_chars
+          FROM cover_pos c JOIN tokpos t USING (doc_id, tp)
+          GROUP BY c.doc_id, c.n
+        )
+        SELECT t.doc_id, t.n_toks,
+               coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+               coalesce((1000 * (l.n_lines - l.n_uniq_lines))
+                 // greatest(l.n_lines, 1), 0)::BIGINT
+                 AS dup_line_permille,
+               coalesce((1000 * l.dup_line_chars)
+                 // greatest(l.line_chars, 1), 0)::BIGINT
+                 AS dup_line_char_permille,
+               least(coalesce((1000 * t2.top_chars)
+                 // greatest(t.tok_chars, 1), 0), 1000)::BIGINT
+                 AS top2_gram_permille,
+               least(coalesce((1000 * t3.top_chars)
+                 // greatest(t.tok_chars, 1), 0), 1000)::BIGINT
+                 AS top3_gram_permille,
+               least(coalesce((1000 * t4.top_chars)
+                 // greatest(t.tok_chars, 1), 0), 1000)::BIGINT
+                 AS top4_gram_permille,
+               coalesce((1000 * c5.cov_chars)
+                 // greatest(t.tok_chars, 1), 0)::BIGINT
+                 AS dup5_cover_permille,
+               coalesce((1000 * c10.cov_chars)
+                 // greatest(t.tok_chars, 1), 0)::BIGINT
+                 AS dup10_cover_permille,
+               (dup_line_permille <= 300
+                AND dup_line_char_permille <= 200
+                AND top2_gram_permille <= 200
+                AND top3_gram_permille <= 180
+                AND top4_gram_permille <= 160
+                AND dup5_cover_permille <= 150
+                AND dup10_cover_permille <= 100) AS pass_repetition
+        FROM totals t
+        LEFT JOIN line_stats l USING (doc_id)
+        LEFT JOIN top t2 ON t2.doc_id = t.doc_id AND t2.n = 2
+        LEFT JOIN top t3 ON t3.doc_id = t.doc_id AND t3.n = 3
+        LEFT JOIN top t4 ON t4.doc_id = t.doc_id AND t4.n = 4
+        LEFT JOIN cover c5 ON c5.doc_id = t.doc_id AND c5.n = 5
+        LEFT JOIN cover c10 ON c10.doc_id = t.doc_id AND c10.n = 10
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

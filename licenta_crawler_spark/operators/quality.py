@@ -516,3 +516,194 @@ def dsir_importance_weights(
             ).alias("selected"),
         )
     )
+
+
+def gopher_repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    cover_ns: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the
+    within-document half the word-level `text_repetition` query does
+    not cover): duplicate-LINE fraction and duplicate-line CHARACTER
+    fraction, the character mass of the single most frequent word
+    n-gram for n in ``top_ns``, and the overlap-aware character
+    coverage of ALL duplicated n-grams for n in ``cover_ns`` (each
+    token position counted once no matter how many duplicated grams
+    cross it — the accounting that makes `text || text` score ~1000
+    instead of >1000). The standard pretraining-corpus repetition
+    gate; `pass_repetition` applies the paper's thresholds (permille:
+    dup-line 300, dup-line-chars 200, top-2/3/4-gram 200/180/160,
+    dup-5-gram 150, dup-10-gram 100 — a doc fails when a metric
+    EXCEEDS its threshold).
+
+    All ratios are permille integers over non-negative operands
+    (`1000*x div total`, cross-engine exact); the top-gram tie breaks
+    on (count desc, gram asc) in both engines BEFORE its char mass is
+    read, so equal-count grams of different lengths cannot diverge.
+    Gram char mass excludes the joining spaces (length - (n-1)).
+
+    Scale: every stage is keyed by (doc [, n]) — line explode + one
+    count, gram explode + one count per n, and the coverage join backs
+    duplicated grams onto token positions within the SAME doc. Linear
+    in corpus tokens times len(top_ns)+len(cover_ns); no UDF, no
+    cross-doc shuffle, so 10^10 docs partition freely."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    toks = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "),
+        lambda t: t != "",
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_raw"),
+        toks.alias("toks"),
+    )
+    totals = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+    )
+
+    # -- duplicate lines (raw text, trimmed, empties dropped) --
+    lines_arr = F.filter(
+        F.transform(F.split(F.col("_raw"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    lc = (
+        base.select("doc_id", F.explode(lines_arr).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+    )
+    line_stats = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_uniq_lines"),
+        F.sum(F.col("c") * F.length("line")).cast("long").alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+        ).cast("long").alias("dup_line_chars"),
+    )
+
+    # -- per-n gram occurrence rows (position kept for coverage) --
+    per_n = None
+    for n in (*top_ns, *cover_ns):
+        g = base.select(
+            "doc_id",
+            F.lit(int(n)).alias("n"),
+            F.posexplode(ngram_join_col(F.col("toks"), int(n))).alias(
+                "pos", "gram"
+            ),
+        )
+        per_n = g if per_n is None else per_n.unionByName(g)
+    gf = per_n.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("tf"),
+        F.collect_list("pos").alias("poss"),
+    )
+
+    # top gram char mass per (doc, n in top_ns); tf >= 2 because a
+    # once-occurring gram is not repetition (its mass would only
+    # penalize short docs), and overlapping occurrences can push the
+    # raw ratio past 1 (e.g. "buy now"*30), so the permille clamps at
+    # 1000 below — both choices documented, both mirrored in the oracle
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("tf"), F.asc("gram")
+    )
+    top = (
+        gf.filter(
+            (F.col("n").isin([int(n) for n in top_ns])) & (F.col("tf") >= 2)
+        )
+        .withColumn("_rk", F.row_number().over(w_top))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "doc_id", "n",
+            (F.col("tf") * (F.length("gram") - (F.col("n") - 1)))
+            .cast("long")
+            .alias("top_chars"),
+        )
+    )
+
+    # duplicated-gram coverage: token positions under any tf>=2 gram,
+    # counted once (array_distinct over the flattened position spans)
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("tp", "tok")
+    ).select("doc_id", "tp", F.length("tok").cast("long").alias("tlen"))
+    cover_pos = (
+        gf.filter(
+            (F.col("n").isin([int(n) for n in cover_ns])) & (F.col("tf") >= 2)
+        )
+        .select(
+            "doc_id", "n",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "poss",
+                        lambda p: F.sequence(p, p + F.col("n") - 1),
+                    )
+                )
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    cover = (
+        cover_pos.join(tokpos, ["doc_id", "tp"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("tlen").cast("long").alias("cov_chars"))
+    )
+
+    out = (
+        totals.join(line_stats, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks", "tok_chars",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.expr(
+                "CAST(coalesce((1000 * (n_lines - n_uniq_lines)) div "
+                "greatest(n_lines, 1), 0) AS BIGINT)"
+            ).alias("dup_line_permille"),
+            F.expr(
+                "CAST(coalesce((1000 * dup_line_chars) div "
+                "greatest(line_chars, 1), 0) AS BIGINT)"
+            ).alias("dup_line_char_permille"),
+        )
+    )
+    for n in top_ns:
+        t_n = top.filter(F.col("n") == int(n)).select(
+            "doc_id", F.col("top_chars").alias(f"_tc{n}")
+        )
+        out = out.join(t_n, "doc_id", "left").withColumn(
+            f"top{n}_gram_permille",
+            F.expr(
+                f"CAST(least(coalesce((1000 * _tc{n}) div "
+                "greatest(tok_chars, 1), 0), 1000) AS BIGINT)"
+            ),
+        ).drop(f"_tc{n}")
+    for n in cover_ns:
+        c_n = cover.filter(F.col("n") == int(n)).select(
+            "doc_id", F.col("cov_chars").alias(f"_cc{n}")
+        )
+        out = out.join(c_n, "doc_id", "left").withColumn(
+            f"dup{n}_cover_permille",
+            F.expr(
+                f"CAST(coalesce((1000 * _cc{n}) div greatest(tok_chars, 1), "
+                "0) AS BIGINT)"
+            ),
+        ).drop(f"_cc{n}")
+    thresholds = {
+        "dup_line_permille": 300,
+        "dup_line_char_permille": 200,
+        "top2_gram_permille": 200,
+        "top3_gram_permille": 180,
+        "top4_gram_permille": 160,
+        "dup5_cover_permille": 150,
+        "dup10_cover_permille": 100,
+    }
+    gate = F.lit(True)
+    for c, t in thresholds.items():
+        if c in out.columns:
+            gate = gate & (F.col(c) <= t)
+    return out.drop("tok_chars").withColumn("pass_repetition", gate)

@@ -263,3 +263,69 @@ class TestDsirImportance:
         # "a b c" -> 3 unigrams + 2 bigrams = 5 features
         got = self._run(spark, [(1, "a b c")], [(2, "a b")]).collect()[0]
         assert got.n_feats == 5
+
+
+class TestGopherRepetition:
+    """Gopher repetition filters (gopher_repetition_stats)."""
+
+    def _run(self, spark, rows, **kw):
+        from licenta_crawler_spark.operators.quality import (
+            gopher_repetition_stats,
+        )
+
+        return {
+            r.doc_id: r
+            for r in gopher_repetition_stats(_docs(spark, rows), **kw).collect()
+        }
+
+    def test_duplicate_lines(self, spark):
+        text = "same line here\nsame line here\nunique tail line\n\n  "
+        got = self._run(spark, [(1, text)])[1]
+        # 3 non-empty lines, 2 of one kind -> dup fraction 1/3
+        assert got.n_lines == 3
+        assert got.dup_line_permille == 333
+        # dup chars: 2*14 of 2*14+16=44 total
+        assert got.dup_line_char_permille == (1000 * 28) // 44
+
+    def test_top_gram_mass_and_tiebreak(self, spark):
+        # "a b" tf=3 spans all 6 token chars -> 1000 permille
+        got = self._run(spark, [(1, "a b a b a b")])[1]
+        assert got.top2_gram_permille == 1000
+        # a once-occurring gram is NOT repetition: all-unique bigrams
+        # must score 0, not the mass of an arbitrary single gram
+        got = self._run(spark, [(2, "x y x z")])[2]
+        assert got.top2_gram_permille == 0
+        # tf tie ("aa b" vs "cc ddd", both 2) breaks lexicographically
+        # BEFORE char mass is read: "aa b" -> 2*3 of 16 chars -> 375
+        got = self._run(spark, [(3, "aa b aa b cc ddd cc ddd")])[3]
+        assert got.top2_gram_permille == 375
+
+    def test_dup_ngram_coverage_counts_overlap_once(self, spark):
+        # doc = S + S with S of 5 distinct words: every 5-gram window
+        # that repeats covers every token exactly once -> 1000, not more
+        s = "alpha bravo charlie delta echo"
+        got = self._run(spark, [(1, s + " " + s)])[1]
+        assert got.dup5_cover_permille == 1000
+        # 10 tokens total but no repeated 10-gram -> coverage 0
+        assert got.dup10_cover_permille == 0
+
+    def test_clean_doc_passes_spam_fails(self, spark):
+        clean = ("many different words appear across this sentence with "
+                 "no obvious repetition pattern at all today")
+        spam = " ".join(["buy now"] * 30)
+        got = self._run(spark, [(1, clean), (2, spam)])
+        assert got[1].pass_repetition is True
+        assert got[1].top3_gram_permille == 0  # nothing repeats
+        assert got[2].pass_repetition is False
+        # overlapping occurrences would push the raw ratio past 1;
+        # the permille clamps at 1000
+        assert got[2].top2_gram_permille == 1000
+        assert got[2].top3_gram_permille == 1000
+
+    def test_short_and_empty_docs(self, spark):
+        got = self._run(spark, [(1, ""), (2, "word"), (3, "a b c")])
+        for d in (1, 2, 3):
+            assert got[d].dup5_cover_permille == 0
+            assert got[d].dup10_cover_permille == 0
+            assert got[d].pass_repetition is True
+        assert got[1].n_toks == 0 and got[1].n_lines == 0

@@ -66,6 +66,7 @@ SHOW = [
     "reval_change_rate",          # validator-fp lag window + agg reuse one url partitioning
     "cache_freshness_schedule",   # one url window cut, then pure in-row lifetime math
     "dsir_importance_select",     # explode->agg features; B-row models broadcast back
+    "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
 ]
 
 CHECKS = {
@@ -110,6 +111,7 @@ CHECKS = {
     "reval_change_rate": ["Window", "HashAggregate"],
     "cache_freshness_schedule": ["Window"],
     "dsir_importance_select": ["Generate", "HashAggregate", "BroadcastExchange", "Window"],
+    "gopher_repetition": ["Generate", "HashAggregate", "Window"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -154,6 +156,9 @@ ANTI_CHECKS = {
     "cache_freshness_schedule": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Join"],
     # model joins must broadcast (B=512 rows); no Python, no all-pairs
     "dsir_importance_select": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    # everything is doc-keyed: Python or a cartesian would mean a
+    # cross-doc shape crept into a strictly per-doc metric
+    "gopher_repetition": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
