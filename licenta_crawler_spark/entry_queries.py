@@ -2515,6 +2515,46 @@ def gopher_repetition(spark, sf_dir):
     return gopher_repetition_stats(d.select("doc_id", txt.alias("text")))
 
 
+def url_blocklist_filter(spark, sf_dir):
+    """RefinedWeb-style pre-fetch URL filtering (operators/
+    frontier_policy.url_blocklist_score): five URL families — clean
+    article, two banned words summing past the 1000-milli threshold,
+    two summing under it, clean path on a blocklisted host, and one
+    banned word repeated three times (must count ONCE)."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        url_blocklist_score,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = (
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit("/article/"), F.col("event_id")))
+        .when(F.col("event_id") % 5 == 1,
+              F.concat(F.lit("/casino/poker-"), F.col("event_id")))
+        .when(F.col("event_id") % 5 == 2,
+              F.concat(F.lit("/free-casino/"), F.col("event_id")))
+        .when(F.col("event_id") % 5 == 3,
+              F.concat(F.lit("/news/"), F.col("event_id")))
+        .otherwise(F.concat(F.lit("/poker/poker/poker-"), F.col("event_id")))
+    )
+    urls = ev.select(
+        F.concat(
+            F.lit("https://h"), F.col("user_id") % 40, F.lit(".example"),
+            path,
+        ).alias("url")
+    )
+    lex = spark.createDataFrame(
+        [("casino", 600), ("poker", 500), ("free", 200), ("xxx", 900)],
+        "word string, weight_millis long",
+    )
+    bh = spark.createDataFrame(
+        [("h7.example",), ("h17.example",), ("h27.example",),
+         ("h37.example",)],
+        "host string",
+    )
+    return url_blocklist_score(urls, lex, bh, block_threshold_millis=1000)
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3732,6 +3772,7 @@ QUERIES = {
     "cache_freshness_schedule": cache_freshness,
     "dsir_importance_select": dsir_importance_select,
     "gopher_repetition": gopher_repetition,
+    "url_blocklist_filter": url_blocklist_filter,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6394,6 +6435,51 @@ ORACLE_SQL = {
         LEFT JOIN top t4 ON t4.doc_id = t.doc_id AND t4.n = 4
         LEFT JOIN cover c5 ON c5.doc_id = t.doc_id AND c5.n = 5
         LEFT JOIN cover c10 ON c10.doc_id = t.doc_id AND c10.n = 10
+    """,
+    "url_blocklist_filter": """
+        WITH urls AS (
+          SELECT 'https://h' || (user_id % 40) || '.example' ||
+                 CASE event_id % 5
+                   WHEN 0 THEN '/article/' || event_id
+                   WHEN 1 THEN '/casino/poker-' || event_id
+                   WHEN 2 THEN '/free-casino/' || event_id
+                   WHEN 3 THEN '/news/' || event_id
+                   ELSE '/poker/poker/poker-' || event_id
+                 END AS url
+          FROM events
+        ),
+        base AS (
+          SELECT url,
+                 lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host
+          FROM urls
+        ),
+        lex(word, weight_millis) AS (
+          VALUES ('casino', 600), ('poker', 500), ('free', 200),
+                 ('xxx', 900)
+        ),
+        bh(bhost) AS (
+          VALUES ('h7.example'), ('h17.example'), ('h27.example'),
+                 ('h37.example')
+        ),
+        words AS (
+          SELECT url, unnest(list_distinct(list_filter(string_split(
+                   trim(regexp_replace(lower(url), '[^a-z0-9]+', ' ',
+                        'g')), ' '), t -> t <> ''))) AS word
+          FROM base
+        ),
+        ws AS (
+          SELECT url, sum(weight_millis)::BIGINT AS word_score_millis,
+                 count(*)::BIGINT AS n_banned_words
+          FROM words JOIN lex USING (word) GROUP BY url
+        )
+        SELECT b.url, b.host,
+               coalesce(ws.word_score_millis, 0)::BIGINT
+                 AS word_score_millis,
+               coalesce(ws.n_banned_words, 0)::BIGINT AS n_banned_words,
+               (b.host IN (SELECT bhost FROM bh)) AS host_blocked,
+               ((b.host IN (SELECT bhost FROM bh))
+                OR coalesce(ws.word_score_millis, 0) >= 1000) AS blocked
+        FROM base b LEFT JOIN ws USING (url)
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

@@ -955,3 +955,80 @@ def cache_freshness_schedule(
         .otherwise(F.lit("refetch"))
         .alias("action"),
     )
+
+
+def url_blocklist_score(
+    urls: DataFrame,
+    word_weights: DataFrame,
+    blocked_hosts: DataFrame,
+    *,
+    url_col: str = "url",
+    block_threshold_millis: int = 1000,
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): score
+    every URL by soft banned-word weights BEFORE fetching — the one
+    quality gate that costs zero bandwidth, because a blocked URL never
+    leaves the frontier. Three signals, strictest first: exact
+    registrable-host blocklist membership (instant block), weighted
+    word matches over the URL's alphanumeric words (`word_weights`:
+    word, weight_millis), and the total compared to
+    ``block_threshold_millis``.
+
+    A word matches ONCE per URL no matter how often it repeats in the
+    path (the standard soft-match rule — repetition of one banned word
+    is trap behavior, which `url_trap_stats` already scores); weights
+    are integer millis so the sum is cross-engine exact.
+
+    Scale: word explode (URL-bounded, ~10 distinct words) → broadcast
+    left-join against the lexicon → ONE url-keyed aggregation with
+    map-side combine; the host is recomputed from the url key after
+    the fold, so there is no URL×URL join anywhere (the first cut
+    joined the score back onto the URL table — the plan audit showed
+    that as a second URL-cardinality shuffle plus a sort-merge join,
+    exactly the shape this gate exists to avoid paying per recrawl).
+    `explode_outer` keeps word-less URLs alive through the fold. The
+    lexicon is a few thousand rows and the host blocklist a few
+    million, both broadcast. The reference fetches every admitted URL
+    unconditionally (BrowserCrawler.java:92-117); this gate is §2.8
+    training-data-pipeline surface."""
+    from licenta_crawler_spark.functions.urlnorm import host_col
+
+    words = urls.select(
+        F.col(url_col).alias("url"),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(url_col)), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("word"),
+    )
+    scored = (
+        words.join(F.broadcast(word_weights), "word", "left")
+        .groupBy("url")
+        .agg(
+            F.sum(F.coalesce("weight_millis", F.lit(0)))
+            .cast("long")
+            .alias("word_score_millis"),
+            F.count("weight_millis").cast("long").alias("n_banned_words"),
+        )
+        .withColumn("host", host_col(F.col("url")))
+    )
+    blocked = blocked_hosts.select(
+        F.col("host").alias("_bh"), F.lit(True).alias("host_blocked")
+    )
+    out = scored.join(
+        F.broadcast(blocked), scored["host"] == F.col("_bh"), "left"
+    ).drop("_bh")
+    return out.select(
+        "url",
+        "host",
+        "word_score_millis",
+        "n_banned_words",
+        F.coalesce("host_blocked", F.lit(False)).alias("host_blocked"),
+        (
+            F.coalesce("host_blocked", F.lit(False))
+            | (F.col("word_score_millis") >= int(block_threshold_millis))
+        ).alias("blocked"),
+    )

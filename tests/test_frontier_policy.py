@@ -780,3 +780,51 @@ class TestCacheFreshness:
         assert got["/u"].fetched_at_s == 950
         assert got["/u"].lifetime_s == 0
         assert got["/u"].action == "refetch"
+
+
+class TestUrlBlocklist:
+    """Pre-fetch URL filtering (url_blocklist_score)."""
+
+    def _run(self, spark, urls, threshold=1000):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            url_blocklist_score,
+        )
+
+        u = spark.createDataFrame([(x,) for x in urls], "url string")
+        lex = spark.createDataFrame(
+            [("casino", 600), ("poker", 500), ("free", 200)],
+            "word string, weight_millis long",
+        )
+        bh = spark.createDataFrame([("bad.example",)], "host string")
+        return {
+            r.url: r
+            for r in url_blocklist_score(
+                u, lex, bh, block_threshold_millis=threshold
+            ).collect()
+        }
+
+    def test_weighted_sum_vs_threshold(self, spark):
+        got = self._run(spark, [
+            "https://a.example/casino/poker-night",   # 1100 -> blocked
+            "https://a.example/free-casino/offer",    # 800 -> kept
+            "https://a.example/articles/cooking",     # 0 -> kept
+        ])
+        hot = got["https://a.example/casino/poker-night"]
+        assert (hot.word_score_millis, hot.n_banned_words) == (1100, 2)
+        assert hot.blocked is True and hot.host_blocked is False
+        soft = got["https://a.example/free-casino/offer"]
+        assert soft.word_score_millis == 800 and soft.blocked is False
+        clean = got["https://a.example/articles/cooking"]
+        assert clean.word_score_millis == 0 and clean.blocked is False
+
+    def test_repeated_word_counts_once(self, spark):
+        got = self._run(spark, ["https://a.example/poker/poker/poker-1"])
+        r = got["https://a.example/poker/poker/poker-1"]
+        assert (r.word_score_millis, r.n_banned_words) == (500, 1)
+        assert r.blocked is False
+
+    def test_host_blocklist_is_instant(self, spark):
+        got = self._run(spark, ["https://bad.example/wholesome/recipes"])
+        r = got["https://bad.example/wholesome/recipes"]
+        assert r.word_score_millis == 0
+        assert r.host_blocked is True and r.blocked is True

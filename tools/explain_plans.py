@@ -67,6 +67,7 @@ SHOW = [
     "cache_freshness_schedule",   # one url window cut, then pure in-row lifetime math
     "dsir_importance_select",     # explode->agg features; B-row models broadcast back
     "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
+    "url_blocklist_filter",       # map-only word explode + two broadcast dims
 ]
 
 CHECKS = {
@@ -112,6 +113,7 @@ CHECKS = {
     "cache_freshness_schedule": ["Window"],
     "dsir_importance_select": ["Generate", "HashAggregate", "BroadcastExchange", "Window"],
     "gopher_repetition": ["Generate", "HashAggregate", "Window"],
+    "url_blocklist_filter": ["Generate", "BroadcastHashJoin", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -159,6 +161,9 @@ ANTI_CHECKS = {
     # everything is doc-keyed: Python or a cartesian would mean a
     # cross-doc shape crept into a strictly per-doc metric
     "gopher_repetition": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # both dims must broadcast; a sort-merge here would shuffle
+    # URL-cardinality rows against a 4-row lexicon
+    "url_blocklist_filter": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
