@@ -71,6 +71,7 @@ from licenta_crawler_spark.operators.frontier_policy import (
 from licenta_crawler_spark.operators.graph import dedup_components, triangle_counts
 from licenta_crawler_spark.operators.pagerank import (
     hits_sql_unrolled,
+    opic_sql_unrolled,
     pagerank_fixed_point,
     pagerank_sql_unrolled,
     personalized_pagerank_sql_unrolled,
@@ -2555,6 +2556,38 @@ def url_blocklist_filter(spark, sf_dir):
     return url_blocklist_score(urls, lex, bh, block_threshold_millis=1000)
 
 
+def opic_crawl_priority(spark, sf_dir):
+    """OPIC crawl ordering (operators/pagerank.opic_fixed_point): 4
+    synchronous cash/history rounds over the DIRECTED customer→supplier
+    graph — suppliers have no out-links, so every round exercises the
+    dangling-cash uniform redistribution (the paper's virtual root).
+    Integer fixed-point, hash-compared against the unrolled-CTE DuckDB
+    replay."""
+    from licenta_crawler_spark.operators.pagerank import opic_fixed_point
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # small fixed rounds + tiny state: truncate loop-invariants once,
+    # keep the 4-round chain lazy (same trade as pagerank_links); a
+    # 10^10-node frontier uses the default per-round truncation
+    st = opic_fixed_point(edges, iterations=4, materialize_every=4)
+    return st.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "cash_fp", "hist_fp", "importance_fp",
+    )
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3773,6 +3806,7 @@ QUERIES = {
     "dsir_importance_select": dsir_importance_select,
     "gopher_repetition": gopher_repetition,
     "url_blocklist_filter": url_blocklist_filter,
+    "opic_crawl_priority": opic_crawl_priority,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6480,6 +6514,14 @@ ORACLE_SQL = {
                ((b.host IN (SELECT bhost FROM bh))
                 OR coalesce(ws.word_score_millis, 0) >= 1000) AS blocked
         FROM base b LEFT JOIN ws USING (url)
+    """,
+    "opic_crawl_priority": f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+               node // 2 AS entity_key, cash_fp, hist_fp, importance_fp
+        FROM ({opic_sql_unrolled('''
+            SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', iterations=4)})
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

@@ -499,3 +499,166 @@ def hits_sql_unrolled(
         + f"a{iterations}.auth_fp FROM h{iterations} "
         + f"JOIN a{iterations} ON h{iterations}.node = a{iterations}.node"
     )
+
+
+def opic_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = 10**12,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW 2003), the crawl-ordering estimate a production frontier
+    uses INSTEAD of offline PageRank: every page holds ``cash``; each
+    (synchronous) round a page distributes its cash equally over its
+    out-links and credits the spent amount to its ``history``; a page's
+    importance estimate is ``history + cash``, available at every
+    instant of the crawl rather than after a full link-graph pass.
+    Dangling cash (pages with no out-links) is redistributed uniformly
+    to all nodes — the paper's "virtual root" page, collapsed.
+
+    Returns (node, cash_fp, hist_fp, importance_fp), all BIGINT in
+    units of 1/scale; every node starts with cash = scale, hist = 0.
+    Integer division truncates identically in Spark and DuckDB (all
+    operands non-negative), so ``opic_sql_unrolled`` hash-matches.
+
+    Overflow guard: total cash never exceeds n*scale (division only
+    loses mass) and hist after K rounds is <= K*n*scale, so the
+    binding constraint is the dangling SUM: n*scale < 2^63 — same
+    conservative all-mass-on-one-node bound as PageRank, enforced via
+    `_guard_int64` (damping_num=1: no multiply here).
+
+    Scale: per round ONE edge-sized shuffle (the contribution
+    aggregation, map-side combined), one bounded 1-row dangling sum
+    broadcast back, and per-``materialize_every`` parquet truncation —
+    the identical envelope to `pagerank_fixed_point`; state is 3
+    BIGINTs per node."""
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    lazy = materialize_every <= 0
+    if lazy:
+        def truncate(df, name):  # noqa: F811 — intentional shadow
+            return df
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ),
+            "edges",
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nodes = truncate(nodes, "nodes")
+        n_nodes = nodes.count()
+        _guard_int64(n_nodes, scale, 1)
+        e_deg = e.join(
+            e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"
+        )
+        e_deg = truncate(e_deg, "edges-deg")
+        has_out = e.select(F.col("src").alias("node")).distinct()
+
+        state = nodes.select(
+            "node",
+            F.lit(int(scale)).cast("long").alias("cash_fp"),
+            F.lit(0).cast("long").alias("hist_fp"),
+        )
+        state = truncate(state, "opic-0")
+        for i in range(iterations):
+            inc = (
+                e_deg.join(
+                    state.select(F.col("node").alias("src"), "cash_fp"),
+                    "src",
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("cash_fp div out_deg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").cast("long").alias("inc_sum"))
+            )
+            dang = (
+                state.join(has_out, "node", "left_anti")
+                .select(
+                    F.coalesce(F.sum("cash_fp"), F.lit(0))
+                    .cast("long")
+                    .alias("dang_sum")
+                )
+            )
+            state = (
+                state.join(inc, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.coalesce("inc_sum", F.lit(0))
+                        + F.expr(f"dang_sum div {int(n_nodes)}")
+                    ).cast("long").alias("cash_fp"),
+                    (F.col("hist_fp") + F.col("cash_fp"))
+                    .cast("long")
+                    .alias("hist_fp"),
+                )
+            )
+            if not lazy and (i + 1) % materialize_every == 0:
+                state = truncate(state, f"opic-{i + 1}")
+        out = state.select(
+            "node", "cash_fp", "hist_fp",
+            (F.col("cash_fp") + F.col("hist_fp")).cast("long").alias(
+                "importance_fp"
+            ),
+        )
+        return out if lazy else out.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def opic_sql_unrolled(
+    edges_sql: str,
+    iterations: int = 4,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB oracle for ``opic_fixed_point``: the same synchronous
+    cash/history rounds unrolled as a CTE chain. ``edges_sql`` must
+    yield columns (src, dst)."""
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*)::BIGINT AS c FROM nodes)",
+        "deg AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {int(scale)}::BIGINT AS cash_fp, "
+        "0::BIGINT AS hist_fp FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""dang{i} AS (
+              SELECT COALESCE(SUM(cash_fp), 0)::BIGINT AS dang_sum
+              FROM r{i} WHERE node NOT IN (SELECT src FROM deg)
+            )"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT p.node,
+                     (COALESCE(s.inc_sum, 0)
+                      + (SELECT dang_sum FROM dang{i})
+                        // (SELECT c FROM nn))::BIGINT AS cash_fp,
+                     (p.hist_fp + p.cash_fp)::BIGINT AS hist_fp
+              FROM r{i} p LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(r.cash_fp // deg.out_deg)::BIGINT AS inc_sum
+                FROM e
+                JOIN r{i} r ON e.src = r.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+              ) s ON p.node = s.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, cash_fp, hist_fp, "
+        f"(cash_fp + hist_fp)::BIGINT AS importance_fp FROM r{iterations}"
+    )

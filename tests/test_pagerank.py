@@ -229,3 +229,101 @@ def test_hits_overflow_guard_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(OverflowError):
         hits_fixed_point(df, iterations=1, scale=10**10)  # 4*10^20 > 2^63
+
+
+# ----------------------------------------------------------------- OPIC
+
+
+def _py_opic(edges, iterations=4, scale=10**12):
+    """Reference replay: same synchronous cash/history rounds, dicts."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg: dict[int, int] = {}
+    out: dict[int, list] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        out.setdefault(a, []).append(b)
+    cash = {n: scale for n in nodes}
+    hist = {n: 0 for n in nodes}
+    n = len(nodes)
+    for _ in range(iterations):
+        inc = {m: 0 for m in nodes}
+        dang = 0
+        for m in nodes:
+            if m in out:
+                for b in out[m]:
+                    inc[b] += cash[m] // deg[m]
+            else:
+                dang += cash[m]
+        share = dang // n
+        for m in nodes:
+            hist[m] += cash[m]
+        cash = {m: inc[m] + share for m in nodes}
+    return {m: (cash[m], hist[m], cash[m] + hist[m]) for m in nodes}
+
+
+def test_opic_matches_python_replay_random_graph(spark):
+    from licenta_crawler_spark.operators.pagerank import opic_fixed_point
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.cash_fp, r.hist_fp, r.importance_fp)
+        for r in opic_fixed_point(df, iterations=4).collect()
+    }
+    assert got == _py_opic(edges, iterations=4)
+
+
+def test_opic_ring_conserves_cash_exactly(spark):
+    from licenta_crawler_spark.operators.pagerank import opic_fixed_point
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(ring, "src long, dst long")
+    S = 10**12
+    got = {r.node: r for r in
+           opic_fixed_point(df, iterations=3, scale=S).collect()}
+    # out-degree 1 everywhere, no dangling: cash circulates losslessly
+    for n in range(5):
+        assert got[n].cash_fp == S
+        assert got[n].hist_fp == 3 * S
+        assert got[n].importance_fp == 4 * S
+
+
+def test_opic_dangling_redistributes_uniformly(spark):
+    from licenta_crawler_spark.operators.pagerank import opic_fixed_point
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    S = 10**12
+    got = {r.node: r for r in
+           opic_fixed_point(df, iterations=1, scale=S).collect()}
+    # node 2 dangles: its cash S splits S//2 to each of the 2 nodes
+    assert got[1].cash_fp == S // 2
+    assert got[2].cash_fp == S + S // 2
+    assert got[1].hist_fp == S and got[2].hist_fp == S
+
+
+def test_opic_sql_unrolled_matches_spark(spark):
+    from licenta_crawler_spark.operators.pagerank import (
+        opic_fixed_point,
+        opic_sql_unrolled,
+    )
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(20), rng.randrange(20))
+                    for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.cash_fp, r.hist_fp, r.importance_fp)
+        for r in opic_fixed_point(df, iterations=3).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = opic_sql_unrolled(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=3
+    )
+    exp = {
+        int(n): (int(c), int(h), int(i))
+        for n, c, h, i in con.sql(sql).fetchall()
+    }
+    assert got == exp

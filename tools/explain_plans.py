@@ -68,6 +68,10 @@ SHOW = [
     "dsir_importance_select",     # explode->agg features; B-row models broadcast back
     "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
     "url_blocklist_filter",       # map-only word explode + two broadcast dims
+    # (opic_crawl_priority is excluded like the other fixed-point
+    # queries: the final plan is a localCheckpoint scan, so there is
+    # nothing to assert — the per-round shape is pinned by the
+    # pagerank-family unit tests instead)
 ]
 
 CHECKS = {
