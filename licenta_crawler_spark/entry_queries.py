@@ -2588,6 +2588,44 @@ def opic_crawl_priority(spark, sf_dir):
     )
 
 
+def sitemap_priority_order(spark, sf_dir):
+    """Sitemaps-protocol changefreq/priority crawl ordering (operators/
+    frontier_policy.sitemap_priority_schedule): seven changefreq
+    families (incl. never → no time-based revisit, an unknown value →
+    weekly default, and a NULL → weekly default), priority cycling
+    0..100 with NULL → protocol default 50."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        sitemap_priority_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fam = F.col("event_id") % 8
+    cf = (
+        F.when(fam == 0, F.lit("always"))
+        .when(fam == 1, F.lit("hourly"))
+        .when(fam == 2, F.lit("daily"))
+        .when(fam == 3, F.lit("weekly"))
+        .when(fam == 4, F.lit("monthly"))
+        .when(fam == 5, F.lit("never"))
+        .when(fam == 6, F.lit("quarterly"))  # unknown -> weekly default
+        # fam 7 -> NULL -> weekly default
+    )
+    entries = ev.select(
+        F.concat(
+            F.lit("https://s"), F.col("user_id") % 30, F.lit(".example/p/"),
+            F.col("event_id"),
+        ).alias("url"),
+        (F.lit(1_600_000_000) - (F.col("event_id") % 40) * 25_000)
+        .cast("long")
+        .alias("lastmod_s"),
+        cf.alias("changefreq"),
+        F.when(F.col("event_id") % 11 != 10, (F.col("event_id") % 11) * 10)
+        .cast("long")
+        .alias("priority_pct"),
+    )
+    return sitemap_priority_schedule(entries, now_s=1_600_000_000)
+
+
 def dust_strip_urls(spark, sf_dir):
     """DUST enforcement half (`functions/urlnorm.strip_params_col`):
     strip the learned content-neutral params from three URL families —
@@ -3807,6 +3845,7 @@ QUERIES = {
     "gopher_repetition": gopher_repetition,
     "url_blocklist_filter": url_blocklist_filter,
     "opic_crawl_priority": opic_crawl_priority,
+    "sitemap_priority_order": sitemap_priority_order,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6522,6 +6561,59 @@ ORACLE_SQL = {
             SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ''', iterations=4)})
+    """,
+    "sitemap_priority_order": """
+        WITH entries AS (
+          SELECT 'https://s' || (user_id % 30) || '.example/p/'
+                   || event_id AS url,
+                 (1600000000 - (event_id % 40) * 25000)::BIGINT
+                   AS lastmod_s,
+                 CASE event_id % 8
+                   WHEN 0 THEN 'always'  WHEN 1 THEN 'hourly'
+                   WHEN 2 THEN 'daily'   WHEN 3 THEN 'weekly'
+                   WHEN 4 THEN 'monthly' WHEN 5 THEN 'never'
+                   WHEN 6 THEN 'quarterly'
+                 END AS changefreq,
+                 CASE WHEN event_id % 11 <> 10
+                      THEN ((event_id % 11) * 10)::BIGINT END
+                   AS priority_pct
+          FROM events
+        ),
+        base AS (
+          SELECT url,
+                 lower(regexp_extract(url, 'https://([^/]+)/', 1)) AS host,
+                 lastmod_s,
+                 (CASE lower(coalesce(changefreq, 'weekly'))
+                    WHEN 'always' THEN 0       WHEN 'hourly' THEN 3600
+                    WHEN 'daily' THEN 86400    WHEN 'weekly' THEN 604800
+                    WHEN 'monthly' THEN 2592000
+                    WHEN 'yearly' THEN 31536000
+                    WHEN 'never' THEN -1
+                    ELSE 604800 END)::BIGINT AS interval_s,
+                 coalesce(priority_pct, 50)::BIGINT AS priority_pct
+          FROM entries
+        ),
+        calc AS (
+          SELECT url, host, lastmod_s, interval_s, priority_pct,
+                 (CASE WHEN interval_s >= 0 AND lastmod_s IS NOT NULL
+                       THEN lastmod_s + interval_s
+                       ELSE -1 END)::BIGINT AS due_at_s
+          FROM base
+        ),
+        flagged AS (
+          SELECT *, (due_at_s >= 0 AND due_at_s <= 1600000000) AS due,
+                 (CASE WHEN due_at_s >= 0 AND due_at_s <= 1600000000
+                       THEN 1600000000 - due_at_s ELSE 0 END)::BIGINT
+                   AS overdue_s
+          FROM calc
+        )
+        SELECT url, host, lastmod_s, interval_s, priority_pct, due_at_s,
+               due, overdue_s,
+               coalesce(CASE WHEN due THEN row_number() OVER (
+                 PARTITION BY host, due
+                 ORDER BY priority_pct DESC, overdue_s DESC, url ASC)
+               END, 0)::BIGINT AS crawl_rank
+        FROM flagged
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

@@ -1032,3 +1032,89 @@ def url_blocklist_score(
             | (F.col("word_score_millis") >= int(block_threshold_millis))
         ).alias("blocked"),
     )
+
+
+def sitemap_priority_schedule(
+    entries: DataFrame,
+    *,
+    now_s: int,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod_s",
+    changefreq_col: str = "changefreq",
+    priority_col: str = "priority_pct",
+) -> DataFrame:
+    """Sitemaps-protocol crawl ordering from the two hint fields the
+    lastmod-only scheduler (`sitemap_lastmod_schedule`) ignores:
+    ``<changefreq>`` maps to a revisit interval (always→0, hourly→3600,
+    daily→86400, weekly→604800, monthly→2592000, yearly→31536000,
+    never→no time-based revisit; missing/unknown defaults to weekly —
+    the common crawler reading of "it's a hint"), and ``<priority>``
+    (percent, protocol default 0.5 → 50) breaks the queue order. A URL
+    is due when ``lastmod + interval <= now``; due URLs rank per host
+    by (priority desc, overdue desc, url) — deterministic, and
+    host-partitioned so the rank feeds the per-host politeness queue
+    directly instead of a global sort.
+
+    Scale: in-row CASE math plus ONE host-keyed window — the same
+    partitioning every politeness stage already shuffles on; no joins,
+    no UDF. Reference parity: crawler-commons exposes these fields but
+    SitemapSaxCrawler.java:74-86 drops them (BFS order only); honoring
+    them is §2.8 scheduling surface."""
+    from licenta_crawler_spark.functions.urlnorm import host_col
+
+    # -1 sentinels instead of NULLs ("never"/missing lastmod = no
+    # time-based revisit): the gate's order-insensitive compare sorts
+    # row tuples, and mixed NULL/int columns are unsortable
+    cf = F.lower(F.coalesce(F.col(changefreq_col), F.lit("weekly")))
+    interval = (
+        F.when(cf == "always", F.lit(0))
+        .when(cf == "hourly", F.lit(3600))
+        .when(cf == "daily", F.lit(86400))
+        .when(cf == "weekly", F.lit(604800))
+        .when(cf == "monthly", F.lit(2592000))
+        .when(cf == "yearly", F.lit(31536000))
+        .when(cf == "never", F.lit(-1))
+        .otherwise(F.lit(604800))
+        .cast("long")
+    )
+    base = entries.select(
+        F.col(url_col).alias("url"),
+        host_col(F.col(url_col)).alias("host"),
+        F.col(lastmod_col).cast("long").alias("lastmod_s"),
+        interval.alias("interval_s"),
+        F.coalesce(F.col(priority_col).cast("long"), F.lit(50)).alias(
+            "priority_pct"
+        ),
+    ).withColumn(
+        "due_at_s",
+        F.when(
+            (F.col("interval_s") >= 0) & F.col("lastmod_s").isNotNull(),
+            F.col("lastmod_s") + F.col("interval_s"),
+        ).otherwise(F.lit(-1)).cast("long"),
+    )
+    eligible = (F.col("due_at_s") >= 0) & (
+        F.col("due_at_s") <= F.lit(int(now_s))
+    )
+    overdue = F.when(
+        eligible, F.lit(int(now_s)) - F.col("due_at_s")
+    ).otherwise(F.lit(0)).cast("long")
+    return base.select(
+        "url", "host", "lastmod_s", "interval_s", "priority_pct",
+        "due_at_s",
+        eligible.alias("due"),
+        overdue.alias("overdue_s"),
+    ).withColumn(
+        "crawl_rank",
+        F.coalesce(
+            F.when(
+                F.col("due"),
+                F.row_number().over(
+                    Window.partitionBy("host", "due").orderBy(
+                        F.desc("priority_pct"), F.desc("overdue_s"),
+                        F.asc("url"),
+                    )
+                ),
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )

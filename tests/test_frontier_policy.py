@@ -828,3 +828,62 @@ class TestUrlBlocklist:
         r = got["https://bad.example/wholesome/recipes"]
         assert r.word_score_millis == 0
         assert r.host_blocked is True and r.blocked is True
+
+
+class TestSitemapPrioritySchedule:
+    """Sitemaps changefreq/priority ordering (sitemap_priority_schedule)."""
+
+    SCHEMA = "url string, lastmod_s long, changefreq string, priority_pct long"
+
+    def _run(self, spark, rows, now_s=1_000_000):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            sitemap_priority_schedule,
+        )
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {
+            r.url: r
+            for r in sitemap_priority_schedule(df, now_s=now_s).collect()
+        }
+
+    def test_changefreq_interval_map(self, spark):
+        t = 1_000_000
+        rows = [
+            ("https://a.example/always", t, "always", 50),
+            ("https://a.example/hourly", t - 3600, "hourly", 50),
+            ("https://a.example/never", t - 10**6, "never", 50),
+            ("https://a.example/unknown", t - 604800, "quarterly", 50),
+            ("https://a.example/nullcf", t - 604800, None, 50),
+            ("https://a.example/future", t, "daily", 50),
+        ]
+        got = self._run(spark, rows, now_s=t)
+        assert got["https://a.example/always"].due is True
+        assert got["https://a.example/hourly"].due is True
+        # never: sentinel -1, never due by time
+        nv = got["https://a.example/never"]
+        assert (nv.interval_s, nv.due_at_s, nv.due, nv.crawl_rank) == (
+            -1, -1, False, 0)
+        # unknown and NULL changefreq both fall back to weekly
+        assert got["https://a.example/unknown"].interval_s == 604800
+        assert got["https://a.example/unknown"].due is True
+        assert got["https://a.example/nullcf"].due is True
+        fut = got["https://a.example/future"]
+        assert fut.due is False and fut.crawl_rank == 0
+
+    def test_rank_priority_then_overdue(self, spark):
+        t = 1_000_000
+        rows = [
+            # host a: high priority beats more-overdue low priority
+            ("https://a.example/hi", t - 7200, "hourly", 90),
+            ("https://a.example/lo-older", t - 90000, "hourly", 10),
+            ("https://a.example/null-prio", t - 7200, "hourly", None),
+            # host b ranks independently
+            ("https://b.example/only", t - 7200, "hourly", 10),
+        ]
+        got = self._run(spark, rows, now_s=t)
+        assert got["https://a.example/hi"].crawl_rank == 1
+        # NULL priority -> protocol default 50 -> second
+        assert got["https://a.example/null-prio"].crawl_rank == 2
+        assert got["https://a.example/null-prio"].priority_pct == 50
+        assert got["https://a.example/lo-older"].crawl_rank == 3
+        assert got["https://b.example/only"].crawl_rank == 1

@@ -68,6 +68,7 @@ SHOW = [
     "dsir_importance_select",     # explode->agg features; B-row models broadcast back
     "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
     "url_blocklist_filter",       # map-only word explode + two broadcast dims
+    "sitemap_priority_order",     # in-row CASE math + ONE host window
     # (opic_crawl_priority is excluded like the other fixed-point
     # queries: the final plan is a localCheckpoint scan, so there is
     # nothing to assert — the per-round shape is pinned by the
@@ -118,6 +119,7 @@ CHECKS = {
     "dsir_importance_select": ["Generate", "HashAggregate", "BroadcastExchange", "Window"],
     "gopher_repetition": ["Generate", "HashAggregate", "Window"],
     "url_blocklist_filter": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+    "sitemap_priority_order": ["Window"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -168,6 +170,8 @@ ANTI_CHECKS = {
     # both dims must broadcast; a sort-merge here would shuffle
     # URL-cardinality rows against a 4-row lexicon
     "url_blocklist_filter": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    # pure CASE + one host window: any join or Python is wrong
+    "sitemap_priority_order": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Join"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
