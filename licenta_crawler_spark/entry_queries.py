@@ -1855,6 +1855,64 @@ def ppr_seeded_links(spark, sf_dir):
     )
 
 
+def trustrank_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004):
+    score every node by how much of its PageRank is NOT explained by
+    proximity to a trusted seed set — the canonical link-spam defense a
+    distributed frontier needs and the single-host reference never does
+    (SURVEY §2.8 prioritization family). Pure composition of the two
+    existing integer fixed points over the same customer<->supplier
+    graph: uniform PageRank and seed-personalized PageRank (whose
+    restart mass is normalized to the uniform variant's total, so the
+    two ranks are directly comparable — operators/pagerank.py). Spam
+    mass = max(pr - tr, 0); relative spam permille = spam div
+    (pr div 1000). The divide-BEFORE-multiply shape keeps every
+    intermediate <= rank_fp (no *1000 blowup), so it stays inside the
+    fixed point's own int64 guard even at the documented
+    n_nodes*scale ceiling (the bm25 overflow lesson, ADVICE r04); the
+    divisor is never 0 because pr >= the teleport floor 0.15*scale.
+    Oracle: both unrolled-CTE replays joined, same integer ops."""
+    from licenta_crawler_spark.operators.pagerank import (
+        personalized_pagerank_fixed_point,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=5, materialize_every=5)
+    tr = personalized_pagerank_fixed_point(edges, seeds, iterations=5)
+    # inner join on node = PR's node set exactly (TR's set is a superset:
+    # it unions in seeds without edges) — output is total, no NULLs for
+    # the gate's tuple sort
+    joined = pr.join(tr.withColumnRenamed("rank_fp", "trust_fp"), "node")
+    return joined.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_fp",
+        "trust_fp",
+        F.expr(
+            "greatest(rank_fp - trust_fp, 0L) div (rank_fp div 1000)"
+        ).alias("spam_permille"),
+    )
+
+
 def priority_frontier_schedule(spark, sf_dir):
     """The full prioritized-frontier composition in ONE plan: fixed-point
     PageRank scores feed the politeness scheduler's priority tuple
@@ -3846,6 +3904,7 @@ QUERIES = {
     "url_blocklist_filter": url_blocklist_filter,
     "opic_crawl_priority": opic_crawl_priority,
     "sitemap_priority_order": sitemap_priority_order,
+    "trustrank_spam_mass": trustrank_spam_mass,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6614,6 +6673,31 @@ ORACLE_SQL = {
                  ORDER BY priority_pct DESC, overdue_s DESC, url ASC)
                END, 0)::BIGINT AS crawl_rank
         FROM flagged
+    """,
+    "trustrank_spam_mass": f"""
+        WITH pr AS ({pagerank_sql_unrolled('''
+            SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION
+            SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', iterations=5)}),
+        tr AS ({personalized_pagerank_sql_unrolled('''
+            SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION
+            SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ''', 'SELECT 2 * c_custkey AS node FROM customer WHERE c_custkey % 10 = 0',
+        iterations=5)})
+        SELECT CASE WHEN pr.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS kind,
+               pr.node // 2 AS entity_key,
+               pr.rank_fp,
+               tr.rank_fp AS trust_fp,
+               greatest(pr.rank_fp - tr.rank_fp, 0)
+                 // (pr.rank_fp // 1000) AS spam_permille
+        FROM pr JOIN tr ON pr.node = tr.node
     """,
     "stream_crawl_wave_replay": """
         WITH arr AS (

@@ -132,6 +132,70 @@ def test_personalized_pagerank_replay_and_proximity(spark):
             edges, spark.createDataFrame([], "node long"))
 
 
+def test_trustrank_spam_mass_composition(spark):
+    """TrustRank spam mass (entry query `trustrank_spam_mass`): the
+    composed metric max(pr - tr, 0) div (pr div 1000) replays exactly
+    in python, and a link-farm community unreachable from the trusted
+    seed carries strictly more spam mass than the seeded community."""
+    from licenta_crawler_spark.operators.pagerank import (
+        personalized_pagerank_fixed_point,
+    )
+
+    # trusted clique {0,1,2} (seed 0) <-2-3 bridge INTO the farm only;
+    # spam farm {3,4,5} is a clique with no links back to trusted side,
+    # so its PageRank is earned but its trust is only bridge leakage
+    und_trusted = [(0, 1), (0, 2), (1, 2)]
+    und_farm = [(3, 4), (3, 5), (4, 5)]
+    directed = (
+        und_trusted
+        + [(b, a) for a, b in und_trusted]
+        + und_farm
+        + [(b, a) for a, b in und_farm]
+        + [(2, 3)]  # one-way bridge: rank flows in, trust dilutes fast
+    )
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    scale = 10**9
+    pr = {r["node"]: r["rank_fp"] for r in
+          pagerank_fixed_point(edges, iterations=5, scale=scale).collect()}
+    tr = {r["node"]: r["rank_fp"] for r in
+          personalized_pagerank_fixed_point(
+              edges, seeds, iterations=5, scale=scale).collect()}
+    spam = {n: max(pr[n] - tr[n], 0) // (pr[n] // 1000) for n in pr}
+
+    # python replay of both recurrences, then the same composed metric
+    nodes = sorted({n for e in directed for n in e})
+    adj: dict[int, list[int]] = {}
+    for a, b in directed:
+        adj.setdefault(a, []).append(b)
+    num, den = 85, 100
+    n_nodes, n_seeds = len(nodes), 2
+
+    def run(base):
+        rank = {n: scale for n in nodes}
+        for _ in range(5):
+            inc = {n: 0 for n in nodes}
+            for s, outs in adj.items():
+                c = rank[s] // len(outs)
+                for d in outs:
+                    inc[d] += c
+            rank = {n: base[n] + (num * inc[n]) // den for n in nodes}
+        return rank
+
+    uni_base = (scale * (den - num)) // den
+    py_pr = run({n: uni_base for n in nodes})
+    seed_base = (n_nodes * scale * (den - num)) // (den * n_seeds)
+    py_tr = run({n: (seed_base if n in (0, 1) else 0) for n in nodes})
+    py_spam = {
+        n: max(py_pr[n] - py_tr[n], 0) // (py_pr[n] // 1000) for n in nodes
+    }
+    assert spam == py_spam
+    # every farm node is spammier than every trusted node
+    assert min(spam[n] for n in (3, 4, 5)) > max(spam[n] for n in (0, 1, 2))
+    # permille stays in its documented range
+    assert all(0 <= v <= 1001 for v in spam.values())
+
+
 def test_pagerank_overflow_guard_raises(spark):
     """The documented int64 bound (n_nodes * scale * damping_num < 2^63,
     worst case: all mass on one node) is ENFORCED — non-ANSI Spark would

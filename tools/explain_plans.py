@@ -69,10 +69,11 @@ SHOW = [
     "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
     "url_blocklist_filter",       # map-only word explode + two broadcast dims
     "sitemap_priority_order",     # in-row CASE math + ONE host window
-    # (opic_crawl_priority is excluded like the other fixed-point
-    # queries: the final plan is a localCheckpoint scan, so there is
-    # nothing to assert — the per-round shape is pinned by the
-    # pagerank-family unit tests instead)
+    # (opic_crawl_priority and trustrank_spam_mass are excluded like the
+    # other fixed-point queries: the final plan is a localCheckpoint
+    # scan / join of two localCheckpoint scans, so there is nothing to
+    # assert — the per-round shape is pinned by the pagerank-family
+    # unit tests instead)
 ]
 
 CHECKS = {
