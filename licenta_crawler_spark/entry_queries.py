@@ -3451,6 +3451,52 @@ def nb_quality_classifier(spark, sf_dir):
     )
 
 
+def focused_crawl_priority(spark, sf_dir):
+    """Focused crawling (Chakrabarti/van den Berg/Dom 1999): the frontier
+    inherits each child URL's priority from its parent pages' classifier
+    relevance — crawl what the model says is on-topic first. Pure
+    composition of two green components: the in-plan-trained NB hash
+    classifier scores the held-out parent docs, each parent emits 3
+    deterministic outlinks, a child discovered by several parents takes
+    the BEST parent relevance (the standard focused-crawl rule), and the
+    per-host ranking feeds the politeness clock's closed form
+    (rank-1)*delay exactly like priority_frontier_schedule. Everything
+    int64 and total (no NULLs); the oracle replays the trained model
+    (the nb_quality_classifier oracle as a CTE) plus the same link
+    synthesis and ranking. Scale: model broadcast (256 rows), outlinks
+    map-only, ONE (host,url) aggregation, ONE host window."""
+    from licenta_crawler_spark.operators.quality import nb_hash_classifier_scores
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scores = nb_hash_classifier_scores(
+        d, label=F.col("lang") == "en", train=F.col("doc_id") % 2 == 0,
+        n_buckets=256,
+    )
+    out = scores.select(
+        "doc_id", "score_bits",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/d/"), ((F.col("doc_id") * 7 + F.col("k")) % 500).cast("string")
+        ).alias("url"),
+        "score_bits",
+    )
+    pri = out.groupBy("host", "url").agg(
+        F.max("score_bits").alias("relevance_bits"),
+        F.count("*").alias("n_parents"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("relevance_bits").desc(), F.col("url").asc()
+    )
+    return pri.select(
+        "host", "url", "relevance_bits", "n_parents",
+        F.row_number().over(w).cast("long").alias("crawl_rank"),
+        ((F.row_number().over(w) - 1) * 100).cast("long").alias("scheduled_at_ms"),
+    )
+
+
 def bpe_merge_rules(spark, sf_dir):
     """BPE tokenizer training (`operators/bpe.bpe_train`): the first 6
     merge rules learned from the corpus — pair counting and greedy
@@ -3905,6 +3951,7 @@ QUERIES = {
     "opic_crawl_priority": opic_crawl_priority,
     "sitemap_priority_order": sitemap_priority_order,
     "trustrank_spam_mass": trustrank_spam_mass,
+    "focused_crawl_priority": focused_crawl_priority,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -7742,6 +7789,28 @@ ORACLE_SQL["nb_quality_classifier"] = f"""
            (sum(tf * coalesce(w, 0)) > 0) AS predicted
     FROM tf LEFT JOIN model USING (b)
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["focused_crawl_priority"] = f"""
+    WITH scores AS ({ORACLE_SQL["nb_quality_classifier"]}),
+    outl AS (
+      SELECT 'h' || (doc_id % 40) AS host,
+             '/d/' || ((doc_id * 7 + k) % 500) AS url,
+             score_bits
+      FROM scores CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    ),
+    pri AS (
+      SELECT host, url, max(score_bits)::BIGINT AS relevance_bits,
+             count(*)::BIGINT AS n_parents
+      FROM outl GROUP BY host, url
+    )
+    SELECT host, url, relevance_bits, n_parents,
+           row_number() OVER (PARTITION BY host
+             ORDER BY relevance_bits DESC, url ASC)::BIGINT AS crawl_rank,
+           ((row_number() OVER (PARTITION BY host
+             ORDER BY relevance_bits DESC, url ASC) - 1) * 100)::BIGINT
+             AS scheduled_at_ms
+    FROM pri
 """
 
 # SemDeDup replay: the fixed-point k-means trainer CTEs (qe..a2) mirror

@@ -69,6 +69,7 @@ SHOW = [
     "gopher_repetition",          # per-doc explodes + doc-keyed aggs, no cross-doc motion
     "url_blocklist_filter",       # map-only word explode + two broadcast dims
     "sitemap_priority_order",     # in-row CASE math + ONE host window
+    "focused_crawl_priority",     # broadcast 256-row model + ONE host window
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -121,6 +122,7 @@ CHECKS = {
     "gopher_repetition": ["Generate", "HashAggregate", "Window"],
     "url_blocklist_filter": ["Generate", "BroadcastHashJoin", "HashAggregate"],
     "sitemap_priority_order": ["Window"],
+    "focused_crawl_priority": ["BroadcastHashJoin", "Window", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -173,6 +175,9 @@ ANTI_CHECKS = {
     "url_blocklist_filter": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
     # pure CASE + one host window: any join or Python is wrong
     "sitemap_priority_order": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Join"],
+    # the 256-bucket model must broadcast; sort-merge would shuffle
+    # corpus-cardinality tf rows against a fixed-size model
+    "focused_crawl_priority": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
