@@ -349,6 +349,44 @@ def o1_politeness_schedule(spark, sf_dir):
     return sched.select("host", "url", "scheduled_at")
 
 
+def shared_ip_politeness(spark, sf_dir):
+    """Server-level politeness (`operators/frontier_policy.
+    shared_ip_schedule`): hosts sharing an IP coarsen to one ``ip:``
+    politeness key with the most conservative colocated delay; singleton
+    or unmapped hosts keep their ``host:`` key. The fixture covers all
+    three paths — unique-IP singletons (hn < 60), exactly-two-host shared
+    IPs (hn and hn+120), and hosts missing from the DNS map (hn % 17 ==
+    0), including shared IPs REDUCED to singletons by the missing-host
+    filter. Emission is the O1 closed form (rank-1)*delay on the
+    coarsened key, capped at 5/server/wave; the oracle replays the whole
+    chain including the max-delay coarsening."""
+    from licenta_crawler_spark.operators.frontier_policy import shared_ip_schedule
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    cand = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 300).cast("string")).alias("host"),
+        F.concat(F.lit("/u/"), F.col("event_id").cast("string")).alias("url"),
+        F.lit(0).cast("long").alias("prio0"),
+        F.col("event_id").cast("long").alias("prio1"),
+        F.lit(0).cast("long").alias("prio2"),
+    )
+    hn = ev.select((F.col("user_id") % 300).alias("hn")).distinct()
+    robots = hn.select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        ((F.col("hn") % 7) * 30).cast("long").alias("crawl_delay_ms"),
+    )
+    host_ip = hn.filter(F.col("hn") % 17 != 0).select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        F.when(
+            F.col("hn") < 60,
+            F.concat(F.lit("10.1."), F.col("hn").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("10.0."), (F.col("hn") % 120).cast("string"))
+        ).alias("ip"),
+    )
+    return shared_ip_schedule(cand, robots, host_ip, max_per_key=5)
+
+
 def a4_rollup_metrics(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.7 grouping sets) — subtotal rows per
     priority, per (priority, status), and grand total."""
@@ -3952,6 +3990,7 @@ QUERIES = {
     "sitemap_priority_order": sitemap_priority_order,
     "trustrank_spam_mass": trustrank_spam_mass,
     "focused_crawl_priority": focused_crawl_priority,
+    "shared_ip_politeness": shared_ip_politeness,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -7789,6 +7828,52 @@ ORACLE_SQL["nb_quality_classifier"] = f"""
            (sum(tf * coalesce(w, 0)) > 0) AS predicted
     FROM tf LEFT JOIN model USING (b)
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["shared_ip_politeness"] = """
+    WITH cand AS (
+      SELECT 'h' || (user_id % 300) AS host,
+             '/u/' || event_id AS url,
+             event_id::BIGINT AS prio1
+      FROM events WHERE event_id < 20000
+    ),
+    hostd AS (
+      SELECT DISTINCT (user_id % 300)::BIGINT AS hn
+      FROM events WHERE event_id < 20000
+    ),
+    robots AS (
+      SELECT 'h' || hn AS host, ((hn % 7) * 30)::BIGINT AS d FROM hostd
+    ),
+    hip AS (
+      SELECT 'h' || hn AS host,
+             CASE WHEN hn < 60 THEN '10.1.' || hn
+                  ELSE '10.0.' || (hn % 120) END AS ip
+      FROM hostd WHERE hn % 17 <> 0
+    ),
+    hosts AS (
+      SELECT r.host, r.d, hip.ip FROM robots r LEFT JOIN hip USING (host)
+    ),
+    per_ip AS (
+      SELECT ip, count(*)::BIGINT AS n_hosts, max(d)::BIGINT AS ip_delay
+      FROM hosts WHERE ip IS NOT NULL GROUP BY ip
+    ),
+    keyed AS (
+      SELECT h.host,
+             CASE WHEN p.n_hosts >= 2 THEN 'ip:' || h.ip
+                  ELSE 'host:' || h.host END AS pkey,
+             (CASE WHEN p.n_hosts >= 2 THEN p.ip_delay
+                   ELSE h.d END)::BIGINT AS pkey_delay_ms
+      FROM hosts h LEFT JOIN per_ip p USING (ip)
+    ),
+    ranked AS (
+      SELECT c.host, c.url, k.pkey, k.pkey_delay_ms,
+             row_number() OVER (PARTITION BY k.pkey
+               ORDER BY c.prio1, c.host, c.url) AS rn
+      FROM cand c JOIN keyed k USING (host)
+    )
+    SELECT host, url, pkey, pkey_delay_ms,
+           ((rn - 1) * greatest(pkey_delay_ms, 1))::BIGINT AS scheduled_at
+    FROM ranked WHERE rn <= 5
 """
 
 ORACLE_SQL["focused_crawl_priority"] = f"""

@@ -1118,3 +1118,67 @@ def sitemap_priority_schedule(
             F.lit(0),
         ).cast("long"),
     )
+
+
+def shared_ip_schedule(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_ip: DataFrame,
+    *,
+    max_per_key: int = 64,
+) -> DataFrame:
+    """Politeness coarsened to the SERVER, not the hostname: when several
+    hosts resolve to one IP (shared hosting, CDN edge, the same book
+    retailer under country TLDs), per-host clocks silently multiply the
+    load on that box by the number of colocated names. The standard
+    crawler answer (Heritrix's queue-assignment-policy by IP) is to
+    coarsen the politeness key: hosts that share an IP with at least one
+    other host queue under ``ip:<addr>`` with the MOST conservative
+    colocated crawl delay; singleton hosts keep their own ``host:<name>``
+    key and delay. Emission is the O1 closed form on the coarsened key —
+    rank by the deterministic priority tuple, ``scheduled_at =
+    (rank-1) * delay``, capped at ``max_per_key`` per server per wave.
+
+    Inputs: ``candidates`` (host, url, prio0, prio1, prio2),
+    ``robots`` (host, crawl_delay_ms), ``host_ip`` (host, ip).
+    Hosts missing from ``host_ip`` are treated as singletons; delays
+    missing from ``robots`` default to 0 (then floored to 1 like the O1
+    scheduler). Output: (host, url, pkey, pkey_delay_ms, scheduled_at).
+
+    Scale: both dims are host-cardinality (~10^7) — broadcast; the IP
+    aggregation shuffles the host DIM, never the frontier; the only
+    frontier-sized motion is the ONE pkey window, the same shuffle the
+    per-host scheduler already pays (pkey never has more distinct values
+    than host). Reference: single host, no DNS awareness at all
+    (BrowserCrawler.java:52-60) — §2.8 politeness surface."""
+    hosts = robots.select(
+        "host", F.coalesce(F.col("crawl_delay_ms").cast("long"), F.lit(0)).alias("d")
+    ).join(host_ip.select("host", "ip"), "host", "left")
+    per_ip = (
+        hosts.filter(F.col("ip").isNotNull())
+        .groupBy("ip")
+        .agg(F.count("*").alias("n_hosts"), F.max("d").alias("ip_delay"))
+    )
+    keyed = hosts.join(F.broadcast(per_ip), "ip", "left").select(
+        "host",
+        F.when(
+            F.col("n_hosts") >= 2, F.concat(F.lit("ip:"), F.col("ip"))
+        ).otherwise(F.concat(F.lit("host:"), F.col("host"))).alias("pkey"),
+        F.when(F.col("n_hosts") >= 2, F.col("ip_delay"))
+        .otherwise(F.col("d")).cast("long").alias("pkey_delay_ms"),
+    )
+    w = Window.partitionBy("pkey").orderBy(
+        "prio0", "prio1", "prio2", "host", "url"
+    )
+    return (
+        candidates.join(F.broadcast(keyed), "host")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(max_per_key)))
+        .select(
+            "host", "url", "pkey", "pkey_delay_ms",
+            (
+                (F.col("_rn") - 1)
+                * F.greatest(F.col("pkey_delay_ms"), F.lit(1))
+            ).cast("long").alias("scheduled_at"),
+        )
+    )

@@ -887,3 +887,66 @@ class TestSitemapPrioritySchedule:
         assert got["https://a.example/null-prio"].priority_pct == 50
         assert got["https://a.example/lo-older"].crawl_rank == 3
         assert got["https://b.example/only"].crawl_rank == 1
+
+
+class TestSharedIpSchedule:
+    """Server-level politeness coarsening (shared_ip_schedule)."""
+
+    def _run(self, spark, cand, robots, hip, **kw):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            shared_ip_schedule,
+        )
+
+        c = spark.createDataFrame(
+            [(h, u, 0, p, 0) for h, u, p in cand],
+            "host string, url string, prio0 long, prio1 long, prio2 long",
+        )
+        r = spark.createDataFrame(robots, "host string, crawl_delay_ms long")
+        m = spark.createDataFrame(hip, "host string, ip string")
+        return shared_ip_schedule(c, r, m, **kw).collect()
+
+    def test_coarsening_and_max_delay(self, spark):
+        # a+b share ip1 (delays 100/300 -> both queue at 300); c is a
+        # unique-ip singleton; d is missing from the map entirely
+        cand = [
+            ("a", "/1", 1), ("b", "/2", 2), ("a", "/3", 3),
+            ("c", "/4", 1), ("d", "/5", 1),
+        ]
+        robots = [("a", 100), ("b", 300), ("c", 50), ("d", 0)]
+        hip = [("a", "ip1"), ("b", "ip1"), ("c", "ip2")]
+        rows = {(r.host, r.url): r for r in self._run(spark, cand, robots, hip)}
+        # shared server: one interleaved queue, conservative delay
+        assert rows[("a", "/1")].pkey == "ip:ip1"
+        assert rows[("b", "/2")].pkey == "ip:ip1"
+        assert rows[("a", "/1")].pkey_delay_ms == 300
+        assert [rows[k].scheduled_at for k in (("a", "/1"), ("b", "/2"), ("a", "/3"))] == [0, 300, 600]
+        # singleton keeps its own key + delay
+        assert rows[("c", "/4")].pkey == "host:c"
+        assert rows[("c", "/4")].pkey_delay_ms == 50
+        # unmapped host: singleton path, zero delay floored to 1 in the
+        # clock but kept verbatim in the column
+        assert rows[("d", "/5")].pkey == "host:d"
+        assert rows[("d", "/5")].pkey_delay_ms == 0
+        assert rows[("d", "/5")].scheduled_at == 0
+
+    def test_shared_ip_reduced_to_singleton(self, spark):
+        # ip1 maps only ONE host (the other never appears in robots) ->
+        # n_hosts = 1 -> host-keyed, own delay
+        cand = [("a", "/1", 1)]
+        robots = [("a", 100)]
+        hip = [("a", "ip1")]
+        rows = self._run(spark, cand, robots, hip)
+        assert rows[0].pkey == "host:a" and rows[0].pkey_delay_ms == 100
+
+    def test_per_server_cap(self, spark):
+        cand = [("a", f"/{i}", i) for i in range(4)] + [
+            ("b", f"/{i}", i) for i in range(4)
+        ]
+        robots = [("a", 10), ("b", 10)]
+        hip = [("a", "ip1"), ("b", "ip1")]
+        rows = self._run(spark, cand, robots, hip, max_per_key=3)
+        assert len(rows) == 3  # ONE server-wide cap, not per host
+        # deterministic interleave: prio1 ties broken by host then url
+        assert [(r.host, r.url) for r in sorted(rows, key=lambda r: r.scheduled_at)] == [
+            ("a", "/0"), ("b", "/0"), ("a", "/1")
+        ]

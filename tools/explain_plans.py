@@ -70,6 +70,7 @@ SHOW = [
     "url_blocklist_filter",       # map-only word explode + two broadcast dims
     "sitemap_priority_order",     # in-row CASE math + ONE host window
     "focused_crawl_priority",     # broadcast 256-row model + ONE host window
+    "shared_ip_politeness",       # broadcast host dims + ONE pkey window
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -123,6 +124,7 @@ CHECKS = {
     "url_blocklist_filter": ["Generate", "BroadcastHashJoin", "HashAggregate"],
     "sitemap_priority_order": ["Window"],
     "focused_crawl_priority": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    "shared_ip_politeness": ["BroadcastHashJoin", "Window"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -178,6 +180,9 @@ ANTI_CHECKS = {
     # the 256-bucket model must broadcast; sort-merge would shuffle
     # corpus-cardinality tf rows against a fixed-size model
     "focused_crawl_priority": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    # host dims must broadcast against the frontier-sized candidates;
+    # the only shuffle allowed is the pkey window
+    "shared_ip_politeness": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
