@@ -387,6 +387,60 @@ def shared_ip_politeness(spark, sf_dir):
     return shared_ip_schedule(cand, robots, host_ip, max_per_key=5)
 
 
+def soft404_detect(spark, sf_dir):
+    """Soft-404 unmasking (`operators/frontier_policy.soft404_scores`):
+    five synthesized page families per host — real catalog pages,
+    lexical error pages ("page not found ... 404"), template error pages
+    that share >=80% of their shingles with the host's known-404
+    reference page (the containment path decides — their lexical score
+    alone is below threshold), a bare "redirecting" stub (brevity signal
+    only: correctly NOT flagged), and real long-form pages; honest 404
+    statuses are never flagged. Hash-matched end to end including the
+    shingle-containment join."""
+    from licenta_crawler_spark.operators.frontier_policy import soft404_scores
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 12000)
+    hn = (F.col("user_id") % 50).cast("string")
+    fam = F.col("event_id") % 5
+    text = (
+        F.when(fam == 0, F.concat(
+            F.lit("welcome to shop "), hn,
+            F.lit(" browse our product catalog item "),
+            F.col("event_id").cast("string"),
+            F.lit(" great books and detailed reviews for readers"),
+        ))
+        .when(fam == 1, F.lit("oops page not found 404 the link may be broken"))
+        .when(fam == 2, F.concat(
+            F.lit("error "), hn,
+            F.lit(" the page you are looking for does not exist"
+                  " return to homepage item "),
+            (F.col("event_id") % 3).cast("string"),
+        ))
+        .when(fam == 3, F.lit("redirecting"))
+        .otherwise(F.concat(
+            F.lit("author spotlight "), F.col("event_id").cast("string"),
+            F.lit(" interviews essays and curated reading lists"
+                  " updated weekly"),
+        ))
+    )
+    pages = ev.select(
+        F.concat(F.lit("h"), hn).alias("host"),
+        F.concat(F.lit("/p/"), F.col("event_id").cast("string")).alias("url"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(404))
+        .otherwise(F.lit(200)).cast("long").alias("status"),
+        text.alias("text"),
+    )
+    ref404 = ev.select(
+        F.concat(F.lit("h"), hn).alias("host"),
+        F.concat(
+            F.lit("error "), hn,
+            F.lit(" the page you are looking for does not exist"
+                  " return to homepage"),
+        ).alias("text"),
+    ).distinct()
+    return soft404_scores(pages, ref404)
+
+
 def a4_rollup_metrics(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.7 grouping sets) — subtotal rows per
     priority, per (priority, status), and grand total."""
@@ -3991,6 +4045,7 @@ QUERIES = {
     "trustrank_spam_mass": trustrank_spam_mass,
     "focused_crawl_priority": focused_crawl_priority,
     "shared_ip_politeness": shared_ip_politeness,
+    "soft404_detect": soft404_detect,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -7828,6 +7883,87 @@ ORACLE_SQL["nb_quality_classifier"] = f"""
            (sum(tf * coalesce(w, 0)) > 0) AS predicted
     FROM tf LEFT JOIN model USING (b)
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["soft404_detect"] = """
+    WITH pages AS (
+      SELECT 'h' || (user_id % 50) AS host,
+             '/p/' || event_id AS url,
+             (CASE WHEN event_id % 7 = 0 THEN 404 ELSE 200 END)::BIGINT
+               AS status,
+             CASE event_id % 5
+               WHEN 0 THEN 'welcome to shop ' || (user_id % 50)
+                 || ' browse our product catalog item ' || event_id
+                 || ' great books and detailed reviews for readers'
+               WHEN 1 THEN 'oops page not found 404 the link may be broken'
+               WHEN 2 THEN 'error ' || (user_id % 50)
+                 || ' the page you are looking for does not exist'
+                 || ' return to homepage item ' || (event_id % 3)
+               WHEN 3 THEN 'redirecting'
+               ELSE 'author spotlight ' || event_id
+                 || ' interviews essays and curated reading lists'
+                 || ' updated weekly'
+             END AS text
+      FROM events WHERE event_id < 12000
+    ),
+    ref AS (
+      SELECT DISTINCT 'h' || (user_id % 50) AS host,
+             'error ' || (user_id % 50)
+               || ' the page you are looking for does not exist'
+               || ' return to homepage' AS text
+      FROM events WHERE event_id < 12000
+    ),
+    pn AS (
+      SELECT host, url, status,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS norm
+      FROM pages
+    ),
+    psh AS (
+      SELECT host, url, status,
+             (CASE WHEN contains(norm, 'page not found') THEN 400 ELSE 0 END
+              + CASE WHEN regexp_matches(norm, '(^| )404( |$)')
+                     THEN 250 ELSE 0 END
+              + CASE WHEN contains(norm, 'does not exist') THEN 300 ELSE 0 END
+              + CASE WHEN contains(norm, 'no longer available')
+                     THEN 250 ELSE 0 END
+              + CASE WHEN length(norm) < 64 THEN 200 ELSE 0 END)::BIGINT
+               AS lex_millis,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(norm, ' ')) - 2,
+                                           0)),
+               i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))
+               AS sh
+      FROM pn
+    ),
+    pe AS (SELECT host, url, unnest(sh) AS shingle FROM psh),
+    rsh AS (
+      SELECT DISTINCT host, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) - 2, 0)),
+               i -> array_to_string(string_split(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')[i:i+2], ' ')))) AS shingle
+      FROM ref
+    ),
+    shared AS (
+      SELECT pe.host, pe.url, count(*)::BIGINT AS n_shared
+      FROM pe JOIN rsh ON pe.host = rsh.host AND pe.shingle = rsh.shingle
+      GROUP BY pe.host, pe.url
+    ),
+    scored AS (
+      SELECT p.host, p.url, p.status, p.lex_millis,
+             len(p.sh)::BIGINT AS n_shingles,
+             (CASE WHEN len(p.sh) > 0
+                   THEN (coalesce(s.n_shared, 0) * 1000) // len(p.sh)
+                   ELSE 0 END)::BIGINT AS containment_permille
+      FROM psh p LEFT JOIN shared s ON p.host = s.host AND p.url = s.url
+    )
+    SELECT host, url, status, lex_millis, n_shingles, containment_permille,
+           (status = 200 AND (lex_millis >= 500
+                              OR containment_permille >= 800)) AS soft404
+    FROM scored
 """
 
 ORACLE_SQL["shared_ip_politeness"] = """

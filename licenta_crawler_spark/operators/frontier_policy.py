@@ -1182,3 +1182,95 @@ def shared_ip_schedule(
             ).cast("long").alias("scheduled_at"),
         )
     )
+
+
+def soft404_scores(
+    pages: DataFrame,
+    ref404: DataFrame,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    status_col: str = "status",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft-404 detection (Bar-Yossef/Broder/Kumar/Tomkins, WWW 2004
+    "Sic transit gloria telae"): pages that answer 200 but ARE error
+    pages poison the seen-set, the dedup index, and the link graph — a
+    crawler must unmask them before indexing. Two independent integer
+    signals per page:
+
+    * ``lex_millis`` — weighted canonical error-phrase evidence over the
+      normalized text ("page not found" 400, standalone "404" token 250,
+      "does not exist" 300, "no longer available" 250, near-empty body
+      200); map-only column math.
+    * ``containment_permille`` — the paper's probe trick: |shingles(page)
+      ∩ shingles(host's KNOWN error page)| * 1000 div |shingles(page)|,
+      where ``ref404`` carries one reference error page per host
+      (obtained in production by fetching a random non-existent URL —
+      the fetch side is the engine's ordinary fetch stage). Template
+      error pages match near-totally even when the lexicon misses.
+
+    Verdict: ``soft404`` = status 200 AND (lex >= 500 OR containment >=
+    800). Honest 404s are never flagged (they already tell the truth).
+
+    Scale: the only non-map stage is the (host, shingle) inverted-index
+    equi-join against the per-host reference index (ONE page per host —
+    host-dim cardinality, never frontier-sized) and a (host, url)-keyed
+    count, both map-side combinable; no all-pairs anywhere. Reference:
+    the single-host crawler trusts status codes blindly
+    (SitemapSaxCrawler.java:109-118) — §2.8 corpus-hygiene surface."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    from .dedup import shingles_col
+
+    norm = normalized_text_col(F.col(text_col))
+    lex = (
+        F.when(norm.contains("page not found"), F.lit(400)).otherwise(F.lit(0))
+        + F.when(norm.rlike("(^| )404( |$)"), F.lit(250)).otherwise(F.lit(0))
+        + F.when(norm.contains("does not exist"), F.lit(300)).otherwise(F.lit(0))
+        + F.when(
+            norm.contains("no longer available"), F.lit(250)
+        ).otherwise(F.lit(0))
+        + F.when(F.length(norm) < 64, F.lit(200)).otherwise(F.lit(0))
+    ).cast("long")
+    p = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.col(status_col).cast("long").alias("status"),
+            lex.alias("lex_millis"),
+            shingles_col(F.col(text_col)).alias("_sh"),
+        )
+        .withColumn("n_shingles", F.size("_sh").cast("long"))
+    )
+    pe = p.select("host", "url", F.explode("_sh").alias("shingle"))
+    ref = ref404.select(
+        F.col(host_col).alias("host"),
+        F.explode(shingles_col(F.col(text_col))).alias("shingle"),
+    ).distinct()
+    shared = pe.join(ref, ["host", "shingle"]).groupBy("host", "url").agg(
+        F.count("*").alias("n_shared")
+    )
+    out = (
+        p.drop("_sh")
+        .join(shared, ["host", "url"], "left")
+        .withColumn(
+            "containment_permille",
+            F.coalesce(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.expr("(coalesce(n_shared, 0L) * 1000) div n_shingles"),
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("n_shared")
+    )
+    return out.withColumn(
+        "soft404",
+        (F.col("status") == 200)
+        & (
+            (F.col("lex_millis") >= 500)
+            | (F.col("containment_permille") >= 800)
+        ),
+    )

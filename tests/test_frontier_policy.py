@@ -950,3 +950,77 @@ class TestSharedIpSchedule:
         assert [(r.host, r.url) for r in sorted(rows, key=lambda r: r.scheduled_at)] == [
             ("a", "/0"), ("b", "/0"), ("a", "/1")
         ]
+
+
+class TestSoft404Scores:
+    """Soft-404 unmasking (soft404_scores)."""
+
+    def _run(self, spark, pages, ref):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            soft404_scores,
+        )
+
+        p = spark.createDataFrame(
+            pages, "host string, url string, status long, text string"
+        )
+        r = spark.createDataFrame(ref, "host string, text string")
+        return {
+            row.url: row for row in soft404_scores(p, r).collect()
+        }
+
+    REF = [("a", "error the page you are looking for does not exist"
+                 " return to homepage")]
+
+    def test_lexical_path(self, spark):
+        pages = [
+            ("a", "/lex", 200,
+             "Oops! Page not found (404) — the link may be broken."),
+            ("a", "/real", 200,
+             "a long and genuinely informative article about book"
+             " publishing with many details and no error words at all"),
+        ]
+        got = self._run(spark, pages, self.REF)
+        assert got["/lex"].soft404 is True
+        assert got["/lex"].lex_millis >= 650  # phrase + token (+ brevity)
+        assert got["/real"].soft404 is False
+        assert got["/real"].lex_millis == 0
+
+    def test_containment_path_decides_below_lexicon(self, spark):
+        # template error page: shares all reference shingles, lexical
+        # evidence alone (300) is below the 500 bar
+        tpl = ("a", "/tpl", 200,
+               "error the page you are looking for does not exist"
+               " return to homepage item seven")
+        got = self._run(spark, [tpl], self.REF)
+        r = got["/tpl"]
+        assert r.lex_millis < 500
+        assert r.containment_permille >= 800
+        assert r.soft404 is True
+
+    def test_honest_404_and_wrong_host_template(self, spark):
+        pages = [
+            # honest 404 is never flagged, however error-y the body
+            ("a", "/honest", 404, "page not found 404 does not exist"),
+            # same template on a host with a DIFFERENT reference page:
+            # containment must not leak across hosts
+            ("b", "/cross", 200,
+             "error the page you are looking for does not exist"
+             " return to homepage item seven"),
+        ]
+        ref = self.REF + [("b", "completely different maintenance banner"
+                                " with entirely unrelated wording here")]
+        got = self._run(spark, pages, ref)
+        assert got["/honest"].soft404 is False
+        assert got["/cross"].containment_permille == 0
+        # its lexical 300 (does not exist) stays below the bar
+        assert got["/cross"].soft404 is False
+
+    def test_empty_and_tiny_pages(self, spark):
+        pages = [
+            ("a", "/stub", 200, "redirecting"),   # brevity only: 200 < 500
+            ("a", "/empty", 200, ""),             # 0 shingles, no crash
+        ]
+        got = self._run(spark, pages, self.REF)
+        assert got["/stub"].soft404 is False
+        assert got["/stub"].n_shingles == 0
+        assert got["/empty"].containment_permille == 0

@@ -71,6 +71,7 @@ SHOW = [
     "sitemap_priority_order",     # in-row CASE math + ONE host window
     "focused_crawl_priority",     # broadcast 256-row model + ONE host window
     "shared_ip_politeness",       # broadcast host dims + ONE pkey window
+    "soft404_detect",             # inverted-index (host,shingle) join, no all-pairs
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -125,6 +126,7 @@ CHECKS = {
     "sitemap_priority_order": ["Window"],
     "focused_crawl_priority": ["BroadcastHashJoin", "Window", "HashAggregate"],
     "shared_ip_politeness": ["BroadcastHashJoin", "Window"],
+    "soft404_detect": ["Generate", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -183,6 +185,9 @@ ANTI_CHECKS = {
     # host dims must broadcast against the frontier-sized candidates;
     # the only shuffle allowed is the pkey window
     "shared_ip_politeness": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    # shingle containment must be the (host,shingle) equi-join; Python
+    # or a cartesian means the per-host reference index shape broke
+    "soft404_detect": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
