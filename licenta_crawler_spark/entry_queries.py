@@ -441,6 +441,51 @@ def soft404_detect(spark, sf_dir):
     return soft404_scores(pages, ref404)
 
 
+def robots_group_select(spark, sf_dir):
+    """RFC 9309 §2.2.1 group selection (`operators/parse.
+    robots_group_rules`) for crawler token 'bookbot' over five synthetic
+    robots.txt families: multi-UA groups sharing one rule block (the
+    named group also SHADES the * group), pure-* fallback,
+    most-specific-prefix contest ('bookbot' beats 'book'), no-match
+    hosts emitting nothing, and same-token groups merging their rules
+    across a comment line. The oracle replays the whole chain — noise
+    strip, group-boundary lag, running group id, per-group best-token
+    scoring, host-level winner, rule join — window for window."""
+    from licenta_crawler_spark.operators.parse import robots_group_rules
+
+    nl = "\n"
+    hostd = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("hn")
+    ).distinct()
+    hs = F.col("hn").cast("string")
+    body = (
+        F.when(F.col("hn") % 5 == 0, F.concat(
+            F.lit("User-agent: bookbot" + nl + "User-agent: newsbot" + nl
+                  + "Disallow: /private/h"), hs,
+            F.lit(nl + nl + "User-agent: *" + nl + "Disallow: /tmp"),
+        ))
+        .when(F.col("hn") % 5 == 1, F.concat(
+            F.lit("User-agent: *" + nl + "Disallow: /all" + nl
+                  + "Allow: /all/ok/h"), hs,
+        ))
+        .when(F.col("hn") % 5 == 2, F.concat(
+            F.lit("User-agent: book" + nl + "Disallow: /short" + nl + nl
+                  + "User-agent: BookBot" + nl + "Disallow: /long/h"), hs,
+        ))
+        .when(F.col("hn") % 5 == 3,
+              F.lit("User-agent: otherbot" + nl + "Disallow: /x"))
+        .otherwise(F.concat(
+            F.lit("User-agent: bookbot" + nl + "Disallow: /one/h"), hs,
+            F.lit(nl + "# note" + nl + "User-agent: bookbot" + nl
+                  + "Allow: /two"),
+        ))
+    )
+    robots = hostd.select(
+        F.concat(F.lit("h"), hs).alias("host"), body.alias("robots_txt")
+    )
+    return robots_group_rules(robots, "BookBot")
+
+
 def a4_rollup_metrics(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.7 grouping sets) — subtotal rows per
     priority, per (priority, status), and grand total."""
@@ -4046,6 +4091,7 @@ QUERIES = {
     "focused_crawl_priority": focused_crawl_priority,
     "shared_ip_politeness": shared_ip_politeness,
     "soft404_detect": soft404_detect,
+    "robots_group_select": robots_group_select,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -7883,6 +7929,105 @@ ORACLE_SQL["nb_quality_classifier"] = f"""
            (sum(tf * coalesce(w, 0)) > 0) AS predicted
     FROM tf LEFT JOIN model USING (b)
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["robots_group_select"] = r"""
+    WITH hostd AS (
+      SELECT DISTINCT (user_id % 40)::BIGINT AS hn FROM events
+    ),
+    bodies AS (
+      SELECT 'h' || hn AS host,
+             CASE hn % 5
+               WHEN 0 THEN 'User-agent: bookbot' || chr(10)
+                 || 'User-agent: newsbot' || chr(10)
+                 || 'Disallow: /private/h' || hn || chr(10) || chr(10)
+                 || 'User-agent: *' || chr(10) || 'Disallow: /tmp'
+               WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /all'
+                 || chr(10) || 'Allow: /all/ok/h' || hn
+               WHEN 2 THEN 'User-agent: book' || chr(10)
+                 || 'Disallow: /short' || chr(10) || chr(10)
+                 || 'User-agent: BookBot' || chr(10)
+                 || 'Disallow: /long/h' || hn
+               WHEN 3 THEN 'User-agent: otherbot' || chr(10)
+                 || 'Disallow: /x'
+               ELSE 'User-agent: bookbot' || chr(10)
+                 || 'Disallow: /one/h' || hn || chr(10) || '# note'
+                 || chr(10) || 'User-agent: bookbot' || chr(10)
+                 || 'Allow: /two'
+             END AS body
+      FROM hostd
+    ),
+    lines0 AS (
+      SELECT host, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS ord
+      FROM (SELECT host, string_split(body, chr(10)) AS ls FROM bodies)
+    ),
+    lines AS (
+      SELECT host, ord, line FROM lines0
+      WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+    ),
+    marked AS (
+      SELECT host, ord, line,
+             lower(nullif(regexp_extract(line,
+               '(?i)^user-agent:\s*(\S+)\s*$', 1), '')) AS ua_tok,
+             (nullif(regexp_extract(line,
+               '(?i)^user-agent:\s*(\S+)\s*$', 1), '') IS NOT NULL)
+               AS is_ua
+      FROM lines
+    ),
+    g0 AS (
+      SELECT *, (is_ua AND NOT coalesce(
+               lag(is_ua) OVER (PARTITION BY host ORDER BY ord), false))
+               AS grp_start
+      FROM marked
+    ),
+    g AS (
+      SELECT *, sum(CASE WHEN grp_start THEN 1 ELSE 0 END) OVER (
+               PARTITION BY host ORDER BY ord
+               ROWS UNBOUNDED PRECEDING) AS gid
+      FROM g0
+    ),
+    toks AS (
+      SELECT host, gid, ua_tok,
+             (CASE WHEN ua_tok = '*' THEN 0
+                   WHEN starts_with('bookbot', ua_tok)
+                     THEN length(ua_tok)
+                   ELSE -1 END)::BIGINT AS s
+      FROM g WHERE is_ua AND gid > 0
+    ),
+    grpscore AS (
+      SELECT host, gid, max(s) AS grp_score FROM toks GROUP BY host, gid
+    ),
+    grpua AS (
+      SELECT t.host, t.gid, gs.grp_score, max(t.ua_tok) AS matched_ua
+      FROM toks t JOIN grpscore gs
+        ON t.host = gs.host AND t.gid = gs.gid AND t.s = gs.grp_score
+      GROUP BY t.host, t.gid, gs.grp_score
+    ),
+    sel AS (
+      SELECT host, gid, matched_ua FROM (
+        SELECT *, max(grp_score) OVER (PARTITION BY host) AS host_best
+        FROM grpua
+      ) WHERE grp_score = host_best AND host_best >= 0
+    ),
+    rules AS (
+      SELECT host, gid,
+             CASE WHEN nullif(regexp_extract(line,
+                    '(?i)^allow:\s*(\S+)\s*$', 1), '') IS NOT NULL
+                    THEN true
+                  WHEN nullif(regexp_extract(line,
+                    '(?i)^disallow:\s*(\S+)\s*$', 1), '') IS NOT NULL
+                    THEN false END AS allow,
+             coalesce(
+               nullif(regexp_extract(line,
+                 '(?i)^allow:\s*(\S+)\s*$', 1), ''),
+               nullif(regexp_extract(line,
+                 '(?i)^disallow:\s*(\S+)\s*$', 1), '')) AS pattern
+      FROM g WHERE NOT is_ua AND gid > 0
+    )
+    SELECT DISTINCT r.host, s.matched_ua, r.allow, r.pattern
+    FROM rules r JOIN sel s ON r.host = s.host AND r.gid = s.gid
+    WHERE r.pattern IS NOT NULL
 """
 
 ORACLE_SQL["soft404_detect"] = """

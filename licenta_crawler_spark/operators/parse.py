@@ -389,3 +389,105 @@ def sitemap_lastmod_entries(
             F.col("blk"), r"<lastmod>\s*(.*?)\s*</lastmod>", 1
         ).alias("lastmod"),
     ).filter(F.col("loc") != "")
+
+
+def robots_group_rules(
+    robots_txt: DataFrame,
+    crawler: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 §2.2.1 GROUP semantics — the two compliance behaviors
+    the fixed-agent parsers above don't model:
+
+    * **Consecutive ``User-agent:`` lines share one rule block**
+      ("User-agent: a / User-agent: b / Disallow: /x" binds /x to BOTH
+      agents; a last-UA-wins carry silently drops agent a's rules).
+      Blank and comment lines do not split the run (they are stripped
+      before grouping, per the spec's ABNF).
+    * **Most-specific-group selection with ``*`` fallback**: a crawler
+      whose product token is ``crawler`` obeys the group(s) whose UA
+      token is the LONGEST case-insensitive prefix of (or equal to) its
+      token; if no named group matches, the ``*`` group governs; if
+      several groups carry the SAME winning token, their rules merge
+      (RFC 9309: "combine the rules"). A selected named group SHADES
+      the ``*`` group entirely — rules are not mixed across tokens.
+
+    Returns (host, matched_ua, allow, pattern) rule rows for the
+    selected group(s), ready for ``robots_decision``; hosts with no
+    matching group emit nothing (= default-allow downstream).
+
+    Scale: same shape as the other parsers — one line explode, two
+    host-keyed windows (group boundary lag + running group id), then
+    host-dim-sized aggregations; robots bodies are tiny and hosts are
+    the only key. Reference: the single-host crawler hardcodes one UA
+    and no groups (SitemapSaxCrawler.java:96-104 [inferred]) — §2.8
+    REP-compliance surface."""
+    tok = crawler.lower()
+    lines = robots_txt.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).where(
+        ~F.trim(F.col("line")).startswith("#") & (F.trim(F.col("line")) != "")
+    )
+    ua = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^user-agent:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    wo = Window.partitionBy("host").orderBy("line_no")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = lines.select(
+        "host", "line_no", "line",
+        F.lower(ua).alias("ua_tok"),
+        ua.isNotNull().alias("is_ua"),
+    ).withColumn(
+        "grp_start",
+        F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(wo), F.lit(False)),
+    ).withColumn(
+        "gid", F.sum(F.col("grp_start").cast("int")).over(wrun)
+    ).where(F.col("gid") > 0)
+    # per-group match score: * = 0, named prefix match = token length,
+    # no match = -1; a group's score is its best token's
+    score = (
+        F.when(F.col("ua_tok") == "*", F.lit(0))
+        .when(F.lit(tok).startswith(F.col("ua_tok")), F.length("ua_tok"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    tok_scores = marked.where(F.col("is_ua")).select(
+        "host", "gid", "ua_tok", score.alias("s")
+    )
+    grp = tok_scores.groupBy("host", "gid").agg(
+        F.max("s").alias("grp_score")
+    )
+    grp = grp.join(tok_scores, ["host", "gid"]).where(
+        F.col("s") == F.col("grp_score")
+    ).groupBy("host", "gid", "grp_score").agg(
+        F.max("ua_tok").alias("matched_ua")
+    )
+    wh = Window.partitionBy("host")
+    sel = grp.withColumn(
+        "host_best", F.max("grp_score").over(wh)
+    ).where(
+        (F.col("grp_score") == F.col("host_best")) & (F.col("host_best") >= 0)
+    ).select("host", "gid", "matched_ua")
+    dis = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^disallow:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    alw = F.nullif(
+        F.regexp_extract(F.col("line"), r"(?i)^allow:\s*(\S+)\s*$", 1),
+        F.lit(""),
+    )
+    rules = marked.where(~F.col("is_ua")).select(
+        "host", "gid",
+        F.when(alw.isNotNull(), F.lit(True))
+        .when(dis.isNotNull(), F.lit(False))
+        .alias("allow"),
+        F.coalesce(alw, dis).alias("pattern"),
+    ).where(F.col("pattern").isNotNull())
+    return (
+        rules.join(sel, ["host", "gid"])
+        .select("host", "matched_ua", "allow", "pattern")
+        .dropDuplicates(["host", "matched_ua", "allow", "pattern"])
+    )

@@ -222,3 +222,80 @@ class TestSitemapLastmod:
             "https://a/2": "",
             "https://a/3": "2026-05-09",
         }
+
+
+class TestRobotsGroupRules:
+    """RFC 9309 §2.2.1 group selection (robots_group_rules)."""
+
+    def _run(self, spark, bodies, crawler="BookBot"):
+        from licenta_crawler_spark.operators.parse import robots_group_rules
+
+        df = spark.createDataFrame(bodies, "host string, robots_txt string")
+        out = robots_group_rules(df, crawler).collect()
+        by_host: dict = {}
+        for r in out:
+            by_host.setdefault(r.host, set()).add(
+                (r.matched_ua, r.allow, r.pattern)
+            )
+        return by_host
+
+    def test_multi_ua_group_shares_rules_and_shades_star(self, spark):
+        body = ("User-agent: bookbot\nUser-agent: newsbot\n"
+                "Disallow: /private\n\nUser-agent: *\nDisallow: /tmp")
+        got = self._run(spark, [("a", body)])
+        # /private binds to the multi-UA group; the * group is shaded
+        assert got["a"] == {("bookbot", False, "/private")}
+        # the OTHER named agent sees the same shared block
+        got_news = self._run(spark, [("a", body)], crawler="NewsBot")
+        assert got_news["a"] == {("newsbot", False, "/private")}
+
+    def test_most_specific_prefix_wins(self, spark):
+        body = ("User-agent: book\nDisallow: /short\n\n"
+                "User-agent: BookBot\nDisallow: /long")
+        got = self._run(spark, [("a", body)])
+        assert got["a"] == {("bookbot", False, "/long")}
+
+    def test_star_fallback_and_no_match(self, spark):
+        bodies = [
+            ("a", "User-agent: *\nDisallow: /all\nAllow: /all/ok"),
+            ("b", "User-agent: otherbot\nDisallow: /x"),
+        ]
+        got = self._run(spark, bodies)
+        assert got["a"] == {("*", False, "/all"), ("*", True, "/all/ok")}
+        assert "b" not in got  # no group matches -> default-allow downstream
+
+    def test_same_token_groups_merge_across_comments(self, spark):
+        body = ("User-agent: bookbot\nDisallow: /one\n# note\n\n"
+                "User-agent: bookbot\nAllow: /two")
+        got = self._run(spark, [("a", body)])
+        assert got["a"] == {
+            ("bookbot", False, "/one"), ("bookbot", True, "/two")
+        }
+
+    def test_rules_before_any_group_are_dropped(self, spark):
+        body = "Disallow: /orphan\nUser-agent: bookbot\nDisallow: /real"
+        got = self._run(spark, [("a", body)])
+        assert got["a"] == {("bookbot", False, "/real")}
+
+    def test_feeds_robots_decision(self, spark):
+        from licenta_crawler_spark.operators.parse import (
+            robots_decision,
+            robots_group_rules,
+        )
+
+        body = ("User-agent: bookbot\nDisallow: /private\n"
+                "Allow: /private/pub\n\nUser-agent: *\nDisallow: /")
+        robots = spark.createDataFrame([("a", body)],
+                                       "host string, robots_txt string")
+        rules = robots_group_rules(robots, "BookBot").select(
+            "host", "allow", "pattern"
+        )
+        paths = spark.createDataFrame(
+            [("a", "/private/x"), ("a", "/private/pub/y"), ("a", "/open")],
+            "host string, path string",
+        )
+        got = {r.path: r.allowed
+               for r in robots_decision(paths, rules).collect()}
+        # the * group's Disallow: / is shaded -> /open is allowed
+        assert got == {"/private/x": False, "/private/pub/y": True,
+                       "/open": True}

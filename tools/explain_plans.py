@@ -72,6 +72,7 @@ SHOW = [
     "focused_crawl_priority",     # broadcast 256-row model + ONE host window
     "shared_ip_politeness",       # broadcast host dims + ONE pkey window
     "soft404_detect",             # inverted-index (host,shingle) join, no all-pairs
+    "robots_group_select",        # line explode + host-keyed windows, host-dim joins
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -127,6 +128,7 @@ CHECKS = {
     "focused_crawl_priority": ["BroadcastHashJoin", "Window", "HashAggregate"],
     "shared_ip_politeness": ["BroadcastHashJoin", "Window"],
     "soft404_detect": ["Generate", "HashAggregate"],
+    "robots_group_select": ["Generate", "Window", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -188,6 +190,9 @@ ANTI_CHECKS = {
     # shingle containment must be the (host,shingle) equi-join; Python
     # or a cartesian means the per-host reference index shape broke
     "soft404_detect": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # robots bodies are tiny and host-keyed: Python or a cartesian means
+    # the group-resolution windows broke out of the host partitioning
+    "robots_group_select": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
