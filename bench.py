@@ -118,7 +118,6 @@ def main() -> None:
             _release_session_state(spark)
         out["queries_warm_fixed_point"] = warm
 
-    out["queries"] = queries
     out["value"] = round(sum(queries.values()), 3)
     out["unit"] = "sec"
     out["metric"] = (
@@ -126,6 +125,11 @@ def main() -> None:
         "BASELINE.json throughput metric)"
     )
     out.update(_deltas_vs_prev_round(queries, sf, cpus))
+    # queries LAST: the driver's BENCH_r{N}.json recording keeps only the
+    # TAIL of this line, so whatever sits at the end survives truncation —
+    # the per-query seconds are the one thing the next round's regression
+    # guard needs (the r04 recording lost them by having deltas last)
+    out["queries"] = queries
     print(json.dumps(out))
     _write_self_record(out, mode)
 
@@ -188,10 +192,14 @@ def _release_session_state(spark) -> None:
 def _queries_from_driver_tail(tail: str) -> dict[str, float]:
     """Per-query seconds out of a driver-wrapped BENCH recording whose
     JSON line was truncated to a tail string. Prefer the intact
-    '"queries": {...}' object; when the tail starts MID-dict (head
-    truncated), fall back to the flat name->number pairs before the
-    first closing brace — a partial map only makes the comparison
-    narrower, never wrong."""
+    '"queries": {...}' object. The mid-dict fallback (head truncated
+    inside the queries dict) is only safe when the fragment before the
+    first closing brace opens NO other object: the r04 recording's tail
+    started past the queries dict entirely and its flat name->number
+    pairs were `deltas_vs_prev` values, which the old fallback scooped
+    up as if they were per-query seconds (producing a 20-entry phantom
+    regressions list in the r05 self-record). An unattributable fragment
+    now yields {} — a blind guard beats a wrong one."""
     import re
 
     m = re.search(r'"queries":\s*\{', tail)
@@ -199,6 +207,13 @@ def _queries_from_driver_tail(tail: str) -> dict[str, float]:
     end = seg.find("}")
     if end >= 0:
         seg = seg[:end]
+    if m is None and (
+        re.search(r'":\s*\{', seg)  # fragment opens some other object
+        # fragment starts mid-deltas_vs_prev itself: 'regressions'
+        # immediately follows that dict in the output layout
+        or '"regressions"' in tail[len(seg):]
+    ):
+        return {}
     return {
         k: float(v)
         for k, v in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)', seg)
@@ -243,6 +258,11 @@ def _deltas_vs_prev_round(queries: dict[str, float], sf: float, cpus: int) -> di
             # carries the full queries dict) instead of going blind
             prev = _queries_from_driver_tail(prev_doc["tail"])
             prev_sf, prev_cpus = prev_doc.get("sf"), prev_doc.get("cpus")
+            if not prev:
+                return {"prev_round": os.path.basename(paths[-1]),
+                        "deltas_vs_prev": {}, "regressions": [],
+                        "prev_round_skipped":
+                            "truncated recording lost the queries dict"}
         else:
             prev_doc = prev_doc.get("parsed") or prev_doc
             prev = prev_doc.get("queries") or {}

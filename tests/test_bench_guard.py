@@ -1,0 +1,67 @@
+"""Regression-guard parsing in bench.py (pure python, no Spark).
+
+The driver records bench.py's stdout JSON line truncated to a tail
+string; `_queries_from_driver_tail` recovers per-query seconds from it.
+The r04 recording's tail started PAST the queries dict and the old
+fallback scooped `deltas_vs_prev` values as if they were query times —
+these tests pin the fixed behavior: attribute pairs only when they are
+provably the queries dict, otherwise go blind ({}), never wrong.
+"""
+
+import importlib.util
+import os
+
+_here = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "bench_under_test", os.path.join(_here, "..", "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_intact_queries_marker_parses_exactly():
+    tail = '"x": 1, "queries": {"a": 1.5, "b": 2.0}, "value": 3.5}'
+    assert bench._queries_from_driver_tail(tail) == {"a": 1.5, "b": 2.0}
+
+
+def test_mid_queries_fragment_new_layout_accepted():
+    # queries is emitted LAST: a truncated tail ends inside it and
+    # nothing follows the closing braces
+    tail = '_pairs": 1.2, "foo": 0.3}}'
+    assert bench._queries_from_driver_tail(tail) == {"foo": 0.3}
+
+
+def test_fragment_opening_another_object_rejected():
+    # the r04 shape: tail starts in the metric string, then opens
+    # deltas_vs_prev — its flat pairs are deltas, not seconds
+    tail = (
+        'ic": "total bench sec", "prev_round": "BENCH_r03.json", '
+        '"deltas_vs_prev": {"backoff_hosts": 0.233, "x": 0.1}, '
+        '"regressions": []}'
+    )
+    assert bench._queries_from_driver_tail(tail) == {}
+
+
+def test_mid_deltas_fragment_rejected():
+    # truncation landing INSIDE deltas_vs_prev itself: the dict closes
+    # straight into "regressions", which never follows the queries dict
+    tail = 'host": 0.23, "x": 0.4}, "regressions": []}'
+    assert bench._queries_from_driver_tail(tail) == {}
+
+
+def test_guard_goes_blind_not_wrong_on_truncated_prev(tmp_path, monkeypatch):
+    import json
+
+    # a prev recording whose tail lost the queries dict entirely
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({
+        "sf": 0.1, "cpus": 32, "parsed": None,
+        "tail": 'ic": "total", "deltas_vs_prev": {"a": 0.2}, '
+                '"regressions": []}',
+    }))
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    got = bench._deltas_vs_prev_round({"a": 1.0}, 0.1, 32)
+    assert got["deltas_vs_prev"] == {}
+    assert got["regressions"] == []
+    assert "prev_round_skipped" in got
