@@ -114,7 +114,7 @@ _PUB_LENS = sorted(set(_EXACT) | {k + 1 for k in _WILD}, reverse=True)
 _EXC_LENS = sorted(_EXC, reverse=True)
 
 
-def registrable_domain_expr(host: Column) -> Column:
+def _registrable_domain_literal_expr(host: Column) -> Column:
     """eTLD+1 of a lowercase hostname as a pure column expression.
 
     One ``split``, then for each candidate length k the trailing-k
@@ -122,6 +122,14 @@ def registrable_domain_expr(host: Column) -> Column:
     Evaluation order mirrors the PSL algorithm: exception rules first
     (longest first — the matched domain IS registrable), then public
     suffixes longest-first (registrable = suffix + 1 label), else NULL.
+
+    Construction cost: each ``isin`` ships its values one py4j literal
+    at a time — ~9.5k rules x several label depths is ~5-6 s of DRIVER
+    time per call on this box, paid on every query that builds the
+    expression. ``registrable_domain_expr`` therefore prefers the
+    session-registered SQL-UDF twin (one JVM-side parse per session)
+    and keeps this builder as the no-active-session fallback and as
+    the independent implementation the tests cross-check against.
     """
     labels = F.split(host, "[.]")
     n = F.size(labels)
@@ -148,6 +156,77 @@ def registrable_domain_expr(host: Column) -> Column:
         # through to a shorter rule ('co.uk' must not match 'uk')
         arm((n >= k) & pub, F.when(n > k, last(k + 1)))
     return expr
+
+
+# Session-scoped SQL scalar function: the matcher parsed JVM-side ONCE
+# per session instead of 9.5k-literal py4j construction per call. Spark
+# inlines SQL-UDF bodies during resolution (the call is expression
+# substitution, not a black-box UDF), so codegen / InSet conversion /
+# constant folding all still apply. The name is also a user-facing SQL
+# surface: SELECT psl_registrable_domain(host) works in spark.sql().
+PSL_SQL_FUNCTION = "psl_registrable_domain"
+
+
+def _matcher_spark_sql(host_expr: str) -> str:
+    """The identical matcher as ONE Spark-SQL expression string (same
+    slice/IN structure and evaluation order as the column builder and
+    the DuckDB twin below)."""
+    labels = f"split({host_expr}, '[.]')"
+    n = f"size({labels})"
+
+    def last(k: int) -> str:
+        return f"array_join(slice({labels}, {-k}, {k}), '.')"
+
+    def inset(e: str, vals: list[str]) -> str:
+        assert all("'" not in v for v in vals)  # label charset, no quoting
+        lits = ", ".join(f"'{v}'" for v in vals)
+        return f"{e} IN ({lits})"
+
+    arms = []
+    for k in _EXC_LENS:
+        arms.append(
+            f"WHEN {n} >= {k} AND {inset(last(k), _EXC[k])} THEN {last(k)}"
+        )
+    for k in _PUB_LENS:
+        pub = []
+        if k in _EXACT:
+            pub.append(inset(last(k), _EXACT[k]))
+        if k - 1 in _WILD:
+            pub.append(inset(last(k - 1), _WILD[k - 1]))
+        # n == k: the host IS this suffix -> NULL, do not fall through
+        arms.append(
+            f"WHEN {n} >= {k} AND ({' OR '.join(pub)}) "
+            f"THEN (CASE WHEN {n} > {k} THEN {last(k + 1)} END)"
+        )
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+def ensure_psl_sql_function(spark) -> str:
+    """Register the matcher as a temporary SQL scalar function in this
+    session (idempotent; one ~250 KB JVM-side parse on first use).
+    Returns the function name."""
+    if not spark.catalog.functionExists(PSL_SQL_FUNCTION):
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {PSL_SQL_FUNCTION}"
+            f"(h STRING) RETURNS STRING RETURN {_matcher_spark_sql('h')}"
+        )
+    return PSL_SQL_FUNCTION
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """eTLD+1 of a lowercase hostname. Routes through the session's SQL
+    scalar function (one cheap ``call_function`` — the body was parsed
+    JVM-side once per session and is inlined into the plan); falls back
+    to the literal column builder when no session is active."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            return F.call_function(ensure_psl_sql_function(spark), host)
+        except Exception:
+            pass  # e.g. a catalog that rejects temp functions
+    return _registrable_domain_literal_expr(host)
 
 
 def registrable_domain_sql_expr(host_expr: str) -> str:

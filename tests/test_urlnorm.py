@@ -299,3 +299,41 @@ def test_canon_cache_keyed_by_session(spark):
     # and the live-session entry is a cache HIT (same objects back)
     again = urlnorm.cached_canon_sha1("url2")
     assert again[0] is canon and again[1] is sha
+
+
+def test_psl_sql_udf_matches_literal_builder(spark):
+    """The session-registered SQL scalar function (the fast path every
+    caller gets) is decision-identical to the independent literal-isin
+    column builder across every rule family: exact, wildcard, exception,
+    private-section, punycode alias, bare suffix, and no-match. Also
+    pins that registration is idempotent and that the routed expression
+    actually uses the SQL function."""
+    from pyspark.sql import functions as F
+
+    from licenta_crawler_spark.functions import psl
+
+    hosts = [
+        "a.b.shop.co.uk", "shop.co.uk", "co.uk", "www.x.com", "x.org.uk",
+        "localhost", "x.io", "deep.a.x.gov.uk", "gov.uk", "foo.bar.ck",
+        "bar.ck", "www.ck", "sub.www.ck", "a.shop.kobe.jp",
+        "shop.kobe.jp", "x.city.kobe.jp", "ck.com", "kobe.jp",
+        "alice.github.io", "github.io", "x.blogspot.com.br",
+        "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+        "us-east-1.compute.amazonaws.com", "kommune.oslo.no",
+        "a.b.firenze.it", "firm.xn--55qx5d.cn", "", "single",
+        "a.example", "example",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    routed = psl.registrable_domain_expr(F.col("host"))
+    literal = psl._registrable_domain_literal_expr(F.col("host"))
+    rows = df.select(
+        "host", routed.alias("fast"), literal.alias("ref")
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["ref"], (r["host"], r["fast"], r["ref"])
+
+    # routed path really is the SQL function (one call, not 9.5k literals)
+    assert psl.PSL_SQL_FUNCTION in repr(routed)
+    assert spark.catalog.functionExists(psl.PSL_SQL_FUNCTION)
+    # idempotent re-registration
+    assert psl.ensure_psl_sql_function(spark) == psl.PSL_SQL_FUNCTION
