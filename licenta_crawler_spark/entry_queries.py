@@ -2008,9 +2008,15 @@ def trustrank_spam_mass(spark, sf_dir):
     fixed point's own int64 guard even at the documented
     n_nodes*scale ceiling (the bm25 overflow lesson, ADVICE r04); the
     divisor is never 0 because pr >= the teleport floor 0.15*scale.
+    Both fixed points run FUSED (operators/pagerank.
+    dual_restart_pagerank_fixed_point): they differ only in restart
+    vector, so each round's edge join + contribution sum is ONE shuffle
+    carrying both rank columns — half the network volume of the two
+    separate runs, bit-identical integer math (the operator's
+    cross-equality test pins it against both single-restart runs).
     Oracle: both unrolled-CTE replays joined, same integer ops."""
     from licenta_crawler_spark.operators.pagerank import (
-        personalized_pagerank_fixed_point,
+        dual_restart_pagerank_fixed_point,
     )
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2031,12 +2037,14 @@ def trustrank_spam_mass(spark, sf_dir):
         .filter(F.col("c_custkey") % 10 == 0)
         .select((F.col("c_custkey") * 2).alias("node"))
     )
-    pr = pagerank_fixed_point(edges, iterations=5, materialize_every=5)
-    tr = personalized_pagerank_fixed_point(edges, seeds, iterations=5)
-    # inner join on node = PR's node set exactly (TR's set is a superset:
-    # it unions in seeds without edges) — output is total, no NULLs for
-    # the gate's tuple sort
-    joined = pr.join(tr.withColumnRenamed("rank_fp", "trust_fp"), "node")
+    # graph_nodes_only drops the seed-only isolated nodes, reproducing
+    # the pr ⋈ tr inner-join row set exactly (TR's node set is a
+    # superset: it unions in seeds without edges) — output is total, no
+    # NULLs for the gate's tuple sort
+    joined = dual_restart_pagerank_fixed_point(
+        edges, seeds, iterations=5, materialize_every=5,
+        graph_nodes_only=True,
+    )
     return joined.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

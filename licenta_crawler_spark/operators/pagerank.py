@@ -290,6 +290,138 @@ def personalized_pagerank_fixed_point(
         cleanup()
 
 
+def dual_restart_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    materialize_every: int = 1,
+    graph_nodes_only: bool = False,
+) -> DataFrame:
+    """Uniform PageRank AND seed-personalized PageRank in ONE fixed
+    point: (node, rank_fp, trust_fp) — the TrustRank input pair
+    (Gyöngyi et al., VLDB 2004) computed with HALF the shuffles.
+
+    ``graph_nodes_only=True`` drops seed-only isolated nodes from the
+    OUTPUT (they still shape the personalized restart mass exactly as
+    ``personalized_pagerank_fixed_point`` specifies) — the row set then
+    equals uniform-PR ⋈ personalized-PR on node, i.e. the TrustRank
+    join shape, via one end-of-loop join instead of a per-variant one.
+
+    The two fixed points differ only in their restart vector, so each
+    round's expensive work — the edges⋈ranks join and the groupBy(dst)
+    contribution sum — is shared: both rank columns ride the same
+    shuffle rows and aggregate in the same map-side combine. At
+    10^10 nodes that halves per-round network volume vs running
+    ``pagerank_fixed_point`` + ``personalized_pagerank_fixed_point``
+    separately; the extra column is pure payload width.
+
+    BIT-identical to the two separate runs, by construction: the node
+    set is edge-nodes ∪ seeds exactly as the personalized variant
+    builds it, and a seed-only node (no edges) contributes to nobody
+    and converges to its own restart base, so its presence never
+    perturbs an edge-node's uniform rank; every div/multiply is the
+    same integer op in the same order (the cross-equality test pins
+    this against both single-restart implementations).
+
+    ``materialize_every`` as in ``pagerank_fixed_point``: 1 = per-round
+    parquet truncation (the 10^10-node configuration), k = iterations
+    keeps the rank chain lazy (fastest small-graph mode)."""
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    lazy_tail = materialize_every >= iterations
+    try:
+        e = truncate(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ),
+            "edges",
+        )
+        sd = truncate(
+            seeds.select(F.col(seed_col).cast("long").alias("node")).distinct(),
+            "seeds",
+        )
+        graph_nodes = truncate(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            "graph-nodes",
+        )
+        nodes = truncate(
+            graph_nodes.unionByName(sd.select("node")).distinct(), "nodes"
+        )
+        n_nodes, n_seeds = nodes.count(), sd.count()
+        if n_seeds == 0:
+            raise ValueError("dual-restart pagerank needs a non-empty seed set")
+        _guard_int64(n_nodes, scale, damping_num)
+        e_deg = truncate(
+            e.join(e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"),
+            "edges-deg",
+        )
+        uniform_base = (int(scale) * (damping_den - damping_num)) // damping_den
+        seed_base = (
+            n_nodes * int(scale) * (damping_den - damping_num)
+        ) // (damping_den * n_seeds)
+        based = truncate(
+            nodes.join(sd.withColumn("_s", F.lit(1)), "node", "left").select(
+                "node",
+                F.when(F.col("_s").isNotNull(), F.lit(seed_base))
+                .otherwise(F.lit(0)).cast("long").alias("base_fp"),
+            ),
+            "bases",
+        )
+        ranks = based.select(
+            "node",
+            F.lit(int(scale)).cast("long").alias("rank_fp"),
+            F.lit(int(scale)).cast("long").alias("trust_fp"),
+        )
+        ranks = truncate(ranks, "ranks-0")
+        for i in range(iterations):
+            inc = (
+                e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div out_deg").alias("c_pr"),
+                    F.expr("trust_fp div out_deg").alias("c_tr"),
+                )
+                .groupBy("node")
+                .agg(
+                    F.sum("c_pr").alias("pr_sum"),
+                    F.sum("c_tr").alias("tr_sum"),
+                )
+            )
+            ranks = based.join(inc, "node", "left").select(
+                "node",
+                (
+                    F.lit(uniform_base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(pr_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+                (
+                    F.col("base_fp")
+                    + F.expr(
+                        f"({damping_num} * coalesce(tr_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("trust_fp"),
+            )
+            if (i + 1) % materialize_every == 0 and not (
+                lazy_tail and i + 1 == iterations
+            ):
+                ranks = truncate(ranks, f"ranks-{i + 1}")
+        if graph_nodes_only:
+            ranks = ranks.join(graph_nodes, "node")
+        return ranks.localCheckpoint()
+    finally:
+        cleanup()
+
+
 def personalized_pagerank_sql_unrolled(
     edges_sql: str,
     seeds_sql: str,

@@ -391,3 +391,55 @@ def test_opic_sql_unrolled_matches_spark(spark):
         for n, c, h, i in con.sql(sql).fetchall()
     }
     assert got == exp
+
+
+def test_dual_restart_matches_both_single_restart_runs(spark):
+    """The fused dual-restart fixed point is BIT-identical to running
+    pagerank_fixed_point and personalized_pagerank_fixed_point
+    separately — same random graph, seeds include a node with NO edges
+    (its restart mass shapes TR but must not perturb any uniform
+    rank), and graph_nodes_only reproduces the inner-join row set."""
+    import random
+
+    from licenta_crawler_spark.operators.pagerank import (
+        dual_restart_pagerank_fixed_point,
+        pagerank_fixed_point,
+        personalized_pagerank_fixed_point,
+    )
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(80)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # seeds: two graph nodes + one isolated node (id 999, not in edges)
+    seeds = spark.createDataFrame([(3,), (7,), (999,)], "node long")
+
+    pr = {r.node: r.rank_fp
+          for r in pagerank_fixed_point(df, iterations=4).collect()}
+    tr = {r.node: r.rank_fp
+          for r in personalized_pagerank_fixed_point(
+              df, seeds, iterations=4).collect()}
+
+    for mat in (1, 4):  # per-round truncation and lazy-chain mode
+        fused = {
+            r.node: (r.rank_fp, r.trust_fp)
+            for r in dual_restart_pagerank_fixed_point(
+                df, seeds, iterations=4, materialize_every=mat,
+                graph_nodes_only=True,
+            ).collect()
+        }
+        # row set = uniform PR's node set exactly (no isolated seed)
+        assert set(fused) == set(pr)
+        assert 999 not in fused
+        for n, (rank_fp, trust_fp) in fused.items():
+            assert rank_fp == pr[n], n
+            assert trust_fp == tr[n], n
+
+    # without the filter the isolated seed IS present, with TR's value
+    full = {
+        r.node: (r.rank_fp, r.trust_fp)
+        for r in dual_restart_pagerank_fixed_point(
+            df, seeds, iterations=4, materialize_every=4,
+        ).collect()
+    }
+    assert full[999][1] == tr[999]
