@@ -663,24 +663,49 @@ def bowtie_regions(
     edges), so reachability is bounded by ``max_hops`` BY DESIGN, like
     the crawl-depth policy it mirrors; the oracle replays the identical
     capped closure. Per-round cost is frontier-sized; the visited set
-    never reshuffles its history."""
+    never reshuffles its history.
+
+    The two closures are FUSED into one BFS: direction rides the node
+    id's parity (forward graph on 2·node, reversed graph on 2·node+1 —
+    disjoint components, so the multi-seed expansion is exactly the two
+    independent closures), which halves the sequential shuffle-round
+    count (6 rounds instead of 12 at the default cap; total shuffle
+    volume unchanged). At web scale the round BARRIERS, not the bytes,
+    dominate a frontier this sparse — same reasoning as the fused
+    dual-restart PageRank."""
     spark = edges.sparkSession
-    seeds = spark.createDataFrame([(int(pivot),)], "node long")
-    fwd = bfs_hops(edges, seeds, max_hops, src=src, dst=dst).select(
-        "node", F.lit(1).alias("_f")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
-    bwd = bfs_hops(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")),
-        seeds, max_hops, src="_s", dst="_d",
-    ).select("node", F.lit(1).alias("_b"))
+    dual = e.select(
+        (F.col("s") * 2).alias("src"), (F.col("d") * 2).alias("dst")
+    ).unionAll(
+        e.select((F.col("d") * 2 + 1).alias("src"),
+                 (F.col("s") * 2 + 1).alias("dst"))
+    )
+    seeds = spark.createDataFrame(
+        [(2 * int(pivot),), (2 * int(pivot) + 1,)], "node long"
+    )
+    reach = bfs_hops(dual, seeds, max_hops)
+    flags = (
+        reach.select(
+            F.expr("node div 2").alias("orig"),
+            (F.col("node") % 2 == 0).alias("is_f"),
+        )
+        .groupBy("orig")
+        .agg(
+            F.max(F.when(F.col("is_f"), 1)).alias("_f"),
+            F.max(F.when(~F.col("is_f"), 1)).alias("_b"),
+        )
+        .withColumnRenamed("orig", "node")
+    )
     nodes = (
         edges.select(F.col(src).cast("long").alias("node"))
         .unionAll(edges.select(F.col(dst).cast("long").alias("node")))
         .distinct()
     )
     return (
-        nodes.join(fwd, "node", "left")
-        .join(bwd, "node", "left")
+        nodes.join(flags, "node", "left")
         .select(
             "node",
             F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), "scc")
