@@ -75,6 +75,7 @@ from licenta_crawler_spark.operators.pagerank import (
     pagerank_fixed_point,
     pagerank_sql_unrolled,
     personalized_pagerank_sql_unrolled,
+    salsa_sql_unrolled,
 )
 from licenta_crawler_spark.operators.sketch import (
     kmv_distinct_estimate,
@@ -4047,6 +4048,62 @@ def effective_diameter(spark, sf_dir):
     )
 
 
+def salsa_part_links(spark, sf_dir):
+    """SALSA hubs & authorities (`operators/pagerank.salsa_fixed_point`)
+    over the SAME directed customer→supplier purchase graph as
+    hits_part_links — the degree-normalized, spam-robust sibling: a
+    customer's endorsement is split across their suppliers (div outdeg)
+    and a supplier's reflected endorsement across its customers
+    (div indeg), so high-fanout hubs can't inflate every target.
+    Hash-compared against the unrolled-CTE DuckDB replay."""
+    from licenta_crawler_spark.operators.pagerank import salsa_fixed_point
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = salsa_fixed_point(edges, iterations=3, materialize_every=3)
+    return out.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "hub_fp",
+        "auth_fp",
+    )
+
+
+def harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality from the HyperANF register recursion (Boldi
+    & Vigna, "Axioms for centrality" 2014 — THE centrality they built
+    HyperBall to compute on billion-node web graphs): harmonic(v) =
+    Σ_{r≥1} |∂ball(v,r)| / r, where |∂ball(v,r)| is the count of nodes
+    FIRST reached at hop r. Computed as one window + one aggregation
+    over the (node, hop) reach estimates the hyperanf_reachability
+    query already materializes — the marginal cost over ANF itself is
+    nil, exactly HyperBall's selling point.
+
+    Exactness: 1/r is irrational-sum territory, so the score is scaled
+    by lcm(1..rounds) (= 6 at rounds=3) and every term is
+    ``delta_r * (6 div r)`` — pure BIGINT. HLL estimates are monotone
+    in the registers but the small-range linear-counting crossover can
+    tick an estimate DOWN one unit between hops; deltas clamp at 0
+    (greatest(δ,0), mirrored in the oracle) so the centrality never
+    goes negative on estimator noise."""
+    from licenta_crawler_spark.operators.graph import harmonic_from_anf
+
+    anf = hyperanf_reachability(spark, sf_dir)
+    return harmonic_from_anf(anf, lcm=6).withColumnRenamed(
+        "harmonic_fp", "harmonic_fp6"
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4100,6 +4157,8 @@ QUERIES = {
     "shared_ip_politeness": shared_ip_politeness,
     "soft404_detect": soft404_detect,
     "robots_group_select": robots_group_select,
+    "salsa_part_links": salsa_part_links,
+    "harmonic_centrality": harmonic_centrality,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -6966,6 +7025,17 @@ ORACLE_SQL = {
             iterations=3,
         )})
     """,
+    "salsa_part_links": f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                    ELSE 'supplier' END AS kind,
+               node // 2 AS entity_key, hub_fp, auth_fp
+        FROM ({salsa_sql_unrolled(
+            "SELECT DISTINCT (o_custkey * 2) AS src, "
+            "(l_suppkey * 2 + 1) AS dst "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+            iterations=3,
+        )})
+    """,
     "crawl_snapshot_delta": """
         WITH o AS (
           SELECT '/d/' || (event_id % 300) AS url,
@@ -7834,6 +7904,21 @@ ORACLE_SQL["effective_diameter"] = (
     fin AS (SELECT max_by(n_reach, hop) AS n_final FROM n)
     SELECT hop, n_reach, (n_reach * 10 >= n_final * 9) AS clears_90pct
     FROM n CROSS JOIN fin
+""")
+
+
+ORACLE_SQL["harmonic_centrality"] = (
+    "WITH anf AS (" + _hyperanf_oracle() + """
+    ),
+    d AS (
+      SELECT node, hop,
+             greatest(est_reach
+               - lag(est_reach) OVER (PARTITION BY node ORDER BY hop),
+               0) AS delta
+      FROM anf
+    )
+    SELECT node, SUM(delta * (6 // hop))::BIGINT AS harmonic_fp6
+    FROM d WHERE hop > 0 GROUP BY node
 """)
 
 

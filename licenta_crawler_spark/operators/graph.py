@@ -792,3 +792,33 @@ def hyperanf_neighborhood(
         return out.localCheckpoint(eager=True)
     finally:
         cleanup()
+
+
+def harmonic_from_anf(anf: DataFrame, lcm: int = 6) -> DataFrame:
+    """Harmonic centrality from an ANF table (node, hop, est_reach) —
+    the composition HyperBall exists for (Boldi & Vigna, "In-core
+    computation of geometric centralities with HyperBall", 2013):
+    harmonic(v) = Σ_{r≥1} |∂ball(v,r)| / r with |∂ball(v,r)| the nodes
+    FIRST reached at hop r, i.e. the per-hop reach delta. One window
+    (lag over hop per node) + one aggregation over rows
+    :func:`hyperanf_neighborhood` already produces — marginal cost nil.
+
+    Integer exactness: scores are scaled by ``lcm`` (pass lcm(1..R), 6
+    for R=3) so every term is ``delta * (lcm div r)`` — pure BIGINT,
+    hash-comparable cross-engine. HLL estimates are monotone in the
+    registers, but the linear-counting crossover can tick an estimate
+    down one unit between hops; deltas clamp at 0 so estimator noise
+    never yields negative centrality. Returns (node, harmonic_fp)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("hop")
+    d = anf.select(
+        "node", "hop",
+        F.greatest(
+            F.col("est_reach") - F.lag("est_reach").over(w), F.lit(0)
+        ).alias("delta"),
+    ).filter(F.col("hop") > 0)
+    return d.groupBy("node").agg(
+        F.sum(F.expr(f"delta * ({int(lcm)} div hop)"))
+        .cast("long").alias("harmonic_fp")
+    )

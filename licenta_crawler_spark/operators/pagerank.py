@@ -794,3 +794,174 @@ def opic_sql_unrolled(
         + f"\nSELECT node, cash_fp, hist_fp, "
         f"(cash_fp + hist_fp)::BIGINT AS importance_fp FROM r{iterations}"
     )
+
+
+def salsa_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**6,
+    materialize_every: int = 1,
+) -> DataFrame:
+    """SALSA — Stochastic Approach for Link-Structure Analysis (Lempel
+    & Moran, WWW'00): the degree-normalized sibling of HITS, and the
+    link-analysis score TREC web tracks found most robust to link spam
+    (a hub dividing its endorsement across its out-links can't inflate
+    every target the way raw-HITS mutual reinforcement can). Crawl
+    meaning mirrors HITS: authorities are the fetch-worthy pages, hubs
+    the re-parse-worthy index/shelf pages — but a spam shelf linking to
+    10^4 of its own pages passes each only 1/10^4 of its endorsement.
+
+    Per round (same mutual recursion shape as :func:`hits_fixed_point`,
+    with the random-walk normalization inside the sum):
+
+      ``auth(v) = Σ_{u→v} hub(u) div outdeg(u)``
+      ``hub(u)  = Σ_{u→v} auth(v) div indeg(v)``
+
+    each L∞-normalized to ``scale`` by integer floor division — SALSA's
+    textbook L1 normalization is float and cannot hash-compare across
+    engines; the L∞ integer fixed point preserves ordering and is
+    bit-exact anywhere (the same substitution hits_fixed_point makes,
+    see its docstring). Degrees are computed ONCE and attached to the
+    edge set before the loop, so per-round cost is identical to a HITS
+    round: two shuffles (join + groupBy per direction). Per-edge
+    contributions are ≤ scale, so a node's raw score is ≤ max_deg·scale
+    and the normalization multiply needs max_deg·scale² < 2^63 — the
+    HITS guard applies unchanged.
+
+    Reference parity: graft-mandate scope (frontier prioritization,
+    SURVEY §2.8) — the reference crawls FIFO (`SitemapSaxCrawler.java`).
+    Returns (node, hub_fp, auth_fp) with scores in units of 1/scale.
+    """
+    spark = edges.sparkSession
+    truncate, cleanup = _scratch_truncate(spark)
+    lazy = materialize_every <= 0
+    if lazy:
+        def truncate(df, name):  # noqa: F811 — intentional shadow
+            return df
+    try:
+        e = edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        indeg = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+        # degrees ride the edge rows from here on: one-time enrichment,
+        # then every round's join is a plain equi-join on the endpoint
+        eo = truncate(e.join(outdeg, "src").join(indeg, "dst"), "edges")
+        nodes = (
+            eo.select(F.col("src").alias("node"))
+            .unionByName(eo.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nodes = truncate(nodes, "nodes")
+        max_deg = (
+            eo.agg(
+                F.greatest(F.max("outdeg"), F.max("indeg")).alias("m")
+            ).first()[0]
+        )
+        _guard_hits_int64(max_deg or 1, scale)
+
+        def _norm(raw: DataFrame, out_name: str) -> DataFrame:
+            mx = raw.agg(
+                F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
+            )
+            return nodes.join(raw, "node", "left").crossJoin(
+                F.broadcast(mx)
+            ).select(
+                "node",
+                F.coalesce(
+                    F.expr(f"(raw * {int(scale)}L) div mx"), F.lit(0)
+                ).cast("long").alias(out_name),
+            )
+
+        hubs = nodes.select(
+            "node", F.lit(int(scale)).cast("long").alias("hub_fp")
+        )
+        hubs = truncate(hubs, "hubs-0")
+        auth = None
+        for i in range(iterations):
+            a_raw = (
+                eo.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.expr("hub_fp div outdeg")).alias("raw"))
+            )
+            auth = _norm(a_raw, "auth_fp")
+            if not lazy and (i + 1) % materialize_every == 0:
+                auth = truncate(auth, f"auth-{i + 1}")
+            h_raw = (
+                eo.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.expr("auth_fp div indeg")).alias("raw"))
+            )
+            hubs = _norm(h_raw, "hub_fp")
+            if not lazy and (i + 1) % materialize_every == 0:
+                hubs = truncate(hubs, f"hubs-{i + 1}")
+        out = hubs.join(auth, "node")
+        return out if lazy else out.localCheckpoint()
+    finally:
+        cleanup()
+
+
+def salsa_sql_unrolled(
+    edges_sql: str, iterations: int = 5, scale: int = 10**6
+) -> str:
+    """The DuckDB oracle: the SAME degree-normalized L∞ fixed point
+    unrolled as a CTE chain (`//` on non-negative BIGINTs truncates
+    identically to Spark's `div`). ``edges_sql`` must yield (src, dst).
+    """
+    s = int(scale)
+    ctes = [
+        f"re AS ({edges_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM re)",
+        """eo AS (
+          SELECT e.src, e.dst, od.outdeg, idg.indeg
+          FROM e
+          JOIN (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src)
+            od USING (src)
+          JOIN (SELECT dst, count(*)::BIGINT AS indeg FROM e GROUP BY dst)
+            idg USING (dst)
+        )""",
+        "nodes AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo)",
+        f"h0 AS (SELECT node, {s}::BIGINT AS hub_fp FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ar{i + 1} AS (
+              SELECT eo.dst AS node,
+                     SUM(h{i}.hub_fp // eo.outdeg)::BIGINT AS raw
+              FROM eo JOIN h{i} ON eo.src = h{i}.node GROUP BY eo.dst
+            )"""
+        )
+        ctes.append(
+            f"""a{i + 1} AS (
+              SELECT n.node,
+                     COALESCE((ar{i + 1}.raw * {s}) //
+                       (SELECT greatest(max(raw), 1) FROM ar{i + 1}), 0
+                     )::BIGINT AS auth_fp
+              FROM nodes n LEFT JOIN ar{i + 1} ON n.node = ar{i + 1}.node
+            )"""
+        )
+        ctes.append(
+            f"""hr{i + 1} AS (
+              SELECT eo.src AS node,
+                     SUM(a{i + 1}.auth_fp // eo.indeg)::BIGINT AS raw
+              FROM eo JOIN a{i + 1} ON eo.dst = a{i + 1}.node GROUP BY eo.src
+            )"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+              SELECT n.node,
+                     COALESCE((hr{i + 1}.raw * {s}) //
+                       (SELECT greatest(max(raw), 1) FROM hr{i + 1}), 0
+                     )::BIGINT AS hub_fp
+              FROM nodes n LEFT JOIN hr{i + 1} ON n.node = hr{i + 1}.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{iterations}.node, h{iterations}.hub_fp, "
+        + f"a{iterations}.auth_fp FROM h{iterations} "
+        + f"JOIN a{iterations} ON h{iterations}.node = a{iterations}.node"
+    )

@@ -443,3 +443,89 @@ def test_dual_restart_matches_both_single_restart_runs(spark):
         ).collect()
     }
     assert full[999][1] == tr[999]
+
+
+# ----------------------------------------------------------------- SALSA
+
+
+def _py_salsa(edges, iterations=5, scale=10**6):
+    """Reference replay: same degree-normalized integer L∞ fixed point."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg: dict[int, int] = {}
+    indeg: dict[int, int] = {}
+    for a, b in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+        indeg[b] = indeg.get(b, 0) + 1
+    hub = {n: scale for n in nodes}
+
+    def norm(raw):
+        mx = max(max(raw.values(), default=0), 1)
+        return {n: (raw.get(n, 0) * scale) // mx for n in nodes}
+
+    auth = {}
+    for _ in range(iterations):
+        a_raw: dict[int, int] = {}
+        for a, b in edges:
+            a_raw[b] = a_raw.get(b, 0) + hub[a] // outdeg[a]
+        auth = norm(a_raw)
+        h_raw: dict[int, int] = {}
+        for a, b in edges:
+            h_raw[a] = h_raw.get(a, 0) + auth[b] // indeg[b]
+        hub = norm(h_raw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_salsa_matches_python_replay_random_graph(spark):
+    from licenta_crawler_spark.operators.pagerank import salsa_fixed_point
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in salsa_fixed_point(df, iterations=4, materialize_every=2).collect()
+    }
+    assert got == _py_salsa(edges, iterations=4)
+
+
+def test_salsa_sql_unrolled_matches_python(spark):
+    from licenta_crawler_spark.operators.pagerank import salsa_sql_unrolled
+
+    rng = random.Random(17)
+    edges = sorted({(rng.randint(0, 11), rng.randint(0, 11)) for _ in range(30)})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_t VALUES (?, ?)", edges)
+    sql = salsa_sql_unrolled("SELECT src, dst FROM edges_t", iterations=3)
+    got = {n: (h, a) for n, h, a in con.execute(sql).fetchall()}
+    assert got == _py_salsa(edges, iterations=3)
+
+
+def test_salsa_demotes_link_spam_vs_hits(spark):
+    """The reason SALSA exists: a spam hub spraying 10 of its own pages
+    passes each only 1/10 of its endorsement, where HITS passes each the
+    FULL hub score. Organic page 10 (three single-link hubs) is the top
+    authority under both; the sprayed pages keep a 1/3-of-max authority
+    under HITS but collapse to 1/30 under SALSA."""
+    from licenta_crawler_spark.operators.pagerank import (
+        hits_fixed_point,
+        salsa_fixed_point,
+    )
+
+    edges = [(1, 10), (2, 10), (3, 10)] + [(4, 20 + i) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hits = {r.node: r.auth_fp for r in hits_fixed_point(df, iterations=1).collect()}
+    salsa = {r.node: r.auth_fp for r in salsa_fixed_point(df, iterations=1).collect()}
+    assert hits[10] == salsa[10] == 10**6         # organic page: top auth
+    assert hits[20] == 10**6 // 3                  # HITS: full endorsement
+    assert salsa[20] == (10**6 // 10 * 10**6) // (3 * 10**6)  # SALSA: /outdeg
+    assert salsa[20] * 3 <= hits[20]               # degree division demotes spam
+
+
+def test_salsa_overflow_guard_raises(spark):
+    from licenta_crawler_spark.operators.pagerank import salsa_fixed_point
+
+    edges = [(i, 99) for i in range(4)]  # max in-degree 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(OverflowError):
+        salsa_fixed_point(df, iterations=1, scale=10**10)  # 4*10^20 > 2^63

@@ -706,3 +706,27 @@ class TestHyperAnf:
         assert all(
             got[(n, h)] <= got[(n, h + 1)] for n in nodes for h in range(3)
         )
+
+    def test_harmonic_from_anf_exact_small_graph(self, spark):
+        """Harmonic centrality composed from the ANF table: on a graph
+        small enough that every HLL estimate is exact (linear-counting
+        regime at p=6), harmonic_fp equals the closed-form
+        Σ |∂ball(v,r)| * (6 div r) — and the path head (which reaches
+        three nodes at hops 1,2,3) scores 6+3+2 = 11."""
+        from licenta_crawler_spark.operators.graph import (
+            harmonic_from_anf,
+            hyperanf_neighborhood,
+        )
+
+        # path 0→1→2→3 plus a star 10→{11,12,13}
+        edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        anf = hyperanf_neighborhood(df, rounds=3, p=6)
+        got = {
+            r["node"]: r["harmonic_fp"]
+            for r in harmonic_from_anf(anf, lcm=6).collect()
+        }
+        assert got[0] == 6 + 3 + 2     # one node at each hop 1, 2, 3
+        assert got[10] == 3 * 6        # three nodes, all at hop 1
+        assert got[3] == 0 and got[11] == 0   # sinks reach nothing
+        assert got[1] == 6 + 3 and got[2] == 6
