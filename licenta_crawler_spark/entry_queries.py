@@ -4048,6 +4048,42 @@ def effective_diameter(spark, sf_dir):
     )
 
 
+def surt_cdx_index(spark, sf_dir):
+    """CDX-style web-archive index keyed by SURT
+    (`functions/urlnorm.surt_col` — the Internet Archive sort key that
+    makes per-site lookups range scans in a byte-sorted index): four URL
+    families exercise host reversal, www-stripping, a non-default port,
+    empty-path → '/', and byte-wise query-param sorting; captures of the
+    SAME SURT key get a per-key capture ordinal (host-keyed window — the
+    CDX multi-capture timestamp ordering). The oracle replays the
+    identical regex/reverse/sort transform in DuckDB."""
+    from licenta_crawler_spark.functions.urlnorm import surt_col
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    host = (
+        F.when(uid % 4 == 0, F.lit("www.books.example.com"))
+        .when(uid % 4 == 1, F.lit("shop.example.co.uk"))
+        .when(uid % 4 == 2, F.lit("media.example.com:8443"))
+        .otherwise(F.lit("example.com"))
+    )
+    path = F.when(eid % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), eid % 40)
+    )
+    qs = F.when(eid % 2 == 0, F.concat(F.lit("?b="), eid % 3, F.lit("&a="), uid % 5)
+                ).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, path, qs)
+    base = ev.select(eid.alias("event_id"), url.alias("url"),
+                     surt_col(url).alias("surt_key"))
+    w = Window.partitionBy("surt_key").orderBy("event_id")
+    return base.select(
+        "surt_key",
+        F.row_number().over(w).cast("long").alias("capture_no"),
+        "url",
+        "event_id",
+    )
+
+
 def salsa_part_links(spark, sf_dir):
     """SALSA hubs & authorities (`operators/pagerank.salsa_fixed_point`)
     over the SAME directed customer→supplier purchase graph as
@@ -4159,6 +4195,7 @@ QUERIES = {
     "robots_group_select": robots_group_select,
     "salsa_part_links": salsa_part_links,
     "harmonic_centrality": harmonic_centrality,
+    "surt_cdx_index": surt_cdx_index,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -7920,6 +7957,39 @@ ORACLE_SQL["harmonic_centrality"] = (
     SELECT node, SUM(delta * (6 // hop))::BIGINT AS harmonic_fp6
     FROM d WHERE hop > 0 GROUP BY node
 """)
+
+
+def _surt_cdx_oracle() -> str:
+    from licenta_crawler_spark.functions.urlnorm import surt_sql
+
+    return f"""
+    WITH u AS (
+      SELECT event_id,
+             'https://'
+             || CASE user_id % 4
+                  WHEN 0 THEN 'www.books.example.com'
+                  WHEN 1 THEN 'shop.example.co.uk'
+                  WHEN 2 THEN 'media.example.com:8443'
+                  ELSE 'example.com'
+                END
+             || CASE WHEN event_id % 5 = 0 THEN ''
+                     ELSE '/p/' || (event_id % 40)::VARCHAR END
+             || CASE WHEN event_id % 2 = 0
+                     THEN '?b=' || (event_id % 3)::VARCHAR
+                          || '&a=' || (user_id % 5)::VARCHAR
+                     ELSE '' END AS url
+      FROM events
+    ),
+    s AS (SELECT event_id, url, {surt_sql('url')} AS surt_key FROM u)
+    SELECT surt_key,
+           row_number() OVER (PARTITION BY surt_key ORDER BY event_id)
+             ::BIGINT AS capture_no,
+           url, event_id
+    FROM s
+    """
+
+
+ORACLE_SQL["surt_cdx_index"] = _surt_cdx_oracle()
 
 
 def _phash_oracle(k: int = 6, n_bands: int = 4) -> str:

@@ -349,3 +349,65 @@ def strip_params_col(url: Column, keys: tuple | list) -> Column:
         .when(F.size(kept) == 0, path)
         .otherwise(F.concat(path, F.lit("?"), F.array_join(kept, "&")))
     )
+
+
+# ----------------------------------------------------------------- SURT
+# Sort-friendly URI Reordering Transform — the Internet Archive /
+# Heritrix key format behind CDX web-archive indexes: host labels
+# reversed and comma-joined so one registrable domain's captures are
+# CONTIGUOUS under a plain byte sort ("com,example,shop)/p/1"), which is
+# what makes billion-record archive indexes range-scannable by site.
+# The crawl meaning at 100 TB: the replay/dedup index is a sorted file;
+# SURT is the sort key that turns per-site lookups into range scans.
+
+
+def surt_col(url: Column) -> Column:
+    """SURT form of a URL as a pure column expression (no UDF):
+    ``com,example[:port])/path?query-params-sorted``. Scheme dropped, a
+    leading ``www.`` dropped (classic CDX canonicalization), host
+    lowercased, labels reversed, non-default port kept after the last
+    label, empty path → ``/``, query params sorted byte-wise. Run AFTER
+    :func:`canonicalize_url_col` (which already lowercases, strips
+    default ports and fragments); this transform is layout, not
+    equivalence — it never merges two canonical-distinct URLs."""
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_qs = F.array_join(F.array_sort(F.split(qs, "&")), "&")
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_qs)),
+    )
+
+
+def surt_sql(url_expr: str) -> str:
+    """The identical SURT transform as DuckDB SQL (oracle twin): same
+    regex extractions, same label reverse, same byte-wise param sort."""
+    hp = (
+        "lower(coalesce(regexp_extract("
+        f"{url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ''))"
+    )
+    host = f"regexp_replace(regexp_replace({hp}, ':[0-9]+$', ''), '^www\\.', '')"
+    port = f"coalesce(regexp_extract({hp}, ':([0-9]+)$', 1), '')"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    path = (
+        "coalesce(regexp_extract("
+        f"{url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '')"
+    )
+    qs = f"coalesce(regexp_extract({url_expr}, '\\?([^#]*)', 1), '')"
+    sqs = f"array_to_string(list_sort(string_split({qs}, '&')), '&')"
+    return (
+        f"({rev} || CASE WHEN {port} = '' THEN '' ELSE ':' || {port} END"
+        f" || ')' || CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+        f" || CASE WHEN {qs} = '' THEN '' ELSE '?' || {sqs} END)"
+    )

@@ -337,3 +337,44 @@ def test_psl_sql_udf_matches_literal_builder(spark):
     assert spark.catalog.functionExists(psl.PSL_SQL_FUNCTION)
     # idempotent re-registration
     assert psl.ensure_psl_sql_function(spark) == psl.PSL_SQL_FUNCTION
+
+
+SURT_GOLDEN = [
+    # (url, surt) — Heritrix/CDX key semantics
+    ("https://www.books.example.com/p/1", "com,example,books)/p/1"),
+    ("http://shop.example.co.uk/a/b?z=1&a=2", "uk,co,example,shop)/a/b?a=2&z=1"),
+    ("https://media.example.com:8443/x", "com,example,media:8443)/x"),
+    ("https://example.com", "com,example)/"),
+    ("https://example.com?b=2&a=1", "com,example)/?a=1&b=2"),
+    ("http://EXAMPLE.com/CasePath", "com,example)/CasePath"),
+]
+
+
+def test_surt_col_golden_and_sql_twin(spark):
+    """SURT golden vectors on the Spark column AND the DuckDB SQL twin —
+    host reversal, www-strip, port retention, empty path, byte-wise
+    param sort, path case preserved. Sorting the SURT keys must make one
+    registrable domain's captures contiguous (the point of the format)."""
+    import duckdb
+
+    from licenta_crawler_spark.functions.urlnorm import surt_col, surt_sql
+
+    df = spark.createDataFrame([(u,) for u, _ in SURT_GOLDEN], "url string")
+    got = {
+        r["url"]: r["surt"]
+        for r in df.select("url", surt_col(F.col("url")).alias("surt")).collect()
+    }
+    assert got == dict(SURT_GOLDEN)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u, _ in SURT_GOLDEN])
+    duck = dict(con.execute(f"SELECT url, {surt_sql('url')} FROM u").fetchall())
+    assert duck == dict(SURT_GOLDEN)
+
+    # contiguity: every example.com-family key shares the 'com,example'
+    # prefix, so a byte sort clusters the site's captures
+    fam = sorted(s for _, s in SURT_GOLDEN if s.startswith("com,example"))
+    all_sorted = sorted(s for _, s in SURT_GOLDEN)
+    i = all_sorted.index(fam[0])
+    assert all_sorted[i:i + len(fam)] == fam
