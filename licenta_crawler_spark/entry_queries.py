@@ -4140,6 +4140,72 @@ def harmonic_centrality(spark, sf_dir):
     )
 
 
+def warc_revisit_records(spark, sf_dir):
+    """WARC-style payload-digest revisit ledger
+    (`operators/dedup.revisit_ledger`): a 400-fetch crawl log whose
+    payloads collapse to 25 distinct digests — the first fetch of each
+    digest is the `response` record, the rest become `revisit` records
+    pointing at the original and banking their body bytes. Synthetic
+    ts = 1.7e9 + event_id keeps the within-digest order total, so the
+    window tie-break can never decide the multiset."""
+    from licenta_crawler_spark.operators.dedup import revisit_ledger
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    fetches = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".example/p"), (F.col("event_id") % 40).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("event_id")).cast("long").alias("ts"),
+        F.md5(
+            F.concat(F.lit("payload-"), (F.col("event_id") % 25).cast("string"))
+        ).alias("digest"),
+        (F.lit(100) + (F.col("event_id") % 7) * 13).cast("long").alias("length"),
+    )
+    return revisit_ledger(fetches)
+
+
+def encoding_artifact_filter(spark, sf_dir):
+    """Mojibake / encoding-damage gate
+    (`operators/quality.encoding_artifact_stats`): three injected
+    damage families — UTF-8-as-Latin-1 lexicon hits (doc_id%7==0),
+    replacement characters (%7==1), C0 control spill (%7==2) — plus
+    clean docs; per-doc artifact permille and the pass verdict. All
+    native regexp_count, map-only."""
+    from licenta_crawler_spark.operators.quality import encoding_artifact_stats
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    injected = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" cafÃ© â€™ naÃ¯ve Â ")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" bad�decode�")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" ctl\x07\x1b spill")))
+        .otherwise(F.col("text"))
+    )
+    return encoding_artifact_stats(d.select("doc_id", injected.alias("text")))
+
+
+def script_mix_census(spark, sf_dir):
+    """Unicode script census (`operators/quality.script_mix_stats`):
+    per-script letter counts, dominant script + permille share,
+    script count, Latin+Cyrillic confusable flag. Four injected
+    non-Latin families (Cyrillic / Greek / Han / Arabic appended to
+    the Latin base text by doc_id%5) exercise dominance, mixing and
+    the homograph signal; %5==0 stays pure Latin."""
+    from licenta_crawler_spark.operators.quality import script_mix_stats
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    injected = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(" привет мир пример")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" γειά σου κόσμε")))
+        .when(m == 3, F.concat(F.col("text"), F.lit(" 你好世界你好")))
+        .when(m == 4, F.concat(F.col("text"), F.lit(" مرحبا بالعالم")))
+        .otherwise(F.col("text"))
+    )
+    return script_mix_stats(d.select("doc_id", injected.alias("text")))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4196,6 +4262,9 @@ QUERIES = {
     "salsa_part_links": salsa_part_links,
     "harmonic_centrality": harmonic_centrality,
     "surt_cdx_index": surt_cdx_index,
+    "warc_revisit_records": warc_revisit_records,
+    "encoding_artifact_filter": encoding_artifact_filter,
+    "script_mix_census": script_mix_census,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -8713,6 +8782,111 @@ ORACLE_SQL["containment_ngram_pairs"] = """
 
 
 # Oracles whose generation costs I/O (pinned-IVF trains its centroid
+ORACLE_SQL["warc_revisit_records"] = """
+    WITH f AS (
+      SELECT 'http://h' || (user_id % 5) || '.example/p' || (event_id % 40) AS url,
+             (1700000000 + event_id)::BIGINT AS ts,
+             md5('payload-' || (event_id % 25)) AS digest,
+             (100 + (event_id % 7) * 13)::BIGINT AS length
+      FROM events WHERE event_id < 400
+    ),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY digest ORDER BY ts, url) AS rn,
+             first_value(url) OVER (PARTITION BY digest ORDER BY ts, url) AS f_url,
+             first_value(ts) OVER (PARTITION BY digest ORDER BY ts, url) AS f_ts
+      FROM f
+    )
+    SELECT url, ts, digest, length,
+           CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+           CASE WHEN rn = 1 THEN NULL ELSE f_url END AS refers_to_url,
+           (CASE WHEN rn = 1 THEN NULL ELSE f_ts END)::BIGINT AS refers_to_ts,
+           (CASE WHEN rn = 1 THEN 0 ELSE length END)::BIGINT AS bytes_saved
+    FROM w
+"""
+
+from licenta_crawler_spark.operators.quality import (  # noqa: E402
+    CTRL_PATTERN as _CTRL_PAT,
+    MOJIBAKE_PATTERN as _MOJI_PAT,
+    SCRIPT_RANGES as _SCRIPT_RANGES,
+)
+
+ORACLE_SQL["encoding_artifact_filter"] = f"""
+    WITH injected AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             CASE
+               WHEN doc_id % 7 = 0 THEN text || ' cafÃ© â€™ naÃ¯ve Â '
+               WHEN doc_id % 7 = 1 THEN text || ' bad�decode�'
+               WHEN doc_id % 7 = 2 THEN text || ' ctl' || chr(7) || chr(27) || ' spill'
+               ELSE text
+             END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_MOJI_PAT}'))::BIGINT AS moji_hits,
+             len(regexp_extract_all(text, '�'))::BIGINT AS repl_hits,
+             len(regexp_extract_all(text, '{_CTRL_PAT}'))::BIGINT AS ctrl_hits,
+             length(text)::BIGINT AS n_chars
+      FROM injected
+    )
+    SELECT *,
+           (CASE WHEN n_chars > 0
+                 THEN ((moji_hits + ctrl_hits) * 1000) // n_chars
+                 ELSE 1000 END)::BIGINT AS artifact_permille,
+           (CASE WHEN n_chars > 0
+                 THEN ((moji_hits + ctrl_hits) * 1000) // n_chars
+                 ELSE 1000 END) <= 2 AS pass_encoding
+    FROM counted
+"""
+
+_SCRIPT_COUNT_COLS = ",\n             ".join(
+    f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}_n"
+    for name, pat in _SCRIPT_RANGES
+)
+_SCRIPT_NAMES = [name for name, _ in _SCRIPT_RANGES]
+_SCRIPT_TOTAL = " + ".join(f"{n}_n" for n in _SCRIPT_NAMES)
+_SCRIPT_MAX = "greatest(" + ", ".join(f"{n}_n" for n in _SCRIPT_NAMES) + ")"
+_SCRIPT_DOM = (
+    "CASE "
+    + " ".join(
+        f"WHEN {n}_n = {_SCRIPT_MAX} THEN '{n}'" for n in _SCRIPT_NAMES
+    )
+    + " END"
+)
+_SCRIPT_PRESENT = " + ".join(
+    f"(CASE WHEN {n}_n > 0 THEN 1 ELSE 0 END)" for n in _SCRIPT_NAMES
+)
+
+ORACLE_SQL["script_mix_census"] = f"""
+    WITH injected AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             CASE
+               WHEN doc_id % 5 = 1 THEN text || ' привет мир пример'
+               WHEN doc_id % 5 = 2 THEN text || ' γειά σου κόσμε'
+               WHEN doc_id % 5 = 3 THEN text || ' 你好世界你好'
+               WHEN doc_id % 5 = 4 THEN text || ' مرحبا بالعالم'
+               ELSE text
+             END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             {_SCRIPT_COUNT_COLS}
+      FROM injected
+    )
+    SELECT doc_id, latin_n, cyrillic_n, greek_n, han_n, arabic_n,
+           ({_SCRIPT_TOTAL})::BIGINT AS script_letters,
+           ({_SCRIPT_PRESENT})::BIGINT AS n_scripts,
+           CASE WHEN ({_SCRIPT_TOTAL}) > 0 THEN {_SCRIPT_DOM}
+                ELSE 'none' END AS dominant_script,
+           (CASE WHEN ({_SCRIPT_TOTAL}) > 0
+                 THEN ({_SCRIPT_MAX} * 1000) // ({_SCRIPT_TOTAL})
+                 ELSE 0 END)::BIGINT AS dominant_permille,
+           (latin_n > 0 AND cyrillic_n > 0) AS confusable_mix
+    FROM counted
+"""
+
 # literals from the testdata parquet) are deferred to first access so
 # importing this module stays side-effect free.
 _LAZY_ORACLES = {

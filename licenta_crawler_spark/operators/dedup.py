@@ -847,3 +847,53 @@ def self_repeat_stats(
     ).select(
         F.col("did").alias("doc_id"), "max_self_repeat", "n_repeat_grams"
     )
+
+
+def revisit_ledger(
+    fetches: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    length_col: str = "length",
+) -> DataFrame:
+    """WARC-style revisit ledger: payload-digest dedup of a fetch log
+    (IIPC WARC 1.1 §6.7.2 "identical payload digest" revisit records,
+    the dedup every production archiver — Heritrix, Brozzler — applies
+    at write time). The FIRST fetch of each digest is the ``response``
+    record that stores the body; every later fetch of the same payload
+    becomes a ``revisit`` record pointing at the original
+    (``refers_to_url`` / ``refers_to_ts``) and banks its body size as
+    ``bytes_saved`` — the archive stores the pointer, not the bytes.
+
+    One window keyed on the digest (ties inside a digest break on
+    (ts, url) in both engines, so identical fetch rows yield an
+    identical output multiset). Scale: a single shuffle on the digest
+    key; digests are content hashes, so partitions balance unless one
+    payload genuinely dominates the crawl — exactly the case where the
+    dedup is the win. Companion to the upsert-by-URL page sink
+    (reference `BrowserCrawler.java:141-145` re-stores every body; the
+    ledger is what a validator-aware archive writes instead)."""
+    w = Window.partitionBy(digest_col).orderBy(F.asc(ts_col), F.asc(url_col))
+    rn = F.row_number().over(w)
+    first_url = F.first(url_col).over(w)
+    first_ts = F.first(F.col(ts_col).cast("long")).over(w)
+    return fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.col(length_col).cast("long").alias("length"),
+        F.when(rn == 1, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(rn == 1, F.lit(None).cast("string"))
+        .otherwise(first_url)
+        .alias("refers_to_url"),
+        F.when(rn == 1, F.lit(None).cast("long"))
+        .otherwise(first_ts)
+        .alias("refers_to_ts"),
+        F.when(rn == 1, F.lit(0))
+        .otherwise(F.col(length_col))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

@@ -707,3 +707,143 @@ def gopher_repetition_stats(
         if c in out.columns:
             gate = gate & (F.col(c) <= t)
     return out.drop("tok_chars").withColumn("pass_repetition", gate)
+
+
+# Encoding-artifact lexicon: the classic UTF-8-decoded-as-Latin-1
+# two-byte sequences (Ã© = "Ã©", …), the CP1252 smart-quote
+# triples (â€™, â€œ), the stray NBSP marker (Â + space), and the
+# replacement character U+FFFD. Literal alternation — no regex
+# metacharacters — so Java regex (Spark) and RE2 (DuckDB) agree
+# byte-for-byte.
+MOJIBAKE_PATTERN = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã§|Ã¯|â€™|â€œ|â€“|Â |�"
+# C0 control characters except NUL/tab/newline/carriage-return:
+# binary spill into a text column (truncated multibyte sequences from
+# a bad transfer decode). NUL is excluded so the pattern embeds safely
+# in a SQL string literal. Python-level escapes — the pattern string
+# holds the LITERAL characters, which Java regex and RE2 both treat
+# as plain class members (RE2 has no \\uXXXX escape, so literal
+# codepoints are the only cross-engine-identical spelling).
+CTRL_PATTERN = "[\x01-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def encoding_artifact_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_artifact_permille: int = 2,
+) -> DataFrame:
+    """Mojibake / encoding-damage detection — the corpus-cleaning gate
+    that runs BEFORE language ID and quality scoring (a page whose
+    UTF-8 was decoded as Latin-1 poisons every downstream n-gram
+    statistic; CCNet and RefinedWeb both drop or repair such pages).
+    Three native ``regexp_count`` passes: mojibake-lexicon hits
+    (``MOJIBAKE_PATTERN``), replacement characters (U+FFFD), and C0
+    control spill (``CTRL_PATTERN``). ``artifact_permille`` is the
+    combined hit mass per character (truncating integer division —
+    cross-engine exact; the empty doc scores 1000 = fail) and
+    ``pass_encoding`` applies the threshold.
+
+    Map-only: no shuffle, no UDF — 10^10 docs partition freely and the
+    whole scan stays inside whole-stage codegen. U+FFFD is a lexicon
+    member AND its own diagnostic column; the verdict sums moji+ctrl
+    only, so the replacement char is never double-counted."""
+    t = F.col(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_count(t, F.lit(MOJIBAKE_PATTERN)).cast("long").alias("moji_hits"),
+            F.regexp_count(t, F.lit("�")).cast("long").alias("repl_hits"),
+            F.regexp_count(t, F.lit(CTRL_PATTERN)).cast("long").alias("ctrl_hits"),
+            F.length(t).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "artifact_permille",
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr("((moji_hits + ctrl_hits) * 1000) div n_chars"),
+            )
+            .otherwise(F.lit(1000))
+            .cast("long"),
+        )
+        .withColumn(
+            "pass_encoding",
+            F.col("artifact_permille") <= F.lit(max_artifact_permille),
+        )
+    )
+
+
+# Unicode script ranges (BMP core blocks — the high-signal subset; a
+# production table extends the list, the plumbing is identical). Each
+# is a single character class valid in BOTH Java regex and RE2.
+# Literal-codepoint ranges (Python \u escapes resolve to the actual
+# characters) — identical semantics in Java regex and RE2, which do
+# NOT share an escape syntax for non-ASCII codepoints.
+SCRIPT_RANGES: tuple = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("han", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+
+def script_mix_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode script census: letter counts per script
+    block (``SCRIPT_RANGES``), the dominant script (max count, ties
+    break on the fixed range order), its permille share of all script
+    letters, the number of scripts present, and a Latin+Cyrillic
+    ``confusable_mix`` flag — the homograph signal (mixed-script
+    spoofing, IDN phishing) and the multilingual-corpus audit that
+    routes documents to per-language pipelines (CCNet groups by
+    language before LM scoring; a mixed-script doc is the case lang-id
+    gets wrong).
+
+    One map-only pass: five native ``regexp_count`` columns, a
+    ``greatest``-based argmax — no explode, no shuffle, no UDF; the
+    verdict math is integer permille so the DuckDB oracle replays it
+    exactly."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"{name}_n")
+        for name, pat in SCRIPT_RANGES
+    ]
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts)
+    names = [name for name, _ in SCRIPT_RANGES]
+    total = sum((F.col(f"{n}_n") for n in names[1:]), F.col(f"{names[0]}_n"))
+    # argmax with ties on range order: first name whose count equals
+    # the max — a CASE chain both engines evaluate identically
+    mx = F.greatest(*[F.col(f"{n}_n") for n in names])
+    dom = F.lit(None).cast("string")
+    for n in reversed(names):
+        dom = F.when(F.col(f"{n}_n") == mx, F.lit(n)).otherwise(dom)
+    return (
+        out.withColumn("script_letters", total.cast("long"))
+        .withColumn(
+            "n_scripts",
+            sum(
+                (F.when(F.col(f"{n}_n") > 0, 1).otherwise(0) for n in names[1:]),
+                F.when(F.col(f"{names[0]}_n") > 0, 1).otherwise(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "dominant_script",
+            F.when(total > 0, dom).otherwise(F.lit("none")),
+        )
+        .withColumn(
+            "dominant_permille",
+            F.when(total > 0, F.expr(
+                "(greatest(latin_n, cyrillic_n, greek_n, han_n, arabic_n)"
+                " * 1000) div script_letters"
+            )).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "confusable_mix",
+            (F.col("latin_n") > 0) & (F.col("cyrillic_n") > 0),
+        )
+    )

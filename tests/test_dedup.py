@@ -604,3 +604,52 @@ class TestSelfRepeatStats:
         assert 2 not in got                 # no repeated 5-gram at all
         # 'loop'x12: longest overlapping repeat = 11 tokens (offset 1)
         assert got[3]["max_self_repeat"] == 11
+
+
+class TestRevisitLedger:
+    def _run(self, spark, rows):
+        from licenta_crawler_spark.operators.dedup import revisit_ledger
+
+        df = spark.createDataFrame(
+            rows, "url string, ts long, digest string, length long"
+        )
+        return revisit_ledger(df).collect()
+
+    def test_first_fetch_is_response_later_are_revisits(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("u1", 10, "d1", 100),
+                ("u2", 20, "d1", 100),
+                ("u3", 30, "d1", 100),
+                ("u4", 5, "d2", 50),
+            ],
+        )
+        by_url = {r.url: r for r in out}
+        assert by_url["u1"].record_type == "response"
+        assert by_url["u1"].refers_to_url is None
+        assert by_url["u1"].bytes_saved == 0
+        for u in ("u2", "u3"):
+            assert by_url[u].record_type == "revisit"
+            assert by_url[u].refers_to_url == "u1"
+            assert by_url[u].refers_to_ts == 10
+            assert by_url[u].bytes_saved == 100
+        assert by_url["u4"].record_type == "response"
+
+    def test_ts_tie_breaks_on_url(self, spark):
+        out = self._run(spark, [("b", 10, "d", 9), ("a", 10, "d", 9)])
+        by_url = {r.url: r for r in out}
+        assert by_url["a"].record_type == "response"
+        assert by_url["b"].refers_to_url == "a"
+
+    def test_bytes_saved_totals_dedup_win(self, spark):
+        out = self._run(
+            spark,
+            [("u%d" % i, i, "d%d" % (i % 3), 100 + i) for i in range(12)],
+        )
+        responses = [r for r in out if r.record_type == "response"]
+        revisits = [r for r in out if r.record_type == "revisit"]
+        assert len(responses) == 3 and len(revisits) == 9
+        assert sum(r.bytes_saved for r in revisits) == sum(
+            r.length for r in revisits
+        )

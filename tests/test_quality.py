@@ -329,3 +329,87 @@ class TestGopherRepetition:
             assert got[d].dup10_cover_permille == 0
             assert got[d].pass_repetition is True
         assert got[1].n_toks == 0 and got[1].n_lines == 0
+
+
+class TestEncodingArtifacts:
+    def _stats(self, spark, rows):
+        from licenta_crawler_spark.operators.quality import encoding_artifact_stats
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r.doc_id: r.asDict() for r in encoding_artifact_stats(df).collect()}
+
+    def test_clean_text_passes(self, spark):
+        out = self._stats(spark, [("a", "a perfectly ordinary sentence.")])
+        assert out["a"]["moji_hits"] == 0
+        assert out["a"]["ctrl_hits"] == 0
+        assert out["a"]["artifact_permille"] == 0
+        assert out["a"]["pass_encoding"] is True
+
+    def test_mojibake_counted_and_fails(self, spark):
+        # UTF-8 'é' decoded as Latin-1 twice + a CP1252 smart quote
+        out = self._stats(spark, [("m", "cafÃ© naÃ¯ve â€™")])
+        assert out["m"]["moji_hits"] == 3
+        assert out["m"]["pass_encoding"] is False
+
+    def test_replacement_char_in_lexicon_and_own_column(self, spark):
+        out = self._stats(spark, [("r", "x � y �")])
+        assert out["r"]["repl_hits"] == 2
+        assert out["r"]["moji_hits"] == 2  # lexicon member, not double-counted
+        assert out["r"]["pass_encoding"] is False
+
+    def test_control_spill_counted_tab_newline_exempt(self, spark):
+        out = self._stats(spark, [("c", "a\tb\nc\rd\x07e\x1bf")])
+        assert out["c"]["ctrl_hits"] == 2
+        out2 = self._stats(spark, [("ok", "a\tb\nc\rd")])
+        assert out2["ok"]["ctrl_hits"] == 0
+        assert out2["ok"]["pass_encoding"] is True
+
+    def test_empty_doc_fails_closed(self, spark):
+        out = self._stats(spark, [("e", "")])
+        assert out["e"]["artifact_permille"] == 1000
+        assert out["e"]["pass_encoding"] is False
+
+
+class TestScriptMixStats:
+    def _stats(self, spark, rows):
+        from licenta_crawler_spark.operators.quality import script_mix_stats
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r.doc_id: r.asDict() for r in script_mix_stats(df).collect()}
+
+    def test_pure_latin(self, spark):
+        out = self._stats(spark, [("l", "hello world")])
+        assert out["l"]["dominant_script"] == "latin"
+        assert out["l"]["dominant_permille"] == 1000
+        assert out["l"]["n_scripts"] == 1
+        assert out["l"]["confusable_mix"] is False
+
+    def test_cyrillic_dominant_confusable(self, spark):
+        out = self._stats(spark, [("c", "ok привет мир")])
+        assert out["c"]["latin_n"] == 2
+        assert out["c"]["cyrillic_n"] == 9
+        assert out["c"]["dominant_script"] == "cyrillic"
+        assert out["c"]["n_scripts"] == 2
+        assert out["c"]["confusable_mix"] is True
+
+    def test_han_greek_arabic_counted(self, spark):
+        out = self._stats(spark, [("h", "你好 γειά مرحبا")])
+        assert out["h"]["han_n"] == 2
+        assert out["h"]["greek_n"] == 4
+        assert out["h"]["arabic_n"] == 5
+        assert out["h"]["n_scripts"] == 3
+        assert out["h"]["confusable_mix"] is False
+
+    def test_no_script_letters(self, spark):
+        out = self._stats(spark, [("n", "1234 .,;!")])
+        assert out["n"]["script_letters"] == 0
+        assert out["n"]["dominant_script"] == "none"
+        assert out["n"]["dominant_permille"] == 0
+        assert out["n"]["n_scripts"] == 0
+
+    def test_tie_breaks_on_range_order(self, spark):
+        # 2 latin letters vs 2 cyrillic letters: latin listed first wins
+        out = self._stats(spark, [("t", "ab пр")])
+        assert out["t"]["latin_n"] == 2 and out["t"]["cyrillic_n"] == 2
+        assert out["t"]["dominant_script"] == "latin"
+        assert out["t"]["dominant_permille"] == 500
