@@ -730,3 +730,70 @@ class TestHyperAnf:
         assert got[10] == 3 * 6        # three nodes, all at hop 1
         assert got[3] == 0 and got[11] == 0   # sinks reach nothing
         assert got[1] == 6 + 3 and got[2] == 6
+
+
+class TestContractEdges:
+    def test_loops_dropped_multiplicity_by_page_pair(self, spark):
+        from licenta_crawler_spark.operators.graph import contract_edges
+
+        # pages 0..9, host = page % 3; page pair (1,4) repeated (dedup),
+        # pair (3,6) is intra-host (both host 0) and must vanish
+        rows = [(1, 4), (1, 4), (1, 4), (3, 6), (2, 4), (5, 4)]
+        e = spark.createDataFrame(rows, "sp long, dp long")
+        out = contract_edges(
+            e, F.col("sp") % 3, F.col("dp") % 3
+        ).collect()
+        pairs = sorted((r.src, r.dst) for r in out)
+        # (1,4)->(1,1) loop? 1%3=1, 4%3=1 -> loop, dropped too.
+        # (2,4)->(2,1); (5,4)->(2,1): multiplicity 2 from distinct pages
+        assert pairs == [(2, 1), (2, 1)]
+
+    def test_keep_loops_and_occurrences(self, spark):
+        from licenta_crawler_spark.operators.graph import contract_edges
+
+        e = spark.createDataFrame([(3, 6), (3, 6)], "sp long, dp long")
+        out = contract_edges(
+            e, F.col("sp") % 3, F.col("dp") % 3,
+            drop_loops=False, dedup_pages=False,
+        ).collect()
+        assert sorted((r.src, r.dst) for r in out) == [(0, 0), (0, 0)]
+
+
+class TestDegreePowerlaw:
+    def test_buckets_and_ccdf_match_python_replay(self, spark):
+        import math
+
+        from licenta_crawler_spark.operators.graph import degree_powerlaw
+
+        # out-degrees: a->5 edges, b->2, c->1, d->1
+        rows = (
+            [("a", f"t{i}") for i in range(5)]
+            + [("b", "t0"), ("b", "t1"), ("c", "t0"), ("d", "t9")]
+        )
+        e = spark.createDataFrame(rows, "src string, dst string")
+        out = {(r.direction, r.bucket): r for r in degree_powerlaw(e).collect()}
+
+        # python replay for the out side
+        degs = {"a": 5, "b": 2, "c": 1, "d": 1}
+        buckets = {}
+        for d in degs.values():
+            buckets[int(math.log2(d))] = buckets.get(int(math.log2(d)), 0) + 1
+        total = len(degs)
+        for b, n in buckets.items():
+            r = out[("out", b)]
+            assert r.n_nodes == n
+            assert r.min_deg == 1 << b
+            ge = sum(v for k, v in buckets.items() if k >= b)
+            assert r.ccdf_permille == (ge * 1000) // total
+
+    def test_lowest_bucket_ccdf_is_1000(self, spark):
+        from licenta_crawler_spark.operators.graph import degree_powerlaw
+
+        e = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("b", "y")], "src string, dst string"
+        )
+        rows = degree_powerlaw(e).collect()
+        for direction in ("in", "out"):
+            side = [r for r in rows if r.direction == direction]
+            lo = min(side, key=lambda r: r.bucket)
+            assert lo.ccdf_permille == 1000
