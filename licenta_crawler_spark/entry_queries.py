@@ -4248,6 +4248,60 @@ def link_degree_distribution(spark, sf_dir):
     return degree_powerlaw(edges)
 
 
+def retry_after_audit(spark, sf_dir):
+    """RFC 9110 Retry-After compliance
+    (`operators/frontier_policy.retry_after_compliance`): a 400-fetch
+    log over 6 hosts where every 11th fetch is a 429/503 carrying a
+    Retry-After directive; per host the ledger reports throttle events,
+    the implied next-allowed time, fetches issued while an earlier
+    directive was still active (violations), and whether the host is
+    throttled at the audit instant (mid-log, so both verdicts occur)."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        retry_after_compliance,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    m = F.col("event_id") % 11
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string")).alias("host"),
+        (F.lit(1700000000) + F.col("event_id")).cast("long").alias("ts"),
+        F.when(m == 0, F.lit(429))
+        .when(m == 5, F.lit(503))
+        .otherwise(F.lit(200))
+        .cast("long")
+        .alias("status"),
+        F.when(
+            (m == 0) | (m == 5), F.lit(60) + (F.col("event_id") % 4) * 30
+        )
+        .cast("long")
+        .alias("retry_after_s"),
+    )
+    return retry_after_compliance(log, now_ts=1700000200)
+
+
+def crawl_delay_audit(spark, sf_dir):
+    """Crawl-delay compliance audit
+    (`operators/frontier_policy.crawl_delay_compliance`): observed
+    inter-fetch gaps per host vs the declared robots Crawl-delay —
+    8 hosts with delays 1s/3s/5s/7s against a 700ms-granularity fetch
+    log, so some hosts violate and some comply; permille verdict is
+    truncating-integer exact."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        crawl_delay_compliance,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")).alias("host"),
+        (F.lit(1700000000000) + F.col("event_id") * 700).cast("long").alias("ts_ms"),
+    )
+    delays = spark.range(8).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.lit(1000) + (F.col("id") % 4) * 2000).cast("long").alias("crawl_delay_ms"),
+    )
+    return crawl_delay_compliance(log, delays)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4309,6 +4363,8 @@ QUERIES = {
     "script_mix_census": script_mix_census,
     "host_graph_pagerank": host_graph_pagerank,
     "link_degree_distribution": link_degree_distribution,
+    "retry_after_audit": retry_after_audit,
+    "crawl_delay_audit": crawl_delay_audit,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -8860,6 +8916,76 @@ ORACLE_SQL["link_degree_distribution"] = """
             // sum(n_nodes) OVER (PARTITION BY direction))::BIGINT
              AS ccdf_permille
     FROM hist
+"""
+
+ORACLE_SQL["retry_after_audit"] = """
+    WITH f AS (
+      SELECT 'h' || (user_id % 6) AS host,
+             (1700000000 + event_id)::BIGINT AS ts,
+             (CASE WHEN event_id % 11 = 0 THEN 429
+                   WHEN event_id % 11 = 5 THEN 503
+                   ELSE 200 END)::BIGINT AS status,
+             (CASE WHEN event_id % 11 IN (0, 5)
+                   THEN 60 + (event_id % 4) * 30 END)::BIGINT AS retry_after_s
+      FROM events WHERE event_id < 400
+    ),
+    d AS (
+      SELECT *,
+             CASE WHEN status IN (429, 503) AND retry_after_s IS NOT NULL
+                  THEN ts + retry_after_s END AS deadline
+      FROM f
+    ),
+    r AS (
+      SELECT *,
+             max(deadline) OVER (
+               PARTITION BY host ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS active_deadline
+      FROM d
+    )
+    SELECT host,
+           count(deadline)::BIGINT AS n_throttle_events,
+           max(deadline)::BIGINT AS next_allowed_ts,
+           sum(CASE WHEN status = 200 AND active_deadline IS NOT NULL
+                         AND ts < active_deadline
+                    THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+           sum(CASE WHEN status = 200 AND active_deadline IS NOT NULL
+                         AND ts < active_deadline
+                    THEN 1 ELSE 0 END) = 0 AS compliant,
+           (max(deadline) IS NOT NULL AND max(deadline) > 1700000200)
+             AS throttled_now
+    FROM r GROUP BY host
+"""
+
+ORACLE_SQL["crawl_delay_audit"] = """
+    WITH log AS (
+      SELECT 'h' || (user_id % 8) AS host,
+             (1700000000000 + event_id * 700)::BIGINT AS ts_ms
+      FROM events WHERE event_id < 500
+    ),
+    delays AS (
+      SELECT 'h' || i AS host, (1000 + (i % 4) * 2000)::BIGINT AS crawl_delay_ms
+      FROM (SELECT unnest(generate_series(0, 7)) AS i)
+    ),
+    g AS (
+      SELECT l.host, ts_ms,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY l.host ORDER BY ts_ms)
+               AS gap_ms,
+             d.crawl_delay_ms
+      FROM log l JOIN delays d ON l.host = d.host
+    )
+    SELECT host,
+           count(*)::BIGINT AS n_fetches,
+           crawl_delay_ms,
+           min(gap_ms)::BIGINT AS min_gap_ms,
+           sum(CASE WHEN gap_ms < crawl_delay_ms THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           (CASE WHEN count(gap_ms) > 0
+                 THEN ((count(gap_ms)
+                        - sum(CASE WHEN gap_ms < crawl_delay_ms
+                              THEN 1 ELSE 0 END)) * 1000) // count(gap_ms)
+                 ELSE 1000 END)::BIGINT AS compliance_permille
+    FROM g GROUP BY host, crawl_delay_ms
 """
 
 ORACLE_SQL["warc_revisit_records"] = """

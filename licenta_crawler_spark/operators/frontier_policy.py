@@ -1274,3 +1274,130 @@ def soft404_scores(
             | (F.col("containment_permille") >= 800)
         ),
     )
+
+
+def retry_after_compliance(
+    fetch_log: DataFrame,
+    *,
+    now_ts: int,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    status_col: str = "status",
+    retry_after_col: str = "retry_after_s",
+) -> DataFrame:
+    """RFC 9110 §10.2.3 ``Retry-After`` accounting — the server-directed
+    half of politeness the crawl-delay clock does not cover: a 429/503
+    response naming a Retry-After sets the host's earliest next-allowed
+    fetch to ``ts + retry_after_s``, and any fetch the crawler issued
+    BEFORE an earlier directive expired is a compliance violation (the
+    signal real operators watch to keep crawlers off blocklists).
+
+    Per host: throttle-event count, the latest directive and the
+    ``next_allowed_ts`` it implies, how many fetches violated a then-
+    active directive (running max of prior deadlines vs each fetch's
+    ts — exclusive window, so the throttled response itself never
+    self-flags), and whether the host is still throttled at ``now_ts``.
+
+    One shuffle on the host key; windows are per-host scans. Host
+    cardinality (~10^7) bounds the output, never URL cardinality."""
+    deadline = F.when(
+        F.col(status_col).isin(429, 503)
+        & F.col(retry_after_col).isNotNull(),
+        F.col(ts_col).cast("long") + F.col(retry_after_col).cast("long"),
+    )
+    w = Window.partitionBy(host_col).orderBy(F.asc(ts_col))
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows = fetch_log.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(status_col).cast("long").alias("status"),
+        deadline.alias("deadline"),
+    ).withColumn("active_deadline", F.max("deadline").over(prior))
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count(F.col("deadline")).alias("n_throttle_events"),
+            F.max("deadline").alias("next_allowed_ts"),
+            F.sum(
+                F.when(
+                    (F.col("status") == 200)
+                    & F.col("active_deadline").isNotNull()
+                    & (F.col("ts") < F.col("active_deadline")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .select(
+            "host",
+            "n_throttle_events",
+            "next_allowed_ts",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("compliant"),
+            (
+                F.col("next_allowed_ts").isNotNull()
+                & (F.col("next_allowed_ts") > F.lit(int(now_ts)))
+            ).alias("throttled_now"),
+        )
+    )
+
+
+def crawl_delay_compliance(
+    fetch_log: DataFrame,
+    host_delays: DataFrame,
+    *,
+    host_col: str = "host",
+    ts_ms_col: str = "ts_ms",
+    delay_ms_col: str = "crawl_delay_ms",
+) -> DataFrame:
+    """robots.txt ``Crawl-delay`` compliance audit: for every host,
+    compare the OBSERVED gaps between consecutive fetches against the
+    DECLARED delay — the ledger that proves (to the operator and to
+    the site) the politeness clock actually held, and the regression
+    alarm when a scheduler change breaks it. Per host: fetch count,
+    minimum observed gap, violation count (gap < declared delay) and
+    compliance permille over the gaps.
+
+    One lag window per host + a broadcast join against the host-dim
+    delay table (robots cache cardinality — ~10^7 hosts, always the
+    small side). Single-fetch hosts have no gap: they audit as
+    vacuously compliant with NULL min_gap."""
+    w2 = Window.partitionBy("host").orderBy(F.asc("ts_ms"))
+    per_gap = (
+        fetch_log.select(
+            F.col(host_col).alias("host"), F.col(ts_ms_col).cast("long").alias("ts_ms")
+        )
+        .withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w2))
+        .join(
+            F.broadcast(
+                host_delays.select(
+                    F.col(host_col).alias("host"),
+                    F.col(delay_ms_col).cast("long").alias("crawl_delay_ms"),
+                )
+            ),
+            "host",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.count("gap_ms").alias("n_gaps"),
+            F.first("crawl_delay_ms").alias("crawl_delay_ms"),
+            F.sum(
+                F.when(F.col("gap_ms") < F.col("crawl_delay_ms"), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+    )
+    return per_gap.select(
+        "host",
+        "n_fetches",
+        "crawl_delay_ms",
+        "min_gap_ms",
+        "n_violations",
+        F.when(
+            F.col("n_gaps") > 0,
+            F.expr("((n_gaps - n_violations) * 1000) div n_gaps"),
+        )
+        .otherwise(F.lit(1000))
+        .cast("long")
+        .alias("compliance_permille"),
+    )

@@ -1024,3 +1024,88 @@ class TestSoft404Scores:
         assert got["/stub"].soft404 is False
         assert got["/stub"].n_shingles == 0
         assert got["/empty"].containment_permille == 0
+
+
+class TestRetryAfterCompliance:
+    def _run(self, spark, rows, now_ts=1000):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            retry_after_compliance,
+        )
+
+        df = spark.createDataFrame(
+            rows, "host string, ts long, status long, retry_after_s long"
+        )
+        return {
+            r.host: r.asDict()
+            for r in retry_after_compliance(df, now_ts=now_ts).collect()
+        }
+
+    def test_violation_counted_against_active_directive(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("a", 100, 429, 60),   # next allowed 160
+                ("a", 120, 200, None),  # violation: 120 < 160
+                ("a", 200, 200, None),  # fine
+            ],
+        )
+        assert out["a"]["n_throttle_events"] == 1
+        assert out["a"]["next_allowed_ts"] == 160
+        assert out["a"]["n_violations"] == 1
+        assert out["a"]["compliant"] is False
+
+    def test_directive_never_self_flags_and_latest_wins(self, spark):
+        out = self._run(
+            spark,
+            [
+                ("b", 100, 503, 10),   # deadline 110
+                ("b", 105, 429, 100),  # a throttle DURING throttle: not a 200
+                ("b", 300, 200, None),
+            ],
+            now_ts=150,
+        )
+        assert out["b"]["n_throttle_events"] == 2
+        assert out["b"]["next_allowed_ts"] == 205
+        assert out["b"]["n_violations"] == 0
+        assert out["b"]["throttled_now"] is True
+
+    def test_clean_host(self, spark):
+        out = self._run(spark, [("c", 1, 200, None), ("c", 2, 200, None)])
+        assert out["c"]["n_throttle_events"] == 0
+        assert out["c"]["next_allowed_ts"] is None
+        assert out["c"]["compliant"] is True
+        assert out["c"]["throttled_now"] is False
+
+
+class TestCrawlDelayCompliance:
+    def _run(self, spark, log_rows, delay_rows):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            crawl_delay_compliance,
+        )
+
+        log = spark.createDataFrame(log_rows, "host string, ts_ms long")
+        delays = spark.createDataFrame(
+            delay_rows, "host string, crawl_delay_ms long"
+        )
+        return {
+            r.host: r.asDict()
+            for r in crawl_delay_compliance(log, delays).collect()
+        }
+
+    def test_gaps_vs_declared_delay(self, spark):
+        out = self._run(
+            spark,
+            [("a", 0), ("a", 500), ("a", 2000), ("a", 2300)],
+            [("a", 1000)],
+        )
+        # gaps: 500 (violation), 1500 (ok), 300 (violation)
+        assert out["a"]["n_fetches"] == 4
+        assert out["a"]["min_gap_ms"] == 300
+        assert out["a"]["n_violations"] == 2
+        assert out["a"]["compliance_permille"] == 333
+
+    def test_single_fetch_vacuously_compliant(self, spark):
+        out = self._run(spark, [("s", 42)], [("s", 5000)])
+        assert out["s"]["min_gap_ms"] is None
+        assert out["s"]["n_violations"] == 0
+        assert out["s"]["compliance_permille"] == 1000
