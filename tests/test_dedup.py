@@ -583,6 +583,123 @@ class TestBm25Retrieval:
         assert out[0]["score_fp"] > 0  # the old shape wrapped negative here
 
 
+class TestBm25fRetrieval:
+    @staticmethod
+    def _replay(docs, fields, qterms, k=10):
+        """Independent integer replay of the BM25F fixed point (python
+        // on non-negative ints == the engine's truncating div)."""
+        N = len(docs)
+        t_field = {
+            fi: sum(len(d[1][fi]) for d in docs) for fi in range(len(fields))
+        }
+        tfw = {}  # (doc, term) -> tfw_fp
+        for doc_id, ftoks in docs:
+            for fi, w in enumerate(fields):
+                dl = len(ftoks[fi])
+                b_fp = 1000 + (3000 * dl * N) // t_field[fi]
+                for t in set(ftoks[fi]) & set(qterms):
+                    tf = ftoks[fi].count(t)
+                    tfw[(doc_id, t)] = tfw.get((doc_id, t), 0) + w * (
+                        (4000000 * tf) // b_fp
+                    )
+        df = {}
+        for (_d, t) in tfw:
+            df[t] = df.get(t, 0) + 1
+        scores = {}
+        for (d, t), v in tfw.items():
+            idf = (N * 1000000) // df[t]
+            sat = (1000 * v) // (1200 + v)
+            scores[d] = scores.get(d, 0) + (idf * sat) // 1000
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, s, i + 1) for i, (d, s) in enumerate(ranked)]
+
+    def test_matches_integer_replay(self, spark):
+        import random
+
+        from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "rare", "pad"]
+        docs = []
+        for i in range(40):
+            title = [rng.choice(vocab) for _ in range(rng.randint(1, 4))]
+            body = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+            docs.append((i, (title, body)))
+        df = spark.createDataFrame(
+            [(i, f[0], f[1]) for i, f in docs],
+            "doc_id long, title_toks array<string>, body_toks array<string>",
+        )
+        q = spark.createDataFrame(
+            [("q", "alpha"), ("q", "rare")], "query_id string, term string"
+        )
+        got = [
+            (r["doc_id"], r["score_fp"], r["rk"])
+            for r in bm25f_retrieval(
+                df, q, [("title_toks", 3), ("body_toks", 1)], k=10
+            ).orderBy("rk").collect()
+        ]
+        assert got == self._replay(docs, [3, 1], ["alpha", "rare"])
+
+    def test_title_hit_beats_body_hit(self, spark):
+        """Equal tf, equal per-field lengths: the weight-3 title match
+        must outrank the weight-1 body match."""
+        from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+        df = spark.createDataFrame(
+            [
+                (1, ["target", "x"], ["pad", "pad", "pad"]),
+                (2, ["y", "x"], ["target", "pad", "pad"]),
+            ],
+            "doc_id long, title_toks array<string>, body_toks array<string>",
+        )
+        q = spark.createDataFrame([("q", "target")], "query_id string, term string")
+        got = {
+            r["doc_id"]: r["rk"]
+            for r in bm25f_retrieval(
+                df, q, [("title_toks", 3), ("body_toks", 1)]
+            ).collect()
+        }
+        assert got[1] == 1 and got[2] == 2
+
+    def test_no_per_field_idf_double_count(self, spark):
+        """A term spread over both fields accumulates tf~ BEFORE the
+        shared saturation — its score must be strictly below the sum of
+        two independent per-field BM25 scores would suggest, i.e. below
+        2x the single-field score, but above the single-field score."""
+        from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+        df = spark.createDataFrame(
+            [
+                (1, ["t"], ["t", "pad"]),   # both fields
+                (2, ["t"], ["pad", "pad"]),  # title only
+                (3, ["pad"], ["pad", "pad"]),
+            ],
+            "doc_id long, title_toks array<string>, body_toks array<string>",
+        )
+        q = spark.createDataFrame([("q", "t")], "query_id string, term string")
+        rows = {
+            r["doc_id"]: r["score_fp"]
+            for r in bm25f_retrieval(
+                df, q, [("title_toks", 1), ("body_toks", 1)]
+            ).collect()
+        }
+        assert rows[1] > rows[2]          # extra field hit helps
+        assert rows[1] < 2 * rows[2]      # but saturates, never doubles
+
+    def test_empty_field_rows_survive(self, spark):
+        from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+        df = spark.createDataFrame(
+            [(1, ["t"], []), (2, [], ["t"])],
+            "doc_id long, title_toks array<string>, body_toks array<string>",
+        )
+        q = spark.createDataFrame([("q", "t")], "query_id string, term string")
+        out = bm25f_retrieval(
+            df, q, [("title_toks", 3), ("body_toks", 1)]
+        ).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+
+
 class TestSelfRepeatStats:
     def test_injected_repeat_exact_length(self, spark):
         from licenta_crawler_spark.operators.dedup import self_repeat_stats
