@@ -4337,6 +4337,23 @@ def bm25f_search(spark, sf_dir):
     )
 
 
+def prf_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion
+    (`operators/retrieval.prf_expansion_terms`): two queries, BM25
+    top-10 feedback docs each, top-5 expansion terms by the
+    rank-weighted (Borda (r+1-rk)) length-normalized term frequency,
+    original query terms excluded. Second pass touches only the
+    feedback docs (broadcast semi-join), never the corpus."""
+    from licenta_crawler_spark.operators.retrieval import prf_expansion_terms
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("e1", "merge"), ("e1", "sort"), ("e2", "filter"), ("e2", "scan")],
+        "query_id string, term string",
+    )
+    return prf_expansion_terms(d, q, r=10, m=5)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4401,6 +4418,7 @@ QUERIES = {
     "retry_after_audit": retry_after_audit,
     "crawl_delay_audit": crawl_delay_audit,
     "bm25f_search": bm25f_search,
+    "prf_query_expansion": prf_query_expansion,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9185,6 +9203,74 @@ ORACLE_SQL["bm25f_search"] = f"""
       )::BIGINT AS rk
       FROM scored
     ) WHERE rk <= 10
+"""
+
+ORACLE_SQL["prf_query_expansion"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('e1','merge'), ('e1','sort'), ('e2','filter'),
+                            ('e2','scan'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total, count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
+             )::BIGINT AS score_fp
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    top AS (
+      SELECT query_id, doc_id AS fb_doc, rk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        )::BIGINT AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    fbtf AS (
+      SELECT b.doc_id AS fb_doc, d.dl, u.term, count(*)::BIGINT AS tf
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE b.doc_id IN (SELECT DISTINCT fb_doc FROM top)
+      GROUP BY b.doc_id, d.dl, u.term
+    ),
+    weighted AS (
+      SELECT t.query_id, f.term,
+             sum((11 - t.rk) * ((1000000 * f.tf) // f.dl))::BIGINT AS w_fp
+      FROM top t JOIN fbtf f USING (fb_doc)
+      GROUP BY t.query_id, f.term
+    ),
+    excl AS (
+      SELECT w.* FROM weighted w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM q
+        WHERE q.query_id = w.query_id AND q.term = w.term
+      )
+    )
+    SELECT query_id, term, w_fp, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY w_fp DESC, term ASC
+      )::BIGINT AS rk
+      FROM excl
+    ) WHERE rk <= 5
 """
 
 _LAZY_ORACLES = {

@@ -380,3 +380,78 @@ def bm25f_retrieval(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score_fp", "rk")
     )
+
+
+def prf_expansion_terms(
+    documents: DataFrame,
+    queries: DataFrame,
+    *,
+    r: int = 10,
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    relevance-model family): run first-pass BM25, assume the top-``r``
+    documents are relevant, and mine them for the ``m`` best expansion
+    terms per query — the standard recall lever for seed-list
+    expansion and focused-crawl vocabulary growth, where the operator
+    of record is "what ELSE do pages about X talk about". Reference
+    scope: no search surface in the reference (graft mandate,
+    SURVEY §2.8).
+
+    Term weighting is the rank-weighted relevance model, exact in
+    int64: a top-``r`` doc at rank k contributes weight (r+1-k) —
+    Borda-style, bounded by r — times its length-normalized term
+    frequency (10^6·tf) div dl. Using ranks instead of raw BM25
+    scores keeps the fixed point overflow-proof (score_fp grows with
+    N; rank weights never exceed r) and makes the weight scale
+    corpus-size-invariant. Original query terms are excluded from the
+    expansion list (they are already in the query). Ties break on
+    term asc.
+
+    Plan shape at 10^9 docs: first pass is :func:`bm25_retrieval`
+    (one corpus scan); the feedback set is r·|queries| doc ids — a
+    broadcast semi-join pulls ONLY those docs' tokens for the mining
+    pass, so the second scan explodes a bounded set, never the
+    corpus. Output: (query_id, term, w_fp, rk), rk <= m."""
+    top = bm25_retrieval(
+        documents, queries, k=r, id_col=id_col, text_col=text_col
+    ).select("query_id", F.col("doc_id").alias("fb_doc"), "rk")
+    toks_all = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    fb_ids = top.select(F.col("fb_doc").alias(id_col)).distinct()
+    fb_docs = (
+        documents.join(F.broadcast(fb_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("fb_doc"),
+            toks_all.alias("toks"),
+            F.size(toks_all).cast("long").alias("dl"),
+        )
+    )
+    tf = (
+        fb_docs.select("fb_doc", "dl", F.explode("toks").alias("term"))
+        .groupBy("fb_doc", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    weighted = (
+        top.join(tf, "fb_doc")
+        .select(
+            "query_id", "term",
+            F.expr(f"({r} + 1 - rk) * ((1000000 * tf) div dl)").alias("c"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("c").alias("w_fp"))
+        .join(
+            queries.select("query_id", "term").distinct(),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("w_fp"), F.asc("term"))
+    return (
+        weighted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= m)
+        .select("query_id", "term", "w_fp", "rk")
+    )

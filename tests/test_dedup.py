@@ -700,6 +700,54 @@ class TestBm25fRetrieval:
         assert {r["doc_id"] for r in out} == {1, 2}
 
 
+class TestPrfExpansion:
+    def test_cooccurring_term_surfaces_and_query_terms_excluded(self, spark):
+        """Docs about 'merge' consistently mention 'buddy'; distractor
+        docs mention 'noise'. Expansion must rank 'buddy' first and must
+        never emit the original query term."""
+        from licenta_crawler_spark.operators.retrieval import (
+            prf_expansion_terms,
+        )
+
+        rows = [(i, "merge step buddy plan " + "pad " * i) for i in range(8)]
+        rows += [(100 + i, "noise other " + "pad " * i) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = spark.createDataFrame([("q", "merge")], "query_id string, term string")
+        out = prf_expansion_terms(df, q, r=5, m=3).orderBy("rk").collect()
+        terms = [r["term"] for r in out]
+        assert "merge" not in terms
+        assert "noise" not in terms  # distractors never reach the feedback set
+        assert set(terms) <= {"buddy", "step", "plan", "pad"}
+        assert out[0]["rk"] == 1 and len(out) == 3
+
+    def test_rank_weighting(self, spark):
+        """Two candidate expansion terms with identical tf/dl in exactly
+        one feedback doc each: the one in the higher-ranked doc wins."""
+        from licenta_crawler_spark.operators.retrieval import (
+            prf_expansion_terms,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # doc 1: 'hit' twice -> rank 1; carries 'gold'
+                (1, "hit hit gold pad"),
+                # doc 2: 'hit' once -> rank 2; carries 'silver'
+                (2, "hit top silver pad"),
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame([("q", "hit")], "query_id string, term string")
+        got = {
+            r["term"]: (r["w_fp"], r["rk"])
+            for r in prf_expansion_terms(df, q, r=2, m=10).collect()
+        }
+        assert got["gold"][0] > got["silver"][0]
+        assert got["gold"][1] < got["silver"][1]
+        # exact Borda fixed point: rank1 weight 2, rank2 weight 1, dl=4
+        assert got["gold"][0] == 2 * ((1_000_000 * 1) // 4)
+        assert got["silver"][0] == 1 * ((1_000_000 * 1) // 4)
+
+
 class TestSelfRepeatStats:
     def test_injected_repeat_exact_length(self, spark):
         from licenta_crawler_spark.operators.dedup import self_repeat_stats
