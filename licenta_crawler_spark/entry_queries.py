@@ -4354,6 +4354,69 @@ def prf_query_expansion(spark, sf_dir):
     return prf_expansion_terms(d, q, r=10, m=5)
 
 
+def hreflang_cluster_audit(spark, sf_dir):
+    """hreflang alternate clusters + return-link audit
+    (`operators/graph.hreflang_clusters`): 150 synthetic multilingual
+    clusters (en/fr always; de on even ids, es on ids%3==0), fully
+    cross-declared, with three injected defect families — every 4th
+    cluster's fr page omits its return link to en (that declaration
+    becomes broken but the cluster stays connected through de), every
+    5th cluster's en page claims a phantom 'zz' alternate that never
+    links back, and every 6th cluster tags its en page x-default.
+    Reciprocity = one self-equi-join; components via
+    connected_components (diameter ~1 here)."""
+    from licenta_crawler_spark.operators.graph import hreflang_clusters
+
+    c = spark.range(150).select(F.col("id").alias("cid"))
+    members = c.select(
+        "cid",
+        F.explode(
+            F.array(
+                F.lit("en"),
+                F.lit("fr"),
+                F.when(F.col("cid") % 2 == 0, F.lit("de")),
+                F.when(F.col("cid") % 3 == 0, F.lit("es")),
+            )
+        ).alias("lang"),
+    ).filter(F.col("lang").isNotNull())
+    murl = F.concat(
+        F.lit("https://site"), (F.col("cid") % 7).cast("string"),
+        F.lit(".example/"), F.col("lang"), F.lit("/p"),
+        F.col("cid").cast("string"),
+    )
+    members = members.select("cid", "lang", murl.alias("url"))
+    a, b = members.alias("a"), members.alias("b")
+    decl = (
+        a.join(b, "cid")
+        .filter(F.col("a.lang") != F.col("b.lang"))
+        .filter(
+            ~(
+                (F.col("cid") % 4 == 0)
+                & (F.col("a.lang") == "fr")
+                & (F.col("b.lang") == "en")
+            )
+        )
+        .select(
+            F.col("a.url").alias("url"),
+            F.when(
+                (F.col("cid") % 6 == 0) & (F.col("b.lang") == "en"),
+                F.lit("x-default"),
+            ).otherwise(F.col("b.lang")).alias("hreflang"),
+            F.col("b.url").alias("target_url"),
+        )
+    )
+    phantom = members.filter(
+        (F.col("cid") % 5 == 0) & (F.col("lang") == "en")
+    ).select(
+        "url",
+        F.lit("zz").alias("hreflang"),
+        F.concat(
+            F.lit("https://mirror.example/zz/p"), F.col("cid").cast("string")
+        ).alias("target_url"),
+    )
+    return hreflang_clusters(decl.unionByName(phantom))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4419,6 +4482,7 @@ QUERIES = {
     "crawl_delay_audit": crawl_delay_audit,
     "bm25f_search": bm25f_search,
     "prf_query_expansion": prf_query_expansion,
+    "hreflang_cluster_audit": hreflang_cluster_audit,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9271,6 +9335,80 @@ ORACLE_SQL["prf_query_expansion"] = f"""
       )::BIGINT AS rk
       FROM excl
     ) WHERE rk <= 5
+"""
+
+ORACLE_SQL["hreflang_cluster_audit"] = """
+    WITH RECURSIVE cids AS (SELECT unnest(generate_series(0, 149)) AS cid),
+    members AS (
+      SELECT cid, lang,
+             'https://site' || (cid % 7) || '.example/' || lang || '/p' || cid
+               AS url
+      FROM (
+        SELECT cid, 'en' AS lang FROM cids
+        UNION ALL SELECT cid, 'fr' FROM cids
+        UNION ALL SELECT cid, 'de' FROM cids WHERE cid % 2 = 0
+        UNION ALL SELECT cid, 'es' FROM cids WHERE cid % 3 = 0
+      )
+    ),
+    decl AS (
+      SELECT a.url AS url,
+             CASE WHEN a.cid % 6 = 0 AND b.lang = 'en' THEN 'x-default'
+                  ELSE b.lang END AS hreflang,
+             b.url AS target_url
+      FROM members a JOIN members b ON a.cid = b.cid AND a.lang <> b.lang
+      WHERE NOT (a.cid % 4 = 0 AND a.lang = 'fr' AND b.lang = 'en')
+      UNION ALL
+      SELECT url, 'zz', 'https://mirror.example/zz/p' || cid
+      FROM members WHERE cid % 5 = 0 AND lang = 'en'
+    ),
+    d AS (SELECT DISTINCT url, hreflang, target_url FROM decl),
+    nonself AS (SELECT * FROM d WHERE url <> target_url),
+    pairs AS (SELECT DISTINCT url, target_url FROM nonself),
+    confirmed AS (
+      SELECT n.* FROM nonself n
+      WHERE EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.url = n.target_url AND p.target_url = n.url)
+    ),
+    broken AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs r
+                        WHERE r.url = p.target_url AND r.target_url = p.url)
+    ),
+    cedges AS (SELECT DISTINCT url, target_url FROM confirmed),
+    edges AS (
+      SELECT url AS a, target_url AS b FROM cedges
+      UNION
+      SELECT target_url, url FROM cedges
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    mc AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_pages FROM comp
+      GROUP BY cluster_id
+    ),
+    ls AS (
+      SELECT c.cluster_id,
+             count(DISTINCT CASE WHEN f.hreflang <> 'x-default'
+                                 THEN f.hreflang END)::BIGINT AS n_langs,
+             max(CASE WHEN f.hreflang = 'x-default' THEN 1 ELSE 0 END) = 1
+               AS has_x_default
+      FROM confirmed f JOIN comp c USING (url)
+      GROUP BY c.cluster_id
+    ),
+    bo AS (
+      SELECT c.cluster_id, count(*)::BIGINT AS n_broken_out
+      FROM broken b JOIN comp c USING (url)
+      GROUP BY c.cluster_id
+    )
+    SELECT mc.cluster_id, mc.n_pages, ls.n_langs, ls.has_x_default,
+           coalesce(bo.n_broken_out, 0)::BIGINT AS n_broken_out
+    FROM mc JOIN ls USING (cluster_id) LEFT JOIN bo USING (cluster_id)
 """
 
 _LAZY_ORACLES = {

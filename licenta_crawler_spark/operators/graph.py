@@ -912,3 +912,87 @@ def degree_powerlaw(
         "n_nodes",
         F.expr("(cum_ge * 1000) div n_total").cast("long").alias("ccdf_permille"),
     )
+
+
+def hreflang_clusters(
+    alternates: DataFrame,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """hreflang alternate-cluster election + return-link audit — the
+    multilingual sibling of canonical-URL election. Pages declare
+    language alternates (``<link rel="alternate" hreflang=".."
+    href="..">``); the published consistency contract (Google's
+    hreflang guidelines) is RECIPROCITY: u's claim that v is its
+    "fr" alternate counts only if v links back to u. A crawler that
+    trusts unconfirmed claims lets any page hijack another's language
+    cluster. Reference scope: no multilingual surface in the
+    reference (graft mandate — crawl-analytics family, SURVEY §2.8).
+
+    Input ``alternates``: (url, hreflang, target_url) declarations
+    (hreflang labels the TARGET's language; self-rows allowed and
+    ignored for reciprocity). Semantics:
+
+    - confirmed edge: (u, v), u != v, where both (u -> v) and
+      (v -> u) are declared (language tags need not agree — the
+      return-link rule is about the link, not the tag);
+    - clusters: connected components over confirmed edges (min-url
+      label), so only mutually-confirmed pages group;
+    - per cluster: member count, distinct confirmed language tags
+      (x-default excluded from the count but reported as a flag),
+      and the count of BROKEN outbound declarations by members
+      (claimed alternates that never linked back) — the audit
+      number an SEO/crawl report leads with.
+
+    Scale shape: reciprocity is one self-equi-join on the (url,
+    target_url) key — never all-pairs; components come from
+    :func:`connected_components` (O(diameter) rounds, and hreflang
+    clusters have diameter ~1 since every page should list every
+    other); stats are two grouped joins keyed by member url.
+    Output: (cluster_id, n_pages, n_langs, has_x_default,
+    n_broken_out)."""
+    decl = alternates.select("url", "hreflang", "target_url").distinct()
+    nonself = decl.filter(F.col("url") != F.col("target_url"))
+    rev = nonself.select(
+        F.col("target_url").alias("url"), F.col("url").alias("target_url")
+    ).distinct()
+    pairs = nonself.select("url", "target_url").distinct()
+    confirmed = nonself.join(rev, ["url", "target_url"], "left_semi")
+    broken = pairs.join(rev, ["url", "target_url"], "left_anti")
+    cc = connected_components(
+        confirmed.select(
+            F.col("url").alias("src"), F.col("target_url").alias("dst")
+        ),
+        max_iter=max_iter,
+    ).select(F.col("node").alias("url"), F.col("comp").alias("cluster_id"))
+    lang_stats = (
+        confirmed.join(cc, "url")
+        .groupBy("cluster_id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("hreflang") != "x-default", F.col("hreflang"))
+            ).cast("long").alias("n_langs"),
+            F.max((F.col("hreflang") == "x-default").cast("int")).alias("xd"),
+        )
+    )
+    member_counts = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    broken_out = (
+        broken.join(cc, "url")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_broken_out"))
+    )
+    return (
+        member_counts.join(lang_stats, "cluster_id")
+        .join(broken_out, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_pages",
+            "n_langs",
+            (F.col("xd") == 1).alias("has_x_default"),
+            F.coalesce(F.col("n_broken_out"), F.lit(0)).cast("long").alias(
+                "n_broken_out"
+            ),
+        )
+    )

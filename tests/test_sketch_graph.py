@@ -797,3 +797,58 @@ class TestDegreePowerlaw:
             side = [r for r in rows if r.direction == direction]
             lo = min(side, key=lambda r: r.bucket)
             assert lo.ccdf_permille == 1000
+
+
+class TestHreflangClusters:
+    def _run(self, spark, rows):
+        from licenta_crawler_spark.operators.graph import hreflang_clusters
+
+        df = spark.createDataFrame(
+            rows, "url string, hreflang string, target_url string"
+        )
+        return {r["cluster_id"]: r for r in hreflang_clusters(df).collect()}
+
+    def test_reciprocity_required(self, spark):
+        """u claims v but v never links back: no cluster forms; the
+        mutually-confirmed pair (a, b) still does, and a's broken claim
+        on c is charged to its cluster."""
+        out = self._run(spark, [
+            ("a", "fr", "b"), ("b", "en", "a"),   # confirmed pair
+            ("a", "de", "c"),                     # c never links back
+        ])
+        assert set(out) == {"a"}
+        r = out["a"]
+        assert r["n_pages"] == 2
+        assert r["n_langs"] == 2            # fr + en
+        assert r["n_broken_out"] == 1       # a -> c
+        assert not r["has_x_default"]
+
+    def test_x_default_flagged_not_counted(self, spark):
+        out = self._run(spark, [
+            ("a", "x-default", "b"), ("b", "en", "a"),
+        ])
+        r = out["a"]
+        assert r["has_x_default"]
+        assert r["n_langs"] == 1  # only 'en'; x-default excluded
+
+    def test_self_rows_ignored(self, spark):
+        out = self._run(spark, [
+            ("a", "en", "a"),                     # conventional self-row
+            ("a", "fr", "b"), ("b", "en", "a"),
+        ])
+        assert out["a"]["n_pages"] == 2
+        assert out["a"]["n_broken_out"] == 0
+
+    def test_transitive_cluster_with_missing_return_link(self, spark):
+        """en<->de and fr<->de confirmed, en->fr unreturned: all three
+        pages still one cluster through de, and the en->fr declaration
+        counts as broken."""
+        out = self._run(spark, [
+            ("en", "de", "de"), ("de", "en", "en"),
+            ("fr", "de", "de"), ("de", "fr", "fr"),
+            ("en", "fr", "fr"),   # fr never returns to en
+        ])
+        assert set(out) == {"de"}
+        r = out["de"]
+        assert r["n_pages"] == 3
+        assert r["n_broken_out"] == 1
