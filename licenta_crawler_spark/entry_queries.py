@@ -4417,6 +4417,19 @@ def hreflang_cluster_audit(spark, sf_dir):
     return hreflang_clusters(decl.unionByName(phantom))
 
 
+def posting_compression_stats(spark, sf_dir):
+    """Inverted-index compression census
+    (`operators/retrieval.posting_compression_census`): exact varbyte
+    bytes + Elias-γ bits for every term's delta-gap posting list over
+    the documents table, rolled up by floor(log2(df)) — all bit-exact
+    integer math (length(bin(x)) on both engines)."""
+    from licenta_crawler_spark.operators.retrieval import (
+        posting_compression_census,
+    )
+
+    return posting_compression_census(_t(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4483,6 +4496,7 @@ QUERIES = {
     "bm25f_search": bm25f_search,
     "prf_query_expansion": prf_query_expansion,
     "hreflang_cluster_audit": hreflang_cluster_audit,
+    "posting_compression_stats": posting_compression_stats,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9409,6 +9423,37 @@ ORACLE_SQL["hreflang_cluster_audit"] = """
     SELECT mc.cluster_id, mc.n_pages, ls.n_langs, ls.has_x_default,
            coalesce(bo.n_broken_out, 0)::BIGINT AS n_broken_out
     FROM mc JOIN ls USING (cluster_id) LEFT JOIN bo USING (cluster_id)
+"""
+
+ORACLE_SQL["posting_compression_stats"] = f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id::BIGINT AS doc_id, u.term
+      FROM (
+        SELECT doc_id, list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+        FROM documents
+      ), LATERAL unnest(toks) AS u(term)
+    ),
+    gaps AS (
+      SELECT term,
+             coalesce(
+               doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+               doc_id + 1
+             ) AS gap
+      FROM postings
+    ),
+    bitted AS (SELECT term, length(bin(gap))::BIGINT AS bits FROM gaps),
+    per_term AS (
+      SELECT term, count(*)::BIGINT AS df,
+             sum((bits + 6) // 7)::BIGINT AS vb,
+             sum(2 * bits - 1)::BIGINT AS eg
+      FROM bitted GROUP BY term
+    )
+    SELECT (length(bin(df)) - 1)::BIGINT AS df_bucket,
+           count(*)::BIGINT AS n_terms,
+           sum(df)::BIGINT AS n_postings,
+           sum(vb)::BIGINT AS varbyte_bytes,
+           sum(eg)::BIGINT AS elias_gamma_bits
+    FROM per_term GROUP BY df_bucket
 """
 
 _LAZY_ORACLES = {

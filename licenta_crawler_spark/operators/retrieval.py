@@ -455,3 +455,75 @@ def prf_expansion_terms(
         .filter(F.col("rk") <= m)
         .select("query_id", "term", "w_fp", "rk")
     )
+
+
+def posting_compression_census(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index compression census: exact varbyte and Elias-γ
+    sizes of every term's delta-gap-encoded posting list, rolled up by
+    df magnitude — the index-size planning number a 100-TB corpus
+    needs BEFORE building the index (posting storage dominates index
+    cost, and compressed size is a function of gap distribution, not
+    raw posting count; Witten/Moffat/Bell, "Managing Gigabytes").
+    Reference scope: no index surface in the reference (graft
+    mandate, SURVEY §2.8).
+
+    Exact integer accounting, no floats anywhere: postings are
+    DISTINCT (term, doc_id) with doc ids sorted ascending per term;
+    gaps are deltas (first gap = doc_id + 1, i.e. delta from -1, so
+    every gap >= 1); a gap needing b = floor(log2(gap)) + 1
+    significant bits — computed bit-exactly as length(bin(gap)) —
+    costs (b + 6) div 7 varbyte bytes and 2·b - 1 Elias-γ bits.
+    Rollup key df_bucket = floor(log2(df)): rare terms (long gaps,
+    poor compression) and stopword-grade terms (gap ~ 1, ~1
+    byte/posting) land in different rows, which is exactly the
+    planning split.
+
+    Scale shape: ONE corpus scan explodes distinct per-doc terms
+    (set-size, not token-count); the per-term sort is the inherent
+    index-build shuffle (keyed by term — the same layout the real
+    index writer needs, so the census is a free byproduct); the
+    rollup is bucket-sized. Skewed stopword terms are single-key
+    sorts — the same skew the index writer itself faces; AQE
+    skew-split applies to the exchange, and the census needs no
+    cross-term state so per-term sharded sorts compose. Output:
+    (df_bucket, n_terms, n_postings, varbyte_bytes,
+    elias_gamma_bits)."""
+    toks = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    postings = (
+        documents.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(toks)).alias("term"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+        ).alias("gap"),
+    ).withColumn("bits", F.length(F.bin(F.col("gap"))).cast("long"))
+    per_term = gaps.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum(F.expr("(bits + 6) div 7")).alias("vb"),
+        F.sum(F.expr("2 * bits - 1")).alias("eg"),
+    )
+    return (
+        per_term.withColumn(
+            "df_bucket", (F.length(F.bin(F.col("df"))) - 1).cast("long")
+        )
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("vb").cast("long").alias("varbyte_bytes"),
+            F.sum("eg").cast("long").alias("elias_gamma_bits"),
+        )
+    )

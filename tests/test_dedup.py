@@ -748,6 +748,53 @@ class TestPrfExpansion:
         assert got["silver"][0] == 1 * ((1_000_000 * 1) // 4)
 
 
+class TestPostingCompression:
+    def test_matches_python_replay(self, spark):
+        from licenta_crawler_spark.operators.retrieval import (
+            posting_compression_census,
+        )
+
+        # 'dense' in every doc (gap=1 runs), 'sparse' in two far-apart
+        # docs, 'once' in one doc with a large id
+        rows = [(i, "dense" + (" sparse" if i in (0, 63) else "")
+                 + (" once" if i == 100 else "")) for i in range(101)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["df_bucket"]: r
+            for r in posting_compression_census(df).collect()
+        }
+
+        def enc(ids):
+            gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+            bits = [g.bit_length() for g in gaps]
+            return len(ids), sum((b + 6) // 7 for b in bits), sum(2 * b - 1 for b in bits)
+
+        exp = {}
+        for ids in ([list(range(101))], [[0, 63]], [[100]]):
+            df_, vb, eg = enc(ids[0])
+            bucket = df_.bit_length() - 1
+            t = exp.setdefault(bucket, [0, 0, 0, 0])
+            t[0] += 1; t[1] += df_; t[2] += vb; t[3] += eg
+        assert set(got) == set(exp)
+        for b, (nt, np_, vb, eg) in exp.items():
+            r = got[b]
+            assert (r["n_terms"], r["n_postings"], r["varbyte_bytes"],
+                    r["elias_gamma_bits"]) == (nt, np_, vb, eg)
+
+    def test_dense_term_compresses_to_one_byte_per_posting(self, spark):
+        from licenta_crawler_spark.operators.retrieval import (
+            posting_compression_census,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "stop") for i in range(64)], "doc_id long, text string"
+        )
+        [r] = posting_compression_census(df).collect()
+        # 63 gap-1 postings at 1 byte + first gap (=1) also 1 byte
+        assert r["varbyte_bytes"] == 64
+        assert r["elias_gamma_bits"] == 64  # gap 1 -> 1 bit each
+
+
 class TestSelfRepeatStats:
     def test_injected_repeat_exact_length(self, spark):
         from licenta_crawler_spark.operators.dedup import self_repeat_stats
