@@ -4430,6 +4430,30 @@ def posting_compression_stats(spark, sf_dir):
     return posting_compression_census(_t(spark, sf_dir, "documents"))
 
 
+def serp_host_diversified(spark, sf_dir):
+    """Host-capped SERP diversification
+    (`operators/retrieval.diversified_topk`): BM25 top-30 per query,
+    hosts assigned doc_id % 5 (so top lists are host-heavy by
+    construction), then at most 2 results per (query, host) and the
+    best 10 overall — greedy-by-score, both passes on the same
+    (score desc, doc_id asc) total order."""
+    from licenta_crawler_spark.operators.retrieval import (
+        bm25_retrieval,
+        diversified_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("d1", "table"), ("d1", "scan"), ("d2", "group"), ("d2", "batch")],
+        "query_id string, term string",
+    )
+    ranked = bm25_retrieval(d, q, k=30).withColumn(
+        "host",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
+    )
+    return diversified_topk(ranked, k=10, per_group_cap=2)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4497,6 +4521,7 @@ QUERIES = {
     "prf_query_expansion": prf_query_expansion,
     "hreflang_cluster_audit": hreflang_cluster_audit,
     "posting_compression_stats": posting_compression_stats,
+    "serp_host_diversified": serp_host_diversified,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9454,6 +9479,62 @@ ORACLE_SQL["posting_compression_stats"] = f"""
            sum(vb)::BIGINT AS varbyte_bytes,
            sum(eg)::BIGINT AS elias_gamma_bits
     FROM per_term GROUP BY df_bucket
+"""
+
+ORACLE_SQL["serp_host_diversified"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('d1','table'), ('d1','scan'), ('d2','group'),
+                            ('d2','batch'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total, count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
+             )::BIGINT AS score_fp
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_fp, 'h' || (doc_id % 5) AS host FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        ) AS rk0
+        FROM scored
+      ) WHERE rk0 <= 30
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id, host ORDER BY score_fp DESC, doc_id ASC
+        ) AS grk
+        FROM ranked
+      ) WHERE grk <= 2
+    )
+    SELECT query_id, doc_id, score_fp, host, rk FROM (
+      SELECT query_id, doc_id, score_fp, host, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+      )::BIGINT AS rk
+      FROM capped
+    ) WHERE rk <= 10
 """
 
 _LAZY_ORACLES = {

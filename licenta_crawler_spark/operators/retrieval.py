@@ -527,3 +527,47 @@ def posting_compression_census(
             F.sum("eg").cast("long").alias("elias_gamma_bits"),
         )
     )
+
+
+def diversified_topk(
+    ranked: DataFrame,
+    *,
+    k: int = 10,
+    per_group_cap: int = 2,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score_fp",
+    group_col: str = "host",
+) -> DataFrame:
+    """Host-capped top-k diversification — the serving-side rule every
+    web-search result page applies (at most c results per host, then
+    take the best k overall) so one mirror-heavy or boilerplate-heavy
+    site cannot monopolize a result list. Composes with any ranked
+    source (:func:`bm25_retrieval`, :func:`bm25f_retrieval`, ANN
+    top-k) that carries a group key. Reference scope: no serving
+    surface in the reference (graft mandate, SURVEY §2.8).
+
+    Exact semantics (greedy-by-score, the standard form): keep a
+    result iff it is among the best ``per_group_cap`` of its
+    (query, group) — ties on (score desc, id asc) — and then among
+    the best ``k`` of what survives. Deterministic: both passes use
+    the same total order.
+
+    Scale shape: two window ranks, both partitioned by query (the
+    second) or (query, group) (the first) — input is already a
+    per-query top-list (bounded), so this is serving-side math, not
+    a corpus op. Output: (query_col, id_col, score_col, group_col,
+    rk)."""
+    wg = Window.partitionBy(query_col, group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wq = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        ranked.withColumn("_grk", F.row_number().over(wg))
+        .filter(F.col("_grk") <= per_group_cap)
+        .withColumn("rk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_col, id_col, score_col, group_col, "rk")
+    )

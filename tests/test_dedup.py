@@ -795,6 +795,40 @@ class TestPostingCompression:
         assert r["elias_gamma_bits"] == 64  # gap 1 -> 1 bit each
 
 
+class TestDiversifiedTopk:
+    def test_cap_and_backfill(self, spark):
+        """Host A owns the 4 best scores but only 2 survive; ranks 3-4
+        backfill from host B; k cuts the tail."""
+        from licenta_crawler_spark.operators.retrieval import diversified_topk
+
+        rows = [("q", i, 100 - i, "A" if i < 4 else "B") for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "query_id string, doc_id long, score_fp long, host string"
+        )
+        out = diversified_topk(df, k=4, per_group_cap=2).orderBy("rk").collect()
+        assert [(r["doc_id"], r["host"]) for r in out] == [
+            (0, "A"), (1, "A"), (4, "B"), (5, "B")
+        ]
+        assert [r["rk"] for r in out] == [1, 2, 3, 4]
+
+    def test_per_query_independence_and_tiebreak(self, spark):
+        from licenta_crawler_spark.operators.retrieval import diversified_topk
+
+        rows = [
+            ("q1", 2, 10, "A"), ("q1", 1, 10, "A"), ("q1", 3, 10, "A"),
+            ("q2", 9, 5, "B"),
+        ]
+        df = spark.createDataFrame(
+            rows, "query_id string, doc_id long, score_fp long, host string"
+        )
+        out = {
+            (r["query_id"], r["rk"]): r["doc_id"]
+            for r in diversified_topk(df, k=10, per_group_cap=2).collect()
+        }
+        # equal scores break on doc_id asc; cap drops doc 3 for q1
+        assert out == {("q1", 1): 1, ("q1", 2): 2, ("q2", 1): 9}
+
+
 class TestSelfRepeatStats:
     def test_injected_repeat_exact_length(self, spark):
         from licenta_crawler_spark.operators.dedup import self_repeat_stats
