@@ -4454,6 +4454,35 @@ def serp_host_diversified(spark, sf_dir):
     return diversified_topk(ranked, k=10, per_group_cap=2)
 
 
+def sitemap_coverage(spark, sf_dir):
+    """Sitemap-coverage audit
+    (`operators/frontier_policy.sitemap_coverage_audit`): 1200
+    declared sitemap URLs across 10 hosts (every 7th never crawled —
+    budget starvation), crawl log reaching every 5th-excluded id plus
+    a 100-URL orphan tail the sitemaps never declared; exact permille
+    funnel per host via one full outer join + host rollup."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        sitemap_coverage_audit,
+    )
+
+    host = F.concat(F.lit("h"), (F.col("id") % 10).cast("string"))
+    url = F.concat(
+        F.lit("https://h"), (F.col("id") % 10).cast("string"),
+        F.lit(".example/p/"), F.col("id").cast("string"),
+    )
+    declared = (
+        spark.range(1200)
+        .filter(F.col("id") % 7 != 0)
+        .select(host.alias("host"), url.alias("url"))
+    )
+    crawled = (
+        spark.range(1300)
+        .filter((F.col("id") % 5 != 0) | (F.col("id") >= 1200))
+        .select(host.alias("host"), url.alias("url"))
+    )
+    return sitemap_coverage_audit(declared, crawled)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4522,6 +4551,7 @@ QUERIES = {
     "hreflang_cluster_audit": hreflang_cluster_audit,
     "posting_compression_stats": posting_compression_stats,
     "serp_host_diversified": serp_host_diversified,
+    "sitemap_coverage": sitemap_coverage,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9535,6 +9565,44 @@ ORACLE_SQL["serp_host_diversified"] = f"""
       )::BIGINT AS rk
       FROM capped
     ) WHERE rk <= 10
+"""
+
+ORACLE_SQL["sitemap_coverage"] = """
+    WITH declared AS (
+      SELECT DISTINCT 'h' || (i % 10) AS host,
+             'https://h' || (i % 10) || '.example/p/' || i AS url
+      FROM (SELECT unnest(generate_series(0, 1199)) AS i)
+      WHERE i % 7 <> 0
+    ),
+    crawled AS (
+      SELECT DISTINCT 'h' || (i % 10) AS host,
+             'https://h' || (i % 10) || '.example/p/' || i AS url
+      FROM (SELECT unnest(generate_series(0, 1299)) AS i)
+      WHERE i % 5 <> 0 OR i >= 1200
+    ),
+    merged AS (
+      SELECT coalesce(d.host, c.host) AS host,
+             CASE WHEN d.url IS NULL THEN 0 ELSE 1 END AS is_d,
+             CASE WHEN c.url IS NULL THEN 0 ELSE 1 END AS is_c
+      FROM declared d
+      FULL OUTER JOIN crawled c ON d.host = c.host AND d.url = c.url
+    ),
+    agg AS (
+      SELECT host, sum(is_d)::BIGINT AS n_declared,
+             sum(is_c)::BIGINT AS n_crawled,
+             sum(is_d * is_c)::BIGINT AS n_both
+      FROM merged GROUP BY host
+    )
+    SELECT host, n_declared, n_crawled, n_both,
+           (n_declared - n_both)::BIGINT AS n_sitemap_only,
+           (n_crawled - n_both)::BIGINT AS n_orphan,
+           CASE WHEN n_declared > 0
+                THEN (n_both * 1000) // n_declared END::BIGINT
+             AS coverage_permille,
+           CASE WHEN n_crawled > 0
+                THEN ((n_crawled - n_both) * 1000) // n_crawled END::BIGINT
+             AS orphan_permille
+    FROM agg
 """
 
 _LAZY_ORACLES = {

@@ -1401,3 +1401,57 @@ def crawl_delay_compliance(
         .cast("long")
         .alias("compliance_permille"),
     )
+
+
+def sitemap_coverage_audit(
+    declared: DataFrame,
+    crawled: DataFrame,
+) -> DataFrame:
+    """Sitemap-coverage audit: per host, how much of what the site
+    DECLARED (sitemap URLs) the crawl actually reached, and how much
+    of what the crawl reached the site never declared — the two
+    numbers a crawl-completeness report leads with (Google Search
+    Console's "discovered / crawled / indexed" funnel is this table).
+    Undeclared-but-crawled ("orphan") pages signal sitemap rot or
+    link-only discovery; declared-but-uncrawled pages signal budget
+    starvation, robots blocks, or dead sitemap entries. Reference
+    counterpart: the reference crawls sitemaps but never audits
+    coverage (SitemapSaxCrawler.java:39-138 walks, doesn't reconcile).
+
+    Inputs: ``declared`` (host, url) from sitemap parses, ``crawled``
+    (host, url) from the crawl log; both deduplicated here. Exact
+    integer permilles (truncating): coverage = crawled∩declared per
+    declared, orphan = crawled∖declared per crawled.
+
+    Scale shape: one full outer join on the canonical url key (both
+    sides hash-partition on url — at 10^10 URLs this is the join the
+    seen-set already pays), then a host-keyed rollup (~10^7 rows).
+    Output: (host, n_declared, n_crawled, n_both, n_sitemap_only,
+    n_orphan, coverage_permille, orphan_permille)."""
+    d = declared.select("host", "url").distinct().withColumn(
+        "is_d", F.lit(1)
+    )
+    c = crawled.select("host", "url").distinct().withColumn("is_c", F.lit(1))
+    merged = d.join(c, ["host", "url"], "full_outer").select(
+        "host",
+        F.coalesce(F.col("is_d"), F.lit(0)).alias("is_d"),
+        F.coalesce(F.col("is_c"), F.lit(0)).alias("is_c"),
+    )
+    agg = merged.groupBy("host").agg(
+        F.sum("is_d").cast("long").alias("n_declared"),
+        F.sum("is_c").cast("long").alias("n_crawled"),
+        F.sum(F.col("is_d") * F.col("is_c")).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "host", "n_declared", "n_crawled", "n_both",
+        (F.col("n_declared") - F.col("n_both")).alias("n_sitemap_only"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_orphan"),
+        F.when(
+            F.col("n_declared") > 0,
+            F.expr("(n_both * 1000) div n_declared"),
+        ).otherwise(F.lit(None)).cast("long").alias("coverage_permille"),
+        F.when(
+            F.col("n_crawled") > 0,
+            F.expr("((n_crawled - n_both) * 1000) div n_crawled"),
+        ).otherwise(F.lit(None)).cast("long").alias("orphan_permille"),
+    )

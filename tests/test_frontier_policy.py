@@ -1109,3 +1109,48 @@ class TestCrawlDelayCompliance:
         assert out["s"]["min_gap_ms"] is None
         assert out["s"]["n_violations"] == 0
         assert out["s"]["compliance_permille"] == 1000
+
+
+class TestSitemapCoverageAudit:
+    def test_funnel_counts_and_permilles(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            sitemap_coverage_audit,
+        )
+
+        declared = spark.createDataFrame(
+            [("h", f"u{i}") for i in range(4)], "host string, url string"
+        )
+        crawled = spark.createDataFrame(
+            [("h", "u0"), ("h", "u1"), ("h", "u9"), ("h", "u9")],
+            "host string, url string",  # u9 duplicated: must dedup
+        )
+        [r] = sitemap_coverage_audit(declared, crawled).collect()
+        assert (r["n_declared"], r["n_crawled"], r["n_both"]) == (4, 3, 2)
+        assert (r["n_sitemap_only"], r["n_orphan"]) == (2, 1)
+        assert r["coverage_permille"] == 500     # 2/4
+        assert r["orphan_permille"] == 333       # 1/3 truncating
+
+    def test_one_sided_hosts(self, spark):
+        """A host with only declarations (never crawled) and a host with
+        only crawls (no sitemap) both survive the full outer join, with
+        NULL for the undefined ratio."""
+        from licenta_crawler_spark.operators.frontier_policy import (
+            sitemap_coverage_audit,
+        )
+
+        declared = spark.createDataFrame(
+            [("dead", "u1")], "host string, url string"
+        )
+        crawled = spark.createDataFrame(
+            [("orphan", "u2")], "host string, url string"
+        )
+        got = {
+            r["host"]: r
+            for r in sitemap_coverage_audit(declared, crawled).collect()
+        }
+        assert got["dead"]["n_crawled"] == 0
+        assert got["dead"]["coverage_permille"] == 0
+        assert got["dead"]["orphan_permille"] is None
+        assert got["orphan"]["n_declared"] == 0
+        assert got["orphan"]["coverage_permille"] is None
+        assert got["orphan"]["orphan_permille"] == 1000
