@@ -4483,6 +4483,35 @@ def sitemap_coverage(spark, sf_dir):
     return sitemap_coverage_audit(declared, crawled)
 
 
+def crawl_roi_census(spark, sf_dir):
+    """Crawl ROI census (`operators/frontier_policy.crawl_roi`): what
+    each host's crawl PAID (fetches, bytes) vs what the quality gate
+    KEPT. 2400 fetched pages over 10 hosts with deterministic byte
+    sizes; verdicts exist only for ids not divisible by 3 (a fetched
+    page with no verdict row never reached the corpus → not kept).
+    Every host keeps ≥1 doc so the driver's row sort (which cannot
+    order NULLs) never sees a NULL bytes_per_kept; the zero-kept NULL
+    edge is unit-tested in test_frontier_policy."""
+    from licenta_crawler_spark.operators.frontier_policy import crawl_roi
+
+    host = F.concat(F.lit("h"), (F.col("id") % 10).cast("string"))
+    doc = F.concat(F.lit("d"), F.col("id").cast("string"))
+    fetch_log = spark.range(2400).select(
+        host.alias("host"),
+        doc.alias("doc_id"),
+        (F.lit(200) + (F.col("id") * 37) % 9000).cast("long").alias("bytes"),
+    )
+    verdicts = (
+        spark.range(2400)
+        .filter(F.col("id") % 3 != 0)
+        .select(
+            doc.alias("doc_id"),
+            (F.col("id") % 7 < 4).alias("keep"),
+        )
+    )
+    return crawl_roi(fetch_log, verdicts)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4552,6 +4581,7 @@ QUERIES = {
     "posting_compression_stats": posting_compression_stats,
     "serp_host_diversified": serp_host_diversified,
     "sitemap_coverage": sitemap_coverage,
+    "crawl_roi_census": crawl_roi_census,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9602,6 +9632,35 @@ ORACLE_SQL["sitemap_coverage"] = """
            CASE WHEN n_crawled > 0
                 THEN ((n_crawled - n_both) * 1000) // n_crawled END::BIGINT
              AS orphan_permille
+    FROM agg
+"""
+
+ORACLE_SQL["crawl_roi_census"] = """
+    WITH fl AS (
+      SELECT 'h' || (i % 10) AS host, 'd' || i AS doc_id,
+             (200 + (i * 37) % 9000)::BIGINT AS bytes
+      FROM (SELECT unnest(generate_series(0, 2399)) AS i)
+    ),
+    vd AS (
+      SELECT 'd' || i AS doc_id, (i % 7 < 4) AS keep
+      FROM (SELECT unnest(generate_series(0, 2399)) AS i)
+      WHERE i % 3 <> 0
+    ),
+    j AS (
+      SELECT fl.host, fl.bytes,
+             CASE WHEN coalesce(vd.keep, FALSE) THEN 1 ELSE 0 END AS k
+      FROM fl LEFT JOIN vd ON fl.doc_id = vd.doc_id
+    ),
+    agg AS (
+      SELECT host, count(*)::BIGINT AS n_fetched,
+             sum(bytes)::BIGINT AS bytes_total,
+             sum(k)::BIGINT AS n_kept
+      FROM j GROUP BY host
+    )
+    SELECT host, n_fetched, bytes_total, n_kept,
+           ((n_kept * 1000) // n_fetched)::BIGINT AS kept_permille,
+           CASE WHEN n_kept > 0 THEN bytes_total // n_kept END::BIGINT
+             AS bytes_per_kept
     FROM agg
 """
 

@@ -1455,3 +1455,57 @@ def sitemap_coverage_audit(
             F.expr("((n_crawled - n_both) * 1000) div n_crawled"),
         ).otherwise(F.lit(None)).cast("long").alias("orphan_permille"),
     )
+
+
+def crawl_roi(
+    fetch_log: DataFrame,
+    verdicts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Crawl ROI census: per host, what the crawl PAID (fetches,
+    bytes) versus what the pipeline KEPT (documents surviving the
+    quality gate) — the number that decides where next month's crawl
+    budget goes. A host whose pages are 95% quality-rejected is pure
+    bandwidth burn; bytes-per-kept-doc is the unit cost a
+    budget-allocation pass (allocate_budget, Hamilton caps) should
+    consume. Reference counterpart: none — the reference fetches
+    unconditionally (graft mandate, crawl-economics family).
+
+    Inputs: ``fetch_log`` (host, id_col, bytes) — one row per fetched
+    page; ``verdicts`` (id_col, keep_col bool) from any quality gate
+    (gopher, C4, NB classifier...). Left join: a fetched page with no
+    verdict row counts as not kept (it never reached the corpus).
+    Exact integer ratios, truncating div; bytes_per_kept NULL when a
+    host kept nothing.
+
+    Scale shape: one equi-join on the page id (both sides are
+    page-sized; the join key is the id both tables already carry) and
+    one host rollup (~10^7 rows). Output: (host, n_fetched,
+    bytes_total, n_kept, kept_permille, bytes_per_kept)."""
+    fl = fetch_log.select(
+        "host", F.col(id_col).alias("_id"), F.col("bytes").cast("long")
+    )
+    vd = verdicts.select(
+        F.col(id_col).alias("_id"),
+        F.col(keep_col).cast("boolean").alias("_keep"),
+    )
+    joined = fl.join(vd, "_id", "left").select(
+        "host", "bytes",
+        F.coalesce(F.col("_keep"), F.lit(False)).cast("int").alias("k"),
+    )
+    agg = joined.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetched"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.sum("k").cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "host", "n_fetched", "bytes_total", "n_kept",
+        F.expr("(n_kept * 1000) div n_fetched").cast("long").alias(
+            "kept_permille"
+        ),
+        F.when(
+            F.col("n_kept") > 0, F.expr("bytes_total div n_kept")
+        ).cast("long").alias("bytes_per_kept"),
+    )

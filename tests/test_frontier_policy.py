@@ -1154,3 +1154,50 @@ class TestSitemapCoverageAudit:
         assert got["orphan"]["n_declared"] == 0
         assert got["orphan"]["coverage_permille"] is None
         assert got["orphan"]["orphan_permille"] == 1000
+
+
+class TestCrawlRoi:
+    def _run(self, spark, fetches, verdicts):
+        from licenta_crawler_spark.operators.frontier_policy import crawl_roi
+
+        fl = spark.createDataFrame(
+            fetches, "host string, doc_id string, bytes long"
+        )
+        vd = spark.createDataFrame(verdicts, "doc_id string, keep boolean")
+        return {r["host"]: r for r in crawl_roi(fl, vd).collect()}
+
+    def test_cost_vs_kept_funnel(self, spark):
+        out = self._run(
+            spark,
+            [("a", "d1", 100), ("a", "d2", 300), ("a", "d3", 500),
+             ("b", "d4", 1000)],
+            [("d1", True), ("d2", False), ("d3", True), ("d4", True)],
+        )
+        assert out["a"]["n_fetched"] == 3
+        assert out["a"]["bytes_total"] == 900
+        assert out["a"]["n_kept"] == 2
+        assert out["a"]["kept_permille"] == 666   # truncating div
+        assert out["a"]["bytes_per_kept"] == 450
+        assert out["b"]["kept_permille"] == 1000
+
+    def test_missing_verdict_counts_as_not_kept(self, spark):
+        """A fetched page with no verdict row never reached the corpus:
+        it must count as paid-for but not kept."""
+        out = self._run(
+            spark,
+            [("h", "d1", 10), ("h", "d2", 20)],
+            [("d1", True)],  # d2 has no verdict row
+        )
+        assert out["h"]["n_fetched"] == 2
+        assert out["h"]["n_kept"] == 1
+        assert out["h"]["kept_permille"] == 500
+
+    def test_zero_kept_host_null_unit_cost(self, spark):
+        out = self._run(
+            spark,
+            [("burn", "d1", 10), ("burn", "d2", 90)],
+            [("d1", False), ("d2", False)],
+        )
+        assert out["burn"]["n_kept"] == 0
+        assert out["burn"]["kept_permille"] == 0
+        assert out["burn"]["bytes_per_kept"] is None
