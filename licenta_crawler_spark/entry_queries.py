@@ -4512,6 +4512,45 @@ def crawl_roi_census(spark, sf_dir):
     return crawl_roi(fetch_log, verdicts)
 
 
+def rrf_hybrid_search(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval systems
+    (`operators/retrieval.rank_fusion_rrf`): the same two queries
+    ranked by flat BM25 (top-20) and by field-weighted BM25F with a
+    3x-weighted 8-token title field (top-20), fused with the paper's
+    k = 60 into one top-10 — rank-only fusion, so the two systems'
+    incomparable score scales never meet. n_systems records
+    consensus (2) vs single-system (1) provenance per fused row."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.retrieval import (
+        bm25_retrieval,
+        bm25f_retrieval,
+        rank_fusion_rrf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("h1", "join"), ("h1", "hash"), ("h2", "window"), ("h2", "stream"),
+         ("h2", "customer")],
+        "query_id string, term string",
+    )
+    lex = bm25_retrieval(d, q, k=20)
+    toks = F.filter(
+        F.split(normalized_text_col(F.col("text")), " "), lambda t: t != ""
+    )
+    fielded = d.select(F.col("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.slice("toks", 1, 8).alias("title_toks"),
+        F.slice(
+            F.col("toks"), F.lit(9),
+            F.greatest(F.size("toks") - F.lit(8), F.lit(0)),
+        ).alias("body_toks"),
+    )
+    fld = bm25f_retrieval(
+        fielded, q, [("title_toks", 3), ("body_toks", 1)], k=20
+    )
+    return rank_fusion_rrf([lex, fld], k_const=60, k=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4582,6 +4621,9 @@ QUERIES = {
     "serp_host_diversified": serp_host_diversified,
     "sitemap_coverage": sitemap_coverage,
     "crawl_roi_census": crawl_roi_census,
+    # ---- past the 50-key window: locally oracle-gated this round
+    # (tools/check_oracle.py), rotate into any future window ----
+    "rrf_hybrid_search": rrf_hybrid_search,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9633,6 +9675,107 @@ ORACLE_SQL["sitemap_coverage"] = """
                 THEN ((n_crawled - n_both) * 1000) // n_crawled END::BIGINT
              AS orphan_permille
     FROM agg
+"""
+
+ORACLE_SQL["rrf_hybrid_search"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('h1','join'), ('h1','hash'), ('h2','window'),
+                            ('h2','stream'), ('h2','customer'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total,
+                       count(*)::BIGINT AS n_docs FROM dls),
+    lhits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    ltf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+            FROM lhits GROUP BY doc_id, dl, term),
+    ldfs AS (SELECT term, count(*)::BIGINT AS df FROM ltf GROUP BY term),
+    lscored AS (
+      SELECT q.query_id, ltf.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
+             )::BIGINT AS score_fp
+      FROM ltf JOIN ldfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, ltf.doc_id
+    ),
+    lrank AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        )::BIGINT AS rk
+        FROM lscored
+      ) WHERE rk <= 20
+    ),
+    packed AS (
+      SELECT doc_id, field_id, w, ftoks, len(ftoks)::BIGINT AS dl FROM (
+        SELECT doc_id, 0 AS field_id, 3 AS w, toks[1:8] AS ftoks FROM base
+        UNION ALL
+        SELECT doc_id, 1 AS field_id, 1 AS w, toks[9:] AS ftoks FROM base
+      )
+    ),
+    fs AS (
+      SELECT field_id, sum(dl)::BIGINT AS t_field, count(*)::BIGINT AS n_docs
+      FROM packed GROUP BY field_id
+    ),
+    fhits AS (
+      SELECT p.doc_id, p.field_id, p.w, p.dl, u.term
+      FROM packed p, LATERAL unnest(p.ftoks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    ftf AS (
+      SELECT doc_id, field_id, w, dl, term, count(*)::BIGINT AS tf
+      FROM fhits GROUP BY doc_id, field_id, w, dl, term
+    ),
+    tfw AS (
+      SELECT t.doc_id, t.term, max(f.n_docs) AS n_docs,
+             sum(t.w * ((4000000 * t.tf) //
+                        (1000 + (3000 * t.dl * f.n_docs) // f.t_field))
+             )::BIGINT AS tfw_fp
+      FROM ftf t JOIN fs f USING (field_id)
+      GROUP BY t.doc_id, t.term
+    ),
+    fdfs AS (SELECT term, count(*)::BIGINT AS df FROM tfw GROUP BY term),
+    fscored AS (
+      SELECT q.query_id, tfw.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((1000 * tfw_fp) // (1200 + tfw_fp))) // 1000
+             )::BIGINT AS score_fp
+      FROM tfw JOIN fdfs USING (term) JOIN q USING (term)
+      GROUP BY q.query_id, tfw.doc_id
+    ),
+    frank AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        )::BIGINT AS rk
+        FROM fscored
+      ) WHERE rk <= 20
+    ),
+    u AS (SELECT * FROM lrank UNION ALL SELECT * FROM frank),
+    fused AS (
+      SELECT query_id, doc_id,
+             sum(1000000000 // (60 + rk))::BIGINT AS rrf_fp,
+             count(*)::BIGINT AS n_systems
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_fp, n_systems, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id ASC
+      )::BIGINT AS rk
+      FROM fused
+    ) WHERE rk <= 10
 """
 
 ORACLE_SQL["crawl_roi_census"] = """

@@ -571,3 +571,60 @@ def diversified_topk(
         .filter(F.col("rk") <= k)
         .select(query_col, id_col, score_col, group_col, "rk")
     )
+
+
+def rank_fusion_rrf(
+    rankings: list[DataFrame],
+    *,
+    k_const: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N per-query rankings into one — the standard hybrid-retrieval
+    combiner (lexical BM25 + field-weighted BM25F + vector ANN + query
+    variants) because it needs only RANKS, never the incomparable raw
+    scores of heterogeneous systems. Reference scope: no search
+    surface in the reference (graft mandate, SURVEY §2.8).
+
+    Exact integer scoring: each system contributes
+    ``10^9 div (k_const + rk)`` for a doc it ranked (nothing for docs
+    it missed), summed across systems; k_const = 60 is the paper's
+    constant. With rk >= 1 each contribution is <= 10^9/61, so even
+    10^4 fused systems stay ~10^12 — far inside int64. Ties break on
+    doc id. ``n_systems`` (how many rankings carried the doc) is kept:
+    consensus-vs-single-system provenance is the first question every
+    fusion debug asks.
+
+    Scale shape: inputs are per-query top-lists (bounded, index-sized
+    — never corpus-sized), so the union + (query, doc) aggregation +
+    per-query window shuffle |queries|*k*n_systems rows. The corpus
+    was already paid for by the underlying systems.
+
+    Output: (query_col, id_col, rrf_fp, n_systems, rk) — top ``k``
+    fused rows per query."""
+    if not rankings:
+        raise ValueError("rank_fusion_rrf needs at least one ranking")
+    u = None
+    for r in rankings:
+        part = r.select(
+            F.col(query_col), F.col(id_col),
+            F.col(rank_col).cast("long").alias("_rk"),
+        )
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum(
+            F.expr(f"1000000000 div ({k_const} + _rk)")
+        ).cast("long").alias("rrf_fp"),
+        F.count("*").cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_fp"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(query_col, id_col, "rrf_fp", "n_systems", "rk")
+    )

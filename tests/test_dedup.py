@@ -899,3 +899,57 @@ class TestRevisitLedger:
         assert sum(r.bytes_saved for r in revisits) == sum(
             r.length for r in revisits
         )
+
+
+class TestRankFusionRrf:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id string, doc_id long, rk long"
+        )
+
+    def test_rrf_sum_and_consensus(self, spark):
+        from licenta_crawler_spark.operators.retrieval import rank_fusion_rrf
+
+        a = self._rank(spark, [("q", 1, 1), ("q", 2, 2)])
+        b = self._rank(spark, [("q", 2, 1), ("q", 3, 2)])
+        got = {
+            r["doc_id"]: r
+            for r in rank_fusion_rrf([a, b], k_const=60, k=10).collect()
+        }
+        # doc 2: 10^9//62 + 10^9//61 (consensus); docs 1/3: single-system
+        assert got[2]["rrf_fp"] == 10**9 // 62 + 10**9 // 61
+        assert got[2]["n_systems"] == 2
+        assert got[1]["rrf_fp"] == 10**9 // 61
+        assert got[1]["n_systems"] == 1
+        # fused order: consensus doc 2 first, then rank-1 doc 1, then doc 3
+        assert [got[d]["rk"] for d in (2, 1, 3)] == [1, 2, 3]
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        from licenta_crawler_spark.operators.retrieval import rank_fusion_rrf
+
+        a = self._rank(spark, [("q", 9, 1), ("q", 4, 2)])
+        b = self._rank(spark, [("q", 4, 1), ("q", 9, 2)])
+        rows = rank_fusion_rrf([a, b]).orderBy("rk").collect()
+        assert [r["doc_id"] for r in rows] == [4, 9]  # equal score, id asc
+        assert rows[0]["rrf_fp"] == rows[1]["rrf_fp"]
+
+    def test_top_k_cut_and_missing_docs(self, spark):
+        from licenta_crawler_spark.operators.retrieval import rank_fusion_rrf
+
+        a = self._rank(spark, [("q", i, i) for i in range(1, 8)])
+        out = rank_fusion_rrf([a], k=3).collect()
+        assert len(out) == 3
+        assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+
+    def test_per_query_isolation(self, spark):
+        from licenta_crawler_spark.operators.retrieval import rank_fusion_rrf
+
+        a = self._rank(spark, [("q1", 1, 1), ("q2", 2, 1)])
+        b = self._rank(spark, [("q1", 1, 3)])
+        got = {
+            (r["query_id"], r["doc_id"]): r
+            for r in rank_fusion_rrf([a, b]).collect()
+        }
+        assert got[("q1", 1)]["n_systems"] == 2
+        assert got[("q2", 2)]["n_systems"] == 1
+        assert got[("q2", 2)]["rk"] == 1
