@@ -4551,6 +4551,29 @@ def rrf_hybrid_search(spark, sf_dir):
     return rank_fusion_rrf([lex, fld], k_const=60, k=10)
 
 
+def serp_snippets(spark, sf_dir):
+    """Best-passage snippet extraction for a result page
+    (`operators/retrieval.best_passage`): BM25 top-10 per query, then
+    for each served doc the 20-token window with the most query-term
+    occurrences (anchored at hit positions, earliest-start tiebreak),
+    sliced back out of the normalized token stream as the snippet
+    string. The corpus is semi-joined down to the served docs BEFORE
+    any position explode."""
+    from licenta_crawler_spark.operators.retrieval import (
+        best_passage,
+        bm25_retrieval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("s1", "join"), ("s1", "hash"), ("s2", "window"), ("s2", "stream"),
+         ("s2", "customer")],
+        "query_id string, term string",
+    )
+    cand = bm25_retrieval(d, q, k=10).select("query_id", "doc_id")
+    return best_passage(d, q, cand, width=20)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4624,6 +4647,7 @@ QUERIES = {
     # ---- past the 50-key window: locally oracle-gated this round
     # (tools/check_oracle.py), rotate into any future window ----
     "rrf_hybrid_search": rrf_hybrid_search,
+    "serp_snippets": serp_snippets,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9776,6 +9800,80 @@ ORACLE_SQL["rrf_hybrid_search"] = f"""
       )::BIGINT AS rk
       FROM fused
     ) WHERE rk <= 10
+"""
+
+ORACLE_SQL["serp_snippets"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('s1','join'), ('s1','hash'), ('s2','window'),
+                            ('s2','stream'), ('s2','customer'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total,
+                       count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
+             )::BIGINT AS score_fp
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        ) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    postok AS (
+      SELECT b.doc_id, g.pos::BIGINT AS pos, b.toks[g.pos] AS term
+      FROM base b,
+           LATERAL unnest(generate_series(1, len(b.toks))) AS g(pos)
+      WHERE b.doc_id IN (SELECT DISTINCT doc_id FROM cand)
+    ),
+    qhits AS (
+      SELECT q.query_id, p.doc_id, p.pos
+      FROM postok p JOIN q ON p.term = q.term
+           JOIN cand c ON c.query_id = q.query_id AND c.doc_id = p.doc_id
+    ),
+    counted AS (
+      SELECT query_id, doc_id, pos,
+             count(*) OVER (
+               PARTITION BY query_id, doc_id ORDER BY pos
+               RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING
+             )::BIGINT AS n_hits
+      FROM qhits
+    ),
+    winners AS (
+      SELECT query_id, doc_id, pos AS win_start, n_hits FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id, doc_id ORDER BY n_hits DESC, pos ASC
+        ) AS b
+        FROM counted
+      ) WHERE b = 1
+    )
+    SELECT w.query_id, w.doc_id, w.win_start, w.n_hits,
+           array_to_string(b.toks[w.win_start:w.win_start+19], ' ')
+             AS snippet
+    FROM winners w JOIN base b USING (doc_id)
 """
 
 ORACLE_SQL["crawl_roi_census"] = """

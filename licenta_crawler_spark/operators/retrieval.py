@@ -628,3 +628,89 @@ def rank_fusion_rrf(
         .filter(F.col("rk") <= k)
         .select(query_col, id_col, "rrf_fp", "n_systems", "rk")
     )
+
+
+def best_passage(
+    documents: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame | None = None,
+    *,
+    width: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-passage (snippet) extraction: for each (query, doc) pair,
+    the ``width``-token window containing the most query-term
+    OCCURRENCES — the serving step that turns a ranked doc list into a
+    result page (Turpin et al. 2007's fast snippet generation problem).
+    Reference scope: no serving surface in the reference (graft
+    mandate, SURVEY §2.8).
+
+    Exact semantics: candidate windows are anchored at query-term hit
+    positions only (an optimal fixed-width window can always be slid
+    right until its left edge touches a hit, so anchoring loses
+    nothing); the winner maximizes hits in [pos, pos+width-1], ties
+    broken by the EARLIEST start. Output one row per matched (query,
+    doc): (query_id, doc_id, win_start 1-based, n_hits, snippet).
+
+    Scale shape: when ``candidates`` (query_id, doc_id — e.g. the BM25
+    top-k page) is given, the corpus is broadcast-semi-joined down to
+    the docs actually being served BEFORE any position explode — the
+    explode is then bounded by |result pages| x doc length, never
+    corpus-sized. The hit stream keeps only query-vocabulary tokens.
+    One range-frame window per (query, doc) hit list; snippet slicing
+    joins the (tiny) winner set back to the candidate docs' token
+    arrays."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks_all = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks_all.alias("toks")
+    )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col("query_id"), F.col(id_col).alias("doc_id")
+        ).distinct()
+        base = base.join(
+            F.broadcast(cand.select("doc_id").distinct()), "doc_id",
+            "left_semi",
+        )
+    qv = queries.select("query_id", "term").distinct()
+    pos_tok = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    hits = pos_tok.join(F.broadcast(qv), "term").select(
+        "query_id", "doc_id", "pos"
+    )
+    if candidates is not None:
+        hits = hits.join(F.broadcast(cand), ["query_id", "doc_id"],
+                         "left_semi")
+    wr = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rangeBetween(0, width - 1)
+    )
+    counted = hits.withColumn(
+        "n_hits", F.count("*").over(wr).cast("long")
+    )
+    wbest = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_hits"), F.asc("pos")
+    )
+    winners = (
+        counted.withColumn("_b", F.row_number().over(wbest))
+        .filter(F.col("_b") == 1)
+        .select(
+            "query_id", "doc_id",
+            F.col("pos").cast("long").alias("win_start"), "n_hits",
+        )
+    )
+    return winners.join(base, "doc_id").select(
+        "query_id", "doc_id", "win_start", "n_hits",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("win_start").cast("int"),
+                    F.lit(width)),
+            " ",
+        ).alias("snippet"),
+    )

@@ -953,3 +953,64 @@ class TestRankFusionRrf:
         assert got[("q1", 1)]["n_systems"] == 2
         assert got[("q2", 2)]["n_systems"] == 1
         assert got[("q2", 2)]["rk"] == 1
+
+
+class TestBestPassage:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _q(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id string, term string")
+
+    def test_densest_window_wins(self, spark):
+        from licenta_crawler_spark.operators.retrieval import best_passage
+
+        # hits at token positions 1, 10, 11, 12 (1-based); width 4:
+        # window starting at 10 holds 3 hits, the early lone hit only 1
+        text = "cat " + "x " * 8 + "cat cat cat " + "y " * 5
+        d = self._docs(spark, [(1, text.strip())])
+        q = self._q(spark, [("q", "cat")])
+        [r] = best_passage(d, q, width=4).collect()
+        assert r["win_start"] == 10
+        assert r["n_hits"] == 3
+        assert r["snippet"] == "cat cat cat y"
+
+    def test_tie_prefers_earliest_start(self, spark):
+        from licenta_crawler_spark.operators.retrieval import best_passage
+
+        d = self._docs(spark, [(1, "a z z a z z a")])
+        q = self._q(spark, [("q", "a")])
+        [r] = best_passage(d, q, width=4).collect()
+        # windows at pos 1 and pos 4 both hold 2 hits -> earliest
+        assert r["win_start"] == 1
+        assert r["n_hits"] == 2
+        assert r["snippet"] == "a z z a"
+
+    def test_candidates_restrict_output(self, spark):
+        from licenta_crawler_spark.operators.retrieval import best_passage
+
+        d = self._docs(spark, [(1, "hit one"), (2, "hit two")])
+        q = self._q(spark, [("q", "hit")])
+        cand = spark.createDataFrame(
+            [("q", 2)], "query_id string, doc_id long"
+        )
+        rows = best_passage(d, q, cand, width=5).collect()
+        assert [(r["query_id"], r["doc_id"]) for r in rows] == [("q", 2)]
+
+    def test_window_truncates_at_doc_end(self, spark):
+        from licenta_crawler_spark.operators.retrieval import best_passage
+
+        d = self._docs(spark, [(1, "w x key")])
+        q = self._q(spark, [("q", "key")])
+        [r] = best_passage(d, q, width=10).collect()
+        assert r["win_start"] == 3
+        assert r["snippet"] == "key"
+
+    def test_multi_term_occurrence_count(self, spark):
+        from licenta_crawler_spark.operators.retrieval import best_passage
+
+        d = self._docs(spark, [(1, "alpha beta alpha q q q q beta")])
+        q = self._q(spark, [("q", "alpha"), ("q", "beta")])
+        [r] = best_passage(d, q, width=3).collect()
+        # window [1..3] = alpha beta alpha -> 3 occurrences
+        assert (r["win_start"], r["n_hits"]) == (1, 3)
