@@ -4574,6 +4574,22 @@ def serp_snippets(spark, sf_dir):
     return best_passage(d, q, cand, width=20)
 
 
+def tfidf_doc_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction
+    (`operators/corpus.tfidf_keywords`): top-5 most characteristic
+    terms per doc under the overflow-proof divide-before-multiply
+    fixed point (tf/dl at scale 10^6 times N/df at scale 10^3); df
+    and N computed over the WHOLE corpus, keywords reported for the
+    first 50 docs (the corpus statistics never shrink with the report
+    window)."""
+    from licenta_crawler_spark.operators.corpus import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return tfidf_keywords(d, k=5).filter(F.col("doc_id") < 50)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4648,6 +4664,7 @@ QUERIES = {
     # (tools/check_oracle.py), rotate into any future window ----
     "rrf_hybrid_search": rrf_hybrid_search,
     "serp_snippets": serp_snippets,
+    "tfidf_doc_keywords": tfidf_doc_keywords,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9874,6 +9891,33 @@ ORACLE_SQL["serp_snippets"] = f"""
            array_to_string(b.toks[w.win_start:w.win_start+19], ' ')
              AS snippet
     FROM winners w JOIN base b USING (doc_id)
+"""
+
+ORACLE_SQL["tfidf_doc_keywords"] = f"""
+    WITH words AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest(
+        list_filter({_NORM_TOKS_SQL}, t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM words GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             (((tf.tf * 1000000) // dl.dl)
+              * ((n.n_docs * 1000) // dfs.df))::BIGINT AS score_fp
+      FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score_fp, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, term ASC
+      )::BIGINT AS rk
+      FROM scored
+    ) WHERE rk <= 5 AND doc_id < 50
 """
 
 ORACLE_SQL["crawl_roi_census"] = """

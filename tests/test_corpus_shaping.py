@@ -294,3 +294,56 @@ def test_vocab_growth_sparse_string_ids(spark):
     assert got[1] == (2, 2)       # alpha beta
     assert got[2] == (5, 3)       # + alpha gamma gamma -> vocab {alpha,beta,gamma}
     assert got[9] == (6, 4)       # cutoff past corpus end covers everything
+
+
+class TestTfidfKeywords:
+    def test_rare_term_beats_common(self, spark):
+        from licenta_crawler_spark.operators.corpus import tfidf_keywords
+
+        d = spark.createDataFrame(
+            [(1, "common rare common common"),
+             (2, "common common"),
+             (3, "common other")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["rk"]): r
+            for r in tfidf_keywords(d, k=2).collect()
+        }
+        # doc 1: 'rare' df=1 idf=3000, tf_norm=250000 -> 750_000_000
+        #        'common' df=3 idf=1000, tf_norm=750000 -> 750_000_000
+        # exact tie -> term asc puts 'common' first
+        assert rows[(1, 1)]["term"] == "common"
+        assert rows[(1, 2)]["term"] == "rare"
+        assert rows[(1, 2)]["score_fp"] == 750_000_000
+        # doc 3: 'other' (df=1) outranks 'common' (df=3)
+        assert rows[(3, 1)]["term"] == "other"
+
+    def test_fixed_point_values_exact(self, spark):
+        from licenta_crawler_spark.operators.corpus import tfidf_keywords
+
+        d = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["term"]): r["score_fp"]
+            for r in tfidf_keywords(d, k=3).collect()
+        }
+        # N=2. doc1 a: tf=2 dl=3 df=1 -> (2000000//3)*(2000//1)=1333332000
+        assert got[(1, "a")] == (2 * 1000000 // 3) * (2 * 1000 // 1)
+        # doc1 b: tf=1 dl=3 df=2 -> 333333*1000
+        assert got[(1, "b")] == (1000000 // 3) * (2000 // 2)
+        # doc2 c: tf=1 dl=2 df=1 -> 500000*2000
+        assert got[(2, "c")] == 500000 * 2000
+
+    def test_top_k_cut(self, spark):
+        from licenta_crawler_spark.operators.corpus import tfidf_keywords
+
+        d = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        rows = tfidf_keywords(d, k=3).collect()
+        assert len(rows) == 3
+        assert [r["term"] for r in sorted(rows, key=lambda r: r["rk"])] == [
+            "a", "b", "c"  # all tied -> term asc
+        ]
