@@ -4590,6 +4590,25 @@ def tfidf_doc_keywords(spark, sf_dir):
     return tfidf_keywords(d, k=5).filter(F.col("doc_id") < 50)
 
 
+def query_spell_correct(spark, sf_dir):
+    """Did-you-mean query spell correction
+    (`operators/retrieval.spell_suggestions`): five query terms (three
+    single-edit typos of corpus words, one correctly spelled common
+    word, one garbage string) corrected against the corpus vocabulary
+    at k = 1 with the 10x frequency gate. The oracle is a BRUTE-FORCE
+    cross join + levenshtein — deliberately independent of the q-gram
+    count-filter candidate path, so a hash match certifies the
+    filter's completeness end-to-end."""
+    from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+    d = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [("windoq",), ("strean",), ("custoner",), ("join",), ("zzqqx",)],
+        "term string",
+    )
+    return spell_suggestions(d, qt, q=2, k=1, min_freq_ratio=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4665,6 +4684,7 @@ QUERIES = {
     "rrf_hybrid_search": rrf_hybrid_search,
     "serp_snippets": serp_snippets,
     "tfidf_doc_keywords": tfidf_doc_keywords,
+    "query_spell_correct": query_spell_correct,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9918,6 +9938,41 @@ ORACLE_SQL["tfidf_doc_keywords"] = f"""
       )::BIGINT AS rk
       FROM scored
     ) WHERE rk <= 5 AND doc_id < 50
+"""
+
+ORACLE_SQL["query_spell_correct"] = f"""
+    WITH qt AS (
+      SELECT * FROM (VALUES ('windoq'), ('strean'), ('custoner'),
+                            ('join'), ('zzqqx')) AS t(term)
+    ),
+    vocab AS (
+      SELECT term AS vterm, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(list_filter({_NORM_TOKS_SQL}, t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY 1
+    ),
+    qf AS (
+      SELECT qt.term, coalesce(v.freq, 0)::BIGINT AS term_freq
+      FROM qt LEFT JOIN vocab v ON v.vterm = qt.term
+    ),
+    cand AS (
+      SELECT q.term, v.vterm, v.freq,
+             levenshtein(q.term, v.vterm)::BIGINT AS dist
+      FROM qt q CROSS JOIN vocab v
+      WHERE levenshtein(q.term, v.vterm) = 1
+    ),
+    gated AS (
+      SELECT c.term, c.vterm, c.freq, c.dist, f.term_freq
+      FROM cand c JOIN qf f USING (term)
+      WHERE c.freq >= 10 * greatest(f.term_freq, 1)
+    )
+    SELECT term, vterm AS suggestion, dist, term_freq, freq AS sugg_freq
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY dist ASC, freq DESC, vterm ASC
+      ) AS r
+      FROM gated
+    ) WHERE r = 1
 """
 
 ORACLE_SQL["crawl_roi_census"] = """

@@ -714,3 +714,129 @@ def best_passage(
             " ",
         ).alias("snippet"),
     )
+
+
+def spell_suggestions(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    *,
+    q: int = 2,
+    k: int = 1,
+    min_freq_ratio: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query spell correction ("did you mean") against the corpus
+    vocabulary: for each query term, the best replacement within edit
+    distance ``k`` that is at least ``min_freq_ratio`` times more
+    frequent in the corpus — the classic frequency-gated suggestion
+    rule (a correctly spelled common word keeps its suggestion only
+    if a neighbor utterly dominates it; a typo's zero/rare frequency
+    always yields). Reference scope: no search surface in the
+    reference (graft mandate, SURVEY §2.8).
+
+    Candidate generation never goes all-pairs against the vocabulary:
+    the q-gram COUNT FILTER (Gravano et al. VLDB'01, the same multiset
+    bound as :func:`~licenta_crawler_spark.operators.dedup.
+    qgram_edit_candidates`) drives an inverted-index join between the
+    (tiny, broadcast) query-term grams and the vocabulary's gram
+    postings — but the bound ``max(len)-q+1-k*q`` is VACUOUS when
+    max(len) <= q-1+k*q (short strings can sit one edit apart sharing
+    zero q-grams, e.g. 'cat'/'cbt'), so terms that short are matched
+    by a broadcast nested-loop fallback against the alphabet-bounded
+    short-vocabulary slice instead. The two paths are disjoint by
+    max-length and their union is provably complete; native
+    ``levenshtein`` verifies every candidate exactly.
+
+    Ranking per query term: edit distance asc, corpus frequency desc,
+    term asc — top 1. Suggestions equal to the query term (distance
+    0) are excluded; the frequency gate compares against
+    ``greatest(own_freq, 1)`` so absent terms need a suggestion of
+    frequency >= min_freq_ratio.
+
+    Scale shape: one corpus scan builds (term, freq); the vocabulary
+    gram explode is vocab-sized (index-build cost, not corpus-sized);
+    the gram join is broadcast on the query side; levenshtein runs on
+    the filtered candidates only. Output: (term, suggestion, dist,
+    term_freq, sugg_freq)."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    vocab = (
+        documents.select(F.explode(toks).alias("vterm"))
+        .groupBy("vterm")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    qt = query_terms.select(F.col("term").cast("string")).distinct()
+    # own corpus frequency of each query term (0 when absent)
+    qt_freq = qt.join(
+        vocab.withColumnRenamed("vterm", "term"), "term", "left"
+    ).select(
+        "term", F.coalesce(F.col("freq"), F.lit(0)).alias("term_freq")
+    )
+
+    short_max = q - 1 + k * q  # bound vacuous at/below this max-length
+
+    def grams_of(col):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(col) - (q - 1), F.lit(0))
+            ),
+            lambda i: col.substr(i, F.lit(q)),
+        )
+
+    qg = (
+        qt.select("term", F.explode(grams_of(F.col("term"))).alias("gram"))
+        .groupBy("term", "gram")
+        .agg(F.count("*").alias("qc"))
+    )
+    vg = (
+        vocab.select(
+            "vterm", "freq", F.explode(grams_of(F.col("vterm"))).alias("gram")
+        )
+        .groupBy("vterm", "freq", "gram")
+        .agg(F.count("*").alias("vc"))
+    )
+    long_cand = (
+        vg.join(F.broadcast(qg), "gram")
+        .groupBy("term", "vterm", "freq")
+        .agg(F.sum(F.least("qc", "vc")).alias("shared"))
+        .withColumn("mx", F.greatest(F.length("term"), F.length("vterm")))
+        .filter(
+            (F.col("mx") > short_max)
+            & (F.col("shared") >= F.col("mx") - F.lit(q - 1) - F.lit(k * q))
+        )
+        .select("term", "vterm", "freq")
+    )
+    short_cand = (
+        vocab.filter(F.length("vterm") <= short_max)
+        .crossJoin(F.broadcast(qt))
+        .filter(
+            F.greatest(F.length("term"), F.length("vterm")) <= short_max
+        )
+        .select("term", "vterm", "freq")
+    )
+    verified = (
+        long_cand.unionByName(short_cand)
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("vterm")).cast("long")
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= k))
+    )
+    gated = verified.join(F.broadcast(qt_freq), "term").filter(
+        F.col("freq")
+        >= F.lit(min_freq_ratio) * F.greatest(F.col("term_freq"), F.lit(1))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("vterm")
+    )
+    return (
+        gated.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "term", F.col("vterm").alias("suggestion"), "dist",
+            "term_freq", F.col("freq").alias("sugg_freq"),
+        )
+    )

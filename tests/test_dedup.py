@@ -1014,3 +1014,74 @@ class TestBestPassage:
         [r] = best_passage(d, q, width=3).collect()
         # window [1..3] = alpha beta alpha -> 3 occurrences
         assert (r["win_start"], r["n_hits"]) == (1, 3)
+
+
+class TestSpellSuggestions:
+    def _docs(self, spark, text):
+        return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def _q(self, spark, terms):
+        return spark.createDataFrame([(t,) for t in terms], "term string")
+
+    def test_typo_corrected_by_frequency(self, spark):
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        d = self._docs(spark, "table " * 20 + "cable")
+        got = spell_suggestions(
+            d, self._q(spark, ["tagle"]), k=1, min_freq_ratio=10
+        ).collect()
+        [r] = got
+        assert r["suggestion"] == "table"
+        assert (r["dist"], r["term_freq"], r["sugg_freq"]) == (1, 0, 20)
+
+    def test_frequency_gate_blocks_common_word(self, spark):
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        # 'table' appears 20x; neighbor 'cable' only 30x < 10*20
+        d = self._docs(spark, "table " * 20 + "cable " * 30)
+        out = spell_suggestions(
+            d, self._q(spark, ["table"]), k=1, min_freq_ratio=10
+        ).collect()
+        assert out == []
+
+    def test_common_word_yields_to_dominant_neighbor(self, spark):
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        d = self._docs(spark, "table " + "cable " * 10)
+        [r] = spell_suggestions(
+            d, self._q(spark, ["table"]), k=1, min_freq_ratio=10
+        ).collect()
+        assert r["suggestion"] == "cable"
+        assert r["term_freq"] == 1
+
+    def test_short_string_fallback_zero_shared_grams(self, spark):
+        """'cbt' -> 'cat' share ZERO 2-grams at edit distance 1: the
+        count-filter bound is vacuous at max-len 3, so only the
+        short-string nested-loop path can find this pair."""
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        d = self._docs(spark, "cat " * 12)
+        [r] = spell_suggestions(
+            d, self._q(spark, ["cbt"]), k=1, min_freq_ratio=10
+        ).collect()
+        assert r["suggestion"] == "cat"
+        assert r["dist"] == 1
+
+    def test_rank_dist_then_freq_then_term(self, spark):
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        # both 'belts' and 'bolts' are 1 edit from 'balts'; bolts wins on freq
+        d = self._docs(spark, "belts " * 15 + "bolts " * 40)
+        [r] = spell_suggestions(
+            d, self._q(spark, ["balts"]), k=1, min_freq_ratio=1
+        ).collect()
+        assert r["suggestion"] == "bolts"
+
+    def test_no_candidate_no_row(self, spark):
+        from licenta_crawler_spark.operators.retrieval import spell_suggestions
+
+        d = self._docs(spark, "alpha beta gamma")
+        out = spell_suggestions(
+            d, self._q(spark, ["zzzzz"]), k=1
+        ).collect()
+        assert out == []
