@@ -4609,6 +4609,34 @@ def query_spell_correct(spark, sf_dir):
     return spell_suggestions(d, qt, q=2, k=1, min_freq_ratio=10)
 
 
+def pagination_depth_yield(spark, sf_dir):
+    """Pagination-depth yield curve
+    (`operators/frontier_policy.pagination_yield_curve`): 40 shelf
+    chains of depth 3-8 with linearly collapsing per-page new-product
+    yield (floor at 0 — deep pages of a sorted listing repeat);
+    per-depth pages/products/cumulative-share permilles and the
+    950-permille stop depth, all exact integers."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        pagination_yield_curve,
+    )
+
+    chains = spark.range(40).select(
+        F.concat(F.lit("h"), (F.col("id") % 8).cast("string")).alias("host"),
+        F.col("id").alias("chain_id"),
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(3) + F.col("id") % 6).cast("int"))
+        ).alias("depth"),
+    )
+    pages = chains.select(
+        "host", "chain_id", "depth",
+        F.greatest(
+            F.lit(12) - F.lit(2) * F.col("depth") - F.col("chain_id") % 3,
+            F.lit(0),
+        ).cast("long").alias("n_products"),
+    )
+    return pagination_yield_curve(pages, stop_permille=950)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4685,6 +4713,7 @@ QUERIES = {
     "serp_snippets": serp_snippets,
     "tfidf_doc_keywords": tfidf_doc_keywords,
     "query_spell_correct": query_spell_correct,
+    "pagination_depth_yield": pagination_depth_yield,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -9973,6 +10002,38 @@ ORACLE_SQL["query_spell_correct"] = f"""
       ) AS r
       FROM gated
     ) WHERE r = 1
+"""
+
+ORACLE_SQL["pagination_depth_yield"] = """
+    WITH chains AS (
+      SELECT c AS chain_id, unnest(generate_series(1, 3 + (c % 6))) AS depth
+      FROM (SELECT unnest(generate_series(0, 39)) AS c)
+    ),
+    pages AS (
+      SELECT chain_id, depth,
+             greatest(12 - 2 * depth - (chain_id % 3), 0)::BIGINT
+               AS n_products
+      FROM chains
+    ),
+    per_depth AS (
+      SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_pages,
+             sum(n_products)::BIGINT AS n_products
+      FROM pages GROUP BY depth
+    ),
+    cum AS (
+      SELECT depth, n_pages, n_products,
+             sum(n_products) OVER (ORDER BY depth)::BIGINT AS cum_products,
+             sum(n_products) OVER ()::BIGINT AS total
+      FROM per_depth
+    )
+    SELECT depth, n_pages, n_products, cum_products,
+           CASE WHEN total > 0 THEN (cum_products * 1000) // total
+                ELSE 0 END::BIGINT AS cum_share_permille,
+           ((n_products * 1000) // n_pages)::BIGINT
+             AS yield_per_page_permille,
+           (CASE WHEN total > 0 THEN (cum_products * 1000) // total
+                 ELSE 0 END >= 950) AS clears_stop
+    FROM cum
 """
 
 ORACLE_SQL["crawl_roi_census"] = """

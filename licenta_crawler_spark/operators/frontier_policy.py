@@ -1509,3 +1509,66 @@ def crawl_roi(
             F.col("n_kept") > 0, F.expr("bytes_total div n_kept")
         ).cast("long").alias("bytes_per_kept"),
     )
+
+
+def pagination_yield_curve(
+    pages: DataFrame,
+    *,
+    stop_permille: int = 950,
+) -> DataFrame:
+    """Pagination-depth yield curve: how much NEW content each
+    pagination depth contributes across all shelf chains — the number
+    that decides the max-depth cutoff every paginated crawl (the
+    reference follows next-page links unconditionally,
+    `BrowserCrawler.java:84-96` / F5; at 10^10 URLs depth must be
+    budgeted: deep pages of a sorted listing are mostly re-ranked
+    repeats with collapsing marginal yield).
+
+    Input: one row per fetched pagination page — (host, chain_id,
+    depth >= 1, n_products) with ``n_products`` counting NEW items
+    discovered on that page (post URL-seen dedup, D1/D2 — the engine's
+    own first-discovery semantics produce exactly this).
+
+    Output per depth: pages fetched, new products, cumulative
+    products, cumulative share of all products (permille, truncating),
+    marginal yield per page (products*1000 div pages), and
+    ``clears_stop`` — TRUE from the first depth whose cumulative share
+    reaches ``stop_permille`` (the recommended cutoff is the smallest
+    such depth).
+
+    Scale shape: one aggregation keyed by depth (domain ~10^2) off
+    page-level input (~10^10 rows at frontier scale — the groupBy is
+    the only shuffle and it collapses by eight orders of magnitude);
+    the cumulative window runs over the tiny depth domain on a single
+    partition by construction. Exact integer arithmetic throughout."""
+    per_depth = pages.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_products").cast("long").alias("n_products"),
+    )
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_depth.withColumn(
+            "cum_products", F.sum("n_products").over(w).cast("long")
+        )
+        .withColumn("_total", F.sum("n_products").over(wall))
+        .select(
+            "depth", "n_pages", "n_products", "cum_products",
+            F.when(
+                F.col("_total") > 0,
+                F.expr("(cum_products * 1000) div _total"),
+            ).otherwise(F.lit(0)).cast("long").alias("cum_share_permille"),
+            F.expr("(n_products * 1000) div n_pages").cast("long").alias(
+                "yield_per_page_permille"
+            ),
+            (
+                F.when(
+                    F.col("_total") > 0,
+                    F.expr("(cum_products * 1000) div _total"),
+                ).otherwise(F.lit(0))
+                >= F.lit(stop_permille)
+            ).alias("clears_stop"),
+        )
+    )

@@ -1201,3 +1201,44 @@ class TestCrawlRoi:
         assert out["burn"]["n_kept"] == 0
         assert out["burn"]["kept_permille"] == 0
         assert out["burn"]["bytes_per_kept"] is None
+
+
+class TestPaginationYieldCurve:
+    def _run(self, spark, rows, **kw):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            pagination_yield_curve,
+        )
+
+        df = spark.createDataFrame(
+            rows, "host string, chain_id long, depth long, n_products long"
+        )
+        return {
+            r["depth"]: r for r in pagination_yield_curve(df, **kw).collect()
+        }
+
+    def test_cumulative_share_and_stop_depth(self, spark):
+        out = self._run(
+            spark,
+            [("h", 1, 1, 80), ("h", 2, 1, 80),   # depth 1: 160
+             ("h", 1, 2, 30), ("h", 2, 2, 0),    # depth 2: 30
+             ("h", 1, 3, 10)],                   # depth 3: 10
+            stop_permille=950,
+        )
+        assert out[1]["cum_share_permille"] == 800      # 160/200
+        assert out[2]["cum_share_permille"] == 950      # 190/200
+        assert not out[1]["clears_stop"]
+        assert out[2]["clears_stop"] and out[3]["clears_stop"]
+        assert out[1]["yield_per_page_permille"] == 80000  # 160*1000/2
+
+    def test_marginal_yield_per_page(self, spark):
+        out = self._run(
+            spark,
+            [("h", 1, 1, 7), ("h", 2, 1, 4), ("h", 3, 1, 0)],
+        )
+        assert out[1]["n_pages"] == 3
+        assert out[1]["yield_per_page_permille"] == 11 * 1000 // 3
+
+    def test_all_zero_products_no_div_zero(self, spark):
+        out = self._run(spark, [("h", 1, 1, 0), ("h", 1, 2, 0)])
+        assert out[1]["cum_share_permille"] == 0
+        assert out[2]["clears_stop"] is False
