@@ -4637,6 +4637,29 @@ def pagination_depth_yield(spark, sf_dir):
     return pagination_yield_curve(pages, stop_permille=950)
 
 
+def wand_pruning_stats(spark, sf_dir):
+    """MaxScore/WAND top-k pruning census
+    (`operators/retrieval.wand_pruning_census`): three ranked queries
+    over the documents corpus, k=10 — per query the exact BM25
+    threshold at rank 10, the matched-doc count, and how many matched
+    docs a WAND traversal skips because their per-term max-impact
+    upper-bound sum falls strictly below the threshold (the skip set a
+    real impact-ordered index never scores). Bounds and ranker share
+    one fixed-point score expression by construction."""
+    from licenta_crawler_spark.operators.retrieval import (
+        wand_pruning_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("w1", "join"), ("w1", "hash"), ("w1", "merge"),
+         ("w2", "window"), ("w2", "stream"), ("w2", "customer"),
+         ("w2", "vector"), ("w3", "spark"), ("w3", "filter")],
+        "query_id string, term string",
+    )
+    return wand_pruning_census(d, q, k=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4714,6 +4737,7 @@ QUERIES = {
     "tfidf_doc_keywords": tfidf_doc_keywords,
     "query_spell_correct": query_spell_correct,
     "pagination_depth_yield": pagination_depth_yield,
+    "wand_pruning_stats": wand_pruning_stats,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10063,6 +10087,66 @@ ORACLE_SQL["crawl_roi_census"] = """
            CASE WHEN n_kept > 0 THEN bytes_total // n_kept END::BIGINT
              AS bytes_per_kept
     FROM agg
+"""
+
+ORACLE_SQL["wand_pruning_stats"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('w1','join'), ('w1','hash'), ('w1','merge'),
+                            ('w2','window'), ('w2','stream'),
+                            ('w2','customer'), ('w2','vector'),
+                            ('w3','spark'), ('w3','filter'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total,
+                       count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id, tf.term,
+             ((((n_docs * 1000000) // df)
+               * ((44000000 * tf) //
+                  (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+              ) // 1000)::BIGINT AS c
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+    ),
+    ub AS (SELECT query_id, term, max(c) AS ub
+           FROM contrib GROUP BY query_id, term),
+    per_doc AS (
+      SELECT query_id, doc_id, sum(c)::BIGINT AS score_fp,
+             sum(ub)::BIGINT AS ub_sum
+      FROM contrib JOIN ub USING (query_id, term)
+      GROUP BY query_id, doc_id
+    ),
+    theta AS (
+      SELECT query_id, score_fp AS theta_fp FROM (
+        SELECT query_id, score_fp, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        ) AS rk FROM per_doc
+      ) WHERE rk = 10
+    )
+    SELECT p.query_id,
+           count(*)::BIGINT AS n_matched,
+           any_value(t.theta_fp)::BIGINT AS theta_fp,
+           sum(CASE WHEN t.theta_fp IS NOT NULL AND p.ub_sum < t.theta_fp
+                    THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+           ((sum(CASE WHEN t.theta_fp IS NOT NULL AND p.ub_sum < t.theta_fp
+                      THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+             AS pruned_permille
+    FROM per_doc p LEFT JOIN theta t USING (query_id)
+    GROUP BY p.query_id
 """
 
 _LAZY_ORACLES = {

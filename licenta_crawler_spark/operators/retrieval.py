@@ -34,6 +34,18 @@ from licenta_crawler_spark.functions.text import normalized_text_col
 #: large vocabularies switch to a broadcast semi-join instead
 VOCAB_LITERAL_MAX = 1000
 
+#: the exact-integer BM25 per-(doc,term) contribution (k1 = 6/5,
+#: b = 3/4; see bm25_retrieval's docstring for the derivation and the
+#: int64 headroom proof). Shared by bm25_retrieval and
+#: wand_pruning_census so the ranker and its pruning bounds can never
+#: disagree on a score.
+BM25_TERM_SCORE_SQL = (
+    "(((n_docs * 1000000) div df)"
+    " * ((44000000 * tf) div"
+    "    (20000 * tf + 6000 + (18000 * dl * n_docs) div t_total))"
+    ") div 1000"
+)
+
 
 def boolean_retrieval(
     documents: DataFrame,
@@ -240,12 +252,7 @@ def bm25_retrieval(
         .crossJoin(F.broadcast(scalars))
         .select(
             "query_id", "doc_id",
-            F.expr(
-                "(((n_docs * 1000000) div df)"
-                " * ((44000000 * tf) div"
-                "    (20000 * tf + 6000 + (18000 * dl * n_docs) div t_total))"
-                ") div 1000"
-            ).alias("c"),
+            F.expr(BM25_TERM_SCORE_SQL).alias("c"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_fp"))
@@ -839,4 +846,110 @@ def spell_suggestions(
             "term", F.col("vterm").alias("suggestion"), "dist",
             "term_freq", F.col("freq").alias("sugg_freq"),
         )
+    )
+
+
+def wand_pruning_census(
+    documents: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_literal_max: int = VOCAB_LITERAL_MAX,
+) -> DataFrame:
+    """MaxScore/WAND top-k pruning census (Turtle & Flood 1995; Broder
+    et al. 2003): for each query, how much of the matched posting
+    universe a score-at-a-time ranker could SKIP with per-term
+    max-impact upper bounds, against the exact BM25 top-k threshold.
+
+    The bound is the classic one: UB(q, t) = max over docs of the
+    term's exact contribution (:data:`BM25_TERM_SCORE_SQL` — the same
+    fixed point :func:`bm25_retrieval` ranks with, shared so ranker and
+    bounds cannot drift), θ(q) = the full score at rank k (score desc,
+    doc asc). A matched doc whose Σ UB over its matched terms is
+    strictly below θ can never displace rank k — ub_sum ≥ score always,
+    so the top-k docs themselves are never flagged, and the strict
+    comparison is tie-safe. Queries matching fewer than k docs have no
+    threshold: nothing is skippable (every match is in the top-k).
+
+    Why it matters at 10^9 docs: these bounds are what an impact-ordered
+    index stores per term at build time; the census measures — exactly,
+    per query — the fraction of postings a WAND traversal never scores.
+    Emitted per query: n_matched, theta_fp (NULL below k matches),
+    n_skippable, pruned_permille.
+
+    Plan shape: the per-(query, doc, term) contribution relation is
+    built once from the single query-vocab corpus scan (same explode
+    discipline as bm25_retrieval) and localCheckpoint-truncated —
+    index-sized, and both the θ aggregate and the UB aggregate read it;
+    without truncation the corpus scan re-executes per branch. UB is a
+    query-vocab-sized aggregate, broadcast back onto the contributions,
+    so score and ub_sum come out of ONE (query, doc) aggregation.
+    """
+    qv = queries.select("query_id", "term").distinct()
+    vocab = [r.term for r in qv.select("term").distinct().collect()]
+    toks_all = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks_all.alias("toks"),
+        F.size(toks_all).cast("long").alias("dl"),
+    )
+    if len(vocab) <= vocab_literal_max:
+        lit = F.array(*[F.lit(t) for t in vocab])
+        hits = base.select(
+            "doc_id", "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(lit, t))
+            ).alias("term"),
+        )
+    else:
+        hits = base.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        ).join(F.broadcast(qv.select("term").distinct()), "term", "left_semi")
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = base.select(
+        F.sum("dl").alias("t_total"), F.count("*").alias("n_docs")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qv), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id", "doc_id", "term",
+            F.expr(BM25_TERM_SCORE_SQL).alias("c"),
+        )
+    ).localCheckpoint(eager=False)
+    ub = contrib.groupBy("query_id", "term").agg(F.max("c").alias("ub"))
+    per_doc = (
+        contrib.join(F.broadcast(ub), ["query_id", "term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_fp"), F.sum("ub").alias("ub_sum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    theta = (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == k)
+        .select("query_id", F.col("score_fp").alias("theta_fp"))
+    )
+    flagged = per_doc.join(F.broadcast(theta), "query_id", "left").select(
+        "query_id",
+        (
+            F.col("theta_fp").isNotNull()
+            & (F.col("ub_sum") < F.col("theta_fp"))
+        ).alias("skip"),
+        "theta_fp",
+    )
+    return flagged.groupBy("query_id").agg(
+        F.count("*").alias("n_matched"),
+        F.first("theta_fp").alias("theta_fp"),
+        F.sum(F.col("skip").cast("long")).alias("n_skippable"),
+        F.expr(
+            "(sum(cast(skip as long)) * 1000) div count(*)"
+        ).alias("pruned_permille"),
     )

@@ -583,6 +583,128 @@ class TestBm25Retrieval:
         assert out[0]["score_fp"] > 0  # the old shape wrapped negative here
 
 
+class TestWandPruning:
+    @staticmethod
+    def _replay(docs, queries, k):
+        """Independent integer replay of the WAND census (python // on
+        non-negative ints == the engine's truncating div)."""
+        toks = {i: t.split() for i, t in docs}
+        dl = {i: len(t) for i, t in toks.items()}
+        n, t_total = len(docs), sum(dl.values())
+        out = {}
+        for qid, terms in queries.items():
+            tf = {}
+            for i, ts in toks.items():
+                for w in terms:
+                    c = ts.count(w)
+                    if c:
+                        tf[(i, w)] = c
+            df = {w: sum(1 for (_, ww) in tf if ww == w) for w in terms}
+            contrib = {
+                (i, w): (
+                    ((n * 1000000) // df[w])
+                    * ((44000000 * c) //
+                       (20000 * c + 6000 + (18000 * dl[i] * n) // t_total))
+                ) // 1000
+                for (i, w), c in tf.items()
+            }
+            ub = {
+                w: max(v for (_, ww), v in contrib.items() if ww == w)
+                for w in terms if df.get(w)
+            }
+            matched = sorted({i for (i, _) in contrib})
+            score = {
+                i: sum(v for (ii, _), v in contrib.items() if ii == i)
+                for i in matched
+            }
+            ubsum = {
+                i: sum(ub[w] for w in terms if (i, w) in contrib)
+                for i in matched
+            }
+            ranked = sorted(matched, key=lambda i: (-score[i], i))
+            theta = score[ranked[k - 1]] if len(ranked) >= k else None
+            n_skip = (
+                0 if theta is None
+                else sum(1 for i in matched if ubsum[i] < theta)
+            )
+            out[qid] = (
+                len(matched), theta, n_skip,
+                (n_skip * 1000) // len(matched) if matched else 0,
+            )
+        return out
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        from licenta_crawler_spark.operators.retrieval import (
+            wand_pruning_census,
+        )
+
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20))))
+            for i in range(40)
+        ]
+        queries = {"qa": ["alpha", "beta"], "qb": ["gamma", "eps", "zeta"]}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [(qid, w) for qid, ws in queries.items() for w in ws],
+            "query_id string, term string",
+        )
+        got = {
+            r["query_id"]: (
+                r["n_matched"], r["theta_fp"], r["n_skippable"],
+                r["pruned_permille"],
+            )
+            for r in wand_pruning_census(df, q, k=5).collect()
+        }
+        assert got == self._replay(docs, queries, k=5)
+
+    def test_below_k_matches_has_no_threshold(self, spark):
+        from licenta_crawler_spark.operators.retrieval import (
+            wand_pruning_census,
+        )
+
+        docs = [(i, "rare word" if i < 3 else "other text") for i in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("q", "rare")], "query_id string, term string"
+        )
+        row = wand_pruning_census(df, q, k=10).collect()[0]
+        assert row["n_matched"] == 3
+        assert row["theta_fp"] is None
+        assert row["n_skippable"] == 0 and row["pruned_permille"] == 0
+
+    def test_weak_term_only_docs_are_pruned(self, spark):
+        """High-idf term dominates: docs matching only the everywhere
+        term bound strictly below the all-rare top-10 threshold."""
+        from licenta_crawler_spark.operators.retrieval import (
+            wand_pruning_census,
+        )
+
+        docs = []
+        for i in range(40):
+            body = ["common"] * 5
+            if i < 12:
+                body += ["rare"] * 3
+            docs.append((i, " ".join(body)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("q", "rare"), ("q", "common")], "query_id string, term string"
+        )
+        row = wand_pruning_census(df, q, k=10).collect()[0]
+        assert row["n_matched"] == 40
+        # 28 docs carry only the weak term; every one is skippable
+        assert row["n_skippable"] == 28
+        assert row["pruned_permille"] == 700
+        rep = self._replay(docs, {"q": ["rare", "common"]}, k=10)["q"]
+        assert (
+            row["n_matched"], row["theta_fp"], row["n_skippable"],
+            row["pruned_permille"],
+        ) == rep
+
+
 class TestBm25fRetrieval:
     @staticmethod
     def _replay(docs, fields, qterms, k=10):

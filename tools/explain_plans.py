@@ -73,6 +73,7 @@ SHOW = [
     "shared_ip_politeness",       # broadcast host dims + ONE pkey window
     "soft404_detect",             # inverted-index (host,shingle) join, no all-pairs
     "robots_group_select",        # line explode + host-keyed windows, host-dim joins
+    "wand_pruning_stats",         # UB/theta dims broadcast onto the checkpointed contribs
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -129,6 +130,7 @@ CHECKS = {
     "shared_ip_politeness": ["BroadcastHashJoin", "Window"],
     "soft404_detect": ["Generate", "HashAggregate"],
     "robots_group_select": ["Generate", "Window", "HashAggregate"],
+    "wand_pruning_stats": ["BroadcastHashJoin", "Window", "HashAggregate"],
 }
 
 # plans that must NOT contain these operators (quadratic shapes)
@@ -193,6 +195,9 @@ ANTI_CHECKS = {
     # robots bodies are tiny and host-keyed: Python or a cartesian means
     # the group-resolution windows broke out of the host partitioning
     "robots_group_select": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    # UB and theta are query-vocab / query-count sized: they must
+    # broadcast back onto the contribution relation, never shuffle it
+    "wand_pruning_stats": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
 }
 
 # codegen explain (separate mode — the formatted tree hides codegen spans
