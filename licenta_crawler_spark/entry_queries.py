@@ -4660,6 +4660,45 @@ def wand_pruning_stats(spark, sf_dir):
     return wand_pruning_census(d, q, k=10)
 
 
+def compaction_bin_packing(spark, sf_dir):
+    """Small-file compaction planner
+    (`sources/layout.binpack_compaction_plan` — the selection step of
+    IcebergLayoutCatalog.compact_binpack): a synthetic 1333-file ledger
+    over 6 table partitions with long-tailed deterministic sizes,
+    target 1 MiB / keep-threshold 768 KiB; per (partition, action, bin)
+    the planned file count and byte mass. Large files are never
+    rewritten; small files pack per partition by the exclusive-cumsum
+    closed form (one window, no sequential fill state)."""
+    from licenta_crawler_spark.sources.layout import binpack_compaction_plan
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    files = o.select(
+        F.concat(
+            F.lit("p"), (F.col("o_orderkey") % 6).cast("string")
+        ).alias("partition"),
+        F.concat(
+            F.lit("f"),
+            F.lpad(F.col("o_orderkey").cast("string"), 6, "0"),
+        ).alias("path"),
+        (
+            ((F.col("o_orderkey") * 37) % 211 + 1)
+            * ((F.col("o_orderkey") % 17) + 1) * 4096
+        ).cast("long").alias("bytes"),
+    )
+    plan = binpack_compaction_plan(
+        files, target_bytes=1 << 20, small_ratio_permille=750
+    )
+    return (
+        plan.groupBy(
+            F.col("partition").alias("part"), "action", "bin_id"
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bytes_total"),
+        )
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4738,6 +4777,7 @@ QUERIES = {
     "query_spell_correct": query_spell_correct,
     "pagination_depth_yield": pagination_depth_yield,
     "wand_pruning_stats": wand_pruning_stats,
+    "compaction_bin_packing": compaction_bin_packing,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10147,6 +10187,31 @@ ORACLE_SQL["wand_pruning_stats"] = f"""
              AS pruned_permille
     FROM per_doc p LEFT JOIN theta t USING (query_id)
     GROUP BY p.query_id
+"""
+
+ORACLE_SQL["compaction_bin_packing"] = """
+    WITH files AS (
+      SELECT 'p' || (o_orderkey % 6) AS part,
+             'f' || lpad(o_orderkey::VARCHAR, 6, '0') AS path,
+             (((o_orderkey * 37) % 211 + 1) * ((o_orderkey % 17) + 1)
+              * 4096)::BIGINT AS bytes
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    flagged AS (SELECT *, (bytes < 786432) AS small FROM files),
+    cum AS (
+      SELECT part, path, bytes, small,
+             sum(CASE WHEN small THEN bytes ELSE 0 END) OVER (
+               PARTITION BY part ORDER BY bytes DESC, path ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - CASE WHEN small THEN bytes ELSE 0 END AS cum_excl
+      FROM flagged
+    )
+    SELECT part,
+           CASE WHEN small THEN 'merge' ELSE 'keep' END AS action,
+           (CASE WHEN small THEN cum_excl // 1048576 END)::BIGINT AS bin_id,
+           count(*)::BIGINT AS n_files,
+           sum(bytes)::BIGINT AS bytes_total
+    FROM cum GROUP BY 1, 2, 3
 """
 
 _LAZY_ORACLES = {

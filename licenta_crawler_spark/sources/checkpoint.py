@@ -514,6 +514,135 @@ class IcebergLayoutCatalog:
         meta.write_text(json.dumps(sinfo, indent=1))
         return new_id
 
+    def compact_binpack(
+        self, spark: SparkSession, table: str,
+        target_bytes: int = 128 << 20, small_ratio_permille: int = 750,
+    ) -> str | None:
+        """Incremental small-file compaction — the Iceberg
+        RewriteDataFiles(binPack) shape, vs :meth:`compact`'s full
+        rewrite: only files below ``target_bytes ·
+        small_ratio_permille/1000`` are rewritten, packed into
+        ~target-sized bins by `sources/layout.binpack_compaction_plan`
+        (the same planner the oracled query runs); every
+        already-large file is carried into the new manifest BY
+        REFERENCE, zero IO. At 10^5-file tables this is the difference
+        between a maintenance pass proportional to the small-file tail
+        and one proportional to the table. Kept references are safe
+        across retention: expire_snapshots vacuums by set-difference
+        against retained manifests, never per-snapshot rm -rf.
+
+        All merge bins are rewritten in ONE Spark job:
+        input_file_name() maps rows to bins, repartition(n_bins, bin)
+        gives each bin one task, partitionBy(bin) splits any
+        hash-collided task back apart — exactly one output file per
+        bin. Returns the new snapshot id, or None when no bin merges
+        ≥ 2 files (nothing to gain; no empty commit). Unpartitioned
+        tables only (same contract and reason as commit_append).
+        """
+        from licenta_crawler_spark.sources.layout import (
+            binpack_compaction_plan,
+        )
+
+        snap_id = self.current_snapshot(table)
+        if snap_id is None:
+            raise KeyError(f"table {table!r} has no snapshot")
+        info = self.snapshot_info(table, snap_id)
+        manifest = json.loads((self.root / info["manifest"]).read_text())
+        if manifest.get("partition_by"):
+            raise ValueError(
+                f"table {table!r} is hive-partitioned by "
+                f"{manifest['partition_by']}; compact_binpack supports "
+                "unpartitioned tables — use compact"
+            )
+        ledger = spark.createDataFrame(
+            [("", f["path"], f["bytes"]) for f in manifest["files"]],
+            "partition string, path string, bytes long",
+        )
+        plan = {
+            r["path"]: r
+            for r in binpack_compaction_plan(
+                ledger, target_bytes=target_bytes,
+                small_ratio_permille=small_ratio_permille,
+            ).collect()
+        }
+        by_bin: dict[int, list[dict]] = {}
+        for f in manifest["files"]:
+            r = plan[f["path"]]
+            if r["action"] == "merge":
+                by_bin.setdefault(r["bin_id"], []).append(f)
+        merge_bins = {b: fs for b, fs in by_bin.items() if len(fs) >= 2}
+        if not merge_bins:
+            return None
+        merged_paths = {f["path"] for fs in merge_bins.values() for f in fs}
+        kept = [f for f in manifest["files"] if f["path"] not in merged_paths]
+
+        new_id = f"c{info['wave']:06d}-{uuid.uuid4().hex[:8]}"
+        tdir = self.root / table
+        data_dir = tdir / "data" / f"snap-{new_id}"
+        meta_dir = tdir / "metadata"
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(info["schema"]))
+        path_to_bin = {
+            str(self.root / f["path"]): b
+            for b, fs in merge_bins.items() for f in fs
+        }
+        bin_map = F.create_map(
+            *[F.lit(x) for kv in path_to_bin.items() for x in kv]
+        )
+        (
+            spark.read.schema(schema)
+            .parquet(*sorted(path_to_bin))
+            .withColumn("__bin", bin_map[F.input_file_name()])
+            .repartition(len(merge_bins), "__bin")
+            .write.partitionBy("__bin").mode("overwrite")
+            .parquet(str(data_dir))
+        )
+        new_files = []
+        for f in sorted(data_dir.rglob("*.parquet")):
+            md = pq.read_metadata(f)
+            new_files.append(
+                {"path": str(f.relative_to(self.root)), "rows": md.num_rows,
+                 "bytes": f.stat().st_size,
+                 "partition_id": len(kept) + len(new_files),
+                 "partition": {}, "stats": _column_bounds(md)}
+            )
+        files = kept + new_files
+        new_manifest = {"snapshot": new_id, "table": table, "files": files,
+                        "partition_by": []}
+        (meta_dir / f"manifest-{new_id}.json").write_text(
+            json.dumps(new_manifest, indent=1)
+        )
+        rewritten = sum(f["bytes"] for fs in merge_bins.values() for f in fs)
+        snapshot = {
+            "snapshot_id": new_id,
+            "wave": info["wave"],
+            "operation": "compact",
+            "parent_snapshot_id": snap_id,
+            "manifest": f"{table}/metadata/manifest-{new_id}.json",
+            "data_dir": f"{table}/data/snap-{new_id}",
+            "schema": info["schema"],
+            "summary": {
+                "total_rows": sum(f["rows"] for f in files),
+                "n_files": len(files),
+                "files_before": len(manifest["files"]),
+                "rewritten_files": len(merged_paths),
+                "rewritten_bytes": rewritten,
+                "kept_files": len(kept),
+                "bins": len(merge_bins),
+            },
+        }
+        (meta_dir / f"snap-{new_id}.json").write_text(
+            json.dumps(snapshot, indent=1)
+        )
+        cat = self._catalog()
+        entry = cat["tables"].setdefault(table, {"snapshots": []})
+        entry["snapshots"].append({"id": new_id, "wave": info["wave"]})
+        entry["current"] = new_id
+        self._write_catalog(cat)
+        return new_id
+
     def schema_diff(
         self, table: str, snap_a: str | None = None, snap_b: str | None = None
     ) -> dict:

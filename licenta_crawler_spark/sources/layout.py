@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,4 +79,57 @@ def write_zordered(
         .sortWithinPartitions("zval")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def binpack_compaction_plan(
+    files: DataFrame,
+    *,
+    target_bytes: int,
+    small_ratio_permille: int = 750,
+) -> DataFrame:
+    """Bin-packing small-file compaction plan — the Iceberg
+    RewriteDataFiles(binPack) / Delta OPTIMIZE selection step as a pure
+    DataFrame op over the file ledger (``partition``, ``path``,
+    ``bytes``), metadata-sized input (one row per data file, never per
+    data row).
+
+    Files at or above ``small_threshold = target_bytes ·
+    small_ratio_permille / 1000`` are already scan-efficient: action
+    ``'keep'``, never rewritten (rewriting them would burn IO for no
+    file-count win — the same reason Iceberg's MIN_FILE_SIZE defaults
+    below the target). Smaller files are packed per partition in
+    deterministic (bytes desc, path asc) order by the exclusive-cumsum
+    rule ``bin_id = floor(running_bytes_before / target)``: one window,
+    closed-form, no sequential fill state. The rule's bound is provable:
+    every bin's exclusive cumsum span is < target, plus at most one
+    straddling file (< small_threshold), so bin_bytes < target_bytes +
+    small_threshold — within a scan unit of the target, which is all a
+    compactor needs (the alternative exact first-fit is a sequential
+    recurrence with no distributed closed form and an at-best-equal
+    bound).
+
+    Returns one row per input file: (partition, path, bytes, action,
+    bin_id) — bin_id NULL on 'keep' rows. Single-file bins of an
+    already-lone small file still merge (they may still be far below
+    target; the executor skips bins of one file whose rewrite would be
+    a no-op).
+    """
+    small_threshold = (target_bytes * small_ratio_permille) // 1000
+    w = (
+        Window.partitionBy("partition")
+        .orderBy(F.desc("bytes"), F.asc("path"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small = F.col("bytes") < F.lit(small_threshold)
+    cum_excl = F.sum(F.when(small, F.col("bytes")).otherwise(0)).over(w) - \
+        F.when(small, F.col("bytes")).otherwise(0)
+    # integer div, not `/` — float division would misround near int64
+    return files.select(
+        "partition", "path", F.col("bytes").cast("long").alias("bytes"),
+        F.when(small, F.lit("merge")).otherwise(F.lit("keep")).alias("action"),
+        F.when(small, cum_excl.cast("long")).alias("_cum"),
+    ).select(
+        "partition", "path", "bytes", "action",
+        F.expr(f"_cum div {int(target_bytes)}").alias("bin_id"),
     )

@@ -126,3 +126,45 @@ def test_zorder_sql_twin_matches(spark):
         f"SELECT {zorder_sql(['x', 'y'], 10)} AS zval FROM zt"
     ).collect()]
     assert got == via_sql
+
+
+def test_binpack_plan_exact_assignments(spark):
+    """target 100 / threshold 75: smalls pack per partition in
+    (bytes desc, path asc) order by the exclusive-cumsum rule; every
+    bin's mass stays below target + threshold; large files keep."""
+    from licenta_crawler_spark.sources.layout import binpack_compaction_plan
+
+    rows = [
+        ("p0", "a", 60), ("p0", "b", 50), ("p0", "c", 40),
+        ("p0", "d", 30), ("p0", "e", 20), ("p0", "f", 10),
+        ("p0", "big", 200), ("p0", "edge", 75),
+        ("p1", "x", 74), ("p1", "y", 74),
+    ]
+    df = spark.createDataFrame(rows, "partition string, path string, bytes long")
+    got = {
+        (r["partition"], r["path"]): (r["action"], r["bin_id"])
+        for r in binpack_compaction_plan(
+            df, target_bytes=100, small_ratio_permille=750
+        ).collect()
+    }
+    # p0 smalls desc: 60,50,40,30,20,10 -> excl cums 0,60,110,150,180,200
+    assert got[("p0", "a")] == ("merge", 0)
+    assert got[("p0", "b")] == ("merge", 0)
+    assert got[("p0", "c")] == ("merge", 1)
+    assert got[("p0", "d")] == ("merge", 1)
+    assert got[("p0", "e")] == ("merge", 1)
+    assert got[("p0", "f")] == ("merge", 2)
+    # threshold is strict <: exactly-75 keeps
+    assert got[("p0", "edge")] == ("keep", None)
+    assert got[("p0", "big")] == ("keep", None)
+    # partitions pack independently; byte ties order by path asc
+    assert got[("p1", "x")] == ("merge", 0)
+    assert got[("p1", "y")] == ("merge", 0)
+    # bound: every bin < target + threshold
+    masses = {}
+    for (p, f), (a, b) in got.items():
+        if a == "merge":
+            masses[(p, b)] = masses.get((p, b), 0) + dict(
+                ((pp, ff), bb) for pp, ff, bb in rows
+            )[(p, f)]
+    assert all(m < 175 for m in masses.values())

@@ -590,3 +590,58 @@ def test_delete_where_unprovable_null_count_rewrites(spark, tmpd):
     )
     # every non-NULL k in [1,2] deleted; the NULL row SURVIVES
     assert got == [(None, "null-row")]
+
+
+def test_binpack_compaction_rewrites_only_small_files(spark, tmpd):
+    """Iceberg RewriteDataFiles shape: the large file is carried into
+    the new manifest BY REFERENCE (same path, zero IO), only the
+    small-file tail is rewritten; rows identical, replay protection and
+    time travel survive, reference-counted vacuum keeps the shared
+    file."""
+    import json
+
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    commit = catalog_batch_committer(cat, "t")
+    commit(_batch(spark, 0, 500).coalesce(1), 0)      # one big file
+    for e in range(1, 6):                              # five tiny files
+        commit(_batch(spark, 500 + (e - 1) * 2, 500 + e * 2).coalesce(1), e)
+    pre = cat.lineage("t")[0]
+    man = json.loads(
+        (cat.root / cat.snapshot_info("t", pre["snapshot_id"])["manifest"])
+        .read_text()
+    )
+    sizes = sorted(f["bytes"] for f in man["files"])
+    big = sizes[-1]
+    assert sizes[0] < (big * 750) // 1000  # fixture sanity: a real tail
+    big_path = next(f["path"] for f in man["files"] if f["bytes"] == big)
+
+    new_id = cat.compact_binpack(spark, "t", target_bytes=big)
+    assert new_id is not None
+    post = cat.snapshot_info("t", new_id)
+    assert post["operation"] == "compact"
+    s = post["summary"]
+    assert s["kept_files"] == 1 and s["rewritten_files"] == 5
+    assert s["n_files"] < len(man["files"])
+    newman = json.loads((cat.root / post["manifest"]).read_text())
+    assert big_path in {f["path"] for f in newman["files"]}  # by reference
+    got = sorted(r["event_id"] for r in cat.load(spark, "t").collect())
+    assert got == list(range(510))
+    # replay protection walks past the compaction commit
+    assert cat.last_batch_id("t") == 5
+    # time travel to the pre-compaction snapshot still works
+    assert cat.load(spark, "t", snapshot=pre["snapshot_id"]).count() == 510
+    # nothing left to pack: bins of >=2 small files are gone
+    assert cat.compact_binpack(spark, "t", target_bytes=big) is None
+    # vacuum is reference-counted: expiring history must not delete the
+    # big file the current manifest shares with expired snapshots
+    cat.expire_snapshots("t", keep_last=1)
+    assert (cat.root / big_path).exists()
+    assert cat.load(spark, "t").count() == 510
+
+
+def test_binpack_refuses_partitioned_tables(spark, tmpd):
+    cat = IcebergLayoutCatalog(f"{tmpd}/cat")
+    df = _batch(spark, 0, 20).withColumn("k", F.col("event_id") % 2)
+    cat.commit_table("t", df, wave=0, partition_by=["k"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        cat.compact_binpack(spark, "t", target_bytes=1 << 20)
