@@ -4699,6 +4699,21 @@ def compaction_bin_packing(spark, sf_dir):
     )
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (`operators/ann.pq_ann_topk_fp` —
+    Jégou et al. 2011): 64-dim embeddings compressed to 4 subspace
+    codes each (8-codeword codebooks trained with the seeded
+    fixed-point one-pass scheme of the IVF family), then three query
+    vectors score the WHOLE encoded table through a broadcast
+    (query × subspace × code) ADC lookup table — top-5 per query,
+    self excluded. The integer floor-division identity keeps the
+    codeword-mean term exact on both engines."""
+    from licenta_crawler_spark.operators.ann import pq_ann_topk_fp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk_fp(emb, [3, 97, 250], k=5)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4778,6 +4793,7 @@ QUERIES = {
     "pagination_depth_yield": pagination_depth_yield,
     "wand_pruning_stats": wand_pruning_stats,
     "compaction_bin_packing": compaction_bin_packing,
+    "ann_pq_topk": ann_pq_topk,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10212,6 +10228,83 @@ ORACLE_SQL["compaction_bin_packing"] = """
            count(*)::BIGINT AS n_files,
            sum(bytes)::BIGINT AS bytes_total
     FROM cum GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["ann_pq_topk"] = """
+    WITH qe AS (
+      SELECT vec_id::BIGINT AS vid,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             trunc(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qx
+      FROM embeddings
+    ),
+    se AS (SELECT vid, pos // 16 AS m, pos % 16 AS p, qx FROM qe),
+    seedss AS (
+      SELECT m, vid AS code, sum(qx*qx) AS ss FROM se WHERE vid < 8
+      GROUP BY m, vid HAVING sum(qx*qx) > 0
+    ),
+    seede AS (SELECT m, vid AS code, p, qx AS sx FROM se WHERE vid < 8),
+    sa AS (
+      SELECT s.vid, s.m, d.code, sum(s.qx * d.sx) AS dot
+      FROM se s JOIN seede d ON s.m = d.m AND s.p = d.p
+      WHERE s.vid < 256
+      GROUP BY s.vid, s.m, d.code
+    ),
+    a1 AS (
+      SELECT vid, m, code FROM (
+        SELECT sa.vid, sa.m, sa.code,
+               row_number() OVER (PARTITION BY sa.vid, sa.m
+                 ORDER BY sa.dot / sqrt(ss.ss) DESC, sa.code) AS rn
+        FROM sa JOIN seedss ss ON sa.m = ss.m AND sa.code = ss.code
+      ) WHERE rn = 1
+    ),
+    cw AS (
+      SELECT a1.m, a1.code, se.p, sum(se.qx) AS sd
+      FROM a1 JOIN se ON se.vid = a1.vid AND se.m = a1.m
+      GROUP BY a1.m, a1.code, se.p
+    ),
+    cn AS (SELECT m, code, count(*)::BIGINT AS n FROM a1 GROUP BY m, code),
+    cwss AS (
+      SELECT m, code, sum(sd*sd) AS ss FROM cw
+      GROUP BY m, code HAVING sum(sd*sd) > 0
+    ),
+    fd AS (
+      SELECT se.vid, cw.m, cw.code, sum(se.qx * cw.sd) AS dot
+      FROM se JOIN cw ON se.m = cw.m AND se.p = cw.p
+      GROUP BY se.vid, cw.m, cw.code
+    ),
+    codes AS (
+      SELECT vid, m, code FROM (
+        SELECT fd.vid, fd.m, fd.code,
+               row_number() OVER (PARTITION BY fd.vid, fd.m
+                 ORDER BY fd.dot / sqrt(c.ss) DESC, fd.code) AS rn
+        FROM fd JOIN cwss c ON fd.m = c.m AND fd.code = c.code
+      ) WHERE rn = 1
+    ),
+    qtabdot AS (
+      SELECT se.vid AS qvid, cw.m, cw.code, sum(se.qx * cw.sd) * 1000 AS num
+      FROM se JOIN cw ON se.m = cw.m AND se.p = cw.p
+      WHERE se.vid IN (3, 97, 250)
+      GROUP BY se.vid, cw.m, cw.code
+    ),
+    qtab AS (
+      SELECT q.qvid, q.m, q.code,
+             (q.num - ((q.num % cn.n + cn.n) % cn.n)) // cn.n AS term
+      FROM qtabdot q
+      JOIN cn ON q.m = cn.m AND q.code = cn.code
+      JOIN cwss w ON q.m = w.m AND q.code = w.code
+    ),
+    scored AS (
+      SELECT qt.qvid, c.vid, sum(qt.term)::BIGINT AS score_fp
+      FROM codes c JOIN qtab qt ON c.m = qt.m AND c.code = qt.code
+      WHERE c.vid <> qt.qvid
+      GROUP BY qt.qvid, c.vid
+    )
+    SELECT qvid::BIGINT AS query_id, vid::BIGINT AS vec_id, score_fp,
+           rk::BIGINT AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qvid ORDER BY score_fp DESC, vid ASC
+      ) AS rk FROM scored
+    ) WHERE rk <= 5
 """
 
 _LAZY_ORACLES = {

@@ -759,3 +759,194 @@ def random_projection_cols(
         (dot_col(vec, F.array(*[F.lit(h) for h in row])) * F.lit(scale)).alias(f"y{j}")
         for j, row in enumerate(planes)
     ]
+
+
+def pq_train_encode_fp(
+    vectors: DataFrame,
+    *,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    sample_n: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization trainer + encoder (Jégou, Douze & Schmid
+    2011) in the repo's fixed-point convention — the compression path
+    100 TB ANN actually ships: each vector becomes ``m_sub`` one-byte
+    codes (64 float32 dims → 4 bytes here, a 64× memory cut), and
+    queries score docs without ever touching the original vectors.
+
+    The D dims split into ``m_sub`` contiguous subspaces of D/m_sub;
+    each subspace gets its own ``k_codes``-codeword codebook via
+    exactly the :func:`ivf_train_assign_fp` trainer semantics applied
+    per subspace: codeword c seeded by vector id c's subvector
+    (ss > 0 guard), the sample (id < sample_n) assigns to seeds by
+    cosine (tie → lowest code), a codeword is the INTEGER SUM of its
+    members' subvectors with its member count kept (counts do NOT
+    cancel across subspaces, so ADC needs them — see
+    :func:`pq_ann_topk_fp`), and the full table encodes against the
+    trained codewords by cosine (tie → lowest code). All arithmetic is
+    associative integer sums; floats only at single divide/sqrt
+    comparison points — bit-replayable by the DuckDB oracle on any
+    partitioning.
+
+    Returns ``(codes, codebook)``: codes = (vid, m, code); codebook =
+    (m, code, sv array<long>, n members, ss). The driver learns D from
+    one row (metadata-sized action, same class as the query-vocab
+    collect); D must divide evenly by ``m_sub``.
+    """
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train_encode_fp: empty vector table")
+    d = int(first["d"])
+    if d % m_sub != 0:
+        raise ValueError(f"dims {d} not divisible by m_sub {m_sub}")
+    d_sub = d // m_sub
+    qv = vectors.select(
+        F.col(id_col).cast("long").alias("vid"),
+        quantize_col(F.col(vec_col), scale).alias("qv"),
+    )
+    subs = qv.select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.slice(F.col("qv"), m * d_sub + 1, d_sub).alias("sub"),
+                )
+                for m in range(m_sub)
+            ])
+        ).alias("s"),
+    ).select("vid", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+    seeds = (
+        subs.filter(F.col("vid") < k_codes)
+        .select("m", F.col("vid").alias("code"), F.col("sub").alias("sv"))
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+
+    def _argmin_code(scored: DataFrame) -> DataFrame:
+        m_ = scored.groupBy("vid", "m").agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("code"))
+            ).alias("mm")
+        )
+        return m_.select("vid", "m", F.col("mm.code").alias("code"))
+
+    a1 = _argmin_code(
+        subs.filter(F.col("vid") < sample_n)
+        .join(F.broadcast(seeds), "m")
+        .select(
+            "vid", "m", "code",
+            (dot_long(F.col("sub"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        )
+    )
+    cw = (
+        a1.join(subs, ["vid", "m"])
+        .select("m", "code", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(F.sum("x").alias("sd"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sd"))),
+                lambda s: s["sd"],
+            ).alias("sv")
+        )
+    )
+    n_ = a1.groupBy("m", "code").agg(F.count("*").alias("n"))
+    codebook = (
+        cw.join(n_, ["m", "code"])
+        .withColumn("ss", dot_long(F.col("sv"), F.col("sv")))
+        .filter(F.col("ss") > 0)
+    )
+    codes = _argmin_code(
+        subs.join(F.broadcast(codebook), "m").select(
+            "vid", "m", "code",
+            (dot_long(F.col("sub"), F.col("sv")) / F.sqrt(F.col("ss"))).alias("score"),
+        )
+    )
+    return codes, codebook
+
+
+def pq_ann_topk_fp(
+    vectors: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    sample_n: int = 256,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the IVF-PQ serving shape minus the
+    coarse quantizer): queries keep their EXACT subvectors, docs exist
+    only as their ``m_sub`` codes, and each (query, doc) score is the
+    sum of table lookups — the real ADC trick: a (query × subspace ×
+    code) lookup table of |Q|·m_sub·k_codes integer entries is built
+    once and BROADCAST, so scoring 10^9 encoded docs is a map-side hash
+    probe per code plus one (query, doc) aggregation; no original
+    vector is ever read at query time.
+
+    The per-subspace term is the inner product against the codeword
+    MEAN in fixed point: floor(scale · dot(q_sub, sv) / n). Floor — not
+    truncation — on both engines, via the exact identity
+    ``(num − pmod(num, n)) div n`` (num is pmod-adjusted to an exact
+    multiple first, so the truncating div IS the floor; DuckDB's ``//``
+    floors natively and agrees). Headroom: |term| ≤ scale²·d_sub·scale
+    ≈ 1.6·10^13 before the n-cancel, < 2^63 by 10^5.
+
+    Returns (query_id, vec_id, score_fp, rk ≤ k), self-match excluded,
+    ties → lowest vec_id.
+    """
+    codes, codebook = pq_train_encode_fp(
+        vectors, m_sub=m_sub, k_codes=k_codes, sample_n=sample_n,
+        scale=scale, id_col=id_col, vec_col=vec_col,
+    )
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    d_sub = int(first["d"]) // m_sub
+    qv = vectors.select(
+        F.col(id_col).cast("long").alias("qvid"),
+        quantize_col(F.col(vec_col), scale).alias("qv"),
+    ).filter(F.col("qvid").isin([int(q) for q in query_ids]))
+    qsubs = qv.select(
+        "qvid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.slice(F.col("qv"), m * d_sub + 1, d_sub).alias("qsub"),
+                )
+                for m in range(m_sub)
+            ])
+        ).alias("s"),
+    ).select("qvid", F.col("s.m").alias("m"), F.col("s.qsub").alias("qsub"))
+    qtab = (
+        qsubs.join(codebook, "m")
+        .select(
+            "qvid", "m", "code", "n",
+            (dot_long(F.col("qsub"), F.col("sv")) * F.lit(int(scale))).alias("num"),
+        )
+        .withColumn("term", F.expr("(num - pmod(num, n)) div n"))
+        .select("qvid", "m", "code", "term")
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("qvid", "vid")
+        .agg(F.sum("term").alias("score_fp"))
+        .filter(F.col("qvid") != F.col("vid"))
+    )
+    w = Window.partitionBy("qvid").orderBy(F.desc("score_fp"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("qvid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            "score_fp", "rk",
+        )
+    )

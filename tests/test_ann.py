@@ -289,3 +289,119 @@ class TestSemanticDedupFp:
             ).collect()
         )
         assert a == b
+
+
+class TestPqAnn:
+    @staticmethod
+    def _replay(rows, query_ids, k=5, m_sub=4, k_codes=8, sample_n=256,
+                scale=1000):
+        """Pure-python replay of the fixed-point PQ chain (int() and //
+        match the engine's trunc-quantize and pmod-floor-div exactly)."""
+        d = len(rows[0][1])
+        d_sub = d // m_sub
+        qv = {vid: [int(float(x) * scale) for x in v] for vid, v in rows}
+        sub = {
+            (vid, m): qv[vid][m * d_sub:(m + 1) * d_sub]
+            for vid in qv for m in range(m_sub)
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        seeds = {}
+        for m in range(m_sub):
+            for c in range(k_codes):
+                if (c, m) in sub:
+                    ss = dot(sub[(c, m)], sub[(c, m)])
+                    if ss > 0:
+                        seeds[(m, c)] = (sub[(c, m)], ss)
+        a1 = {}
+        for vid in qv:
+            if vid >= sample_n:
+                continue
+            for m in range(m_sub):
+                best = min(
+                    (-(dot(sub[(vid, m)], sv) / math.sqrt(ss)), c)
+                    for (mm, c), (sv, ss) in seeds.items() if mm == m
+                )
+                a1[(vid, m)] = best[1]
+        cw, cn = {}, {}
+        for (vid, m), c in a1.items():
+            if (m, c) not in cw:
+                cw[(m, c)] = [0] * d_sub
+                cn[(m, c)] = 0
+            cw[(m, c)] = [a + b for a, b in zip(cw[(m, c)], sub[(vid, m)])]
+            cn[(m, c)] += 1
+        book = {
+            mc: (sv, dot(sv, sv), cn[mc])
+            for mc, sv in cw.items() if dot(sv, sv) > 0
+        }
+        codes = {}
+        for vid in qv:
+            for m in range(m_sub):
+                best = min(
+                    (-(dot(sub[(vid, m)], sv) / math.sqrt(ss)), c)
+                    for (mm, c), (sv, ss, _) in book.items() if mm == m
+                )
+                codes[(vid, m)] = best[1]
+        out = {}
+        for q in query_ids:
+            qtab = {
+                (m, c): (dot(sub[(q, m)], sv) * scale) // n
+                for (m, c), (sv, ss, n) in book.items()
+            }
+            scored = [
+                (sum(qtab[(m, codes[(vid, m)])] for m in range(m_sub)), vid)
+                for vid in qv if vid != q
+            ]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = [(vid, s) for s, vid in scored[:k]]
+        return out
+
+    def test_matches_python_replay(self, vectors):
+        from licenta_crawler_spark.operators.ann import pq_ann_topk_fp
+
+        df, _ = vectors
+        rows = [(r["vec_id"], r["embedding"]) for r in df.collect()]
+        qids = [7, 123, 399]
+        got = {}
+        for r in pq_ann_topk_fp(df, qids, k=5).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["score_fp"], r["rk"])
+            )
+        rep = self._replay(rows, qids, k=5)
+        for q in qids:
+            ranked = sorted(got[q], key=lambda t: t[2])
+            assert [(v, s) for v, s, _ in ranked] == rep[q]
+
+    def test_partitioning_invariance(self, vectors):
+        from licenta_crawler_spark.operators.ann import pq_ann_topk_fp
+
+        df, _ = vectors
+        a = sorted(map(tuple, pq_ann_topk_fp(df, [7], k=5).collect()))
+        b = sorted(
+            map(tuple, pq_ann_topk_fp(df.repartition(13), [7], k=5).collect())
+        )
+        assert a == b
+
+    def test_codes_compress_and_cluster(self, vectors):
+        """Structure survives 8x compression: every vector carries
+        exactly m_sub codes, and ADC neighbours of a query mostly come
+        from the query's own generator cluster (vec_id % 5)."""
+        from licenta_crawler_spark.operators.ann import (
+            pq_ann_topk_fp,
+            pq_train_encode_fp,
+        )
+
+        df, _ = vectors
+        codes, book = pq_train_encode_fp(df)
+        per_vec = codes.groupBy("vid").count().collect()
+        assert all(r["count"] == 4 for r in per_vec) and len(per_vec) == N
+        assert book.count() <= 4 * 8
+        hits = pq_ann_topk_fp(df, [7, 123], k=5).collect()
+        for q in (7, 123):
+            same = [
+                r for r in hits
+                if r["query_id"] == q and r["vec_id"] % 5 == q % 5
+            ]
+            assert len(same) >= 3
