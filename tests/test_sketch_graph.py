@@ -852,3 +852,74 @@ class TestHreflangClusters:
         r = out["de"]
         assert r["n_pages"] == 3
         assert r["n_broken_out"] == 1
+
+
+class TestKtruss:
+    @staticmethod
+    def _replay(edges, k):
+        """Brute-force python peel to the fixpoint."""
+        es = {tuple(sorted(map(str, e))) for e in edges if e[0] != e[1]}
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for a, b in es
+            }
+            nxt = {e for e in es if sup[e] >= k - 2}
+            if nxt == es:
+                return {e: sup[e] for e in es}
+            es = nxt
+
+    def test_clique_with_pendants_peels_to_core(self, spark):
+        from licenta_crawler_spark.operators.graph import ktruss_edges
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+        pendant = [("c", "e"), ("d", "e"),      # triangle hanging off c-d
+                   ("e", "f"), ("d", "f")]      # second hop: cascades away
+        df = spark.createDataFrame(k4 + pendant, "src string, dst string")
+        got = {
+            (r["src"], r["dst"]): r["support"]
+            for r in ktruss_edges(df, k=4).collect()
+        }
+        # only the K4 survives; inside it every edge closes 2 triangles
+        assert got == {(a, b): 2 for a, b in k4}
+
+    def test_matches_python_fixpoint_on_random_graph(self, spark):
+        import random
+
+        from licenta_crawler_spark.operators.graph import ktruss_edges
+
+        rng = random.Random(7)
+        edges = list({
+            tuple(sorted((rng.randrange(30), rng.randrange(30))))
+            for _ in range(140)
+        })
+        edges = [(str(a), str(b)) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (3, 4, 5):
+            got = {
+                (r["src"], r["dst"]): r["support"]
+                for r in ktruss_edges(df, k=k).collect()
+            }
+            assert got == self._replay(edges, k)
+
+    def test_k3_keeps_triangles_drops_bridges(self, spark):
+        from licenta_crawler_spark.operators.graph import ktruss_edges
+
+        tri = [("x", "y"), ("y", "z"), ("x", "z")]
+        bridge = [("z", "w")]
+        df = spark.createDataFrame(tri + bridge, "src string, dst string")
+        got = {(r["src"], r["dst"]) for r in ktruss_edges(df, k=3).collect()}
+        assert got == set(tri)
+
+    def test_k_below_3_raises(self, spark):
+        import pytest as _pytest
+
+        from licenta_crawler_spark.operators.graph import ktruss_edges
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError):
+            ktruss_edges(df, k=2)
