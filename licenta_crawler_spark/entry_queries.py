@@ -4743,6 +4743,30 @@ def ktruss_part_copurchase(spark, sf_dir):
     return ktruss_edges(edges, k=4)
 
 
+def freshness_allocation(spark, sf_dir):
+    """Uniform vs change-proportional revisit allocation
+    (`operators/frontier_policy.freshness_policy_compare`, Cho &
+    Garcia-Molina 2003): 6000 pages with deterministic change
+    permilles 20..969, uniform T=3 vs T=clamp(2000/p, 1, 6), exact
+    integer freshness polynomial per policy, rolled up by change-rate
+    bucket. At these parameters proportional spends slightly LESS
+    total budget than uniform and still loses total freshness — the
+    paper's counter-intuitive core result, exhibited in exact
+    integers (asserted in tests over this very fixture). The CASE
+    polynomial is generated ONCE and shared verbatim with the oracle
+    (only div vs // differs)."""
+    from licenta_crawler_spark.operators.frontier_policy import (
+        freshness_policy_compare,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 6000)
+    pages = o.select(
+        F.col("o_orderkey").alias("page_id"),
+        ((F.col("o_orderkey") * 13) % 950 + 20).cast("long").alias("p_permille"),
+    )
+    return freshness_policy_compare(pages, t_uniform=3, k_prop=2000)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4824,6 +4848,7 @@ QUERIES = {
     "compaction_bin_packing": compaction_bin_packing,
     "ann_pq_topk": ann_pq_topk,
     "ktruss_part_copurchase": ktruss_part_copurchase,
+    "freshness_allocation": freshness_allocation,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10372,9 +10397,41 @@ def _ktruss_sql(k: int = 4, rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _freshness_alloc_sql() -> str:
+    from licenta_crawler_spark.operators.frontier_policy import (
+        freshness_case_sql,
+    )
+
+    t_prop = "least(6, greatest(1, 2000 // (p)))"
+    f_uni = freshness_case_sql("3", "p", "//")
+    f_prop = freshness_case_sql(t_prop, "p", "//")
+    return f"""
+    WITH pages AS (
+      SELECT o_orderkey AS page_id,
+             ((o_orderkey * 13) % 950 + 20)::BIGINT AS p
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    scored AS (
+      SELECT p // 20 AS p_bucket,
+             {f_uni} AS f_uni,
+             {f_prop} AS f_prop,
+             1000 // 3 AS c_uni,
+             1000 // ({t_prop}) AS c_prop
+      FROM pages
+    )
+    SELECT p_bucket::BIGINT AS p_bucket, count(*)::BIGINT AS n_pages,
+           sum(f_uni)::BIGINT AS fresh_uniform,
+           sum(f_prop)::BIGINT AS fresh_proportional,
+           sum(c_uni)::BIGINT AS cost_uniform,
+           sum(c_prop)::BIGINT AS cost_proportional
+    FROM scored GROUP BY p_bucket
+"""
+
+
 _LAZY_ORACLES = {
     "ann_ivf_pinned_topk": _ann_ivf_pinned_sql,
     "ktruss_part_copurchase": _ktruss_sql,
+    "freshness_allocation": _freshness_alloc_sql,
 }
 
 

@@ -1572,3 +1572,98 @@ def pagination_yield_curve(
             ).alias("clears_stop"),
         )
     )
+
+
+def freshness_case_sql(
+    t_sql: str, p_sql: str, div: str = "div", t_max: int = 6
+) -> str:
+    """Expected-freshness permille of a page refreshed every T ticks
+    under a per-tick change probability p (permille), as ONE generated
+    CASE expression shared verbatim by the engine and the DuckDB
+    oracle (only the integer-division spelling differs: ``div`` vs
+    ``//`` — both operands are non-negative, so truncation == floor on
+    both).
+
+    Discrete Cho & Garcia-Molina model: freshness t ticks after a
+    refresh is (1−p)^t; averaged over the refresh cycle,
+    F(T) = (Σ_{t=0}^{T−1} q^t·1000^{T−1−t}) / (T·1000^{T−1}) with
+    q = 1000−p — an exact integer polynomial (max numerator
+    1000·T·1000^{T−1} ≤ 6·10^18 < 2^63 at t_max = 6, which is why
+    t_max is capped: T = 7 would overflow int64)."""
+    if not 1 <= t_max <= 6:
+        raise ValueError("t_max must be in 1..6 (int64 headroom)")
+
+    def big(n: int) -> str:
+        # every literal rides as BIGINT: Spark's ANSI mode overflows
+        # int32 literal products otherwise; CAST parses in DuckDB too
+        return f"CAST({n} AS BIGINT)"
+
+    q = f"({big(1000)} - ({p_sql}))"
+    arms = []
+    for t_ in range(1, t_max + 1):
+        terms = []
+        for i in range(t_):  # q^i * 1000^(t_-1-i)
+            factors = [q] * i + (
+                [big(10 ** (3 * (t_ - 1 - i)))]
+                if t_ - 1 - i > 0 else ([big(1)] if i == 0 else [])
+            )
+            terms.append(" * ".join(factors) if factors else big(1))
+        poly = " + ".join(f"({x})" for x in terms)
+        arms.append(
+            f"WHEN ({t_sql}) = {t_} THEN "
+            f"({big(1000)} * ({poly})) {div} "
+            f"({big(t_)} * {big(10 ** (3 * (t_ - 1)))})"
+        )
+    return "CASE " + " ".join(arms) + " END"
+
+
+def freshness_policy_compare(
+    pages: DataFrame,
+    *,
+    t_uniform: int = 3,
+    k_prop: int = 120,
+    t_max: int = 6,
+    p_col: str = "p_permille",
+    id_col: str = "page_id",
+    bucket_width: int = 20,
+) -> DataFrame:
+    """Uniform vs change-proportional revisit allocation (Cho &
+    Garcia-Molina 2003, "Effective page refresh policies"): score BOTH
+    policies' expected freshness page-by-page under the exact discrete
+    change model, rolled up by change-rate bucket — the analytic
+    companion to the change-rate/recrawl-budget stack
+    (:func:`change_rate_stats`, :func:`allocate_budget`), exhibiting
+    the paper's counter-intuitive core result (chasing fast-changing
+    pages proportionally LOSES total freshness; the optimal policy is
+    closer to uniform, because pages changing faster than the revisit
+    budget are a lost cause whose visits are better spent elsewhere).
+
+    Policies: uniform refreshes every page every ``t_uniform`` ticks;
+    proportional assigns T_i = clamp(k_prop / p_i, 1, t_max) —
+    inverse to the change rate, the "intuitive" allocation. Both
+    freshness and cost (refreshes/tick, permille) are exact integers;
+    everything is one map-side projection plus one bucket aggregation
+    (cardinality = p-range / bucket_width — scale-free: 10^10 pages
+    roll into a few dozen rows).
+    """
+    t_prop = f"least({t_max}, greatest(1, {k_prop} div ({p_col})))"
+    scored = pages.select(
+        F.col(id_col),
+        F.col(p_col).cast("long").alias("p"),
+        F.expr(f"({p_col}) div {bucket_width}").alias("p_bucket"),
+        F.expr(
+            freshness_case_sql(str(t_uniform), p_col, "div", t_max)
+        ).alias("f_uni"),
+        F.expr(
+            freshness_case_sql(t_prop, p_col, "div", t_max)
+        ).alias("f_prop"),
+        F.expr(f"1000 div {t_uniform}").alias("c_uni"),
+        F.expr(f"1000 div ({t_prop})").alias("c_prop"),
+    )
+    return scored.groupBy("p_bucket").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("f_uni").alias("fresh_uniform"),
+        F.sum("f_prop").alias("fresh_proportional"),
+        F.sum("c_uni").alias("cost_uniform"),
+        F.sum("c_prop").alias("cost_proportional"),
+    )

@@ -1242,3 +1242,94 @@ class TestPaginationYieldCurve:
         out = self._run(spark, [("h", 1, 1, 0), ("h", 1, 2, 0)])
         assert out[1]["cum_share_permille"] == 0
         assert out[2]["clears_stop"] is False
+
+
+class TestFreshnessPolicy:
+    @staticmethod
+    def _fresh(T, p):
+        q = 1000 - p
+        num = 1000 * sum(q ** t * 1000 ** (T - 1 - t) for t in range(T))
+        return num // (T * 1000 ** (T - 1))
+
+    def test_exact_polynomial_values(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            freshness_policy_compare,
+        )
+
+        # p=500, uniform T=2: avg of 1 and 0.5 -> 750 permille exactly
+        df = spark.createDataFrame(
+            [(1, 500)], "page_id long, p_permille long"
+        )
+        row = freshness_policy_compare(
+            df, t_uniform=2, k_prop=500, t_max=6
+        ).collect()[0]
+        assert row["fresh_uniform"] == 750
+        # proportional: T = clamp(500//500, 1, 6) = 1 -> always fresh
+        assert row["fresh_proportional"] == 1000
+        assert row["cost_uniform"] == 500
+        assert row["cost_proportional"] == 1000
+
+    def test_matches_python_replay(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            freshness_policy_compare,
+        )
+
+        rows = [(k, (k * 13) % 950 + 20) for k in range(1, 400)]
+        df = spark.createDataFrame(rows, "page_id long, p_permille long")
+        got = {
+            r["p_bucket"]: (
+                r["n_pages"], r["fresh_uniform"], r["fresh_proportional"],
+                r["cost_uniform"], r["cost_proportional"],
+            )
+            for r in freshness_policy_compare(
+                df, t_uniform=3, k_prop=2000
+            ).collect()
+        }
+        exp = {}
+        for _, p in rows:
+            tp = min(6, max(1, 2000 // p))
+            b = p // 20
+            cur = exp.get(b, (0, 0, 0, 0, 0))
+            exp[b] = (
+                cur[0] + 1, cur[1] + self._fresh(3, p),
+                cur[2] + self._fresh(tp, p),
+                cur[3] + 1000 // 3, cur[4] + 1000 // tp,
+            )
+        assert got == exp
+
+    def test_uniform_beats_proportional_at_equal_budget(self, spark):
+        """The Cho & Garcia-Molina phenomenon on the registry fixture:
+        change-proportional allocation spends no MORE budget than
+        uniform yet achieves strictly LESS total freshness."""
+        from licenta_crawler_spark.operators.frontier_policy import (
+            freshness_policy_compare,
+        )
+
+        rows = [(k, (k * 13) % 950 + 20) for k in range(1, 6000)]
+        df = spark.createDataFrame(rows, "page_id long, p_permille long")
+        tot = (
+            freshness_policy_compare(df, t_uniform=3, k_prop=2000)
+            .groupBy()
+            .sum("fresh_uniform", "fresh_proportional",
+                 "cost_uniform", "cost_proportional")
+            .collect()[0]
+        )
+        fu, fp, cu, cp = tot
+        assert cp <= cu          # proportional is not over-budget
+        assert fu > fp           # ...and still loses freshness
+
+    def test_freshness_monotone_in_change_rate(self, spark):
+        from licenta_crawler_spark.operators.frontier_policy import (
+            freshness_policy_compare,
+        )
+
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate((50, 300, 600, 900))],
+            "page_id long, p_permille long",
+        )
+        out = freshness_policy_compare(df, t_uniform=4, k_prop=10 ** 6)
+        by_p = {
+            r["p_bucket"]: r["fresh_uniform"] for r in out.collect()
+        }
+        vals = [by_p[p // 20] for p in (50, 300, 600, 900)]
+        assert vals == sorted(vals, reverse=True)
