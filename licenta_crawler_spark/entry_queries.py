@@ -4767,6 +4767,21 @@ def freshness_allocation(spark, sf_dir):
     return freshness_policy_compare(pages, t_uniform=3, k_prop=2000)
 
 
+def index_partition_cost(spark, sf_dir):
+    """Distributed-index layout census
+    (`operators/retrieval.index_shard_census`): the documents corpus'
+    postings costed under BOTH classic shardings — doc-partitioned
+    (every query fans out, mass balanced) vs term-partitioned (queries
+    touch few shards, hot terms concentrate mass) — 16 rows out
+    regardless of corpus size, md5-60bit shard hash replayed by the
+    oracle."""
+    from licenta_crawler_spark.operators.retrieval import (
+        index_shard_census,
+    )
+
+    return index_shard_census(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4849,6 +4864,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ktruss_part_copurchase": ktruss_part_copurchase,
     "freshness_allocation": freshness_allocation,
+    "index_partition_cost": index_partition_cost,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10395,6 +10411,30 @@ def _ktruss_sql(k: int = 4, rounds: int = 6) -> str:
     SELECT a AS src, b AS dst, sup::BIGINT AS support
     FROM s{rounds} WHERE sup >= {k - 2}""")
     return "".join(parts)
+
+
+ORACLE_SQL["index_partition_cost"] = f"""
+    WITH postings AS (
+      SELECT doc_id::VARCHAR AS doc, t.term
+      FROM documents, LATERAL unnest(
+        list_distinct(list_filter({_NORM_TOKS_SQL}, x -> x <> ''))
+      ) AS t(term)
+    ),
+    assigned AS (
+      SELECT 'doc' AS strategy,
+             {_MD5_H60.format(v='doc')} % 8 AS shard, doc, term
+      FROM postings
+      UNION ALL
+      SELECT 'term' AS strategy,
+             {_MD5_H60.format(v='term')} % 8 AS shard, doc, term
+      FROM postings
+    )
+    SELECT strategy, shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_postings,
+           count(DISTINCT term)::BIGINT AS n_terms,
+           count(DISTINCT doc)::BIGINT AS n_docs
+    FROM assigned GROUP BY strategy, shard
+"""
 
 
 def _freshness_alloc_sql() -> str:

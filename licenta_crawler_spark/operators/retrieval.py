@@ -953,3 +953,64 @@ def wand_pruning_census(
             "(sum(cast(skip as long)) * 1000) div count(*)"
         ).alias("pruned_permille"),
     )
+
+
+def index_shard_census(
+    documents: DataFrame,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-partitioned vs term-partitioned index sharding cost
+    census (the classic distributed-IR layout trade — Moffat &
+    Zobel's partitioned-index analyses; every web search engine runs
+    the document-partitioned side in production for exactly the skew
+    this census measures).
+
+    From one postings relation (DISTINCT (doc, term) off a single
+    corpus scan) both layouts are costed per shard:
+
+    * ``doc``: postings land on hash(doc_id) % S — a query fans out to
+      ALL S shards but each holds ≈ 1/S of every posting list; skew is
+      bounded by doc-size variance.
+    * ``term``: postings land on hash(term) % S — a query touches only
+      its terms' shards, but a whole posting list lives on ONE shard,
+      so hot terms concentrate: the shard mass follows the term df
+      power law.
+
+    Hash is the repo's md5-60bit convention (replays in DuckDB).
+    Output: (strategy, shard, n_postings, n_terms, n_docs) — 2·S rows
+    regardless of corpus size; the aggregation is the only shuffle and
+    its key cardinality is 2·S."""
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    toks = F.array_distinct(
+        F.filter(
+            F.split(normalized_text_col(F.col(text_col)), " "),
+            lambda t: t != "",
+        )
+    )
+    postings = documents.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.explode(toks).alias("term"),
+    )
+    by_doc = postings.select(
+        F.lit("doc").alias("strategy"),
+        F.pmod(md5_hash60_col(F.col("doc")), F.lit(n_shards)).alias("shard"),
+        "doc", "term",
+    )
+    by_term = postings.select(
+        F.lit("term").alias("strategy"),
+        F.pmod(md5_hash60_col(F.col("term")), F.lit(n_shards)).alias("shard"),
+        "doc", "term",
+    )
+    return (
+        by_doc.unionByName(by_term)
+        .groupBy("strategy", "shard")
+        .agg(
+            F.count("*").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+    )

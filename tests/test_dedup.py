@@ -1207,3 +1207,64 @@ class TestSpellSuggestions:
             d, self._q(spark, ["zzzzz"]), k=1
         ).collect()
         assert out == []
+
+
+class TestIndexShardCensus:
+    def test_mass_conservation_and_replay(self, spark):
+        import hashlib
+
+        from licenta_crawler_spark.operators.retrieval import (
+            index_shard_census,
+        )
+
+        docs = [
+            (i, " ".join(f"w{(i * 3 + j) % 11}" for j in range(6)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = index_shard_census(df, n_shards=4).collect()
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        postings = {
+            (str(i), w) for i, t in docs for w in set(t.split())
+        }
+        exp = {}
+        for d, w in postings:
+            for strat, key in (("doc", d), ("term", w)):
+                sh = h60(key) % 4
+                c = exp.setdefault((strat, sh), [0, set(), set()])
+                c[0] += 1
+                c[1].add(w)
+                c[2].add(d)
+        got = {
+            (r["strategy"], r["shard"]): (
+                r["n_postings"], r["n_terms"], r["n_docs"]
+            )
+            for r in out
+        }
+        assert got == {
+            k: (v[0], len(v[1]), len(v[2])) for k, v in exp.items()
+        }
+        # both layouts shard the SAME posting mass
+        tot = {"doc": 0, "term": 0}
+        for (strat, _), (n, _, _) in got.items():
+            tot[strat] += n
+        assert tot["doc"] == tot["term"] == len(postings)
+
+    def test_term_layout_concentrates_posting_lists(self, spark):
+        """A term's whole posting list lands on one shard under the
+        term layout, but spreads under the doc layout."""
+        from licenta_crawler_spark.operators.retrieval import (
+            index_shard_census,
+        )
+
+        # one ubiquitous term over many docs
+        docs = [(i, "hot") for i in range(50)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = index_shard_census(df, n_shards=4).collect()
+        term_rows = [r for r in out if r["strategy"] == "term"]
+        doc_rows = [r for r in out if r["strategy"] == "doc"]
+        assert len(term_rows) == 1 and term_rows[0]["n_postings"] == 50
+        assert len(doc_rows) > 1  # md5 spreads 50 docs over shards
