@@ -4782,6 +4782,29 @@ def index_partition_cost(spark, sf_dir):
     return index_shard_census(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
+def champion_list_recall(spark, sf_dir):
+    """Champion-list serving audit
+    (`operators/retrieval.champion_list_audit`): three ranked queries
+    served from r=20 per-term champion lists vs the exact BM25 top-10
+    — per query the candidate-set size (the serving cost bound) and
+    the overlap@10 / exact-preserved verdict the r-tuning loop reads.
+    Single-term queries are preserved by construction (their champion
+    order IS the exact order); multi-term queries measure the real
+    tier-1 risk."""
+    from licenta_crawler_spark.operators.retrieval import (
+        champion_list_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("c1", "join"), ("c1", "hash"),
+         ("c2", "window"), ("c2", "stream"), ("c2", "customer"),
+         ("c3", "spark")],
+        "query_id string, term string",
+    )
+    return champion_list_audit(d, q, k=10, r=20)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4865,6 +4888,7 @@ QUERIES = {
     "ktruss_part_copurchase": ktruss_part_copurchase,
     "freshness_allocation": freshness_allocation,
     "index_partition_cost": index_partition_cost,
+    "champion_list_recall": champion_list_recall,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10434,6 +10458,84 @@ ORACLE_SQL["index_partition_cost"] = f"""
            count(DISTINCT term)::BIGINT AS n_terms,
            count(DISTINCT doc)::BIGINT AS n_docs
     FROM assigned GROUP BY strategy, shard
+"""
+
+
+ORACLE_SQL["champion_list_recall"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('c1','join'), ('c1','hash'),
+                            ('c2','window'), ('c2','stream'),
+                            ('c2','customer'), ('c3','spark'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total,
+                       count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    contrib AS MATERIALIZED (
+      SELECT q.query_id, tf.doc_id, tf.term,
+             ((((n_docs * 1000000) // df)
+               * ((44000000 * tf) //
+                  (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+              ) // 1000)::BIGINT AS c
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+    ),
+    scores AS MATERIALIZED (
+      SELECT query_id, doc_id, sum(c)::BIGINT AS score_fp
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    champions AS (
+      SELECT DISTINCT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id, term
+                 ORDER BY c DESC, doc_id ASC) AS rr
+        FROM contrib
+      ) WHERE rr <= 20
+    ),
+    full_topk AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        ) AS rk FROM scores
+      ) WHERE rk <= 10
+    ),
+    tier_topk AS (
+      SELECT query_id, doc_id FROM (
+        SELECT s.query_id, s.doc_id, row_number() OVER (
+          PARTITION BY s.query_id ORDER BY s.score_fp DESC, s.doc_id ASC
+        ) AS rk
+        FROM scores s SEMI JOIN champions c
+          ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+      ) WHERE rk <= 10
+    ),
+    nm AS (SELECT query_id, count(*)::BIGINT AS n_matched
+           FROM scores GROUP BY query_id),
+    nc AS (SELECT query_id, count(*)::BIGINT AS n_candidates
+           FROM champions GROUP BY query_id),
+    ov AS (
+      SELECT f.query_id, count(*)::BIGINT AS overlap_at_k
+      FROM full_topk f SEMI JOIN tier_topk t
+        ON f.query_id = t.query_id AND f.doc_id = t.doc_id
+      GROUP BY f.query_id
+    )
+    SELECT nm.query_id, nm.n_matched, nc.n_candidates,
+           coalesce(ov.overlap_at_k, 0)::BIGINT AS overlap_at_k,
+           (coalesce(ov.overlap_at_k, 0) = least(10, nm.n_matched))
+             AS exact_preserved
+    FROM nm JOIN nc USING (query_id) LEFT JOIN ov USING (query_id)
 """
 
 

@@ -849,6 +849,60 @@ def spell_suggestions(
     )
 
 
+def bm25_contributions(
+    documents: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_literal_max: int = VOCAB_LITERAL_MAX,
+) -> DataFrame:
+    """The per-(query, doc, term) exact BM25 contribution relation —
+    the shared substrate of :func:`wand_pruning_census` and
+    :func:`champion_list_audit`: one query-vocab-only corpus scan
+    (same explode discipline as :func:`bm25_retrieval`), df/T/N as
+    broadcast/scalar aggregates, :data:`BM25_TERM_SCORE_SQL` per row.
+    Index-sized, and localCheckpoint-truncated because every consumer
+    reads it from at least two aggregate branches — without truncation
+    the corpus scan re-executes per branch."""
+    qv = queries.select("query_id", "term").distinct()
+    vocab = [r.term for r in qv.select("term").distinct().collect()]
+    toks_all = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks_all.alias("toks"),
+        F.size(toks_all).cast("long").alias("dl"),
+    )
+    if len(vocab) <= vocab_literal_max:
+        lit = F.array(*[F.lit(t) for t in vocab])
+        hits = base.select(
+            "doc_id", "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(lit, t))
+            ).alias("term"),
+        )
+    else:
+        hits = base.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        ).join(F.broadcast(qv.select("term").distinct()), "term", "left_semi")
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = base.select(
+        F.sum("dl").alias("t_total"), F.count("*").alias("n_docs")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qv), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id", "doc_id", "term",
+            F.expr(BM25_TERM_SCORE_SQL).alias("c"),
+        )
+    ).localCheckpoint(eager=False)
+
+
 def wand_pruning_census(
     documents: DataFrame,
     queries: DataFrame,
@@ -887,42 +941,10 @@ def wand_pruning_census(
     query-vocab-sized aggregate, broadcast back onto the contributions,
     so score and ub_sum come out of ONE (query, doc) aggregation.
     """
-    qv = queries.select("query_id", "term").distinct()
-    vocab = [r.term for r in qv.select("term").distinct().collect()]
-    toks_all = F.filter(
-        F.split(normalized_text_col(F.col(text_col)), " "), lambda t: t != ""
+    contrib = bm25_contributions(
+        documents, queries, id_col=id_col, text_col=text_col,
+        vocab_literal_max=vocab_literal_max,
     )
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        toks_all.alias("toks"),
-        F.size(toks_all).cast("long").alias("dl"),
-    )
-    if len(vocab) <= vocab_literal_max:
-        lit = F.array(*[F.lit(t) for t in vocab])
-        hits = base.select(
-            "doc_id", "dl",
-            F.explode(
-                F.filter(F.col("toks"), lambda t: F.array_contains(lit, t))
-            ).alias("term"),
-        )
-    else:
-        hits = base.select(
-            "doc_id", "dl", F.explode("toks").alias("term")
-        ).join(F.broadcast(qv.select("term").distinct()), "term", "left_semi")
-    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scalars = base.select(
-        F.sum("dl").alias("t_total"), F.count("*").alias("n_docs")
-    )
-    contrib = (
-        tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(qv), "term")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            "query_id", "doc_id", "term",
-            F.expr(BM25_TERM_SCORE_SQL).alias("c"),
-        )
-    ).localCheckpoint(eager=False)
     ub = contrib.groupBy("query_id", "term").agg(F.max("c").alias("ub"))
     per_doc = (
         contrib.join(F.broadcast(ub), ["query_id", "term"])
@@ -1012,5 +1034,92 @@ def index_shard_census(
             F.count("*").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
             F.countDistinct("doc").alias("n_docs"),
+        )
+    )
+
+
+def champion_list_audit(
+    documents: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    r: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_literal_max: int = VOCAB_LITERAL_MAX,
+) -> DataFrame:
+    """Champion-list (tier-1 / impact-ordered index) serving audit
+    (Manning, Raghavan & Schütze ch. 7): per query term keep only its
+    ``r`` highest-impact docs (the champion list a real index stores
+    next to each posting list), take the candidate set = union of the
+    query's champion lists, score the candidates FULLY, and compare
+    that tier-1 top-k against the exact top-k.
+
+    Per query: n_matched, n_candidates (≤ r·|terms| — the serving-time
+    work bound, independent of posting-list length), overlap_at_k
+    (|tier-1 top-k ∩ exact top-k|), and exact_preserved (overlap ==
+    min(k, n_matched)). The audit is the measurement behind the
+    champion-list tuning loop: raise r until exact_preserved holds for
+    the query mix, then serve at candidate cost r·|q| instead of df.
+
+    Plan: one :func:`bm25_contributions` build (localCheckpoint
+    substrate shared by three aggregates); champion selection is a
+    per-(query, term) window over contributions (impact desc, doc
+    asc); both rankings come from the same (query, doc) score
+    aggregate, the tier ranking via a semi-join of scores against the
+    tiny candidate set."""
+    contrib = bm25_contributions(
+        documents, queries, id_col=id_col, text_col=text_col,
+        vocab_literal_max=vocab_literal_max,
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score_fp")
+    ).localCheckpoint(eager=False)
+    wt = Window.partitionBy("query_id", "term").orderBy(
+        F.desc("c"), F.asc("doc_id")
+    )
+    champions = (
+        contrib.withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") <= r)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    full_topk = (
+        scores.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id")
+    )
+    tier_topk = (
+        scores.join(champions, ["query_id", "doc_id"], "left_semi")
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id")
+    )
+    n_matched = scores.groupBy("query_id").agg(
+        F.count("*").alias("n_matched")
+    )
+    n_cand = champions.groupBy("query_id").agg(
+        F.count("*").alias("n_candidates")
+    )
+    overlap = (
+        full_topk.join(tier_topk, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("overlap_at_k"))
+    )
+    return (
+        n_matched.join(F.broadcast(n_cand), "query_id")
+        .join(F.broadcast(overlap), "query_id", "left")
+        .select(
+            "query_id", "n_matched", "n_candidates",
+            F.coalesce(F.col("overlap_at_k"), F.lit(0).cast("long")).alias(
+                "overlap_at_k"
+            ),
+            (
+                F.coalesce(F.col("overlap_at_k"), F.lit(0))
+                == F.least(F.lit(k).cast("long"), F.col("n_matched"))
+            ).alias("exact_preserved"),
         )
     )

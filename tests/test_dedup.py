@@ -1268,3 +1268,122 @@ class TestIndexShardCensus:
         doc_rows = [r for r in out if r["strategy"] == "doc"]
         assert len(term_rows) == 1 and term_rows[0]["n_postings"] == 50
         assert len(doc_rows) > 1  # md5 spreads 50 docs over shards
+
+
+class TestChampionListAudit:
+    @staticmethod
+    def _replay(docs, queries, k, r):
+        toks = {i: t.split() for i, t in docs}
+        dl = {i: len(t) for i, t in toks.items()}
+        n, t_total = len(docs), sum(dl.values())
+        out = {}
+        for qid, terms in queries.items():
+            tf = {
+                (i, w): ts.count(w)
+                for i, ts in toks.items() for w in terms if ts.count(w)
+            }
+            df = {w: sum(1 for (_, ww) in tf if ww == w) for w in terms}
+            contrib = {
+                (i, w): (
+                    ((n * 1000000) // df[w])
+                    * ((44000000 * c) //
+                       (20000 * c + 6000 + (18000 * dl[i] * n) // t_total))
+                ) // 1000
+                for (i, w), c in tf.items()
+            }
+            matched = sorted({i for (i, _) in contrib})
+            score = {
+                i: sum(v for (ii, _), v in contrib.items() if ii == i)
+                for i in matched
+            }
+            champ = set()
+            for w in terms:
+                lst = sorted(
+                    ((v, i) for (i, ww), v in contrib.items() if ww == w),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                champ |= {i for _, i in lst[:r]}
+            rank = sorted(matched, key=lambda i: (-score[i], i))
+            full = set(rank[:k])
+            trank = sorted(champ, key=lambda i: (-score[i], i))
+            tier = set(trank[:k])
+            ov = len(full & tier)
+            out[qid] = (
+                len(matched), len(champ), ov, ov == min(k, len(matched))
+            )
+        return out
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        from licenta_crawler_spark.operators.retrieval import (
+            champion_list_audit,
+        )
+
+        rng = random.Random(23)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+            for i in range(60)
+        ]
+        queries = {"qa": ["alpha", "beta"], "qb": ["gamma", "delta", "eps"]}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [(qid, w) for qid, ws in queries.items() for w in ws],
+            "query_id string, term string",
+        )
+        for k, r in ((5, 3), (10, 8)):
+            got = {
+                row["query_id"]: (
+                    row["n_matched"], row["n_candidates"],
+                    row["overlap_at_k"], row["exact_preserved"],
+                )
+                for row in champion_list_audit(df, q, k=k, r=r).collect()
+            }
+            assert got == self._replay(docs, queries, k, r)
+
+    def test_single_term_query_always_preserved(self, spark):
+        from licenta_crawler_spark.operators.retrieval import (
+            champion_list_audit,
+        )
+
+        docs = [(i, "target " * (i % 5 + 1) + "noise") for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("s", "target")], "query_id string, term string"
+        )
+        row = champion_list_audit(df, q, k=10, r=12).collect()[0]
+        assert row["n_candidates"] == 12      # min(r, df)
+        assert row["exact_preserved"] is True
+        assert row["overlap_at_k"] == 10
+
+    def test_balanced_doc_missed_by_small_champion_lists(self, spark):
+        """The classic champion-list failure: the exact winner scores
+        via MODERATE contributions on every term, so no term's top-r
+        contains it — overlap drops and exact_preserved goes false."""
+        from licenta_crawler_spark.operators.retrieval import (
+            champion_list_audit,
+        )
+
+        docs = (
+            [(0, "w1 " * 8), (1, "w1 " * 8), (2, "w2 " * 8), (3, "w2 " * 8),
+             (4, "w1 w1 w1 w2 w2 w2")]
+            + [(5 + i, "filler noise words here") for i in range(10)]
+        )
+        df = spark.createDataFrame(
+            [(i, t.strip()) for i, t in docs], "doc_id long, text string"
+        )
+        q = spark.createDataFrame(
+            [("m", "w1"), ("m", "w2")], "query_id string, term string"
+        )
+        row = champion_list_audit(df, q, k=3, r=2).collect()[0]
+        assert row["n_matched"] == 5 and row["n_candidates"] == 4
+        assert row["exact_preserved"] is False
+        assert row["overlap_at_k"] == 2
+        rep = self._replay(
+            [(i, t.strip()) for i, t in docs], {"m": ["w1", "w2"]}, 3, 2
+        )["m"]
+        assert (
+            row["n_matched"], row["n_candidates"], row["overlap_at_k"],
+            row["exact_preserved"],
+        ) == rep
