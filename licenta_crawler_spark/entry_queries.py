@@ -4805,6 +4805,63 @@ def champion_list_recall(spark, sf_dir):
     return champion_list_audit(d, q, k=10, r=20)
 
 
+def canonical_cluster_collapse(spark, sf_dir):
+    """Cross-signal canonical collapse: redirect targets, rel=canonical
+    declarations and duplicate-content mirrors form ONE alias graph;
+    connected components (`operators/graph.connected_components`) merge
+    the three signal families transitively (an AMP page of a redirect
+    variant of a mirrored page all collapse together — no single signal
+    sees that), then each cluster elects the (shortest, lexicographic)
+    representative, the same published heuristic as
+    `canonical_url_election`. Singleton URLs canonicalize to
+    themselves. Oracle replays the closure with a recursive CTE."""
+    from licenta_crawler_spark.operators.graph import connected_components
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(
+            F.lit("https://h"), (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+    )
+    redirects = base.filter(F.col("k") % 5 == 1).select(
+        F.concat(F.col("url"), F.lit("?utm=x")).alias("src"),
+        F.col("url").alias("dst"),
+    )
+    relcanon = base.filter(F.col("k") % 4 == 2).select(
+        F.concat(F.col("url"), F.lit("/amp")).alias("src"),
+        F.col("url").alias("dst"),
+    )
+    mirrors = base.filter(F.col("k") % 3 == 0).select(
+        F.concat(
+            F.lit("https://m"), (F.col("k") % 7).cast("string"),
+            F.lit(".example/p/"), F.col("k").cast("string"),
+        ).alias("src"),
+        F.col("url").alias("dst"),
+    )
+    edges = redirects.unionByName(relcanon).unionByName(mirrors)
+    comps = connected_components(edges, src="src", dst="dst")
+    allnodes = (
+        base.select("url")
+        .unionByName(edges.select(F.col("src").alias("url")))
+        .distinct()
+    )
+    labeled = (
+        allnodes.join(comps.withColumnRenamed("node", "url"), "url", "left")
+        .select("url", F.coalesce("comp", F.col("url")).alias("comp"))
+    )
+    rep = labeled.groupBy("comp").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(
+            F.struct(F.length("url").alias("l"), F.col("url"))
+        ).alias("m"),
+    )
+    return labeled.join(rep, "comp").select(
+        "url", F.col("m.url").alias("canonical_url"), "cluster_size"
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4889,6 +4946,7 @@ QUERIES = {
     "freshness_allocation": freshness_allocation,
     "index_partition_cost": index_partition_cost,
     "champion_list_recall": champion_list_recall,
+    "canonical_cluster_collapse": canonical_cluster_collapse,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10536,6 +10594,47 @@ ORACLE_SQL["champion_list_recall"] = f"""
            (coalesce(ov.overlap_at_k, 0) = least(10, nm.n_matched))
              AS exact_preserved
     FROM nm JOIN nc USING (query_id) LEFT JOIN ov USING (query_id)
+"""
+
+
+ORACLE_SQL["canonical_cluster_collapse"] = """
+    WITH RECURSIVE o AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 3000
+    ),
+    base AS (
+      SELECT k, 'https://h' || (k % 7) || '.example/p/' || k AS url FROM o
+    ),
+    edges AS (
+      SELECT url || '?utm=x' AS src, url AS dst FROM base WHERE k % 5 = 1
+      UNION ALL
+      SELECT url || '/amp', url FROM base WHERE k % 4 = 2
+      UNION ALL
+      SELECT 'https://m' || (k % 7) || '.example/p/' || k, url
+      FROM base WHERE k % 3 = 0
+    ),
+    nodes AS (SELECT url FROM base UNION SELECT src FROM edges),
+    adj AS (
+      SELECT src AS x, dst AS y FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    rr(node, r) AS (
+      SELECT url, url FROM nodes
+      UNION
+      SELECT rr.node, a.y FROM rr JOIN adj a ON a.x = rr.r
+    ),
+    comp AS (SELECT node AS url, min(r) AS comp FROM rr GROUP BY node),
+    rep AS (
+      SELECT comp, url AS canonical_url, cluster_size FROM (
+        SELECT comp, url,
+               count(*) OVER (PARTITION BY comp)::BIGINT AS cluster_size,
+               row_number() OVER (
+                 PARTITION BY comp ORDER BY length(url), url
+               ) AS rn
+        FROM comp
+      ) WHERE rn = 1
+    )
+    SELECT c.url, r.canonical_url, r.cluster_size
+    FROM comp c JOIN rep r USING (comp)
 """
 
 

@@ -923,3 +923,46 @@ class TestKtruss:
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with _pytest.raises(ValueError):
             ktruss_edges(df, k=2)
+
+
+class TestCanonicalClusterCollapse:
+    def _run(self, spark):
+        from licenta_crawler_spark.entry_queries import (
+            canonical_cluster_collapse,
+        )
+
+        return canonical_cluster_collapse(spark, "/root/testdata/sf0.001")
+
+    def test_cross_signal_transitivity_and_election(self, spark):
+        out = self._run(spark).collect()
+        by_url = {r["url"]: r for r in out}
+        u = "https://h6.example/p/6"
+        # k=6 carries ALL THREE signals (6%5=1, 6%4=2, 6%3=0): the
+        # redirect variant, the AMP page and the mirror collapse into
+        # one 4-member cluster no single signal family could see
+        cluster = {
+            r["url"] for r in out if r["canonical_url"] == u
+        }
+        assert cluster == {
+            u, u + "?utm=x", u + "/amp", "https://m6.example/p/6",
+        }
+        assert all(by_url[x]["cluster_size"] == 4 for x in cluster)
+        # k=22: only the rel=canonical signal -> 2-member cluster
+        v = "https://h1.example/p/22"
+        assert by_url[v]["cluster_size"] == 2
+        assert by_url[v + "/amp"]["canonical_url"] == v
+
+    def test_election_invariants(self, spark):
+        out = self._run(spark).collect()
+        members = {}
+        for r in out:
+            members.setdefault(r["canonical_url"], []).append(r["url"])
+        for rep, urls in members.items():
+            assert rep in urls  # the representative is a member
+            # and it is the (length, lexicographic) minimum
+            assert min(urls, key=lambda u: (len(u), u)) == rep
+        # singletons canonicalize to themselves
+        singles = [r for r in out if r["cluster_size"] == 1]
+        assert singles and all(
+            r["url"] == r["canonical_url"] for r in singles
+        )
