@@ -4862,6 +4862,23 @@ def canonical_cluster_collapse(spark, sf_dir):
     )
 
 
+def pack_interleaved_media_windows(spark, sf_dir):
+    """Modality-aware context packing
+    (`operators/multimodal.pack_interleaved_windows`) over the
+    input_hint span shape (`multimodal.synthesize_span_documents`):
+    every doc costs its text tokens + 256 per image + 1024 per video
+    (the vision-token charge), docs pack whole into 2048-token windows
+    per doc_id%8 shard via the exclusive-cumsum closed form — one
+    window over the shard key, no pandas; per-window census out."""
+    from licenta_crawler_spark.operators.multimodal import (
+        pack_interleaved_windows,
+        synthesize_span_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_interleaved_windows(synthesize_span_documents(d))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4947,6 +4964,7 @@ QUERIES = {
     "index_partition_cost": index_partition_cost,
     "champion_list_recall": champion_list_recall,
     "canonical_cluster_collapse": canonical_cluster_collapse,
+    "pack_interleaved_media_windows": pack_interleaved_media_windows,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10635,6 +10653,40 @@ ORACLE_SQL["canonical_cluster_collapse"] = """
     )
     SELECT c.url, r.canonical_url, r.cluster_size
     FROM comp c JOIN rep r USING (comp)
+"""
+
+
+ORACLE_SQL["pack_interleaved_media_windows"] = """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS did,
+             len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_text_tokens,
+             1::BIGINT AS n_image_spans,
+             (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_video_spans
+      FROM documents
+    ),
+    costed AS (
+      SELECT did, did % 8 AS shard, n_text_tokens, n_image_spans,
+             n_video_spans,
+             n_text_tokens + 256 * n_image_spans + 1024 * n_video_spans
+               AS cost
+      FROM d
+    ),
+    cum AS (
+      SELECT *, (sum(cost) OVER (PARTITION BY shard ORDER BY did
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cost) AS cum_excl
+      FROM costed
+    )
+    SELECT shard::BIGINT AS shard, (cum_excl // 2048)::BIGINT AS window_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_text_tokens)::BIGINT AS n_text_tokens,
+           sum(n_image_spans)::BIGINT AS n_image_spans,
+           sum(n_video_spans)::BIGINT AS n_video_spans,
+           sum(cost)::BIGINT AS cost_total,
+           ((sum(cost) * 1000) // 2048)::BIGINT AS fill_permille
+    FROM cum GROUP BY 1, 2
 """
 
 

@@ -23,7 +23,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -251,3 +251,78 @@ def dhash_expr(payload_col: str = "payload") -> "F.Column":
         # md5 simhash variant; one gradient bit of recall is the cost
     )
     return F.expr(f"cast({bits} as bigint)")
+
+
+def pack_interleaved_windows(
+    span_docs: DataFrame,
+    *,
+    budget: int = 2048,
+    image_cost: int = 256,
+    video_cost: int = 1024,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Modality-aware context-window packing over interleaved span
+    documents (the BASELINE.json input_hint shape) — the multimodal
+    sibling of the text packer (`corpus.pack_context_windows`): each
+    doc costs its whitespace text tokens plus a fixed per-media token
+    charge (the vision-token budget real multimodal trainers pay per
+    image/video), docs are NEVER split, and packing is the closed-form
+    exclusive-cumsum rule per shard (shard = doc_id % n_shards, order
+    by doc_id) — no sequential fill state, no pandas, fully
+    shard-parallel: the only shuffle is one window over the shard key,
+    so 10^9 docs pack in one pass. Same straddle semantics as the
+    compaction planner: a window's cost stays < budget + max doc cost.
+
+    Returns per (shard, window_id): n_docs, n_text_tokens,
+    n_image_spans, n_video_spans, cost_total, fill_permille.
+    """
+    zero = F.lit(0).cast("long")
+    tok = lambda t: F.size(  # noqa: E731
+        F.filter(F.split(t, " "), lambda x: x != "")
+    ).cast("long")
+    per_doc = span_docs.select(
+        F.col("doc_id").cast("long").alias("did"),
+        F.aggregate(
+            "spans", zero,
+            lambda acc, s: acc
+            + F.when(s["kind"] == "text", tok(s["text"])).otherwise(zero),
+        ).alias("n_text_tokens"),
+        F.aggregate(
+            "spans", zero,
+            lambda acc, s: acc
+            + F.when(s["kind"] == "image", F.lit(1).cast("long")).otherwise(zero),
+        ).alias("n_image_spans"),
+        F.aggregate(
+            "spans", zero,
+            lambda acc, s: acc
+            + F.when(s["kind"] == "video", F.lit(1).cast("long")).otherwise(zero),
+        ).alias("n_video_spans"),
+    ).select(
+        "did", "n_text_tokens", "n_image_spans", "n_video_spans",
+        (F.col("did") % n_shards).alias("shard"),
+        (
+            F.col("n_text_tokens")
+            + F.col("n_image_spans") * image_cost
+            + F.col("n_video_spans") * video_cost
+        ).alias("cost"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("did")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = per_doc.withColumn(
+        "_cum", (F.sum("cost").over(w) - F.col("cost")).cast("long")
+    ).select(
+        "shard", "n_text_tokens", "n_image_spans", "n_video_spans", "cost",
+        F.expr(f"_cum div {int(budget)}").alias("window_id"),
+    )
+    return packed.groupBy("shard", "window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_text_tokens").alias("n_text_tokens"),
+        F.sum("n_image_spans").alias("n_image_spans"),
+        F.sum("n_video_spans").alias("n_video_spans"),
+        F.sum("cost").alias("cost_total"),
+        F.expr(f"(sum(cost) * 1000) div {int(budget)}").alias(
+            "fill_permille"
+        ),
+    )

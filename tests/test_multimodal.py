@@ -200,3 +200,85 @@ class TestDhash:
         d01 = bin(got[0] ^ got[1]).count("1")
         assert 1 <= d01 <= 2          # one sampled byte -> 1-2 gradient bits
         assert got[0] == got[2]       # unsampled byte -> identical hash
+
+
+class TestPackInterleavedWindows:
+    def _spans(self, spark, rows):
+        """rows: (doc_id, text, n_images, n_videos)."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, ni int, nv int"
+        )
+        span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+            F.lit(kind).alias("kind"),
+            (F.lit(None).cast("string") if text is None else text).alias("text"),
+            (F.lit(None).cast("string") if ref is None else F.lit(ref)).alias(
+                "media_ref"
+            ),
+            F.lit(off).cast("int").alias("offset"),
+        )
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.array(span("text", F.col("text"), None, 0)),
+                F.slice(
+                    F.array(*[span("image", None, f"i{j}", j) for j in range(3)]),
+                    1, F.col("ni"),
+                ),
+                F.slice(
+                    F.array(*[span("video", None, f"v{j}", j) for j in range(2)]),
+                    1, F.col("nv"),
+                ),
+            ).alias("spans"),
+        )
+
+    def test_costs_and_window_assignment_exact(self, spark):
+        from licenta_crawler_spark.operators.multimodal import (
+            pack_interleaved_windows,
+        )
+
+        # one shard (n_shards=1): docs in id order, budget 1000
+        rows = [
+            (0, "a b c", 1, 0),      # cost 3 + 256         = 259
+            (1, "x " * 100, 0, 0),   # cost 100             = 100
+            (2, "y", 0, 1),          # cost 1 + 1024        = 1025
+            (3, "z z", 2, 0),        # cost 2 + 512         = 514
+        ]
+        out = {
+            (r["shard"], r["window_id"]): (
+                r["n_docs"], r["cost_total"], r["fill_permille"]
+            )
+            for r in pack_interleaved_windows(
+                self._spans(spark, rows), budget=1000, n_shards=1
+            ).collect()
+        }
+        # excl cums: 0, 259, 359, 1384 -> windows 0,0,0,1
+        assert out == {
+            (0, 0): (3, 1384, 1384),
+            (0, 1): (1, 514, 514),
+        }
+
+    def test_docs_never_split_and_mass_conserved(self, spark):
+        from licenta_crawler_spark.operators.multimodal import (
+            pack_interleaved_windows,
+            synthesize_span_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w " * (i % 37 + 1)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        sd = synthesize_span_documents(docs)
+        out = pack_interleaved_windows(sd, budget=2048, n_shards=4)
+        rows = out.collect()
+        tot_docs = sum(r["n_docs"] for r in rows)
+        tot_imgs = sum(r["n_image_spans"] for r in rows)
+        tot_vids = sum(r["n_video_spans"] for r in rows)
+        assert tot_docs == 100 and tot_imgs == 100
+        assert tot_vids == 34  # doc_id % 3 == 0
+        # straddle bound: every window under budget + max doc cost
+        max_doc_cost = 37 + 256 + 1024
+        assert all(
+            r["cost_total"] < 2048 + max_doc_cost for r in rows
+        )
