@@ -4879,6 +4879,39 @@ def pack_interleaved_media_windows(spark, sf_dir):
     return pack_interleaved_windows(synthesize_span_documents(d))
 
 
+def quality_ensemble_funnel(spark, sf_dir):
+    """The corpus-quality DECISION layer: the four independent gates
+    (Gopher rules, Gopher repetition, encoding damage, surprisal
+    bucket — each its own green query) joined per doc and collapsed
+    into the sequential rejection funnel a production cleaner ships:
+    fail counts attribute each rejected doc to the FIRST gate that
+    killed it (the triage ordering), kept = survived all four. One
+    row out; the oracle nests the four per-doc oracle replays
+    verbatim, so ensemble agreement is inherited, not re-derived."""
+    g = gopher_quality(spark, sf_dir).select("doc_id", "pass_gopher")
+    r = gopher_repetition(spark, sf_dir).select(
+        "doc_id", "pass_repetition"
+    )
+    e = encoding_artifact_filter(spark, sf_dir).select(
+        "doc_id", "pass_encoding"
+    )
+    s = lm_surprisal_buckets(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") <= 2).alias("pass_surprisal")
+    )
+    j = g.join(r, "doc_id").join(e, "doc_id").join(s, "doc_id")
+    pg, pr = F.col("pass_gopher"), F.col("pass_repetition")
+    pe, ps = F.col("pass_encoding"), F.col("pass_surprisal")
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return j.agg(
+        F.count("*").alias("n_total"),
+        cnt(~pg).alias("fail_gopher"),
+        cnt(pg & ~pr).alias("fail_repetition"),
+        cnt(pg & pr & ~pe).alias("fail_encoding"),
+        cnt(pg & pr & pe & ~ps).alias("fail_surprisal"),
+        cnt(pg & pr & pe & ps).alias("kept"),
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4965,6 +4998,7 @@ QUERIES = {
     "champion_list_recall": champion_list_recall,
     "canonical_cluster_collapse": canonical_cluster_collapse,
     "pack_interleaved_media_windows": pack_interleaved_media_windows,
+    "quality_ensemble_funnel": quality_ensemble_funnel,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10687,6 +10721,40 @@ ORACLE_SQL["pack_interleaved_media_windows"] = """
            sum(cost)::BIGINT AS cost_total,
            ((sum(cost) * 1000) // 2048)::BIGINT AS fill_permille
     FROM cum GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["quality_ensemble_funnel"] = f"""
+    WITH g AS (
+      SELECT doc_id, pass_gopher FROM ({ORACLE_SQL["gopher_quality"]})
+    ),
+    r AS (
+      SELECT doc_id, pass_repetition
+      FROM ({ORACLE_SQL["gopher_repetition"]})
+    ),
+    e AS (
+      SELECT doc_id, pass_encoding
+      FROM ({ORACLE_SQL["encoding_artifact_filter"]})
+    ),
+    s AS (
+      SELECT doc_id, (bucket <= 2) AS pass_surprisal
+      FROM ({ORACLE_SQL["lm_surprisal_buckets"]})
+    )
+    SELECT count(*)::BIGINT AS n_total,
+           sum(CASE WHEN NOT pass_gopher THEN 1 ELSE 0 END)::BIGINT
+             AS fail_gopher,
+           sum(CASE WHEN pass_gopher AND NOT pass_repetition
+                    THEN 1 ELSE 0 END)::BIGINT AS fail_repetition,
+           sum(CASE WHEN pass_gopher AND pass_repetition
+                    AND NOT pass_encoding THEN 1 ELSE 0 END)::BIGINT
+             AS fail_encoding,
+           sum(CASE WHEN pass_gopher AND pass_repetition AND pass_encoding
+                    AND NOT pass_surprisal THEN 1 ELSE 0 END)::BIGINT
+             AS fail_surprisal,
+           sum(CASE WHEN pass_gopher AND pass_repetition AND pass_encoding
+                    AND pass_surprisal THEN 1 ELSE 0 END)::BIGINT AS kept
+    FROM g JOIN r USING (doc_id) JOIN e USING (doc_id)
+    JOIN s USING (doc_id)
 """
 
 

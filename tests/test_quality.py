@@ -413,3 +413,42 @@ class TestScriptMixStats:
         assert out["t"]["latin_n"] == 2 and out["t"]["cyrillic_n"] == 2
         assert out["t"]["dominant_script"] == "latin"
         assert out["t"]["dominant_permille"] == 500
+
+
+class TestQualityEnsembleFunnel:
+    def test_funnel_partitions_the_corpus(self, spark):
+        """The five funnel buckets are a partition of the corpus: they
+        sum to n_total, and each count matches the independently
+        re-derived per-doc gate conjunctions."""
+        from licenta_crawler_spark.entry_queries import (
+            encoding_artifact_filter,
+            gopher_quality,
+            gopher_repetition,
+            lm_surprisal_buckets,
+            quality_ensemble_funnel,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        row = quality_ensemble_funnel(spark, sf).collect()[0]
+        assert (
+            row["fail_gopher"] + row["fail_repetition"]
+            + row["fail_encoding"] + row["fail_surprisal"] + row["kept"]
+            == row["n_total"]
+        )
+        g = {r["doc_id"]: r["pass_gopher"]
+             for r in gopher_quality(spark, sf).collect()}
+        rr = {r["doc_id"]: r["pass_repetition"]
+              for r in gopher_repetition(spark, sf).collect()}
+        e = {r["doc_id"]: r["pass_encoding"]
+             for r in encoding_artifact_filter(spark, sf).collect()}
+        s = {r["doc_id"]: r["bucket"] <= 2
+             for r in lm_surprisal_buckets(spark, sf).collect()}
+        ids = set(g) & set(rr) & set(e) & set(s)
+        assert row["n_total"] == len(ids)
+        assert row["fail_gopher"] == sum(1 for i in ids if not g[i])
+        assert row["kept"] == sum(
+            1 for i in ids if g[i] and rr[i] and e[i] and s[i]
+        )
+        # every gate fires at least once on the engineered fixtures,
+        # and the funnel keeps a real survivor population
+        assert row["fail_gopher"] > 0 and row["kept"] > 0
