@@ -4912,6 +4912,24 @@ def quality_ensemble_funnel(spark, sf_dir):
     )
 
 
+def caption_pair_mining(spark, sf_dir):
+    """LAION/CLIP-style image-text pair extraction over the input_hint
+    span shape (`multimodal.synthesize_caption_spans` interleaves
+    8-word text chunks with image spans, incl. leading/trailing images
+    that exercise the next-text fallback): each image pairs with the
+    nearest text span (prefer preceding), integer quality gates (word
+    count, digit share) and caption-level canonical election
+    (`multimodal.mine_caption_pairs`). One explode + two doc-local
+    windows + one caption-keyed dedup shuffle."""
+    from licenta_crawler_spark.operators.multimodal import (
+        mine_caption_pairs,
+        synthesize_caption_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mine_caption_pairs(synthesize_caption_spans(d))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -4999,6 +5017,7 @@ QUERIES = {
     "canonical_cluster_collapse": canonical_cluster_collapse,
     "pack_interleaved_media_windows": pack_interleaved_media_windows,
     "quality_ensemble_funnel": quality_ensemble_funnel,
+    "caption_pair_mining": caption_pair_mining,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10801,3 +10820,81 @@ def get_oracle_sql() -> dict[str, str]:
     for name, gen in _LAZY_ORACLES.items():
         out[name] = gen()
     return out
+
+
+ORACLE_SQL["caption_pair_mining"] = f"""
+    WITH d AS (
+      SELECT doc_id::VARCHAR AS did,
+             list_filter({_NORM_TOKS_SQL}, x -> x <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT did,
+             list_transform(generate_series(1, (len(toks) + 7) // 8),
+                            i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8],
+                                                 ' ')) AS chunks
+      FROM d WHERE len(toks) > 0
+    ),
+    body AS (
+      SELECT did, e['i'] AS i, e['c'] AS c
+      FROM (SELECT did,
+                   unnest(list_transform(generate_series(1, len(chunks)),
+                          i -> {{'i': i, 'c': chunks[i]}})) AS e
+            FROM ch)
+    ),
+    rows_ AS (
+      SELECT did, 2 * i AS k, 'text' AS kind, c AS text,
+             NULL::VARCHAR AS media_ref
+      FROM body
+      UNION ALL
+      SELECT did, 2 * i + 1, 'image', NULL,
+             'img://' || did || '/' || (i - 1)::VARCHAR
+      FROM body WHERE (i - 1) % 2 = 1
+      UNION ALL
+      SELECT did, -1, 'image', NULL, 'img://' || did || '/L'
+      FROM ch WHERE did::BIGINT % 5 = 0
+      UNION ALL
+      SELECT did, 2 * len(chunks) + 2, 'image', NULL,
+             'img://' || did || '/T'
+      FROM ch WHERE did::BIGINT % 7 = 0
+    ),
+    paired AS (
+      SELECT did, kind, media_ref,
+             last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY did ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_txt,
+             first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY did ORDER BY k
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_txt
+      FROM rows_
+    ),
+    caps AS (
+      SELECT did, media_ref,
+             CASE WHEN prev_txt IS NOT NULL THEN 'prev' ELSE 'next' END
+               AS anchor,
+             coalesce(prev_txt, next_txt) AS caption
+      FROM paired
+      WHERE kind = 'image' AND coalesce(prev_txt, next_txt) IS NOT NULL
+    ),
+    scored AS (
+      SELECT did, media_ref, anchor, caption,
+             len(string_split(caption, ' '))::BIGINT AS caption_words,
+             ((length(caption)
+               - length(regexp_replace(caption, '[0-9]', '', 'g'))) * 1000)
+              // length(caption) AS digit_permille
+      FROM caps
+    )
+    SELECT did AS doc_id, media_ref, anchor,
+           substr(md5(caption), 1, 16) AS caption_key,
+           caption_words,
+           digit_permille::BIGINT AS digit_permille,
+           (caption_words >= 3 AND caption_words <= 64
+            AND digit_permille <= 300 AND length(caption) > 0)
+             AS pass_quality,
+           (row_number() OVER (PARTITION BY caption
+                               ORDER BY did, media_ref) = 1)
+             AS is_canonical
+    FROM scored
+"""

@@ -326,3 +326,169 @@ def pack_interleaved_windows(
             "fill_permille"
         ),
     )
+
+
+def synthesize_caption_spans(documents: DataFrame, chunk: int = 8) -> DataFrame:
+    """Interleaved span documents with CAPTION structure, synthesized
+    deterministically from the flat testdata table: the doc's normalized
+    text splits into ``chunk``-word text spans, an image span follows
+    every second chunk (its natural caption is the chunk before it),
+    every did%5==0 doc LEADS with an image (no preceding text — forces
+    the following-text fallback) and every did%7==0 doc trails one (no
+    following text). Pure column ops (transform/slice/flatten) — no UDF,
+    no shuffle; the span array is the BASELINE.json input_hint shape.
+
+    The reference records only that a page referenced an image
+    (BrowserCrawler.java:82-84 disables them); pairing each media ref
+    with its adjacent text is the step a multimodal training pipeline
+    adds on top.
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    d = documents.select(
+        F.col("doc_id").cast("string").alias("did"),
+        F.filter(
+            F.split(normalized_text_col(F.col("text")), " "), lambda t: t != ""
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    d = d.withColumn(
+        "chunks",
+        F.expr(
+            f"transform(sequence(0, (size(toks) + {chunk - 1}) div {chunk} - 1),"
+            f" i -> array_join(slice(toks, i * {chunk} + 1, {chunk}), ' '))"
+        ),
+    )
+    body = F.expr(
+        """
+        flatten(transform(chunks, (c, i) ->
+          CASE WHEN i % 2 = 1 THEN array(
+            named_struct('kind', 'text', 'text', c,
+                         'media_ref', CAST(NULL AS STRING)),
+            named_struct('kind', 'image', 'text', CAST(NULL AS STRING),
+                         'media_ref', concat('img://', did, '/', i)))
+          ELSE array(
+            named_struct('kind', 'text', 'text', c,
+                         'media_ref', CAST(NULL AS STRING)))
+          END))
+        """
+    )
+    lead = F.expr(
+        """
+        CASE WHEN CAST(did AS BIGINT) % 5 = 0 THEN array(
+          named_struct('kind', 'image', 'text', CAST(NULL AS STRING),
+                       'media_ref', concat('img://', did, '/L')))
+        ELSE array() END
+        """
+    )
+    trail = F.expr(
+        """
+        CASE WHEN CAST(did AS BIGINT) % 7 = 0 THEN array(
+          named_struct('kind', 'image', 'text', CAST(NULL AS STRING),
+                       'media_ref', concat('img://', did, '/T')))
+        ELSE array() END
+        """
+    )
+    spans = F.expr(
+        """
+        transform(_raw, (s, i) ->
+          named_struct('kind', s.kind, 'text', s.text,
+                       'media_ref', s.media_ref, 'offset', CAST(i AS INT)))
+        """
+    )
+    return (
+        d.withColumn("_raw", F.concat(lead, body, trail))
+        .select(F.col("did").alias("doc_id"), spans.alias("spans"))
+    )
+
+
+def mine_caption_pairs(
+    span_docs: DataFrame,
+    *,
+    min_words: int = 3,
+    max_words: int = 64,
+    max_digit_permille: int = 300,
+) -> DataFrame:
+    """Image-text caption pair mining over interleaved span documents —
+    the LAION/CLIP-style pair-extraction pass a multimodal corpus runs
+    before contrastive training: each image span's caption is the
+    NEAREST text span, preferring the one immediately before it in
+    document order (alt-text/figure-caption convention) and falling
+    back to the first text span after it (hero images lead the page).
+
+    Quality gates are exact integer tests (word count in
+    [min_words, max_words], digit share <= max_digit_permille permille)
+    so the verdicts replay bit-for-bit in SQL; caption-level exact
+    dedup elects one canonical owner per caption string via a
+    deterministic (doc_id, media_ref) total order — downstream
+    contrastive batches drop non-canonical repeats so one boilerplate
+    caption cannot dominate a batch.
+
+    Scale: one posexplode (linear in spans) + two doc-partitioned
+    windows (the pairing never leaves the doc's partition), then ONE
+    shuffle by caption string for the dedup election — the inherent
+    dedup shuffle, keyed on the caption itself so skew is bounded by
+    real caption repetition. No UDF, no driver state; pairs ≈ image
+    spans, never a cross join.
+
+    Returns (doc_id, media_ref, anchor, caption_key, caption_words,
+    digit_permille, pass_quality, is_canonical).
+    """
+    ex = span_docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    base = Window.partitionBy("doc_id").orderBy("pos")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    cap = (
+        ex.withColumn(
+            "prev_txt",
+            F.last(txt, ignorenulls=True).over(
+                base.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "next_txt",
+            F.first(txt, ignorenulls=True).over(
+                base.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+        .where(F.col("kind") == "image")
+        .withColumn("caption", F.coalesce("prev_txt", "next_txt"))
+        .where(F.col("caption").isNotNull())
+        .withColumn(
+            "anchor",
+            F.when(F.col("prev_txt").isNotNull(), F.lit("prev")).otherwise(
+                F.lit("next")
+            ),
+        )
+    )
+    n_words = F.size(F.split(F.col("caption"), " ")).cast("long")
+    clen = F.length("caption")
+    digit_pm = F.expr(
+        "((length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
+        " * 1000) div length(caption)"
+    )
+    scored = cap.select(
+        "doc_id",
+        "media_ref",
+        "anchor",
+        F.substring(F.md5("caption"), 1, 16).alias("caption_key"),
+        n_words.alias("caption_words"),
+        digit_pm.alias("digit_permille"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (digit_pm <= max_digit_permille)
+            & (clen > 0)
+        ).alias("pass_quality"),
+        F.col("caption").alias("_caption"),
+    )
+    owner = Window.partitionBy("_caption").orderBy("doc_id", "media_ref")
+    return scored.withColumn(
+        "is_canonical", F.row_number().over(owner) == 1
+    ).drop("_caption")

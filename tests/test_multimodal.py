@@ -282,3 +282,180 @@ class TestPackInterleavedWindows:
         assert all(
             r["cost_total"] < 2048 + max_doc_cost for r in rows
         )
+
+
+# ---------------------------------------------------------- caption pairs
+
+
+def _caption_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_caption_spans_structure(spark):
+    from licenta_crawler_spark.operators.multimodal import (
+        synthesize_caption_spans,
+    )
+
+    # 20 tokens -> 3 chunks (8,8,4); image after chunk index 1 (0-based);
+    # doc 35 is %5==0 AND %7==0 -> leading + trailing image.
+    text = " ".join(f"w{i}" for i in range(20))
+    rows = {
+        r.doc_id: r.spans
+        for r in synthesize_caption_spans(
+            _caption_docs(spark, [(35, text), (1, text)])
+        ).collect()
+    }
+    kinds35 = [s.kind for s in rows["35"]]
+    assert kinds35 == ["image", "text", "text", "image", "text", "image"]
+    assert rows["35"][0].media_ref == "img://35/L"
+    assert rows["35"][-1].media_ref == "img://35/T"
+    assert [s.offset for s in rows["35"]] == list(range(6))
+    kinds1 = [s.kind for s in rows["1"]]
+    assert kinds1 == ["text", "text", "image", "text"]
+    assert rows["1"][2].media_ref == "img://1/1"
+    # chunk contents are the 8-word slices
+    assert rows["1"][0].text == " ".join(f"w{i}" for i in range(8))
+    assert rows["1"][3].text == " ".join(f"w{i}" for i in range(16, 20))
+
+
+def test_caption_pairing_prev_then_next_fallback(spark):
+    from licenta_crawler_spark.operators.multimodal import (
+        mine_caption_pairs,
+    )
+    from licenta_crawler_spark.plans import schemas
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    ("image", None, "m/lead", 0),     # no prev -> next
+                    ("text", "first chunk here", None, 1),
+                    ("image", None, "m/mid", 2),      # prev = first chunk
+                    ("text", "second chunk here", None, 3),
+                    ("image", None, "m/tail", 4),     # prev = second chunk
+                ],
+                "http://h/1", "h", 0,
+            ),
+            # doc with ONLY images -> no caption, rows dropped
+            ("d2", [("image", None, "m/only", 0)], "http://h/2", "h", 0),
+        ],
+        schemas.DOCUMENTS,
+    ).select("doc_id", "spans")
+    out = {r.media_ref: r for r in mine_caption_pairs(docs).collect()}
+    assert set(out) == {"m/lead", "m/mid", "m/tail"}
+    assert out["m/lead"].anchor == "next"
+    assert out["m/mid"].anchor == "prev"
+    assert out["m/tail"].anchor == "prev"
+    assert out["m/lead"].caption_key == out["m/mid"].caption_key
+    assert out["m/tail"].caption_key != out["m/mid"].caption_key
+    assert all(r.caption_words == 3 for r in out.values())
+
+
+def test_caption_quality_and_canonical_election(spark):
+    from licenta_crawler_spark.operators.multimodal import (
+        mine_caption_pairs,
+        synthesize_caption_spans,
+    )
+
+    # identical text in three docs -> identical captions; canonical owner
+    # is the smallest (doc_id, media_ref) lexicographically.
+    text = " ".join(f"t{chr(97 + i)}" for i in range(16))  # two full chunks
+    short = "a b"                                # 1 chunk, 2 words: fails gate
+    digits = " ".join("123456789" for _ in range(16))  # digit-heavy chunks
+    docs = _caption_docs(
+        spark, [(11, text), (12, text), (13, text), (14, short), (16, digits)]
+    )
+    out = mine_caption_pairs(synthesize_caption_spans(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # docs 11-13: one image each (after chunk 1), same caption string
+    trio = sorted(
+        (r for d in ("11", "12", "13") for r in by_doc[d]),
+        key=lambda r: (r.doc_id, r.media_ref),
+    )
+    assert [r.is_canonical for r in trio] == [True, False, False]
+    assert len({r.caption_key for r in trio}) == 1
+    assert all(r.pass_quality for r in trio)
+    # 2-word caption fails the min-word gate; digit wall fails digit gate
+    assert not by_doc["14"][0].pass_quality
+    assert by_doc["14"][0].caption_words == 2
+    assert not by_doc["16"][0].pass_quality
+    assert by_doc["16"][0].digit_permille > 300
+
+
+def test_caption_pairs_python_replay(spark):
+    """Full pipeline vs an independent pure-python replay on 40 docs."""
+    import hashlib
+
+    from licenta_crawler_spark.operators.multimodal import (
+        mine_caption_pairs,
+        synthesize_caption_spans,
+    )
+
+    rows = [
+        (i, " ".join(f"v{(i * 7 + j) % 23}" for j in range((i * 13) % 37 + 1)))
+        for i in range(40)
+    ]
+    got = {
+        (r.doc_id, r.media_ref): r
+        for r in mine_caption_pairs(
+            synthesize_caption_spans(_caption_docs(spark, rows))
+        ).collect()
+    }
+
+    # -------- independent replay
+    pairs = {}
+    captions = []
+    for did, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        chunks = [
+            " ".join(toks[k : k + 8]) for k in range(0, len(toks), 8)
+        ]
+        seq = []
+        if did % 5 == 0:
+            seq.append(("image", None, f"img://{did}/L"))
+        for i, c in enumerate(chunks):
+            seq.append(("text", c, None))
+            if i % 2 == 1:
+                seq.append(("image", None, f"img://{did}/{i}"))
+        if did % 7 == 0:
+            seq.append(("image", None, f"img://{did}/T"))
+        for p, (kind, txt, ref) in enumerate(seq):
+            if kind != "image":
+                continue
+            prev = next(
+                (t for k, t, _ in reversed(seq[:p]) if k == "text"), None
+            )
+            nxt = next((t for k, t, _ in seq[p + 1 :] if k == "text"), None)
+            cap = prev if prev is not None else nxt
+            if cap is None:
+                continue
+            nw = len(cap.split(" "))
+            dg = sum(ch.isdigit() for ch in cap) * 1000 // len(cap)
+            pairs[(str(did), ref)] = {
+                "anchor": "prev" if prev is not None else "next",
+                "key": hashlib.md5(cap.encode()).hexdigest()[:16],
+                "words": nw,
+                "digit": dg,
+                "quality": 3 <= nw <= 64 and dg <= 300,
+                "caption": cap,
+            }
+            captions.append(((str(did), ref), cap))
+    owners = {}
+    for k, cap in sorted(captions):
+        owners.setdefault(cap, k)
+
+    assert set(got) == set(pairs)
+    for k, exp in pairs.items():
+        r = got[k]
+        assert (
+            r.anchor, r.caption_key, r.caption_words,
+            r.digit_permille, r.pass_quality, r.is_canonical,
+        ) == (
+            exp["anchor"], exp["key"], exp["words"],
+            exp["digit"], exp["quality"], owners[exp["caption"]] == k,
+        ), k
