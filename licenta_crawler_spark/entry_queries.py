@@ -4930,6 +4930,20 @@ def caption_pair_mining(spark, sf_dir):
     return mine_caption_pairs(synthesize_caption_spans(d))
 
 
+def ngram_novelty_ledger(spark, sf_dir):
+    """Per-document trigram novelty under arrival order
+    (`operators/corpus.ngram_novelty_stats`): each doc's distinct word
+    trigrams split novel vs seen-before by gram-level first arrival —
+    the dataset-sizing decay curve. One gram-keyed agg + join back +
+    doc-keyed count; no windows, no global ordering."""
+    from licenta_crawler_spark.operators.corpus import ngram_novelty_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return ngram_novelty_stats(d)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5018,6 +5032,7 @@ QUERIES = {
     "pack_interleaved_media_windows": pack_interleaved_media_windows,
     "quality_ensemble_funnel": quality_ensemble_funnel,
     "caption_pair_mining": caption_pair_mining,
+    "ngram_novelty_ledger": ngram_novelty_ledger,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -10897,4 +10912,26 @@ ORACLE_SQL["caption_pair_mining"] = f"""
                                ORDER BY did, media_ref) = 1)
              AS is_canonical
     FROM scored
+"""
+
+
+ORACLE_SQL["ngram_novelty_ledger"] = f"""
+    WITH toks AS (
+      SELECT doc_id::BIGINT AS did, {_NORM_TOKS_SQL} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT did, unnest(list_distinct(
+               list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                              i -> array_to_string(toks[i:i+2], ' '))))
+               AS gram
+      FROM toks
+    ),
+    firsts AS (SELECT gram, min(did) AS first_id FROM pairs GROUP BY gram)
+    SELECT did AS doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN first_id = did THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           ((sum(CASE WHEN first_id = did THEN 1 ELSE 0 END) * 1000)
+            // count(*))::BIGINT AS novelty_permille
+    FROM pairs JOIN firsts USING (gram)
+    GROUP BY did
 """

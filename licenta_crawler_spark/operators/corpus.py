@@ -486,3 +486,57 @@ def tfidf_keywords(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "score_fp", "rk")
     )
+
+
+def ngram_novelty_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty under arrival order — the "is more
+    data still new?" curve a dataset-sizing decision reads (novelty
+    decaying toward the dedup floor means additional crawl yields
+    mostly repeats): a doc's distinct word n-grams split into NOVEL
+    (first corpus occurrence lands in this doc — min arrival id over
+    the gram's postings equals this doc) vs seen-before. Arrival order
+    is the id's natural order (ingest sequence at 10^10 scale; any
+    orderable type — min() is rank semantics, no dense-id assumption).
+
+    Unlike `vocab_growth` (corpus-level unigram mass at a handful of
+    prefix cutoffs) this is a per-document n-gram ledger: the decay
+    curve is any downstream rollup of it.
+
+    Scale: one explode to distinct (doc, gram) pairs, one gram-keyed
+    aggregation for first-arrival (inverted-index-sized, the same
+    shuffle class as every dedup path), one join back on the gram and
+    one doc-keyed count — no windows, no global ordering, no driver
+    state. Zero-gram docs (< n tokens) carry no pairs and are absent,
+    as in the CCNet empty-doc drop.
+
+    Returns (id_col, n_grams, n_novel, novelty_permille) with the
+    ratio an exact integer floor per-mille.
+    """
+    from licenta_crawler_spark.operators.dedup import shingles_col
+
+    pairs = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    )
+    firsts = pairs.groupBy("gram").agg(F.min("_id").alias("first_id"))
+    return (
+        pairs.join(firsts, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000) div n_grams").alias("novelty_permille"),
+        )
+    )

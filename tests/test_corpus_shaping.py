@@ -347,3 +347,75 @@ class TestTfidfKeywords:
         assert [r["term"] for r in sorted(rows, key=lambda r: r["rk"])] == [
             "a", "b", "c"  # all tied -> term asc
         ]
+
+
+class TestNgramNovelty:
+    """ngram_novelty_stats: arrival-order first-occurrence semantics."""
+
+    def test_exact_hand_case(self, spark):
+        from licenta_crawler_spark.operators.corpus import (
+            ngram_novelty_stats,
+        )
+
+        d = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # grams: abc, bcd -> both novel
+                (2, "a b c x"),          # abc seen, abx? -> grams abc, bcx
+                (3, "a b c d"),          # both seen
+                (4, "zz"),               # < 3 tokens -> absent
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty_permille)
+            for r in ngram_novelty_stats(d).collect()
+        }
+        assert got == {
+            1: (2, 2, 1000),
+            2: (2, 1, 500),
+            3: (2, 0, 0),
+        }
+
+    def test_repeated_gram_within_doc_counts_once(self, spark):
+        from licenta_crawler_spark.operators.corpus import (
+            ngram_novelty_stats,
+        )
+
+        # "a b c a b c a b c": distinct grams {abc, bca, cab} all novel
+        d = spark.createDataFrame(
+            [(7, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        [r] = ngram_novelty_stats(d).collect()
+        assert (r.n_grams, r.n_novel, r.novelty_permille) == (3, 3, 1000)
+
+    def test_python_replay_and_decay(self, spark):
+        from licenta_crawler_spark.operators.corpus import (
+            ngram_novelty_stats,
+        )
+
+        rows = [
+            (i, " ".join(f"w{(i * 5 + j) % 40}" for j in range(12)))
+            for i in range(30)
+        ]
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty_permille)
+            for r in ngram_novelty_stats(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        seen: dict[str, int] = {}
+        per_doc = {}
+        for did, text in rows:
+            t = text.split()
+            grams = {" ".join(t[k : k + 3]) for k in range(len(t) - 2)}
+            for g in grams:
+                seen.setdefault(g, did)
+            novel = sum(1 for g in grams if seen[g] == did)
+            per_doc[did] = (len(grams), novel, novel * 1000 // len(grams))
+        assert got == per_doc
+        # earliest doc is all-novel; the modular vocabulary guarantees
+        # later repeats, so total novelty mass decays below the start
+        assert got[0][2] == 1000
+        late = sum(got[i][1] for i in range(20, 30))
+        early = sum(got[i][1] for i in range(10))
+        assert late < early
