@@ -966,3 +966,94 @@ class TestCanonicalClusterCollapse:
         assert singles and all(
             r["url"] == r["canonical_url"] for r in singles
         )
+
+
+class TestWebgraphRefCompression:
+    """Boldi-Vigna reference-compression census: python-replay equality,
+    navigation-graph wins, block-boundary isolation."""
+
+    @staticmethod
+    def _replay(edges, block=32):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for s, d in edges:
+            adj[s].add(d)
+        gbits = lambda g: 2 * g.bit_length() - 1  # noqa: E731
+
+        def plain_cost(dsts):
+            bits, prev = 0, None
+            for d in sorted(dsts):
+                bits += gbits(d + 1 if prev is None else d - prev)
+                prev = d
+            return bits
+
+        out = defaultdict(lambda: [0, 0, 0, 0, 0])  # lists, edges, plain, chosen, refs
+        by_blk = defaultdict(list)
+        for s in sorted(adj):
+            by_blk[s // block].append(s)
+        for blk, srcs in by_blk.items():
+            for i, s in enumerate(srcs):
+                pb = plain_cost(adj[s])
+                cb, rc = pb, 0
+                if i > 0:
+                    prev = adj[srcs[i - 1]]
+                    rb = len(prev) + plain_cost(adj[s] - prev)
+                    if rb < pb:
+                        cb, rc = rb, 1
+                o = out[blk]
+                o[0] += 1
+                o[1] += len(adj[s])
+                o[2] += pb
+                o[3] += cb
+                o[4] += rc
+        return {
+            blk: (v[0], v[1], v[2], v[3], v[4], (v[2] - v[3]) * 1000 // v[2])
+            for blk, v in out.items()
+        }
+
+    def _run(self, spark, edges, block=32):
+        from licenta_crawler_spark.operators.graph import (
+            webgraph_ref_compression_census,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.blk: (
+                r.n_lists, r.n_edges, r.plain_bits, r.chosen_bits,
+                r.n_ref_chosen, r.saved_permille,
+            )
+            for r in webgraph_ref_compression_census(df, block=block).collect()
+        }
+
+    def test_python_replay_random(self, spark):
+        edges = [
+            (s, (s * 17 + j * j * 7) % 97)
+            for s in range(70)
+            for j in range((s % 11) + 2)
+        ]
+        assert self._run(spark, edges) == self._replay(edges)
+
+    def test_navigation_graph_prefers_reference(self, spark):
+        # site-navigation shape: consecutive sources share a 20-successor
+        # chrome set spread over a wide id range (big gaps -> expensive
+        # plain coding) plus one unique link each
+        chrome = [k * 997 for k in range(1, 21)]
+        edges = [(s, d) for s in range(16) for d in chrome]
+        edges += [(s, 50_000 + s) for s in range(16)]
+        got = self._run(spark, edges)
+        assert got == self._replay(edges)
+        (blk0,) = got.values()
+        # every list after the first copies the chrome by reference
+        assert blk0[4] == 15
+        assert blk0[5] > 500  # >50% of the plain bits saved
+
+    def test_reference_never_crosses_block_boundary(self, spark):
+        chrome = [k * 997 for k in range(1, 21)]
+        # srcs 31 and 32 are adjacent but in different 32-blocks: the
+        # identical list at 32 must still be coded plain
+        edges = [(31, d) for d in chrome] + [(32, d) for d in chrome]
+        got = self._run(spark, edges, block=32)
+        assert set(got) == {0, 1}
+        assert got[0][4] == 0 and got[1][4] == 0
+        assert got[0][3] == got[0][2] and got[1][3] == got[1][2]
