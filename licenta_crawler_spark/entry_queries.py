@@ -4964,6 +4964,20 @@ def webgraph_compression_census(spark, sf_dir):
     return webgraph_ref_compression_census(edges, block=32)
 
 
+def bigram_lm_heldout_scores(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring
+    (`operators/quality.bigram_backoff_surprisal`): train counts on the
+    even-id half, score the held-out odd half — seen bigrams cost
+    floor(log2(c1 div c12)) bits, unseen back off to the 2/5-scaled
+    unigram tier, OOV floors c2 at 1; per-doc mean bits permille +
+    backoff/OOV traffic counts."""
+    from licenta_crawler_spark.operators.quality import (
+        bigram_backoff_surprisal,
+    )
+
+    return bigram_backoff_surprisal(_t(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5054,6 +5068,7 @@ QUERIES = {
     "caption_pair_mining": caption_pair_mining,
     "ngram_novelty_ledger": ngram_novelty_ledger,
     "webgraph_compression_census": webgraph_compression_census,
+    "bigram_lm_heldout_scores": bigram_lm_heldout_scores,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11028,4 +11043,64 @@ ORACLE_SQL["webgraph_compression_census"] = """
            ((sum(plain_bits) - sum(chosen_bits)) * 1000)
              // sum(plain_bits) AS saved_permille
     FROM chosen GROUP BY blk
+"""
+
+
+ORACLE_SQL["bigram_lm_heldout_scores"] = f"""
+    WITH base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    train AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+    held AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+    uni AS (
+      SELECT term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(toks) AS term FROM train) GROUP BY term
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS t_total FROM uni),
+    bi AS (
+      SELECT bg, count(*)::BIGINT AS c12
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        FROM train
+      ) GROUP BY bg
+    ),
+    tf AS (
+      SELECT doc_id, bg, count(*)::BIGINT AS tf,
+             split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        FROM held
+      ) GROUP BY doc_id, bg
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CASE
+               WHEN bi.c12 IS NOT NULL
+                 THEN length(bin(u1.cnt // bi.c12)) - 1
+               WHEN u2.cnt IS NOT NULL
+                 THEN length(bin((5 * tot.t_total) // (2 * u2.cnt))) - 1
+               ELSE length(bin((5 * tot.t_total) // 2)) - 1
+             END::BIGINT AS bits,
+             CASE WHEN bi.c12 IS NULL THEN 1 ELSE 0 END AS is_backoff,
+             CASE WHEN bi.c12 IS NULL AND u2.cnt IS NULL THEN 1 ELSE 0 END
+               AS is_oov
+      FROM tf
+      LEFT JOIN bi ON tf.bg = bi.bg
+      LEFT JOIN uni u1 ON tf.w1 = u1.term
+      LEFT JOIN uni u2 ON tf.w2 = u2.term
+      CROSS JOIN tot
+    )
+    SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           sum(tf * bits)::BIGINT AS total_bits,
+           ((sum(tf * bits) * 1000) // sum(tf))::BIGINT
+             AS mean_bits_permille,
+           sum(tf * is_backoff)::BIGINT AS n_backoff,
+           sum(tf * is_oov)::BIGINT AS n_oov
+    FROM scored GROUP BY doc_id
 """

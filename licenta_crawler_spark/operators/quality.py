@@ -847,3 +847,108 @@ def script_mix_stats(
             (F.col("latin_n") > 0) & (F.col("cyrillic_n") > 0),
         )
     )
+
+
+def bigram_backoff_surprisal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram LM quality scoring with Stupid Backoff (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP'07 — the
+    distributed-counts LM built exactly for this MapReduce shape): the
+    bigram sibling of `unigram_surprisal_buckets`. The LM trains on the
+    EVEN-id half of the corpus and scores the HELD-OUT odd half, so
+    unseen bigrams actually occur and the backoff path carries real
+    traffic (scoring the training set itself can never back off — every
+    observed bigram is in its own model).
+
+    Integer-exact surprisal per scored bigram occurrence (w1 w2), same
+    floor-log2 = length(bin(x)) - 1 trick as the unigram split:
+
+      seen bigram:  floor(log2(c(w1) div c(w1 w2)))  [p ~ c12/c1]
+      backoff:      floor(log2(5*T div (2*c(w2))))   [p ~ 0.4 * c2/T]
+      OOV w2:       floor(log2(5*T div 2))           [c2 floored to 1]
+
+    with T = training token count; 0.4 is Stupid Backoff's alpha as the
+    exact rational 2/5, so no float enters any engine.
+
+    Scale: training counts are one corpus scan each (bigram table is
+    corpus-sized with map-side combine, unigram table vocab-sized);
+    scoring is three equi-joins of the held-out (doc, bigram) tf rows
+    against those count tables — all shuffle-on-key, skew absorbed by
+    AQE exactly as in the unigram model join. No windows, no driver
+    state, no float.
+
+    Returns per held-out doc: (doc_id, n_bigrams, total_bits,
+    mean_bits_permille, n_backoff, n_oov) — n_backoff counts unseen
+    bigrams incl. OOV, n_oov the unseen-w2 subset; docs with < 2 tokens
+    carry no bigram and are absent.
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.dedup import ngram_join_col
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.split(normalized_text_col(F.col(text_col)), " ").alias("_t"),
+    ).select(
+        "doc_id", F.filter("_t", lambda t: t != "").alias("toks")
+    )
+    train = base.where(F.col("doc_id") % 2 == 0)
+    held = base.where(F.col("doc_id") % 2 == 1)
+
+    uni = (
+        train.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t_total = uni.select(F.sum("cnt").alias("t_total"))
+    bi = (
+        train.select(F.explode(ngram_join_col(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+    )
+    tf = (
+        held.select(
+            "doc_id", F.explode(ngram_join_col(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(bg, ' ', 2)"))
+    )
+    scored = (
+        tf.join(bi, "bg", "left")
+        .join(uni.select(F.col("term").alias("w1"), F.col("cnt").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cnt").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "doc_id",
+            "tf",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.length(F.bin(F.expr("c1 div c12"))) - 1,
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                F.length(F.bin(F.expr("(5 * t_total) div (2 * c2)"))) - 1,
+            )
+            .otherwise(F.length(F.bin(F.expr("(5 * t_total) div 2"))) - 1)
+            .cast("long")
+            .alias("bits"),
+            F.col("c12").isNull().cast("long").alias("is_backoff"),
+            (F.col("c12").isNull() & F.col("c2").isNull())
+            .cast("long")
+            .alias("is_oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("bits")).cast("long").alias("total_bits"),
+        F.expr("(sum(tf * bits) * 1000) div sum(tf)").alias(
+            "mean_bits_permille"
+        ),
+        F.sum(F.col("tf") * F.col("is_backoff")).cast("long").alias("n_backoff"),
+        F.sum(F.col("tf") * F.col("is_oov")).cast("long").alias("n_oov"),
+    )

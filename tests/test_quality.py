@@ -452,3 +452,84 @@ class TestQualityEnsembleFunnel:
         # every gate fires at least once on the engineered fixtures,
         # and the funnel keeps a real survivor population
         assert row["fail_gopher"] > 0 and row["kept"] > 0
+
+
+class TestBigramBackoff:
+    """Stupid-Backoff bigram LM: per-tier hand-exactness + python replay."""
+
+    def _run(self, spark, rows):
+        from licenta_crawler_spark.operators.quality import (
+            bigram_backoff_surprisal,
+        )
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (
+                r.n_bigrams, r.total_bits, r.mean_bits_permille,
+                r.n_backoff, r.n_oov,
+            )
+            for r in bigram_backoff_surprisal(d).collect()
+        }
+
+    def test_three_tiers_hand_case(self, spark):
+        # train (doc 0): "a b a b c" -> uni a:2 b:2 c:1, T=5
+        # bigrams: "a b":2, "b a":1, "b c":1
+        # held (doc 1): "a b c a x"
+        #   "a b" seen:   c1=2, c12=2 -> log2(1)=0 bits
+        #   "b c" seen:   c1=2, c12=1 -> log2(2)=1 bit
+        #   "c a" unseen: c2(a)=2 -> floor(log2(25//4))=2 bits, backoff
+        #   "a x" OOV:    floor(log2(25//2))=3 bits, backoff+oov
+        got = self._run(spark, [(0, "a b a b c"), (1, "a b c a x")])
+        assert got == {1: (4, 0 + 1 + 2 + 3, 6 * 1000 // 4, 2, 1)}
+
+    def test_training_half_is_not_scored(self, spark):
+        got = self._run(spark, [(0, "a b c"), (2, "a b c"), (3, "a b")])
+        assert set(got) == {3}
+
+    def test_short_docs_absent(self, spark):
+        got = self._run(spark, [(0, "a b c"), (1, "a"), (3, "")])
+        assert got == {}
+
+    def test_python_replay(self, spark):
+        rows = [
+            (i, " ".join(f"w{(i * 3 + j * j) % 17}" for j in range(i % 9 + 2)))
+            for i in range(40)
+        ]
+        got = self._run(spark, rows)
+
+        import re
+        from collections import Counter
+
+        def norm(t):
+            return [x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]
+
+        uni, bi = Counter(), Counter()
+        for i, t in rows:
+            if i % 2 == 0:
+                w = norm(t)
+                uni.update(w)
+                bi.update(zip(w, w[1:]))
+        T = sum(uni.values())
+        fl2 = lambda x: x.bit_length() - 1  # noqa: E731
+        exp = {}
+        for i, t in rows:
+            if i % 2 == 0:
+                continue
+            w = norm(t)
+            bgs = list(zip(w, w[1:]))
+            if not bgs:
+                continue
+            tb = nb = no = 0
+            for g in bgs:
+                if g in bi:
+                    tb += fl2(uni[g[0]] // bi[g])
+                elif g[1] in uni:
+                    tb += fl2(5 * T // (2 * uni[g[1]]))
+                    nb += 1
+                else:
+                    tb += fl2(5 * T // 2)
+                    nb += 1
+                    no += 1
+            exp[i] = (len(bgs), tb, tb * 1000 // len(bgs), nb, no)
+        assert got == exp
+        assert any(v[3] > 0 for v in exp.values())  # backoff carries traffic
