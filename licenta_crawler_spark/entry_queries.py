@@ -4978,6 +4978,28 @@ def bigram_lm_heldout_scores(spark, sf_dir):
     return bigram_backoff_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def frontier_size_estimate(spark, sf_dir):
+    """Capture-recapture frontier-size estimation (Bharat-Broder
+    WWW'98; `operators/sketch.capture_recapture_estimate`): two
+    independent md5 hash samples per denominator in {8,16,32} over a
+    URL universe synthesized from orders, Lincoln-Petersen
+    N_hat = n_a*n_b div overlap audited against the true count riding
+    the same single scan — no shuffle anywhere."""
+    from licenta_crawler_spark.operators.sketch import (
+        capture_recapture_estimate,
+    )
+
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("o_orderkey") % 50).cast("string"),
+            F.lit("/p/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return capture_recapture_estimate(urls)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5069,6 +5091,7 @@ QUERIES = {
     "ngram_novelty_ledger": ngram_novelty_ledger,
     "webgraph_compression_census": webgraph_compression_census,
     "bigram_lm_heldout_scores": bigram_lm_heldout_scores,
+    "frontier_size_estimate": frontier_size_estimate,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11103,4 +11126,44 @@ ORACLE_SQL["bigram_lm_heldout_scores"] = f"""
            sum(tf * is_backoff)::BIGINT AS n_backoff,
            sum(tf * is_oov)::BIGINT AS n_oov
     FROM scored GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["frontier_size_estimate"] = """
+    WITH urls AS (
+      SELECT 'https://h' || (o_orderkey % 50)::VARCHAR || '/p/'
+               || o_orderkey::VARCHAR AS url
+      FROM orders
+    ),
+    flags AS (
+      SELECT ('0x' || substr(md5('cap:a:' || url), 1, 15))::BIGINT AS ha,
+             ('0x' || substr(md5('cap:b:' || url), 1, 15))::BIGINT AS hb
+      FROM urls
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_true,
+             sum(CASE WHEN ha % 8 = 0 THEN 1 ELSE 0 END)::BIGINT AS na8,
+             sum(CASE WHEN hb % 8 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb8,
+             sum(CASE WHEN ha % 8 = 0 AND hb % 8 = 0 THEN 1 ELSE 0 END)::BIGINT AS ov8,
+             sum(CASE WHEN ha % 16 = 0 THEN 1 ELSE 0 END)::BIGINT AS na16,
+             sum(CASE WHEN hb % 16 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb16,
+             sum(CASE WHEN ha % 16 = 0 AND hb % 16 = 0 THEN 1 ELSE 0 END)::BIGINT AS ov16,
+             sum(CASE WHEN ha % 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS na32,
+             sum(CASE WHEN hb % 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb32,
+             sum(CASE WHEN ha % 32 = 0 AND hb % 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS ov32
+      FROM flags
+    ),
+    rows_ AS (
+      SELECT 8::BIGINT AS denom, na8 AS n_a, nb8 AS n_b, ov8 AS n_overlap,
+             (na8 * nb8) // nullif(ov8, 0) AS n_est, n_true FROM agg
+      UNION ALL
+      SELECT 16, na16, nb16, ov16, (na16 * nb16) // nullif(ov16, 0), n_true
+      FROM agg
+      UNION ALL
+      SELECT 32, na32, nb32, ov32, (na32 * nb32) // nullif(ov32, 0), n_true
+      FROM agg
+    )
+    SELECT denom, n_a, n_b, n_overlap, n_est::BIGINT AS n_est, n_true,
+           ((abs(n_est - n_true) * 1000) // n_true)::BIGINT AS err_permille
+    FROM rows_
 """

@@ -518,3 +518,79 @@ def heavy_hitters_exact(
         .where(F.col("n") * F.lit(kk) > F.col("n_total"))
         .select(F.col("v").alias("value"), "n")
     )
+
+
+def capture_recapture_estimate(
+    urls: DataFrame,
+    url_col: str = "url",
+    denominators: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen) corpus-size estimation from
+    two independent hash samples — the Bharat-Broder WWW'98 technique
+    for estimating the size of a URL space you cannot enumerate (a
+    competitor's index, the reachable web behind a crawl frontier):
+    draw sample A and sample B with independent inclusion hashes at
+    rate 1/m each; then N_hat = |A|*|B| div |A∩B| because the overlap
+    rate of independent samples is 1/m of either sample's rate.
+
+    One corpus scan, no shuffle at all: per-row inclusion flags for
+    every denominator (md5 60-bit with distinct salts, the oracle-
+    replayable hash family) feed ONE global aggregate; the per-rate
+    rows explode in-row from that single row, exactly the
+    vocab_growth shape. n_a * n_b stays in int64 up to ~3*10^9-row
+    samples — at 1/8 sampling that is a 2.4*10^10-URL universe, the
+    BASELINE frontier scale; beyond that raise the denominators (the
+    estimator is better at lower rates anyway).
+
+    The true count rides the same scan, so the output audits the
+    estimator itself: (denom, n_a, n_b, n_overlap, n_est, n_true,
+    err_permille) per denominator — n_est NULL when the samples never
+    overlap (estimator undefined), err_permille = |est-true|*1000 div
+    true.
+    """
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    flags = []
+    for m in denominators:
+        ha = md5_hash60_col(F.concat(F.lit("cap:a:"), F.col(url_col)))
+        hb = md5_hash60_col(F.concat(F.lit("cap:b:"), F.col(url_col)))
+        flags += [
+            ((ha % m) == 0).cast("long").alias(f"a{m}"),
+            ((hb % m) == 0).cast("long").alias(f"b{m}"),
+        ]
+    flagged = urls.select(*flags)
+    agg = flagged.agg(
+        F.count("*").alias("n_true"),
+        *[
+            c
+            for m in denominators
+            for c in (
+                F.sum(f"a{m}").alias(f"na{m}"),
+                F.sum(f"b{m}").alias(f"nb{m}"),
+                F.sum(F.col(f"a{m}") * F.col(f"b{m}")).alias(f"ov{m}"),
+            )
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("denom"),
+                        F.col(f"na{m}").cast("long").alias("n_a"),
+                        F.col(f"nb{m}").cast("long").alias("n_b"),
+                        F.col(f"ov{m}").cast("long").alias("n_overlap"),
+                        F.expr(f"(na{m} * nb{m}) div nullif(ov{m}, 0)").alias(
+                            "n_est"
+                        ),
+                        F.col("n_true").cast("long").alias("n_true"),
+                    )
+                    for m in denominators
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.withColumn(
+        "err_permille",
+        F.expr("(abs(n_est - n_true) * 1000) div n_true"),
+    )

@@ -1057,3 +1057,47 @@ class TestWebgraphRefCompression:
         assert set(got) == {0, 1}
         assert got[0][4] == 0 and got[1][4] == 0
         assert got[0][3] == got[0][2] and got[1][3] == got[1][2]
+
+
+class TestCaptureRecapture:
+    """Lincoln-Petersen size estimation from two independent hash samples."""
+
+    def _run(self, spark, urls, denoms=(8, 16, 32)):
+        from licenta_crawler_spark.operators.sketch import (
+            capture_recapture_estimate,
+        )
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            r.denom: (r.n_a, r.n_b, r.n_overlap, r.n_est, r.n_true,
+                      r.err_permille)
+            for r in capture_recapture_estimate(df, denominators=denoms).collect()
+        }
+
+    def test_python_replay_and_accuracy(self, spark):
+        import hashlib
+
+        urls = [f"https://h{i % 20}/p/{i}" for i in range(4000)]
+        got = self._run(spark, urls)
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for m in (8, 16, 32):
+            a = {u for u in urls if h(f"cap:a:{u}") % m == 0}
+            b = {u for u in urls if h(f"cap:b:{u}") % m == 0}
+            ov = len(a & b)
+            est = (len(a) * len(b)) // ov if ov else None
+            err = abs(est - 4000) * 1000 // 4000 if est is not None else None
+            assert got[m] == (len(a), len(b), ov, est, 4000, err), m
+        # at the densest rate the estimate lands within 25% of truth
+        assert got[8][5] is not None and got[8][5] < 250
+
+    def test_disjoint_samples_yield_null_estimate(self, spark):
+        # 3 urls: overlap at denom 1000 is (almost surely) empty ->
+        # estimator undefined, NULL est and err
+        got = self._run(spark, ["u1", "u2", "u3"], denoms=(1000,))
+        n_a, n_b, ov, est, true, err = got[1000]
+        if ov == 0:
+            assert est is None and err is None
+        assert true == 3
