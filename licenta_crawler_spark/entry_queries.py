@@ -5000,6 +5000,51 @@ def frontier_size_estimate(spark, sf_dir):
     return capture_recapture_estimate(urls)
 
 
+def justext_content_blocks(spark, sf_dir):
+    """jusText block classification
+    (`operators/quality.justext_block_classify`) over deterministic
+    12-token blocks synthesized from documents (every (did+bno)%3==0
+    block gets 'the of ' prepended so stopword density varies; link
+    words = (did*7+bno*13)%6): context-free integer-density ladder,
+    then the two-window context pass promoting neargood/short blocks
+    from their nearest certain neighbors."""
+    from licenta_crawler_spark.operators.quality import (
+        justext_block_classify,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(
+            F.split(normalized_text_col(F.col("text")), " "),
+            lambda t: t != "",
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    blocks = (
+        d.withColumn(
+            "chunks",
+            F.expr(
+                "transform(sequence(0, (size(toks) + 11) div 12 - 1),"
+                " i -> array_join(slice(toks, i * 12 + 1, 12), ' '))"
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("block_no", "chunk"))
+        .select(
+            "doc_id",
+            "block_no",
+            F.when(
+                (F.col("doc_id") + F.col("block_no")) % 3 == 0,
+                F.concat(F.lit("the of "), F.col("chunk")),
+            )
+            .otherwise(F.col("chunk"))
+            .alias("text"),
+            ((F.col("doc_id") * 7 + F.col("block_no") * 13) % 6).alias(
+                "n_link_words"
+            ),
+        )
+    )
+    return justext_block_classify(blocks)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5092,6 +5137,7 @@ QUERIES = {
     "webgraph_compression_census": webgraph_compression_census,
     "bigram_lm_heldout_scores": bigram_lm_heldout_scores,
     "frontier_size_estimate": frontier_size_estimate,
+    "justext_content_blocks": justext_content_blocks,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11166,4 +11212,82 @@ ORACLE_SQL["frontier_size_estimate"] = """
     SELECT denom, n_a, n_b, n_overlap, n_est::BIGINT AS n_est, n_true,
            ((abs(n_est - n_true) * 1000) // n_true)::BIGINT AS err_permille
     FROM rows_
+"""
+
+
+ORACLE_SQL["justext_content_blocks"] = f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, e['i'] - 1 AS block_no,
+             CASE WHEN (doc_id + e['i'] - 1) % 3 = 0
+                  THEN 'the of ' || e['c'] ELSE e['c'] END AS text,
+             (doc_id * 7 + (e['i'] - 1) * 13) % 6 AS n_link_words
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, (len(toks)+11)//12),
+                 i -> {{'i': i,
+                        'c': array_to_string(toks[(i-1)*12+1:(i-1)*12+12],
+                                             ' ')}})) AS e
+        FROM d WHERE len(toks) > 0
+      )
+    ),
+    dens AS (
+      SELECT doc_id, block_no,
+             len(bt)::BIGINT AS n_words, n_link_words,
+             len(list_filter(bt, t -> t IN ('the','be','to','of','and',
+                                            'that','have','with')))::BIGINT
+               AS stops
+      FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '')
+                      AS bt
+            FROM blocks)
+    ),
+    cf AS (
+      SELECT doc_id, block_no, n_words,
+             CASE WHEN n_words > 0
+                  THEN (n_link_words * 1000) // n_words END AS link_permille,
+             CASE WHEN n_words > 0
+                  THEN (stops * 1000) // n_words END AS stop_permille,
+             CASE
+               WHEN n_words = 0 OR (n_link_words * 1000) // n_words > 330
+                 THEN 'bad'
+               WHEN n_words < 3 THEN 'short'
+               WHEN (stops * 1000) // n_words >= 100 AND n_words >= 8
+                 THEN 'good'
+               WHEN (stops * 1000) // n_words >= 100 THEN 'neargood'
+               ELSE 'bad'
+             END AS cf_class
+      FROM dens
+    ),
+    ctx AS (
+      SELECT *,
+             coalesce(last_value(CASE WHEN cf_class IN ('good','bad')
+                                      THEN cf_class END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'bad') AS prev_ctx,
+             coalesce(first_value(CASE WHEN cf_class IN ('good','bad')
+                                       THEN cf_class END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_no
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+               'bad') AS next_ctx
+      FROM cf
+    )
+    SELECT doc_id, block_no::BIGINT AS block_no, n_words,
+           link_permille::BIGINT AS link_permille,
+           stop_permille::BIGINT AS stop_permille, cf_class,
+           CASE
+             WHEN cf_class = 'good' THEN 'good'
+             WHEN cf_class = 'bad' THEN 'bad'
+             WHEN cf_class = 'neargood' THEN
+               CASE WHEN prev_ctx = 'good' OR next_ctx = 'good'
+                    THEN 'good' ELSE 'bad' END
+             ELSE
+               CASE WHEN prev_ctx = 'good' AND next_ctx = 'good'
+                    THEN 'good' ELSE 'bad' END
+           END AS final_class
+    FROM ctx
 """

@@ -952,3 +952,130 @@ def bigram_backoff_surprisal(
         F.sum(F.col("tf") * F.col("is_backoff")).cast("long").alias("n_backoff"),
         F.sum(F.col("tf") * F.col("is_oov")).cast("long").alias("n_oov"),
     )
+
+
+def justext_block_classify(
+    blocks: DataFrame,
+    *,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_words: int = 3,
+    max_link_permille: int = 330,
+    stop_good_permille: int = 100,
+    good_min_words: int = 8,
+) -> DataFrame:
+    """jusText-style block-level main-content extraction (Pomikalek
+    2011, the CleanEval-winning heuristic; public literature): each
+    text block classifies context-free on exact integer densities —
+    link-word share, stopword share, word count — into
+    good/neargood/short/bad, then a context pass re-classifies the
+    uncertain classes from their nearest CERTAIN neighbors in document
+    order: neargood promotes if EITHER certain neighbor is good, short
+    only if BOTH are (headers ride on their section, stray chrome
+    between two boilerplate runs dies). This is the content/boilerplate
+    split a crawler runs per page before any corpus-level filter; the
+    per-site boilerplate_shingles operator is its cross-page
+    complement.
+
+    Context-free ladder (all integer permille, both engines floor):
+      n_words = 0 or link share > max_link_permille       -> bad
+      n_words < min_words                                 -> short
+      stopword share >= stop_good_permille, long enough   -> good
+      stopword share >= stop_good_permille                -> neargood
+      else                                                -> bad
+
+    Scale: densities are per-row column math (token-equality filters,
+    no explode); the context pass is two doc-partitioned window scans
+    (last/first certain class with IGNORE NULLS) — block order never
+    leaves its doc's partition, so 10^10 pages classify with one
+    doc-keyed shuffle.
+
+    Input (doc_id, block_no, text, n_link_words); returns the ledger
+    (doc_id, block_no, n_words, link_permille, stop_permille,
+    cf_class, final_class).
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    toks = F.filter(
+        F.split(normalized_text_col(F.col("text")), " "), lambda t: t != ""
+    )
+    d = blocks.withColumn("toks", toks).withColumn(
+        "n_words", F.size("toks").cast("long")
+    )
+    stop_cnt = None
+    for w in stopwords:
+        c = F.expr(f"size(filter(toks, t -> t = '{w}'))")
+        stop_cnt = c if stop_cnt is None else stop_cnt + c
+    d = (
+        d.withColumn(
+            "link_permille",
+            F.when(F.col("n_words") > 0,
+                   F.expr("(n_link_words * 1000) div n_words")),
+        )
+        .withColumn("_stops", stop_cnt.cast("long"))
+        .withColumn(
+            "stop_permille",
+            F.when(F.col("n_words") > 0,
+                   F.expr("(_stops * 1000) div n_words")),
+        )
+        .withColumn(
+            "cf_class",
+            F.when(
+                (F.col("n_words") == 0)
+                | (F.col("link_permille") > max_link_permille),
+                F.lit("bad"),
+            )
+            .when(F.col("n_words") < min_words, F.lit("short"))
+            .when(
+                (F.col("stop_permille") >= stop_good_permille)
+                & (F.col("n_words") >= good_min_words),
+                F.lit("good"),
+            )
+            .when(F.col("stop_permille") >= stop_good_permille, F.lit("neargood"))
+            .otherwise(F.lit("bad")),
+        )
+    )
+    base = Window.partitionBy("doc_id").orderBy("block_no")
+    certain = F.when(F.col("cf_class").isin("good", "bad"), F.col("cf_class"))
+    d = d.withColumn(
+        "prev_ctx",
+        F.coalesce(
+            F.last(certain, ignorenulls=True).over(
+                base.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit("bad"),
+        ),
+    ).withColumn(
+        "next_ctx",
+        F.coalesce(
+            F.first(certain, ignorenulls=True).over(
+                base.rowsBetween(1, Window.unboundedFollowing)
+            ),
+            F.lit("bad"),
+        ),
+    )
+    final = (
+        F.when(F.col("cf_class") == "good", F.lit("good"))
+        .when(F.col("cf_class") == "bad", F.lit("bad"))
+        .when(
+            F.col("cf_class") == "neargood",
+            F.when(
+                (F.col("prev_ctx") == "good") | (F.col("next_ctx") == "good"),
+                F.lit("good"),
+            ).otherwise(F.lit("bad")),
+        )
+        .otherwise(
+            F.when(
+                (F.col("prev_ctx") == "good") & (F.col("next_ctx") == "good"),
+                F.lit("good"),
+            ).otherwise(F.lit("bad"))
+        )
+    )
+    return d.select(
+        "doc_id",
+        "block_no",
+        "n_words",
+        F.col("link_permille").cast("long").alias("link_permille"),
+        F.col("stop_permille").cast("long").alias("stop_permille"),
+        "cf_class",
+        final.alias("final_class"),
+    )

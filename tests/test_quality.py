@@ -533,3 +533,75 @@ class TestBigramBackoff:
             exp[i] = (len(bgs), tb, tb * 1000 // len(bgs), nb, no)
         assert got == exp
         assert any(v[3] > 0 for v in exp.values())  # backoff carries traffic
+
+
+class TestJustext:
+    """jusText block ladder + context pass."""
+
+    def _run(self, spark, rows):
+        from licenta_crawler_spark.operators.quality import (
+            justext_block_classify,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, block_no long, text string, n_link_words long"
+        )
+        return {
+            (r.doc_id, r.block_no): (r.cf_class, r.final_class)
+            for r in justext_block_classify(df).collect()
+        }
+
+    GOOD = "the quick brown fox and that dog have fun with it"  # stops>=100pm
+
+    def test_context_free_ladder(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, 0, self.GOOD, 0),            # good
+                (1, 1, self.GOOD, 9),            # link 9000/11 > 330 -> bad
+                (1, 2, "ok", 0),                 # < 3 words -> short
+                (1, 3, "the of and", 0),         # stops good, < 8 words -> neargood
+                (1, 4, "alpha beta gamma delta", 0),  # no stops -> bad
+                (1, 5, "", 0),                   # empty -> bad
+            ],
+        )
+        assert got[(1, 0)][0] == "good"
+        assert got[(1, 1)][0] == "bad"
+        assert got[(1, 2)][0] == "short"
+        assert got[(1, 3)][0] == "neargood"
+        assert got[(1, 4)][0] == "bad"
+        assert got[(1, 5)][0] == "bad"
+
+    def test_context_pass_rules(self, spark):
+        rows = [
+            # neargood next to one good -> promoted
+            (1, 0, self.GOOD, 0),
+            (1, 1, "the of and", 0),
+            (1, 2, "junk junk junk junk", 0),
+            # short needs BOTH sides good: here prev bad -> stays bad
+            (2, 0, "junk junk junk junk", 0),
+            (2, 1, "hi", 0),
+            (2, 2, self.GOOD, 0),
+            # short between two goods -> promoted
+            (3, 0, self.GOOD, 0),
+            (3, 1, "hi", 0),
+            (3, 2, self.GOOD, 0),
+            # neargood with no certain neighbor at all -> edge default bad
+            (4, 0, "the of and", 0),
+        ]
+        got = self._run(spark, rows)
+        assert got[(1, 1)] == ("neargood", "good")
+        assert got[(2, 1)] == ("short", "bad")
+        assert got[(3, 1)] == ("short", "good")
+        assert got[(4, 0)] == ("neargood", "bad")
+
+    def test_good_and_bad_are_fixed_points(self, spark):
+        rows = [
+            (1, 0, "junk junk junk junk", 0),
+            (1, 1, self.GOOD, 0),
+            (1, 2, "junk junk junk junk", 0),
+        ]
+        got = self._run(spark, rows)
+        assert got[(1, 0)] == ("bad", "bad")
+        assert got[(1, 1)] == ("good", "good")
+        assert got[(1, 2)] == ("bad", "bad")
