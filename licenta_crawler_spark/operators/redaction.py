@@ -111,3 +111,70 @@ def pii_redaction_sql(
         f"           ({total}) AS n_pii,\n"
         f"           {red} AS redacted\n    FROM {table}"
     )
+
+
+def redact_span_documents(span_docs: DataFrame) -> DataFrame:
+    """Span-aware PII redaction over interleaved text+media documents
+    (the BASELINE.json input_hint shape): every ``text`` span is
+    redacted in place through the same ``PII_PATTERNS`` chain as the
+    flat-document path, media spans pass through byte-identical, and
+    the span SEQUENCE is preserved by construction — ``transform()`` is
+    positional and 1:1, so (kind, media_ref, offset, order) survive
+    redaction exactly (the per-row invariant the reference parity
+    contract pins on parsed documents).
+
+    Exposure counts aggregate over text spans on the ORIGINAL text
+    (exposure metric, not post-redaction residue), so a page whose PII
+    sits across several spans reports the sum.
+
+    Map-only: one higher-order transform + one aggregate fold per row,
+    no explode, no shuffle, no UDF — at 100 TB this rides the corpus'
+    existing partitioning like the flat redactor.
+
+    Returns (doc_id, spans, n_text_spans, n_media_spans, n_pii).
+    """
+
+    def _red(t):
+        r = t
+        for _, pat, repl in PII_PATTERNS:
+            r = F.regexp_replace(r, pat, repl)
+        return r
+
+    def _count(t):
+        total = None
+        for _, pat, _ in PII_PATTERNS:
+            c = F.regexp_count(t, F.lit(pat)).cast("long")
+            total = c if total is None else total + c
+        return total
+
+    zero = F.lit(0).cast("long")
+    spans_red = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", _red(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    n_pii = F.aggregate(
+        "spans",
+        zero,
+        lambda acc, s: acc
+        + F.when(s["kind"] == "text", _count(s["text"])).otherwise(zero),
+    )
+    n_text = F.aggregate(
+        "spans",
+        zero,
+        lambda acc, s: acc
+        + F.when(s["kind"] == "text", F.lit(1).cast("long")).otherwise(zero),
+    )
+    return span_docs.select(
+        "doc_id",
+        spans_red.alias("spans"),
+        n_text.alias("n_text_spans"),
+        (F.size("spans").cast("long") - n_text).alias("n_media_spans"),
+        n_pii.alias("n_pii"),
+    )

@@ -58,3 +58,62 @@ def test_total_and_clean_text_passthrough(spark):
     assert r["n_pii"] == 0 and r["redacted"] == clean
     r2 = _one(spark, "x@y.zz and +123456789 and 1.2.3.4")
     assert r2["n_pii"] == 3
+
+
+class TestSpanRedaction:
+    """Span-aware redaction: sequence invariant + media passthrough."""
+
+    def _docs(self, spark):
+        from licenta_crawler_spark.plans import schemas
+
+        return spark.createDataFrame(
+            [
+                (
+                    "d1",
+                    [
+                        ("text", "mail bob@example.com here", None, 0),
+                        ("image", None, "img://a", 1),
+                        ("text", "ip 10.0.0.1 and +40745123456", None, 2),
+                        ("video", None, "vid://b", 3),
+                    ],
+                    "http://h/1", "h", 0,
+                ),
+                ("d2", [("image", None, "img://c", 0)], "http://h/2", "h", 0),
+            ],
+            schemas.DOCUMENTS,
+        ).select("doc_id", "spans")
+
+    def test_sequence_preserved_and_text_redacted(self, spark):
+        from licenta_crawler_spark.operators.redaction import (
+            redact_span_documents,
+        )
+
+        out = {r.doc_id: r for r in redact_span_documents(self._docs(spark)).collect()}
+        d1 = out["d1"]
+        assert [(s.kind, s.media_ref, s.offset) for s in d1.spans] == [
+            ("text", None, 0), ("image", "img://a", 1),
+            ("text", None, 2), ("video", "vid://b", 3),
+        ]
+        assert d1.spans[0].text == "mail [EMAIL] here"
+        assert d1.spans[2].text == "ip [IPV4] and [PHONE]"
+        assert (d1.n_text_spans, d1.n_media_spans, d1.n_pii) == (2, 2, 3)
+        d2 = out["d2"]
+        assert (d2.n_text_spans, d2.n_media_spans, d2.n_pii) == (0, 1, 0)
+        assert d2.spans[0].media_ref == "img://c"
+
+    def test_matches_flat_redactor_on_text(self, spark):
+        """Each span's redaction equals redact_pii on the same string."""
+        from licenta_crawler_spark.operators.redaction import (
+            redact_pii,
+            redact_span_documents,
+        )
+
+        flat = spark.createDataFrame(
+            [(0, "mail bob@example.com here"),
+             (1, "ip 10.0.0.1 and +40745123456")],
+            "doc_id long, text string",
+        )
+        expect = {r.doc_id: r.redacted for r in redact_pii(flat).collect()}
+        out = {r.doc_id: r for r in redact_span_documents(self._docs(spark)).collect()}
+        assert out["d1"].spans[0].text == expect[0]
+        assert out["d1"].spans[2].text == expect[1]
