@@ -5098,6 +5098,42 @@ def span_pii_redaction(spark, sf_dir):
     )
 
 
+def robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap autodiscovery from robots.txt
+    (`operators/parse.robots_sitemap_urls`): 20 synthesized robots
+    bodies — same-host directives, a cross-host CDN submission every
+    3rd host, an indented lowercase directive every 4th, plus UA
+    sections and junk lines the extractor must ignore; global (section-
+    free) extraction with authority comparison flagging cross-host."""
+    from licenta_crawler_spark.operators.parse import robots_sitemap_urls
+
+    hosts = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 20).alias("n"))
+        .distinct()
+    )
+    h = F.concat(F.lit("shop"), F.col("n").cast("string"), F.lit(".example"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /cart\n"),
+        F.lit("Sitemap: https://"), h, F.lit("/sitemap.xml\n"),
+        F.when(
+            F.col("n") % 3 == 0,
+            F.concat(
+                F.lit("SITEMAP: http://cdn.example.org/"),
+                h,
+                F.lit("/idx.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("n") % 4 == 0,
+            F.concat(F.lit("  sitemap: https://"), h, F.lit("/extra.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2\n# Sitemap: commented out, not a directive"),
+    )
+    robots = hosts.select(h.alias("host"), body.alias("robots_txt"))
+    return robots_sitemap_urls(robots)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5192,6 +5228,7 @@ QUERIES = {
     "frontier_size_estimate": frontier_size_estimate,
     "justext_content_blocks": justext_content_blocks,
     "span_pii_redaction": span_pii_redaction,
+    "robots_sitemap_discovery": robots_sitemap_discovery,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11391,3 +11428,49 @@ def _span_pii_sql() -> str:
 
 
 _LAZY_ORACLES["span_pii_redaction"] = _span_pii_sql
+
+
+ORACLE_SQL["robots_sitemap_discovery"] = """
+    WITH hosts AS (
+      SELECT DISTINCT (o_orderkey % 20)::BIGINT AS n FROM orders
+    ),
+    bodies AS (
+      SELECT 'shop' || n::VARCHAR || '.example' AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /cart' || chr(10)
+             || 'Sitemap: https://shop' || n::VARCHAR
+             || '.example/sitemap.xml' || chr(10)
+             || CASE WHEN n % 3 = 0
+                  THEN 'SITEMAP: http://cdn.example.org/shop' || n::VARCHAR
+                       || '.example/idx.xml' || chr(10) ELSE '' END
+             || CASE WHEN n % 4 = 0
+                  THEN '  sitemap: https://shop' || n::VARCHAR
+                       || '.example/extra.xml' || chr(10) ELSE '' END
+             || 'Crawl-delay: 2' || chr(10)
+             || '# Sitemap: commented out, not a directive' AS body
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, e['i'] - 1 AS line_no, e['l'] AS line
+      FROM (
+        SELECT host,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(body, chr(10)))),
+                 i -> {'i': i, 'l': string_split(body, chr(10))[i]})) AS e
+        FROM bodies
+      )
+    ),
+    hits AS (
+      SELECT host, line_no,
+             nullif(regexp_extract(line,
+               '(?i)^\\s*sitemap:\\s*(\\S+)\\s*$', 1), '') AS sitemap_url
+      FROM lines
+    )
+    SELECT host, line_no::BIGINT AS line_no, sitemap_url,
+           nullif(lower(regexp_extract(sitemap_url,
+             '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), '')
+             AS sitemap_host,
+           (nullif(lower(regexp_extract(sitemap_url,
+              '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), '')
+            = lower(host)) AS same_host
+    FROM hits WHERE sitemap_url IS NOT NULL
+"""

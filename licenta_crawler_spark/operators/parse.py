@@ -491,3 +491,50 @@ def robots_group_rules(
         .select("host", "matched_ua", "allow", "pattern")
         .dropDuplicates(["host", "matched_ua", "allow", "pattern"])
     )
+
+
+def robots_sitemap_urls(
+    robots_txt: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directive discovery from robots.txt — the standard
+    sitemap-autodiscovery channel (sitemaps.org protocol §"informing
+    search engine crawlers"; the reference instead receives its sitemap
+    URL as explicit job input, CrawlJobResource.java:55-60, so this is
+    the discovery step a crawler needs to find that input by itself).
+
+    Sitemap directives are GLOBAL: they bind to no User-agent group
+    (RFC 9309 treats unknown lines as ignorable; the sitemaps protocol
+    defines them file-wide), so extraction is one line split +
+    regexp — no section carry needed, unlike allow/disallow parsing.
+    Cross-host declarations are legal (that is how cross-domain sitemap
+    submission works) but need trust decisions, so the output flags
+    them instead of dropping: ``same_host`` compares the directive
+    URL's authority (regex, no engine-specific URL parser — the SQL
+    replay shares the expression) with the robots host.
+
+    Map-only: explode robots lines (bodies are tiny), no shuffle at
+    all. Returns (host, line_no, sitemap_url, sitemap_host, same_host).
+    """
+    lines = robots_txt.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    url = F.regexp_extract(F.col("line"), r"(?i)^\s*sitemap:\s*(\S+)\s*$", 1)
+    sm_host = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    return (
+        lines.withColumn("sitemap_url", F.nullif(url, F.lit("")))
+        .where(F.col("sitemap_url").isNotNull())
+        .select(
+            "host",
+            F.col("line_no").cast("long").alias("line_no"),
+            "sitemap_url",
+            F.nullif(sm_host, F.lit("")).alias("sitemap_host"),
+            (F.nullif(sm_host, F.lit("")) == F.lower(F.col("host"))).alias(
+                "same_host"
+            ),
+        )
+    )

@@ -1333,3 +1333,40 @@ class TestFreshnessPolicy:
         }
         vals = [by_p[p // 20] for p in (50, 300, 600, 900)]
         assert vals == sorted(vals, reverse=True)
+
+
+class TestRobotsSitemapDiscovery:
+    """Sitemap: directive extraction — global, case-insensitive, flagged."""
+
+    def _run(self, spark, bodies):
+        from licenta_crawler_spark.operators.parse import robots_sitemap_urls
+
+        df = spark.createDataFrame(bodies, "host string, robots_txt string")
+        return robots_sitemap_urls(df).collect()
+
+    def test_extraction_and_cross_host_flag(self, spark):
+        body = (
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.example/s.xml\n"
+            "SITEMAP: http://cdn.example.org/a/idx.xml\n"
+            "  sitemap: https://A.EXAMPLE/extra.xml\n"
+            "# Sitemap: not a directive\n"
+            "Sitemap: relative/path.xml\n"
+        )
+        rows = sorted(self._run(spark, [("a.example", body)]),
+                      key=lambda r: r.line_no)
+        assert [r.sitemap_url for r in rows] == [
+            "https://a.example/s.xml",
+            "http://cdn.example.org/a/idx.xml",
+            "https://A.EXAMPLE/extra.xml",
+            "relative/path.xml",
+        ]
+        assert [r.same_host for r in rows] == [True, False, True, None]
+        assert rows[3].sitemap_host is None  # relative URL: no authority
+        assert [r.line_no for r in rows] == [2, 3, 4, 6]
+
+    def test_no_directives_yields_empty(self, spark):
+        rows = self._run(
+            spark, [("b.example", "User-agent: *\nDisallow: /\n")]
+        )
+        assert rows == []
