@@ -5134,6 +5134,37 @@ def robots_sitemap_discovery(spark, sf_dir):
     return robots_sitemap_urls(robots)
 
 
+def epoch_repetition_schedule(spark, sf_dir):
+    """Quality-weighted data-repetition plan (the data-constrained
+    scaling recipe — Muennighoff et al. 2023: repeat the best data
+    rather than adding worse data): CCNet surprisal terciles get
+    repeats 3/2/1 (head seen thrice per epoch, tail once); per-bucket
+    token mass, epoch token mass and exact permille share of the
+    training epoch. A 3-row rollup over the green surprisal query —
+    the oracle nests that query's replay verbatim, inheriting its
+    agreement (the ensemble-funnel pattern)."""
+    b = lm_surprisal_buckets(spark, sf_dir)
+    roll = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    ).withColumn("repeats", (F.lit(4) - F.col("bucket")).cast("long"))
+    roll = roll.withColumn(
+        "epoch_tokens", F.col("n_tokens") * F.col("repeats")
+    )
+    total = roll.agg(F.sum("epoch_tokens").alias("_tot"))
+    return (
+        roll.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "repeats",
+            "epoch_tokens",
+            F.expr("(epoch_tokens * 1000) div _tot").alias("share_permille"),
+        )
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5229,6 +5260,7 @@ QUERIES = {
     "justext_content_blocks": justext_content_blocks,
     "span_pii_redaction": span_pii_redaction,
     "robots_sitemap_discovery": robots_sitemap_discovery,
+    "epoch_repetition_schedule": epoch_repetition_schedule,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11473,4 +11505,21 @@ ORACLE_SQL["robots_sitemap_discovery"] = """
               '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)', 1)), '')
             = lower(host)) AS same_host
     FROM hits WHERE sitemap_url IS NOT NULL
+"""
+
+
+ORACLE_SQL["epoch_repetition_schedule"] = f"""
+    WITH b AS ({ORACLE_SQL["lm_surprisal_buckets"]}),
+    roll AS (
+      SELECT bucket, count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             (4 - bucket)::BIGINT AS repeats,
+             (sum(n_tokens) * (4 - bucket))::BIGINT AS epoch_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_tokens, repeats, epoch_tokens,
+           ((epoch_tokens * 1000)
+            // (SELECT sum(epoch_tokens) FROM roll))::BIGINT
+             AS share_permille
+    FROM roll
 """

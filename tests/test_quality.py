@@ -605,3 +605,26 @@ class TestJustext:
         assert got[(1, 0)] == ("bad", "bad")
         assert got[(1, 1)] == ("good", "good")
         assert got[(1, 2)] == ("bad", "bad")
+
+
+def test_epoch_repetition_schedule_shape(spark, tmp_path):
+    """3 buckets, repeats 3/2/1, shares sum to ~1000, mass conserved."""
+    from licenta_crawler_spark.entry_queries import (
+        epoch_repetition_schedule,
+        lm_surprisal_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.bucket: r for r in epoch_repetition_schedule(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert [rows[b].repeats for b in (1, 2, 3)] == [3, 2, 1]
+    base = lm_surprisal_buckets(spark, sf).groupBy("bucket").sum("n_tokens")
+    mass = {r.bucket: r["sum(n_tokens)"] for r in base.collect()}
+    for b in (1, 2, 3):
+        assert rows[b].epoch_tokens == mass[b] * rows[b].repeats
+    total = sum(rows[b].epoch_tokens for b in (1, 2, 3))
+    assert sum(rows[b].share_permille for b in (1, 2, 3)) in (998, 999, 1000)
+    assert all(
+        rows[b].share_permille == rows[b].epoch_tokens * 1000 // total
+        for b in (1, 2, 3)
+    )
