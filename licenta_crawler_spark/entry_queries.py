@@ -5165,6 +5165,47 @@ def epoch_repetition_schedule(spark, sf_dir):
     )
 
 
+def retrieval_eval_metrics(spark, sf_dir):
+    """TREC-style run evaluation (`operators/retrieval.retrieval_eval`):
+    BM25 top-20 for three two-term queries scored against conjunctive-
+    containment qrels (docs holding ALL query terms) — P@10, Recall@10,
+    MRR and fixed-point AP, all integer scale-10^6. The judgment join
+    touches runs and qrels only, never the corpus."""
+    from licenta_crawler_spark.operators.retrieval import (
+        bm25_retrieval,
+        retrieval_eval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("e1", "table"), ("e1", "scan"), ("e2", "join"), ("e2", "merge"),
+         ("e3", "window"), ("e3", "stream")],
+        "query_id string, term string",
+    )
+    ranked = bm25_retrieval(d, q, k=20)
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalized_text_col(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    nt = q.groupBy("query_id").agg(F.countDistinct("term").alias("nt"))
+    qrels = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(nt), "query_id")
+        .where(F.col("m") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_eval(ranked, qrels, k=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5261,6 +5302,7 @@ QUERIES = {
     "span_pii_redaction": span_pii_redaction,
     "robots_sitemap_discovery": robots_sitemap_discovery,
     "epoch_repetition_schedule": epoch_repetition_schedule,
+    "retrieval_eval_metrics": retrieval_eval_metrics,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11522,4 +11564,92 @@ ORACLE_SQL["epoch_repetition_schedule"] = f"""
             // (SELECT sum(epoch_tokens) FROM roll))::BIGINT
              AS share_permille
     FROM roll
+"""
+
+
+ORACLE_SQL["retrieval_eval_metrics"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('e1','table'), ('e1','scan'), ('e2','join'),
+                            ('e2','merge'), ('e3','window'), ('e3','stream'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+    scalars AS (SELECT sum(dl)::BIGINT AS t_total,
+                       count(*)::BIGINT AS n_docs FROM dls),
+    hits AS (
+      SELECT b.doc_id, d.dl, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM hits GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((44000000 * tf) //
+                     (20000 * tf + 6000 + (18000 * dl * n_docs) // t_total))
+                 ) // 1000
+             )::BIGINT AS score_fp
+      FROM tf JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN scalars
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    run AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+        )::BIGINT AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    ),
+    nt AS (SELECT query_id, count(DISTINCT term) AS n_terms
+           FROM q GROUP BY query_id),
+    qrels AS (
+      SELECT t.query_id, t.doc_id
+      FROM (SELECT DISTINCT q.query_id, tf.doc_id, tf.term
+            FROM tf JOIN q USING (term)) t
+      JOIN nt ON t.query_id = nt.query_id
+      GROUP BY t.query_id, t.doc_id, nt.n_terms
+      HAVING count(DISTINCT t.term) = nt.n_terms
+    ),
+    marked AS (
+      SELECT r.query_id, r.doc_id, r.rk,
+             (qr.doc_id IS NOT NULL) AS is_rel
+      FROM run r LEFT JOIN qrels qr
+        ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+    ),
+    cum AS (
+      SELECT *, sum(CASE WHEN is_rel THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY query_id ORDER BY rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_rel
+      FROM marked
+    ),
+    nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+             FROM qrels GROUP BY query_id),
+    perq AS (
+      SELECT query_id, count(*)::BIGINT AS n_ret,
+             sum(CASE WHEN is_rel THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+             sum(CASE WHEN is_rel AND rk <= 10 THEN 1 ELSE 0 END)::BIGINT
+               AS relret_k,
+             sum(CASE WHEN is_rel THEN (cum_rel * 1000000) // rk END)
+               AS ap_num,
+             min(CASE WHEN is_rel THEN rk END) AS first_rel
+      FROM cum GROUP BY query_id
+    )
+    SELECT p.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel, p.n_ret,
+           p.n_rel_ret,
+           ((relret_k * 1000000) // 10)::BIGINT AS p_at_k,
+           ((relret_k * 1000000) // nullif(coalesce(n.n_rel, 0), 0))::BIGINT
+             AS recall_at_k,
+           coalesce(1000000 // first_rel, 0)::BIGINT AS mrr,
+           (coalesce(ap_num, 0) // nullif(coalesce(n.n_rel, 0), 0))::BIGINT
+             AS ap
+    FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
 """

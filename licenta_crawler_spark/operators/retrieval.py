@@ -1123,3 +1123,81 @@ def champion_list_audit(
             ).alias("exact_preserved"),
         )
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """IR effectiveness evaluation over a ranked run vs relevance
+    judgments — the measurement layer (TREC-style) the rest of the
+    retrieval stack tunes against (BM25 variants, champion lists, WAND
+    all change rankings; this is what says whether they got better).
+
+    All metrics are exact integer fixed point at scale 10^6 so both
+    engines floor identically (no float, same discipline as the BM25
+    fixed point itself):
+
+      p_at_k      = relret@k * 10^6 div k
+      recall_at_k = relret@k * 10^6 div n_rel
+      mrr         = 10^6 div first-relevant-rank   (0 if none)
+      ap          = (Σ over relevant hits of cum_rel(r)*10^6 div r)
+                      div n_rel
+                    — fixed-point average precision: each precision
+                    term floors at scale 10^6 before the mean, a
+                    deterministic spec shared verbatim with any replay.
+
+    Queries with no judged-relevant docs report n_rel = 0 and NULL
+    recall/AP (undefined, not zero). ``ranked`` needs (query_id,
+    doc_id, rk dense from 1); ``qrels`` is (query_id, doc_id).
+
+    Scale: one equi-join of the run against the judgment set (runs are
+    queries x k rows; qrels similar), one per-query window over at most
+    k rows, one aggregate. Nothing touches the corpus.
+    """
+    rel = qrels.select(
+        "query_id", "doc_id", F.lit(True).alias("is_rel")
+    ).distinct()
+    j = ranked.join(rel, ["query_id", "doc_id"], "left").withColumn(
+        "is_rel", F.coalesce("is_rel", F.lit(False))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("cum_rel", F.sum(F.col("is_rel").cast("long")).over(w))
+    per_q = j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_ret"),
+        F.sum(F.col("is_rel").cast("long")).cast("long").alias("n_rel_ret"),
+        F.sum(
+            (F.col("is_rel") & (F.col("rk") <= k)).cast("long")
+        ).cast("long").alias("_relret_k"),
+        F.sum(
+            F.when(F.col("is_rel"), F.expr("(cum_rel * 1000000) div rk"))
+        ).cast("long").alias("_ap_num"),
+        F.min(F.when(F.col("is_rel"), F.col("rk"))).alias("_first_rel"),
+    )
+    n_rel = qrels.select("query_id", "doc_id").distinct().groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("n_rel"))
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0).cast("long")))
+        .select(
+            "query_id",
+            "n_rel",
+            "n_ret",
+            "n_rel_ret",
+            F.expr(f"(_relret_k * 1000000) div {int(k)}").alias("p_at_k"),
+            F.expr("(_relret_k * 1000000) div nullif(n_rel, 0)").alias(
+                "recall_at_k"
+            ),
+            F.coalesce(
+                F.expr("1000000 div _first_rel"), F.lit(0).cast("long")
+            ).alias("mrr"),
+            F.expr("coalesce(_ap_num, 0) div nullif(n_rel, 0)").alias("ap"),
+        )
+    )

@@ -405,3 +405,48 @@ class TestPqAnn:
                 if r["query_id"] == q and r["vec_id"] % 5 == q % 5
             ]
             assert len(same) >= 3
+
+
+class TestRetrievalEval:
+    """Integer fixed-point IR metrics: hand case + edge semantics."""
+
+    def _run(self, spark, run_rows, qrel_rows, k=3):
+        from licenta_crawler_spark.operators.retrieval import retrieval_eval
+
+        run = spark.createDataFrame(
+            run_rows, "query_id string, doc_id long, rk long"
+        )
+        qrels = spark.createDataFrame(
+            qrel_rows, "query_id string, doc_id long"
+        )
+        return {
+            r.query_id: (r.n_rel, r.n_ret, r.n_rel_ret, r.p_at_k,
+                         r.recall_at_k, r.mrr, r.ap)
+            for r in retrieval_eval(run, qrels, k=k).collect()
+        }
+
+    def test_hand_case(self, spark):
+        # run q: ranks 1..5 over docs 10..14; relevant {11, 13, 99}
+        run = [("q", 10 + i, i + 1) for i in range(5)]
+        qrels = [("q", 11), ("q", 13), ("q", 99)]
+        got = self._run(spark, run, qrels, k=3)
+        M = 1_000_000
+        # relret@3 = 1 (doc11 at rk2); first_rel=2
+        # ap_num = 1*M//2 (doc11) + 2*M//4 (doc13) = 1_000_000
+        assert got["q"] == (
+            3, 5, 2, 1 * M // 3, 1 * M // 3, M // 2, 1_000_000 // 3,
+        )
+
+    def test_perfect_run(self, spark):
+        run = [("q", 1, 1), ("q", 2, 2)]
+        qrels = [("q", 1), ("q", 2)]
+        got = self._run(spark, run, qrels, k=2)
+        M = 1_000_000
+        assert got["q"] == (2, 2, 2, M, M, M, M)
+
+    def test_no_relevant_retrieved_and_no_qrels(self, spark):
+        run = [("a", 1, 1), ("b", 2, 1)]
+        qrels = [("a", 50)]  # none retrieved for a; b has no judgments
+        got = self._run(spark, run, qrels, k=1)
+        assert got["a"] == (1, 1, 0, 0, 0, 0, 0)
+        assert got["b"] == (0, 1, 0, 0, None, 0, None)
