@@ -5206,6 +5206,18 @@ def retrieval_eval_metrics(spark, sf_dir):
     return retrieval_eval(ranked, qrels, k=10)
 
 
+def hypertable_rollup_cascade(spark, sf_dir):
+    """Cascaded continuous-aggregate hierarchy
+    (`operators/rollup.cascaded_time_rollup`): events roll to 1-minute
+    windows from raw, 5-minute from 1-minute, hourly from 5-minute —
+    one raw scan total. The DuckDB oracle computes every level DIRECTLY
+    from raw events, so the hash match is the associativity proof that
+    cascading loses nothing."""
+    from licenta_crawler_spark.operators.rollup import cascaded_time_rollup
+
+    return cascaded_time_rollup(_t(spark, sf_dir, "events"))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5303,6 +5315,7 @@ QUERIES = {
     "robots_sitemap_discovery": robots_sitemap_discovery,
     "epoch_repetition_schedule": epoch_repetition_schedule,
     "retrieval_eval_metrics": retrieval_eval_metrics,
+    "hypertable_rollup_cascade": hypertable_rollup_cascade,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11652,4 +11665,23 @@ ORACLE_SQL["retrieval_eval_metrics"] = f"""
            (coalesce(ap_num, 0) // nullif(coalesce(n.n_rel, 0), 0))::BIGINT
              AS ap
     FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+"""
+
+
+ORACLE_SQL["hypertable_rollup_cascade"] = """
+    WITH e AS (
+      SELECT epoch_ms(ts) // 1000 AS ep,
+             trunc(value * 100)::BIGINT AS c
+      FROM events
+    )
+    SELECT 60::BIGINT AS level_s, ((ep // 60) * 60)::BIGINT AS win_start,
+           count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_cents,
+           min(c)::BIGINT AS min_cents, max(c)::BIGINT AS max_cents
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 300, (ep // 300) * 300, count(*), sum(c), min(c), max(c)
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 3600, (ep // 3600) * 3600, count(*), sum(c), min(c), max(c)
+    FROM e GROUP BY 2
 """

@@ -1,0 +1,79 @@
+"""Hypertable-style cascaded time rollups (continuous-aggregate
+hierarchies): each coarser resolution derives from the PREVIOUS level's
+partial aggregates, never from raw events — the TimescaleDB/Druid
+materialization pattern. At 100 TB of events the 1-minute level is the
+only scan of raw data; the 5-minute level aggregates ~1/60th as many
+rows, the hourly level ~1/5th of that, so the whole hierarchy costs one
+raw scan plus geometrically-shrinking shuffles instead of one raw scan
+PER resolution.
+
+Correctness rests on composability: only aggregates with an associative
+merge cascade (count/sum via sum, min via min, max via max). The oracle
+for the cascade is the DIRECT computation of every level from raw — the
+hash match IS the associativity proof on real data.
+
+All measures are integer (value is truncated to cents BEFORE any sum:
+double->int truncation is engine-identical, and integer sums are
+order-free, unlike floating-point accumulation which depends on
+partition order).
+
+The reference has no time-series surface (595-LoC crawler); this is
+§2.8 pipeline infrastructure for crawl-log/metrics analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cascaded_time_rollup(
+    events: DataFrame,
+    levels: tuple[int, ...] = (60, 300, 3600),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cascade ``events`` through tumbling windows of ``levels`` seconds
+    (each level must divide the next — asserted), level N+1 aggregated
+    FROM level N's rows. Returns the union over levels:
+    (level_s, win_start, n_events, sum_cents, min_cents, max_cents)
+    with win_start the epoch-second window floor.
+    """
+    for a, b in zip(levels, levels[1:]):
+        if b % a != 0:
+            raise ValueError(f"level {b} must be a multiple of {a}")
+    cents = (F.col(value_col) * 100).cast("long")
+    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (session.py), so the cast is the identity and unix_millis is
+    # the true epoch in both engines
+    epoch = F.expr(f"unix_millis(cast({ts_col} as timestamp)) div 1000")
+    first = levels[0]
+    cur = (
+        events.select(epoch.alias("_e"), cents.alias("_c"))
+        .groupBy(F.expr(f"(_e div {first}) * {first}").alias("win_start"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_c").cast("long").alias("sum_cents"),
+            F.min("_c").cast("long").alias("min_cents"),
+            F.max("_c").cast("long").alias("max_cents"),
+        )
+    )
+    out = cur.select(
+        F.lit(first).cast("long").alias("level_s"), "*"
+    )
+    for lv in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.expr(f"(win_start div {lv}) * {lv}").alias("win_start")
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
+                F.min("min_cents").cast("long").alias("min_cents"),
+                F.max("max_cents").cast("long").alias("max_cents"),
+            )
+        )
+        out = out.unionByName(
+            cur.select(F.lit(lv).cast("long").alias("level_s"), "*")
+        )
+    return out

@@ -471,3 +471,66 @@ def test_funnel_order_matters(spark):
     }
     with pytest.raises(ValueError):
         funnel_counts(ev, [])
+
+
+class TestCascadedRollup:
+    """Hypertable cascade: cascade == direct at every level."""
+
+    def _events(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (i, base + dt.timedelta(seconds=i * 37), float(i % 13) + 0.25)
+            for i in range(400)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        )
+
+    def test_cascade_equals_direct(self, spark):
+        from licenta_crawler_spark.operators.rollup import (
+            cascaded_time_rollup,
+        )
+
+        ev = self._events(spark)
+        got = {
+            (r.level_s, r.win_start): (
+                r.n_events, r.sum_cents, r.min_cents, r.max_cents
+            )
+            for r in cascaded_time_rollup(ev, levels=(60, 300, 3600)).collect()
+        }
+        # direct per level, straight from raw
+        import pyspark.sql.functions as F
+
+        for lv in (60, 300, 3600):
+            direct = (
+                ev.select(
+                    F.expr(
+                        f"(unix_millis(cast(ts as timestamp)) div 1000"
+                        f" div {lv}) * {lv}"
+                    ).alias("w"),
+                    (F.col("value") * 100).cast("long").alias("c"),
+                )
+                .groupBy("w")
+                .agg(
+                    F.count("*").alias("n"), F.sum("c").alias("s"),
+                    F.min("c").alias("mn"), F.max("c").alias("mx"),
+                )
+            )
+            for r in direct.collect():
+                assert got[(lv, r.w)] == (r.n, r.s, r.mn, r.mx), (lv, r.w)
+        # every raw event lands in exactly one window per level
+        n_raw = ev.count()
+        for lv in (60, 300, 3600):
+            assert sum(v[0] for k, v in got.items() if k[0] == lv) == n_raw
+
+    def test_non_divisible_levels_rejected(self, spark):
+        import pytest as _pytest
+
+        from licenta_crawler_spark.operators.rollup import (
+            cascaded_time_rollup,
+        )
+
+        with _pytest.raises(ValueError):
+            cascaded_time_rollup(self._events(spark), levels=(60, 90))
