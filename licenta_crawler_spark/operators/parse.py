@@ -538,3 +538,67 @@ def robots_sitemap_urls(
             ),
         )
     )
+
+
+def robots_table_from_text(
+    robots_txt: DataFrame,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Build the engine's structured ROBOTS table (plans/schemas.ROBOTS:
+    host, user_agent, crawl_delay_ms, sitemaps, disallow, allow) from
+    RAW fetched robots.txt bodies — the last link letting a
+    ``CrawlEngine`` be constructed entirely from fetch output instead
+    of a pre-structured fixture table: delay + section resolution from
+    ``parse_robots_directives``, Allow/Disallow pattern lists from
+    ``parse_robots_rules`` (the RFC 9309 evaluator's input), and the
+    sitemaps column from ``robots_sitemap_urls`` — SAME-HOST directives
+    only, in declaration (line) order, because admission auto-enqueues
+    these (wave.py admit) and a cross-host CDN submission must be a
+    trust decision, not an implicit crawl of someone else's host.
+
+    Every input host emits exactly one row (hosts whose body has no
+    matching section still carry empty rule lists — default-allow).
+
+    Scale: three line-explode passes over tiny robots bodies, each
+    aggregating host-keyed; one shuffle class throughout.
+    """
+    hosts = robots_txt.select("host").distinct()
+    d = parse_robots_directives(robots_txt, user_agent=user_agent).select(
+        "host", (F.col("crawl_delay") * 1000).alias("crawl_delay_ms")
+    )
+    rules = parse_robots_rules(robots_txt, user_agent=user_agent)
+    dis = rules.where(~F.col("allow")).groupBy("host").agg(
+        F.array_sort(F.collect_list("pattern")).alias("disallow")
+    )
+    alw = rules.where(F.col("allow")).groupBy("host").agg(
+        F.array_sort(F.collect_list("pattern")).alias("allow")
+    )
+    sm = (
+        robots_sitemap_urls(robots_txt)
+        .where(F.col("same_host"))
+        .groupBy("host")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("line_no", "sitemap_url"))
+            ).alias("_sm")
+        )
+        .select(
+            "host",
+            F.transform("_sm", lambda s: s["sitemap_url"]).alias("sitemaps"),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        hosts.join(d, "host", "left")
+        .join(sm, "host", "left")
+        .join(dis, "host", "left")
+        .join(alw, "host", "left")
+        .select(
+            "host",
+            F.lit(user_agent).alias("user_agent"),
+            "crawl_delay_ms",
+            F.coalesce("sitemaps", empty).alias("sitemaps"),
+            F.coalesce("disallow", empty).alias("disallow"),
+            F.coalesce("allow", empty).alias("allow"),
+        )
+    )

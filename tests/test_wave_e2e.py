@@ -839,3 +839,66 @@ def test_conditional_revalidation_e2e(spark):
     assert vals3[v2["url"]]["etag"] == etag2 != old_etag_v2
     assert vals3[v1["url"]]["etag"] == vals[v1["url"]]["etag"]
     assert vals3[v3["url"]]["etag"] is None
+
+
+def test_engine_from_raw_robots_text_identity(spark):
+    """robots_table_from_text closes the loop: a CrawlEngine built from
+    RAW robots.txt bodies reproduces the structured-robots crawl exactly
+    (per-host crawl-log sequences identical). Delays are rendered at
+    the protocol's whole-second granularity, so the structured twin is
+    normalized to the same ceiling before comparison."""
+    from licenta_crawler_spark.operators.parse import robots_table_from_text
+
+    corpus = build_corpus(
+        n_browse_hosts=1, n_sitemap_hosts=1, mega_host=False,
+        chain_len=(2, 2), products_per_shelf=(3, 3),
+    )
+    norm_robots = []
+    bodies = []
+    for r in corpus.robots:
+        delay_s = -(-(r["crawl_delay_ms"] or 0) // 1000)  # ceil
+        # protocol can't spell 0: no line is emitted, parser yields NULL
+        nr = dict(r, crawl_delay_ms=(delay_s * 1000) or None)
+        norm_robots.append(nr)
+        lines = [f"User-agent: {r['user_agent']}"]
+        if delay_s:
+            lines.append(f"Crawl-delay: {delay_s}")
+        lines += [f"Disallow: {p}" for p in r["disallow"]]
+        lines += [f"Allow: {p}" for p in r["allow"]]
+        lines += [f"Sitemap: {u}" for u in r["sitemaps"]]
+        bodies.append((r["host"], "\n".join(lines)))
+    raw = spark.createDataFrame(bodies, "host string, robots_txt string")
+    parsed = robots_table_from_text(raw)
+
+    structured = spark.createDataFrame(norm_robots, schemas.ROBOTS)
+    # table-level round trip (sorted arrays == fixture order normalized)
+    a = {r.host: r for r in parsed.collect()}
+    b = {r.host: r for r in structured.collect()}
+    assert set(a) == set(b)
+    for h in a:
+        assert a[h].crawl_delay_ms == b[h].crawl_delay_ms, h
+        assert sorted(a[h].sitemaps) == sorted(b[h].sitemaps), h
+        assert sorted(a[h].disallow) == sorted(b[h].disallow), h
+        assert sorted(a[h].allow) == sorted(b[h].allow), h
+
+    resolver_bc = spark.sparkContext.broadcast(corpus_to_resolver(corpus))
+    seed_jobs_rows = corpus.seed_jobs
+    cfg = EngineConfig(max_per_host=7, bloom_shards=2, bloom_bits=1 << 14,
+                       bloom_min_seen=0)
+    logs = []
+    for robots_df in (structured, parsed):
+        seed_jobs = spark.createDataFrame(
+            seed_jobs_rows,
+            "job_id string, homepage string, seeds array<string>, "
+            "additional_sitemaps array<string>, disallow_cookies boolean",
+        )
+        engine = CrawlEngine(spark, resolver_bc, robots_df, cfg)
+        state = engine.run(seed_jobs)
+        rows = state.crawl_log.orderBy("host", "seq").collect()
+        log: dict[str, list] = {}
+        for r in rows:
+            log.setdefault(r["host"], []).append(
+                (r["url"], r["referer"], r["page_type"])
+            )
+        logs.append(log)
+    assert logs[0] == logs[1]
