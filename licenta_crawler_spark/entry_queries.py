@@ -5218,6 +5218,34 @@ def hypertable_rollup_cascade(spark, sf_dir):
     return cascaded_time_rollup(_t(spark, sf_dir, "events"))
 
 
+def politeness_queue_backlog(spark, sf_dir):
+    """Lindley-recursion fetch-queue audit
+    (`operators/politeness.fetch_queue_depth_audit`): bursty per-host
+    arrival slots synthesized from orders (host = okey%10, slot =
+    (okey div 10)%100), politeness capacity 1+host%3 per slot; the
+    whole backlog trajectory from one prefix-sum + one prefix-min
+    window per host (the reflection identity), wait estimate via
+    Little's law."""
+    from licenta_crawler_spark.operators.politeness import (
+        fetch_queue_depth_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    arrivals = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 10).cast("string"))
+            .alias("host"),
+            (F.expr("o_orderkey div 10") % 100).alias("slot"),
+        )
+        .groupBy("host", "slot")
+        .agg(F.count("*").alias("n_arrivals"))
+    )
+    capacity = spark.createDataFrame(
+        [(f"h{i}", 1 + i % 3) for i in range(10)], "host string, cap long"
+    )
+    return fetch_queue_depth_audit(arrivals, capacity)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5316,6 +5344,7 @@ QUERIES = {
     "epoch_repetition_schedule": epoch_repetition_schedule,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "hypertable_rollup_cascade": hypertable_rollup_cascade,
+    "politeness_queue_backlog": politeness_queue_backlog,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11684,4 +11713,33 @@ ORACLE_SQL["hypertable_rollup_cascade"] = """
     UNION ALL
     SELECT 3600, (ep // 3600) * 3600, count(*), sum(c), min(c), max(c)
     FROM e GROUP BY 2
+"""
+
+
+ORACLE_SQL["politeness_queue_backlog"] = """
+    WITH arrivals AS (
+      SELECT 'h' || (o_orderkey % 10)::VARCHAR AS host,
+             ((o_orderkey // 10) % 100)::BIGINT AS slot,
+             count(*)::BIGINT AS a
+      FROM orders GROUP BY 1, 2
+    ),
+    cap AS (
+      SELECT 'h' || i::VARCHAR AS host, (1 + i % 3)::BIGINT AS cap
+      FROM (SELECT unnest(generate_series(0, 9)) AS i)
+    ),
+    j AS (SELECT a.host, a.slot, a.a, c.cap
+          FROM arrivals a JOIN cap c ON a.host = c.host),
+    pre AS (
+      SELECT *, sum(a - cap) OVER (PARTITION BY host ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM j
+    ),
+    refl AS (
+      SELECT *, min(least(s, 0)) OVER (PARTITION BY host ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM pre
+    )
+    SELECT host, slot, a AS n_arrivals, cap, (s - m)::BIGINT AS backlog,
+           ((s - m) // cap)::BIGINT AS wait_slots
+    FROM refl
 """

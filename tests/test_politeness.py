@@ -82,3 +82,41 @@ def test_advance_clocks_monotone(setup):
     for r in new_clocks.collect():
         assert r.clock_ms > last.get(r.host, -1)
         assert r.clock_ms >= old.get(r.host, 0)
+
+
+class TestLindleyBacklog:
+    """Closed-form Lindley recursion == sequential replay."""
+
+    def _run(self, spark, arr, cap):
+        from licenta_crawler_spark.operators.politeness import (
+            fetch_queue_depth_audit,
+        )
+
+        a = spark.createDataFrame(arr, "host string, slot long, n_arrivals long")
+        c = spark.createDataFrame(cap, "host string, cap long")
+        return {
+            (r.host, r.slot): (r.backlog, r.wait_slots)
+            for r in fetch_queue_depth_audit(a, c).collect()
+        }
+
+    def test_matches_sequential_recursion(self, spark):
+        arr = [
+            ("h", t, a)
+            for t, a in enumerate([5, 0, 0, 7, 1, 0, 0, 0, 9, 0, 0, 0, 0])
+        ]
+        got = self._run(spark, arr, [("h", 2)])
+        q = 0
+        for t, a in enumerate([5, 0, 0, 7, 1, 0, 0, 0, 9, 0, 0, 0, 0]):
+            q = max(0, q + a - 2)
+            assert got[("h", t)] == (q, q // 2), t
+
+    def test_drains_to_zero_and_stays(self, spark):
+        arr = [("h", 0, 6)] + [("h", t, 0) for t in range(1, 8)]
+        got = self._run(spark, arr, [("h", 1)])
+        assert [got[("h", t)][0] for t in range(8)] == [5, 4, 3, 2, 1, 0, 0, 0]
+
+    def test_hosts_isolated(self, spark):
+        arr = [("a", 0, 100), ("b", 0, 0), ("a", 1, 0), ("b", 1, 1)]
+        got = self._run(spark, arr, [("a", 1), ("b", 5)])
+        assert got[("a", 0)][0] == 99 and got[("a", 1)][0] == 98
+        assert got[("b", 0)][0] == 0 and got[("b", 1)][0] == 0
