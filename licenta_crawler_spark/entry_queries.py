@@ -5246,6 +5246,17 @@ def politeness_queue_backlog(spark, sf_dir):
     return fetch_queue_depth_audit(arrivals, capacity)
 
 
+def jackknife_corpus_stats(spark, sf_dir):
+    """Delete-a-group jackknife (`operators/sketch.jackknife_mean_stats`):
+    16 deterministic md5 groups, leave-one-out means of doc token
+    length as closed forms of group partials, jackknife variance on
+    the 16-row table — resampling-free error bars for corpus
+    dashboard statistics."""
+    from licenta_crawler_spark.operators.sketch import jackknife_mean_stats
+
+    return jackknife_mean_stats(_t(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5345,6 +5356,7 @@ QUERIES = {
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "hypertable_rollup_cascade": hypertable_rollup_cascade,
     "politeness_queue_backlog": politeness_queue_backlog,
+    "jackknife_corpus_stats": jackknife_corpus_stats,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11742,4 +11754,47 @@ ORACLE_SQL["politeness_queue_backlog"] = """
     SELECT host, slot, a AS n_arrivals, cap, (s - m)::BIGINT AS backlog,
            ((s - m) // cap)::BIGINT AS wait_slots
     FROM refl
+"""
+
+
+ORACLE_SQL["jackknife_corpus_stats"] = f"""
+    WITH per_doc AS (
+      SELECT ('0x' || substr(md5('jk:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 16 AS bucket,
+             len(list_filter({_NORM_TOKS_SQL}, t -> t <> ''))::BIGINT
+               AS n_tok
+      FROM documents
+    ),
+    grp AS (
+      SELECT bucket, count(*)::BIGINT AS n_docs_b,
+             sum(n_tok)::BIGINT AS n_tokens_b
+      FROM per_doc GROUP BY bucket
+    ),
+    tot AS (
+      SELECT sum(n_docs_b)::BIGINT AS n_docs,
+             sum(n_tokens_b)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS g
+      FROM grp
+    ),
+    loo AS (
+      SELECT bucket, n_docs_b, n_tokens_b, n_docs, g,
+             ((n_tokens - n_tokens_b) * 1000)
+               // nullif(n_docs - n_docs_b, 0) AS loo_mean_permille,
+             (n_tokens * 1000) // n_docs AS mean_permille
+      FROM grp CROSS JOIN tot
+    ),
+    bar AS (
+      SELECT sum(loo_mean_permille) // count(*) AS mean_bar FROM loo
+    ),
+    var_ AS (
+      SELECT ((max(g) - 1) * sum((loo_mean_permille - mean_bar)
+                                 * (loo_mean_permille - mean_bar)))
+               // max(g) AS jack_var_fp
+      FROM loo CROSS JOIN bar
+    )
+    SELECT bucket, n_docs_b, n_tokens_b,
+           loo_mean_permille::BIGINT AS loo_mean_permille, n_docs,
+           mean_permille::BIGINT AS mean_permille,
+           jack_var_fp::BIGINT AS jack_var_fp
+    FROM loo CROSS JOIN var_
 """

@@ -594,3 +594,90 @@ def capture_recapture_estimate(
         "err_permille",
         F.expr("(abs(n_est - n_true) * 1000) div n_true"),
     )
+
+
+def jackknife_mean_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Delete-a-group jackknife error bars for a corpus statistic (mean
+    doc token length) — how a 100-TB pipeline gets a variance estimate
+    for its dashboard numbers WITHOUT resampling the corpus: docs hash
+    deterministically into ``n_buckets`` groups (md5, oracle-replayable,
+    no RNG), each group's leave-one-out mean is a closed form of the
+    per-group partial sums, and the jackknife variance
+    (g-1)/g * Σ(mean_i - mean_bar)² falls out of the g-row table. One
+    corpus scan → g partial rows → driver-free arithmetic on g rows.
+
+    All fixed point: means in permille (floor), the variance of those
+    permille values exact int64 with the (g-1)/g factor applied as
+    integer division last — a deterministic spec both engines share.
+
+    Returns one row per group: (bucket, n_docs_b, n_tokens_b,
+    loo_mean_permille) plus the corpus-level (n_docs, mean_permille,
+    jack_var_fp) repeated on every row (the capture-recapture
+    self-audit shape).
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    per_doc = docs.select(
+        (
+            md5_hash60_col(
+                F.concat(F.lit("jk:"), F.col(id_col).cast("string"))
+            )
+            % n_buckets
+        ).alias("bucket"),
+        F.size(
+            F.filter(
+                F.split(normalized_text_col(F.col(text_col)), " "),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    grp = per_doc.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs_b"),
+        F.sum("n_tok").cast("long").alias("n_tokens_b"),
+    )
+    tot = grp.agg(
+        F.sum("n_docs_b").alias("n_docs"),
+        F.sum("n_tokens_b").alias("n_tokens"),
+        F.count("*").alias("g"),
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs_b",
+        "n_tokens_b",
+        "n_docs",
+        "g",
+        F.expr(
+            "((n_tokens - n_tokens_b) * 1000)"
+            " div nullif(n_docs - n_docs_b, 0)"
+        ).alias("loo_mean_permille"),
+        F.expr("(n_tokens * 1000) div n_docs").alias("mean_permille"),
+    )
+    bar = loo.agg(
+        F.expr("sum(loo_mean_permille) div count(*)").alias("mean_bar")
+    )
+    var = (
+        loo.crossJoin(F.broadcast(bar))
+        .agg(
+            F.expr(
+                "sum((loo_mean_permille - mean_bar)"
+                " * (loo_mean_permille - mean_bar))"
+            ).alias("ss"),
+            F.first("g").alias("g"),
+        )
+        .select(F.expr("((g - 1) * ss) div g").alias("jack_var_fp"))
+    )
+    return loo.crossJoin(F.broadcast(var)).select(
+        "bucket",
+        "n_docs_b",
+        "n_tokens_b",
+        "loo_mean_permille",
+        "n_docs",
+        "mean_permille",
+        "jack_var_fp",
+    )

@@ -1101,3 +1101,53 @@ class TestCaptureRecapture:
         if ov == 0:
             assert est is None and err is None
         assert true == 3
+
+
+class TestJackknife:
+    """Delete-a-group jackknife: python replay + variance sanity."""
+
+    def test_python_replay(self, spark):
+        import hashlib
+
+        from licenta_crawler_spark.operators.sketch import (
+            jackknife_mean_stats,
+        )
+
+        rows = [(i, " ".join("w" for _ in range(5 + (i * 7) % 40)))
+                for i in range(200)]
+        got = {
+            r.bucket: r
+            for r in jackknife_mean_stats(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        grp = {}
+        for i, t in rows:
+            b = int(hashlib.md5(f"jk:{i}".encode()).hexdigest()[:15], 16) % 16
+            n, s = grp.get(b, (0, 0))
+            grp[b] = (n + 1, s + len(t.split()))
+        N = sum(n for n, _ in grp.values())
+        T = sum(s for _, s in grp.values())
+        g = len(grp)
+        loo = {b: ((T - s) * 1000) // (N - n) for b, (n, s) in grp.items()}
+        bar = sum(loo.values()) // g
+        var = ((g - 1) * sum((v - bar) ** 2 for v in loo.values())) // g
+        assert set(got) == set(grp)
+        for b, (n, s) in grp.items():
+            r = got[b]
+            assert (r.n_docs_b, r.n_tokens_b, r.loo_mean_permille,
+                    r.n_docs, r.mean_permille, r.jack_var_fp) == (
+                n, s, loo[b], N, (T * 1000) // N, var), b
+
+    def test_uniform_corpus_has_tiny_variance(self, spark):
+        from licenta_crawler_spark.operators.sketch import (
+            jackknife_mean_stats,
+        )
+
+        rows = [(i, "a b c d e") for i in range(160)]
+        out = jackknife_mean_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+        # identical docs: every leave-one-out mean is exactly the mean
+        assert all(r.loo_mean_permille == 5000 for r in out)
+        assert out[0].jack_var_fp == 0
