@@ -5257,6 +5257,70 @@ def jackknife_corpus_stats(spark, sf_dir):
     return jackknife_mean_stats(_t(spark, sf_dir, "documents"))
 
 
+def split_leakage_audit(spark, sf_dir):
+    """Train/val/test leakage across near-duplicate clusters — the
+    dedup-aware-split requirement (a near-dup of a training doc sitting
+    in test inflates eval): verified MinHash-LSH pairs are censused per
+    (split, split) cell under (a) the NAIVE per-document 8/1/1 hash
+    split, which leaks whenever a cluster straddles the hash boundary,
+    and (b) the CLUSTER-CONSISTENT split keyed on the connected
+    component's canonical doc — provably diagonal-only, since both ends
+    of every pair share a component by construction. Same pair pipeline
+    and CC as `dedup_keep_list`; the oracle nests that replay and both
+    split CASEs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_dedup(
+        d, n_hashes=16, n_bands=4, threshold=0.5, hash_fn="md5",
+        band_key="concat",
+    ).select("doc_a", "doc_b")
+    comp = dedup_components(pairs)
+    from licenta_crawler_spark.operators.dedup import md5_hash60_col
+
+    def split_of(c):
+        h = md5_hash60_col(F.concat(F.lit("split:"), c)) % 10
+        return (
+            F.when(h < 8, F.lit("train"))
+            .when(h == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    def census(sa, sb, scheme):
+        lo, hi = F.least(sa, sb), F.greatest(sa, sb)
+        return (
+            pairs.select(lo.alias("split_a"), hi.alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs"))
+            .select(F.lit(scheme).alias("scheme"), "*")
+        )
+
+    naive = census(
+        split_of(F.col("doc_a")), split_of(F.col("doc_b")), "naive"
+    )
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b")
+    )
+    pairs_c = pairs.join(ca, "doc_a").join(cb, "doc_b")
+    clustered = (
+        pairs_c.select(
+            F.least(
+                split_of(F.col("comp_a")), split_of(F.col("comp_b"))
+            ).alias("split_a"),
+            F.greatest(
+                split_of(F.col("comp_a")), split_of(F.col("comp_b"))
+            ).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.lit("cluster").alias("scheme"), "*")
+    )
+    return naive.unionByName(clustered)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5357,6 +5421,7 @@ QUERIES = {
     "hypertable_rollup_cascade": hypertable_rollup_cascade,
     "politeness_queue_backlog": politeness_queue_backlog,
     "jackknife_corpus_stats": jackknife_corpus_stats,
+    "split_leakage_audit": split_leakage_audit,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11798,3 +11863,58 @@ ORACLE_SQL["jackknife_corpus_stats"] = f"""
            jack_var_fp::BIGINT AS jack_var_fp
     FROM loo CROSS JOIN var_
 """
+
+
+def _split_leakage_sql() -> str:
+    split = (
+        "CASE WHEN ('0x' || substr(md5('split:' || {d}), 1, 15))::BIGINT"
+        " % 10 < 8 THEN 'train'"
+        " WHEN ('0x' || substr(md5('split:' || {d}), 1, 15))::BIGINT"
+        " % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+    sa, sb = split.format(d="doc_a"), split.format(d="doc_b")
+    ca, cb = split.format(d="comp_a"), split.format(d="comp_b")
+    return f"""
+        WITH RECURSIVE pairs AS (
+          {_minhash_pairs_sql()}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS component
+          FROM reach GROUP BY a
+        ),
+        naive AS (
+          SELECT 'naive' AS scheme,
+                 least({sa}, {sb}) AS split_a,
+                 greatest({sa}, {sb}) AS split_b,
+                 count(*)::BIGINT AS n_pairs
+          FROM pairs GROUP BY 2, 3
+        ),
+        pc AS (
+          SELECT p.doc_a, p.doc_b, x.component AS comp_a,
+                 y.component AS comp_b
+          FROM pairs p
+          JOIN comp x ON p.doc_a = x.doc_id
+          JOIN comp y ON p.doc_b = y.doc_id
+        ),
+        clustered AS (
+          SELECT 'cluster' AS scheme,
+                 least({ca}, {cb}) AS split_a,
+                 greatest({ca}, {cb}) AS split_b,
+                 count(*)::BIGINT AS n_pairs
+          FROM pc GROUP BY 2, 3
+        )
+        SELECT * FROM naive UNION ALL SELECT * FROM clustered
+    """
+
+
+_LAZY_ORACLES["split_leakage_audit"] = _split_leakage_sql

@@ -1387,3 +1387,45 @@ class TestChampionListAudit:
             row["n_matched"], row["n_candidates"], row["overlap_at_k"],
             row["exact_preserved"],
         ) == rep
+
+
+class TestSplitLeakage:
+    """Dedup-aware splits: cluster-consistent assignment is diagonal."""
+
+    def test_cluster_scheme_never_leaks(self, spark, tmp_path):
+        import shutil
+
+        from licenta_crawler_spark.entry_queries import split_leakage_audit
+
+        sf = str(tmp_path / "sf")
+        (tmp_path / "sf").mkdir()
+        # corpus with planted near-dup clusters: doc 3k+1 and 3k+2 are
+        # copies of 3k (one token changed) -> clusters of 3
+        base = [
+            " ".join(f"w{(k * 11 + j) % 50}" for j in range(30))
+            for k in range(30)
+        ]
+        rows = []
+        for k, t in enumerate(base):
+            rows.append((3 * k, t))
+            rows.append((3 * k + 1, t.replace("w0", "zz") if "w0" in t else t + " zz"))
+            rows.append((3 * k + 2, t + " tail"))
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{sf}/documents.parquet"
+        )
+        out = split_leakage_audit(spark, sf).collect()
+        by_scheme = {}
+        for r in out:
+            by_scheme.setdefault(r.scheme, []).append(r)
+        # pair mass identical under both schemes (same pair set)
+        assert sum(r.n_pairs for r in by_scheme["naive"]) == sum(
+            r.n_pairs for r in by_scheme["cluster"]
+        ) > 0
+        # cluster-consistent: every pair lands inside one split
+        assert all(r.split_a == r.split_b for r in by_scheme["cluster"])
+        # with 30 clusters x 3 docs under a 8/1/1 hash split, at least
+        # one naive cluster straddles a boundary (holds for this fixed
+        # md5 fixture; a fully diagonal naive census would make the
+        # audit vacuous)
+        assert any(r.split_a != r.split_b for r in by_scheme["naive"])
+        shutil.rmtree(sf, ignore_errors=True)
