@@ -5321,6 +5321,25 @@ def split_leakage_audit(spark, sf_dir):
     return naive.unionByName(clustered)
 
 
+def lm_dirichlet_search(spark, sf_dir):
+    """Query-likelihood ranking with Dirichlet smoothing
+    (`operators/retrieval.lm_dirichlet_retrieval`, Zhai & Lafferty
+    2001): two queries, top-10 by total floor-log2 surprisal under
+    p(t|d) = (tf + mu*ctf/T)/(dl + mu), mu = 2000 — unmatched query
+    terms still charge their smoothed background mass, so the grid is
+    candidates x query terms."""
+    from licenta_crawler_spark.operators.retrieval import (
+        lm_dirichlet_retrieval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [("l1", "table"), ("l1", "scan"), ("l2", "join"), ("l2", "stream")],
+        "query_id string, term string",
+    )
+    return lm_dirichlet_retrieval(d, q, k=10)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5422,6 +5441,7 @@ QUERIES = {
     "politeness_queue_backlog": politeness_queue_backlog,
     "jackknife_corpus_stats": jackknife_corpus_stats,
     "split_leakage_audit": split_leakage_audit,
+    "lm_dirichlet_search": lm_dirichlet_search,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11918,3 +11938,61 @@ def _split_leakage_sql() -> str:
 
 
 _LAZY_ORACLES["split_leakage_audit"] = _split_leakage_sql
+
+
+ORACLE_SQL["lm_dirichlet_search"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('l1','table'), ('l1','scan'), ('l2','join'),
+                            ('l2','stream'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base
+            WHERE len(toks) > 0),
+    words AS (
+      SELECT b.doc_id, u.term
+      FROM base b JOIN dls d USING (doc_id),
+           LATERAL unnest(b.toks) AS u(term)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM words WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    ctf AS (
+      SELECT term, count(*)::BIGINT AS ctf FROM words
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY term
+    ),
+    tot AS (SELECT sum(dl)::BIGINT AS t_total FROM dls),
+    cand AS (
+      SELECT DISTINCT q.query_id, tf.doc_id
+      FROM tf JOIN q USING (term)
+    ),
+    grid AS (
+      SELECT c.query_id, c.doc_id,
+             (length(bin(((d.dl + 2000) * t_total)
+                 // (coalesce(tf.tf, 0) * t_total + 2000 * ctf.ctf)))
+              - 1)::BIGINT AS bits
+      FROM cand c
+      JOIN q ON c.query_id = q.query_id
+      LEFT JOIN tf ON c.doc_id = tf.doc_id AND q.term = tf.term
+      JOIN ctf ON q.term = ctf.term
+      JOIN dls d ON c.doc_id = d.doc_id
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT query_id, doc_id, sum(bits)::BIGINT AS bits_total
+      FROM grid GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, bits_total, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY bits_total ASC, doc_id ASC
+      )::BIGINT AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""

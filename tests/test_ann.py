@@ -450,3 +450,59 @@ class TestRetrievalEval:
         got = self._run(spark, run, qrels, k=1)
         assert got["a"] == (1, 1, 0, 0, 0, 0, 0)
         assert got["b"] == (0, 1, 0, 0, None, 0, None)
+
+
+class TestLmDirichlet:
+    """Dirichlet query-likelihood: python replay + smoothing semantics."""
+
+    def _run(self, spark, docs, queries, k=10, mu=2000):
+        from licenta_crawler_spark.operators.retrieval import (
+            lm_dirichlet_retrieval,
+        )
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(queries, "query_id string, term string")
+        return {
+            (r.query_id, r.doc_id): (r.bits_total, r.rk)
+            for r in lm_dirichlet_retrieval(d, q, k=k, mu=mu).collect()
+        }
+
+    def test_python_replay(self, spark):
+        docs = [
+            (i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(4 + i % 7)))
+            for i in range(30)
+        ]
+        queries = [("a", "w0"), ("a", "w4"), ("b", "w8")]
+        got = self._run(spark, docs, queries, mu=50)
+
+        corpus = {i: t.split() for i, t in docs}
+        T = sum(len(v) for v in corpus.values())
+        ctf = {
+            t: sum(v.count(t) for v in corpus.values())
+            for t in ("w0", "w4", "w8")
+        }
+        exp = {}
+        for qid, terms in (("a", ["w0", "w4"]), ("b", ["w8"])):
+            scored = []
+            for i, v in corpus.items():
+                if not any(t in v for t in terms):
+                    continue
+                bits = 0
+                for t in terms:
+                    num = v.count(t) * T + 50 * ctf[t]
+                    den = (len(v) + 50) * T
+                    bits += (den // num).bit_length() - 1
+                scored.append((bits, i))
+            for rk, (bits, i) in enumerate(sorted(scored)[:10], 1):
+                exp[(qid, i)] = (bits, rk)
+        assert got == exp
+
+    def test_matched_beats_unmatched_at_equal_length(self, spark):
+        # same dl: a doc containing the query term must outrank one
+        # without it (its smoothed background prob is strictly smaller)
+        docs = [(1, "apple pear plum fig"), (2, "kiwi melon grape lime")]
+        got = self._run(spark, docs, [("q", "apple"), ("q", "kiwi")])
+        # both docs are candidates (each matches one term) and tie by
+        # symmetry -> tiebreak on doc_id
+        assert got[("q", 1)][0] == got[("q", 2)][0]
+        assert got[("q", 1)][1] == 1
