@@ -74,6 +74,14 @@ SHOW = [
     "soft404_detect",             # inverted-index (host,shingle) join, no all-pairs
     "robots_group_select",        # line explode + host-keyed windows, host-dim joins
     "wand_pruning_stats",         # UB/theta dims broadcast onto the checkpointed contribs
+    "caption_pair_mining",        # synthesis + pairing in-row, two doc windows, one caption shuffle
+    "ngram_novelty_ledger",       # gram agg + join back, no windows
+    "webgraph_compression_census",  # block-partitioned windows + one (blk,rk-1,dst) self-join
+    "bigram_lm_heldout_scores",   # three count-table equi-joins, no windows
+    "justext_content_blocks",     # in-row density ladder + two doc windows
+    "span_pii_redaction",         # map-only transform/fold: regex chain rides codegen
+    "politeness_queue_backlog",   # two windows per host (Lindley reflection)
+    "lm_dirichlet_search",        # candidates x terms grid, broadcast dims
     # (opic_crawl_priority and trustrank_spam_mass are excluded like the
     # other fixed-point queries: the final plan is a localCheckpoint
     # scan / join of two localCheckpoint scans, so there is nothing to
@@ -118,6 +126,14 @@ CHECKS = {
     "robots_rfc9309": ["BroadcastExchange", "Window"],
     "recrawl_budget_allocation": ["Window", "HashAggregate"],
     "conditional_fetch_ledger": ["Window", "HashAggregate"],
+    "caption_pair_mining": ["Window", "Generate"],
+    "ngram_novelty_ledger": ["Generate", "HashAggregate"],
+    "webgraph_compression_census": ["Window", "HashAggregate"],
+    "bigram_lm_heldout_scores": ["Generate", "HashAggregate"],
+    "justext_content_blocks": ["Window", "Generate"],
+    "span_pii_redaction": ["Generate", "Project"],
+    "politeness_queue_backlog": ["Window"],
+    "lm_dirichlet_search": ["BroadcastExchange", "Window"],
     "stream_crawl_wave_replay": ["Window"],
     "adaptive_shard_budget": ["Window", "BroadcastExchange"],
     "reval_change_rate": ["Window", "HashAggregate"],
