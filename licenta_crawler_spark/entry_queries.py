@@ -5340,6 +5340,33 @@ def lm_dirichlet_search(spark, sf_dir):
     return lm_dirichlet_retrieval(d, q, k=10)
 
 
+def densest_subgraph_rounds(spark, sf_dir):
+    """Bahmani-Kumar-Vassilvitskii batch-peel densest subgraph
+    (`operators/graph.densest_subgraph_peel`, VLDB'12): the
+    (2+2ε)-approx greedy over the part co-purchase graph (same edge
+    base as the k-truss query) — per-round ledger of nodes / edges /
+    permille density / removals, best-density round flagged. Removal
+    test is division-free int64, so the trajectory replays exactly."""
+    from licenta_crawler_spark.operators.graph import densest_subgraph_peel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return densest_subgraph_peel(edges)
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5442,6 +5469,7 @@ QUERIES = {
     "jackknife_corpus_stats": jackknife_corpus_stats,
     "split_leakage_audit": split_leakage_audit,
     "lm_dirichlet_search": lm_dirichlet_search,
+    "densest_subgraph_rounds": densest_subgraph_rounds,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -11996,3 +12024,59 @@ ORACLE_SQL["lm_dirichlet_search"] = f"""
       FROM scored
     ) WHERE rk <= 10
 """
+
+
+def _densest_subgraph_sql(rounds: int = 10, eps_permille: int = 100) -> str:
+    ctes = [
+        """base AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 4000
+    ),
+    und AS (
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS s,
+             greatest(x.l_partkey, y.l_partkey) AS d
+      FROM base x JOIN base y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ),
+    e0 AS MATERIALIZED (SELECT s, d FROM und UNION ALL SELECT d, s FROM und)"""
+    ]
+    rows = []
+    c = 2 * (1000 + eps_permille)
+    for r in range(rounds):
+        ctes.append(
+            f"""deg{r} AS MATERIALIZED (SELECT s, count(*)::BIGINT AS deg
+                 FROM e{r} GROUP BY s),
+    st{r} AS MATERIALIZED (SELECT count(*)::BIGINT AS n,
+                     coalesce(sum(deg), 0)::BIGINT AS te FROM deg{r}),
+    keep{r} AS MATERIALIZED (SELECT s FROM deg{r} CROSS JOIN st{r}
+                WHERE deg * n * 1000 > {c} * (te // 2)),
+    row{r} AS (
+      SELECT {r}::BIGINT AS round, n AS n_nodes, (te // 2) AS n_edges,
+             ((te // 2) * 1000 // n)::BIGINT AS density_permille,
+             (n - (SELECT count(*) FROM keep{r}))::BIGINT AS n_removed
+      FROM st{r} WHERE n > 0
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.s, e.d FROM e{r} e
+      JOIN keep{r} a ON e.s = a.s
+      JOIN keep{r} b ON e.d = b.s
+    )"""
+        )
+        rows.append(f"SELECT * FROM row{r}")
+    union = "\n      UNION ALL ".join(rows)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    u AS (
+      {union}
+    )
+    SELECT round, n_nodes, n_edges, density_permille, n_removed,
+           (round = (SELECT min(round) FROM u
+                     WHERE density_permille =
+                           (SELECT max(density_permille) FROM u)))
+             AS is_best
+    FROM u
+"""
+
+
+_LAZY_ORACLES["densest_subgraph_rounds"] = _densest_subgraph_sql

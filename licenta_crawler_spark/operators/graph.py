@@ -1234,3 +1234,100 @@ def webgraph_ref_compression_census(
             " div sum(plain_bits)"
         ).alias("saved_permille"),
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    eps_permille: int = 100,
+    max_rounds: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Greedy (2+2ε)-approximate densest subgraph by BATCH peeling —
+    Bahmani, Kumar & Vassilvitskii, "Densest Subgraph in Streaming and
+    MapReduce" (VLDB'12; public literature), the distributed form of
+    Charikar's greedy: each round removes EVERY node whose degree is at
+    most 2(1+ε) times the current density ρ = |E|/|S| (at least the
+    min-degree node always qualifies, so the peel never stalls), and
+    the best-density round witnessed along the way is the answer. Batch
+    removal is what makes it MapReduce-shaped: O(log_{1+ε} n) rounds
+    instead of Charikar's n sequential removals. Link-farm / tight-
+    community detector complementing k-core (fixed threshold) and
+    k-truss (triangle support): density optimizes edges-per-node
+    directly.
+
+    Integer-exact: ρ in permille (|E|*1000 div |S|); the removal test
+    compares deg * |S| * 1000 ≤ 2 * (1000 + eps_permille) * |E| in
+    int64 — no division, no float, so the round trajectory replays
+    bit-for-bit in SQL. |E| counts undirected edges.
+
+    Per round: one degree aggregation + two semi-joins, state parquet-
+    truncated (the k-core discipline). Two bounded 1-row collects per
+    round (|S|, |E|) steer the loop — control-plane scalars, the same
+    class as the BPE round winner.
+
+    Returns the round ledger: (round, n_nodes, n_edges,
+    density_permille, n_removed, is_best) — is_best marks the
+    FIRST round achieving the maximum density (the approximation's
+    witness subgraph).
+    """
+    truncate, cleanup = _scratch_truncate(edges.sparkSession)
+    try:
+        und = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .select(
+                F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+            )
+            .distinct()
+        )
+        sym = truncate(
+            und.unionByName(
+                und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            ),
+            "ds-init",
+        )
+        ledger = []
+        for r in range(max_rounds):
+            deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+            row = deg.agg(
+                F.count("*").alias("n"), F.sum("deg").alias("twice_e")
+            ).collect()[0]
+            n_nodes = row["n"] or 0
+            if n_nodes == 0:
+                break
+            n_edges = (row["twice_e"] or 0) // 2
+            density = n_edges * 1000 // n_nodes
+            # remove v iff deg(v) * n * 1000 <= 2*(1000+eps) * |E|
+            keep = deg.filter(
+                F.col("deg") * n_nodes * 1000
+                > 2 * (1000 + eps_permille) * n_edges
+            ).select("s")
+            nxt = truncate(
+                sym.join(keep, "s", "left_semi").join(
+                    keep.select(F.col("s").alias("d")), "d", "left_semi"
+                ),
+                f"ds-{r:03d}",
+            )
+            survivors = keep.count()
+            ledger.append((r, n_nodes, n_edges, density, n_nodes - survivors))
+            sym = nxt
+            if survivors == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"densest-subgraph peel did not empty in {max_rounds} rounds"
+            )
+        best = max((d for (_, _, _, d, _) in ledger), default=0)
+        marked, seen_best = [], False
+        for (r, n, e, d, rem) in ledger:
+            is_best = (d == best) and not seen_best
+            seen_best = seen_best or is_best
+            marked.append((r, n, e, d, rem, is_best))
+        return edges.sparkSession.createDataFrame(
+            marked,
+            "round long, n_nodes long, n_edges long, density_permille long,"
+            " n_removed long, is_best boolean",
+        )
+    finally:
+        cleanup()

@@ -1151,3 +1151,74 @@ class TestJackknife:
         # identical docs: every leave-one-out mean is exactly the mean
         assert all(r.loo_mean_permille == 5000 for r in out)
         assert out[0].jack_var_fp == 0
+
+
+class TestDensestSubgraph:
+    """Bahmani et al. batch peel: replay + planted-clique detection."""
+
+    def _run(self, spark, edges, eps=100):
+        from licenta_crawler_spark.operators.graph import (
+            densest_subgraph_peel,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return sorted(
+            (r.round, r.n_nodes, r.n_edges, r.density_permille,
+             r.n_removed, r.is_best)
+            for r in densest_subgraph_peel(df, eps_permille=eps).collect()
+        )
+
+    @staticmethod
+    def _replay(edges, eps=100):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        out, r = [], 0
+        while adj:
+            n = len(adj)
+            e = sum(len(v) for v in adj.values()) // 2
+            dens = e * 1000 // n
+            drop = [v for v, nb in adj.items()
+                    if len(nb) * n * 1000 <= 2 * (1000 + eps) * e]
+            out.append([r, n, e, dens, len(drop)])
+            for v in drop:
+                for u in adj.pop(v):
+                    if u in adj:
+                        adj[u].discard(v)
+            # prune isolated survivors? no: zero-degree nodes vanish from
+            # the edge-derived degree table, same as the operator
+            for v in [v for v, nb in adj.items() if not nb]:
+                adj.pop(v)
+            r += 1
+        best = max(x[3] for x in out)
+        seen = False
+        res = []
+        for x in out:
+            ib = x[3] == best and not seen
+            seen = seen or ib
+            res.append(tuple(x + [ib]))
+        return sorted(res)
+
+    def test_python_replay(self, spark):
+        edges = [(i, (i * 7 + 3) % 40) for i in range(120)] + [
+            (i, (i + 1) % 15) for i in range(15)
+        ]
+        assert self._run(spark, edges) == self._replay(edges)
+
+    def test_planted_clique_is_best_round(self, spark):
+        # sparse ring of 60 nodes + a 10-clique on nodes 100..109: the
+        # peel must end on (or pass through) the clique as best density
+        ring = [(i, (i + 1) % 60) for i in range(60)]
+        clique = [
+            (100 + i, 100 + j) for i in range(10) for j in range(i + 1, 10)
+        ]
+        got = self._run(spark, ring + clique)
+        assert got == self._replay(ring + clique)
+        best = [x for x in got if x[5]]
+        assert len(best) == 1
+        # the best round's density equals the clique's 45/10 = 4.5
+        assert best[0][3] == 4500
