@@ -5367,6 +5367,60 @@ def densest_subgraph_rounds(spark, sf_dir):
     return densest_subgraph_peel(edges)
 
 
+def bm25f_anchor_search(spark, sf_dir):
+    """Anchor-text-as-field retrieval: the web's strongest off-page
+    relevance signal (in-link anchor text) joined onto each doc as a
+    weight-4 BM25F field next to the weight-1 body — the composition
+    search engines actually ship (Robertson CIKM'04 names anchors as
+    the motivating field). Anchors synthesize from the event link
+    layer (target = user_id % 200); docs without in-links carry an
+    empty anchor field and score on body alone."""
+    from licenta_crawler_spark.functions.text import normalized_text_col
+    from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    atoks = F.filter(
+        F.split(
+            normalized_text_col(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" w"),
+                    (F.col("event_id") % 7).cast("string"),
+                )
+            ),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    anchors = (
+        ev.select((F.col("user_id") % 200).alias("target"), atoks.alias("a"))
+        .groupBy("target")
+        .agg(F.flatten(F.collect_list("a")).alias("anchor_toks"))
+    )
+    toks = F.filter(
+        F.split(normalized_text_col(F.col("text")), " "), lambda t: t != ""
+    )
+    fielded = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("body_toks"))
+        .join(anchors, F.col("doc_id") == F.col("target"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("anchor_toks", F.array().cast("array<string>")).alias(
+                "anchor_toks"
+            ),
+            "body_toks",
+        )
+    )
+    q = spark.createDataFrame(
+        [("a1", "purchase"), ("a1", "table"), ("a2", "w3"), ("a2", "scan")],
+        "query_id string, term string",
+    )
+    return bm25f_retrieval(
+        fielded, q, fields=[("anchor_toks", 4), ("body_toks", 1)], k=10
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5470,6 +5524,7 @@ QUERIES = {
     "split_leakage_audit": split_leakage_audit,
     "lm_dirichlet_search": lm_dirichlet_search,
     "densest_subgraph_rounds": densest_subgraph_rounds,
+    "bm25f_anchor_search": bm25f_anchor_search,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -12080,3 +12135,73 @@ def _densest_subgraph_sql(rounds: int = 10, eps_permille: int = 100) -> str:
 
 
 _LAZY_ORACLES["densest_subgraph_rounds"] = _densest_subgraph_sql
+
+
+ORACLE_SQL["bm25f_anchor_search"] = f"""
+    WITH q AS (
+      SELECT * FROM (VALUES ('a1','purchase'), ('a1','table'), ('a2','w3'),
+                            ('a2','scan'))
+        AS t(query_id, term)
+    ),
+    base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter({_NORM_TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ),
+    links AS (
+      SELECT (user_id % 200)::BIGINT AS target,
+             list_filter(string_split(trim(regexp_replace(lower(
+               event_type || ' w' || (event_id % 7)::VARCHAR),
+               '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS a
+      FROM events
+    ),
+    anchors AS (
+      SELECT target, flatten(list(a)) AS anchor_toks
+      FROM links GROUP BY target
+    ),
+    packed AS (
+      SELECT doc_id, field_id, w, ftoks, len(ftoks)::BIGINT AS dl FROM (
+        SELECT b.doc_id, 0 AS field_id, 4 AS w,
+               coalesce(an.anchor_toks, []) AS ftoks
+        FROM base b LEFT JOIN anchors an ON b.doc_id = an.target
+        UNION ALL
+        SELECT doc_id, 1 AS field_id, 1 AS w, toks AS ftoks FROM base
+      )
+    ),
+    fs AS (
+      SELECT field_id, sum(dl)::BIGINT AS t_field, count(*)::BIGINT AS n_docs
+      FROM packed GROUP BY field_id
+    ),
+    hits AS (
+      SELECT p.doc_id, p.field_id, p.w, p.dl, u.term
+      FROM packed p, LATERAL unnest(p.ftoks) AS u(term)
+      WHERE u.term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (
+      SELECT doc_id, field_id, w, dl, term, count(*)::BIGINT AS tf
+      FROM hits GROUP BY doc_id, field_id, w, dl, term
+    ),
+    tfw AS (
+      SELECT t.doc_id, t.term, max(f.n_docs) AS n_docs,
+             sum(t.w * ((4000000 * t.tf) //
+                        (1000 + (3000 * t.dl * f.n_docs) // f.t_field))
+             )::BIGINT AS tfw_fp
+      FROM tf t JOIN fs f USING (field_id)
+      GROUP BY t.doc_id, t.term
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfw GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tfw.doc_id,
+             sum((((n_docs * 1000000) // df)
+                  * ((1000 * tfw_fp) // (1200 + tfw_fp))) // 1000
+             )::BIGINT AS score_fp
+      FROM tfw JOIN dfs USING (term) JOIN q USING (term)
+      GROUP BY q.query_id, tfw.doc_id
+    )
+    SELECT query_id, doc_id, score_fp, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC
+      )::BIGINT AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""

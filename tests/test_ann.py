@@ -506,3 +506,29 @@ class TestLmDirichlet:
         # symmetry -> tiebreak on doc_id
         assert got[("q", 1)][0] == got[("q", 2)][0]
         assert got[("q", 1)][1] == 1
+
+
+def test_bm25f_anchor_field_lifts_linked_doc(spark):
+    """A doc whose in-link anchors carry the query term outranks an
+    identical-body doc without anchors; docs without in-links still
+    score on body alone."""
+    from licenta_crawler_spark.operators.retrieval import bm25f_retrieval
+
+    body = "alpha beta gamma delta".split()
+    fielded = spark.createDataFrame(
+        [
+            (1, ["cheap", "books", "cheap"], body),
+            (2, [], body),
+            (3, [], ["cheap"] + body),
+        ],
+        "doc_id long, anchor_toks array<string>, body_toks array<string>",
+    )
+    q = spark.createDataFrame(
+        [("q", "cheap")], "query_id string, term string"
+    )
+    rows = {r.doc_id: r.rk for r in bm25f_retrieval(
+        fielded, q, fields=[("anchor_toks", 4), ("body_toks", 1)], k=10
+    ).collect()}
+    # doc 1 (anchor hits, weight 4) ranks above doc 3 (one body hit);
+    # doc 2 never matches
+    assert rows[1] == 1 and rows[3] == 2 and 2 not in rows
