@@ -5421,6 +5421,16 @@ def bm25f_anchor_search(spark, sf_dir):
     )
 
 
+def query_autocomplete_index(spark, sf_dir):
+    """Typeahead prefix index (`operators/retrieval.autocomplete_index`):
+    top-3 completions by collection frequency for every 2..6-char term
+    prefix — one vocabulary scan, prefix explode and top-k window over
+    vocab-sized rows only."""
+    from licenta_crawler_spark.operators.retrieval import autocomplete_index
+
+    return autocomplete_index(_t(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5525,6 +5535,7 @@ QUERIES = {
     "lm_dirichlet_search": lm_dirichlet_search,
     "densest_subgraph_rounds": densest_subgraph_rounds,
     "bm25f_anchor_search": bm25f_anchor_search,
+    "query_autocomplete_index": query_autocomplete_index,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -12204,4 +12215,28 @@ ORACLE_SQL["bm25f_anchor_search"] = f"""
       )::BIGINT AS rk
       FROM scored
     ) WHERE rk <= 10
+"""
+
+
+ORACLE_SQL["query_autocomplete_index"] = f"""
+    WITH vocab AS (
+      SELECT term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(list_filter({_NORM_TOKS_SQL}, t -> t <> ''))
+              AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    pref AS (
+      SELECT term, cnt,
+             unnest(list_transform(
+               generate_series(2, least(length(term), 6)),
+               i -> substr(term, 1, i))) AS prefix
+      FROM vocab WHERE length(term) >= 2
+    )
+    SELECT prefix, term, cnt, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY prefix ORDER BY cnt DESC, term ASC
+      )::BIGINT AS rk
+      FROM pref
+    ) WHERE rk <= 3
 """

@@ -1292,3 +1292,59 @@ def lm_dirichlet_retrieval(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def autocomplete_index(
+    documents: DataFrame,
+    *,
+    k: int = 3,
+    min_prefix: int = 2,
+    max_prefix: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-autocomplete prefix index: for every term prefix of length
+    ``min_prefix..max_prefix``, the top-``k`` corpus completions by
+    collection frequency — the typeahead serving artifact built off the
+    same vocabulary scan the retrieval stack already pays for.
+
+    Scale: ONE corpus scan collapses to the vocabulary (map-side
+    combinable term counts); prefix explosion and the per-prefix top-k
+    window run over VOCAB-sized rows only (× ≤ max_prefix-min_prefix+1
+    prefixes per term), never corpus rows. Ordering is the total
+    (cnt desc, term asc), so the index is deterministic and
+    engine-exact.
+
+    Returns (prefix, term, cnt, rk), rk in 1..k.
+    """
+    from licenta_crawler_spark.functions.text import normalized_text_col
+
+    vocab = (
+        documents.select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text_col(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pref = vocab.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.expr(
+                f"transform(sequence({min_prefix},"
+                f" least(length(term), {max_prefix})),"
+                " i -> substring(term, 1, i))"
+            )
+        ).alias("prefix"),
+    ).where(F.length("term") >= min_prefix)
+    w = Window.partitionBy("prefix").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        pref.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("prefix", "term", F.col("cnt").cast("long").alias("cnt"), "rk")
+    )

@@ -532,3 +532,22 @@ def test_bm25f_anchor_field_lifts_linked_doc(spark):
     # doc 1 (anchor hits, weight 4) ranks above doc 3 (one body hit);
     # doc 2 never matches
     assert rows[1] == 1 and rows[3] == 2 and 2 not in rows
+
+
+def test_autocomplete_index_semantics(spark):
+    from licenta_crawler_spark.operators.retrieval import autocomplete_index
+
+    d = spark.createDataFrame(
+        [(1, "scan scan scan scale scale x sc"), (2, "scatter scan b")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in autocomplete_index(d, k=2).collect():
+        out.setdefault(r.prefix, []).append((r.rk, r.term, r.cnt))
+    # 'sc' completions: scan(4) > scale(2) — 'sc' itself (len 2) also a term
+    assert sorted(out["sc"]) == [(1, "scan", 4), (2, "scale", 2)]
+    assert sorted(out["scan"]) == [(1, "scan", 4)]
+    # 1-char term 'x'/'b' contribute no prefixes
+    assert not any(p in out for p in ("x", "b"))
+    # prefixes capped at 6 chars: 'scatter' indexes up to 'scatte'
+    assert "scatte" in out and "scatter" not in out
