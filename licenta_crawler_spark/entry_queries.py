@@ -5431,6 +5431,48 @@ def query_autocomplete_index(spark, sf_dir):
     return autocomplete_index(_t(spark, sf_dir, "documents"))
 
 
+def stream_novelty_replay(spark, sf_dir):
+    """Batch replay twin of the STREAMING gram-novelty detector
+    (`streaming/windowed.batch_replay_gram_novelty`): per-doc trigram
+    novelty accumulated through the same gram-keyed fold the stream
+    runs (singleton grams ride the native fast path, multi-arrival
+    grams the python state machine), rolled to the per-doc ledger —
+    arrival order = (batch_no = doc_id div 100, doc_id), so the ledger
+    must equal the batch novelty ledger restricted to the same docs and
+    the oracle is that independent SQL. Verification corpus capped at
+    1500 docs: the python fold only runs on multi-arrival grams, but a
+    synthetic vocabulary repeats grams heavily and per-group Arrow
+    overhead dominates past that (the LSH-twin sizing precedent)."""
+    from licenta_crawler_spark.operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr("doc_id div 100").alias("batch_no"),
+        F.explode(shingles_col(F.col("text"), 3)).alias("gram"),
+    )
+    from licenta_crawler_spark.streaming.windowed import (
+        batch_replay_gram_novelty,
+    )
+
+    flags = batch_replay_gram_novelty(grams)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000) div n_grams").alias("novelty_permille"),
+        )
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5536,6 +5578,7 @@ QUERIES = {
     "densest_subgraph_rounds": densest_subgraph_rounds,
     "bm25f_anchor_search": bm25f_anchor_search,
     "query_autocomplete_index": query_autocomplete_index,
+    "stream_novelty_replay": stream_novelty_replay,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -12240,3 +12283,12 @@ ORACLE_SQL["query_autocomplete_index"] = f"""
       FROM pref
     ) WHERE rk <= 3
 """
+
+
+# arrival order (batch_no = doc_id div 100, doc_id) is doc_id order, so
+# the streaming fold's ledger must equal the batch novelty ledger over
+# the same capped corpus — the oracle IS that independent SQL (the
+# equivalence is the verification).
+ORACLE_SQL["stream_novelty_replay"] = ORACLE_SQL["ngram_novelty_ledger"].replace(
+    "FROM documents", "FROM documents WHERE doc_id < 1500", 1
+)

@@ -748,3 +748,86 @@ def batch_replay_lsh_dedup(buckets: DataFrame) -> DataFrame:
         .drop("_n")
     )
     return multi.groupBy("bucket").applyInPandas(replay, schema=LSH_OUT_SCHEMA)
+
+
+# ------------------------------------------------------ gram novelty
+NOVEL_STATE_SCHEMA = "seen long"
+NOVEL_OUT_SCHEMA = "doc_id long, novel long"
+
+
+def _fold_gram_novelty(doc_ids_sorted, seen):
+    """Per-GRAM fold shared by the streaming novelty detector and its
+    batch replay twin: arrivals in (batch_no, doc_id) order; the first
+    arrival of a never-seen gram is NOVEL, everything after (and every
+    arrival once the gram is seen) is not. Returns (rows, seen')."""
+    rows = []
+    for d in doc_ids_sorted:
+        rows.append((d, 0 if seen else 1))
+        seen = True
+    return rows, seen
+
+
+def streaming_gram_novelty(grams: DataFrame) -> DataFrame:
+    """N-gram novelty ON THE CRAWL STREAM: as documents arrive, each of
+    their distinct grams probes a gram-keyed state store — never-seen
+    grams mark the arriving doc's novelty mass (the live form of the
+    batch `corpus.ngram_novelty_stats` ledger: a crawl watches its own
+    novelty decay WITHOUT re-scanning the corpus). State is one flag
+    per seen gram — index-sized, the same inherent floor as the
+    streaming LSH band index (novelty, like dedup, requires remembering
+    what you have seen).
+
+    Input rows: (gram string, doc_id long, batch_no long) — distinct
+    per (doc, gram) upstream. Within a micro-batch, rows fold in
+    (batch_no, doc_id) order, deterministic under any partitioning.
+    Emits one (doc_id, novel) row per arrival; per-doc permilles are a
+    downstream rollup (foreachBatch or the replay twin's ledger).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        seen = bool(state.get[0]) if state.exists else False
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["batch_no", "doc_id"], kind="mergesort"
+        )
+        out, seen = _fold_gram_novelty(rows["doc_id"].tolist(), seen)
+        state.update((1 if seen else 0,))
+        yield pd.DataFrame(out, columns=["doc_id", "novel"])
+
+    return grams.groupBy("gram").applyInPandasWithState(
+        fn,
+        outputStructType=NOVEL_OUT_SCHEMA,
+        stateStructType=NOVEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_replay_gram_novelty(grams: DataFrame) -> DataFrame:
+    """BATCH replay of streaming_gram_novelty — the oracle-checkable
+    twin. Grams arriving exactly once ride a NATIVE fast path (a
+    single-arrival gram is trivially novel; pushing every vocabulary
+    gram through a python group would make per-group overhead the
+    whole cost — the singleton-bucket cut from the LSH replay twin,
+    except here singletons DO emit). Multi-arrival grams replay the
+    SAME ``_fold_gram_novelty`` the stream runs, preserving the
+    state-machine verification on every gram where ordering matters.
+    """
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(["batch_no", "doc_id"], kind="mergesort")
+        out, _ = _fold_gram_novelty(rows["doc_id"].tolist(), False)
+        return pd.DataFrame(out, columns=["doc_id", "novel"])
+
+    w = Window.partitionBy("gram")
+    counted = grams.withColumn("_n", F.count("*").over(w))
+    singles = counted.where(F.col("_n") == 1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(1).cast("long").alias("novel"),
+    )
+    multi = (
+        counted.where(F.col("_n") > 1)
+        .drop("_n")
+        .groupBy("gram")
+        .applyInPandas(replay, schema=NOVEL_OUT_SCHEMA)
+    )
+    return singles.unionByName(multi)

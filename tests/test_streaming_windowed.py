@@ -645,3 +645,81 @@ def test_fold_trending_out_of_order_batch_keeps_high_water_mark():
     # next in-order batch 6: ONE halving from the mark (6-5), not two
     out, last, count = _fold_trending([(6, 5)], last, count, threshold=8)
     assert (last, count) == (6, (6 >> 1) + 5)
+
+
+def test_streaming_gram_novelty_state_spans_batches(spark, tmpdirs):
+    """Streaming gram novelty: the first arrival of a gram is novel,
+    later arrivals (including across micro-batches) are not, and the
+    within-batch winner is the smallest (batch_no, doc_id)."""
+    from licenta_crawler_spark.streaming.windowed import (
+        streaming_gram_novelty,
+    )
+
+    SCHEMA = "gram string, doc_id long, batch_no long"
+    b1 = spark.createDataFrame(
+        [("a b c", 2, 0), ("a b c", 1, 0), ("x y z", 1, 0)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [("a b c", 3, 1), ("p q r", 3, 1)], SCHEMA
+    )
+    src = f"{tmpdirs}/novel-src"
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        streaming_gram_novelty(stream)
+        .writeStream.format("memory").queryName("gramnovel")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdirs}/novel-ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {}
+        for r in spark.table("gramnovel").collect():
+            got.setdefault(r["doc_id"], []).append(r["novel"])
+    finally:
+        q.stop()
+
+    # doc 1 wins both its grams; doc 2 loses 'a b c' to doc 1; doc 3's
+    # 'a b c' is seen (cross-batch state), 'p q r' is new
+    assert sorted(got[1]) == [1, 1]
+    assert got[2] == [0]
+    assert sorted(got[3]) == [0, 1]
+
+
+def test_batch_replay_gram_novelty_matches_operator_ledger(spark):
+    """The replay twin's per-doc rollup equals corpus.ngram_novelty_stats
+    when arrival order is doc-id order — native singles + python multi
+    paths agree with the pure-native batch ledger."""
+    import pyspark.sql.functions as F
+
+    from licenta_crawler_spark.operators.corpus import ngram_novelty_stats
+    from licenta_crawler_spark.operators.dedup import shingles_col
+    from licenta_crawler_spark.streaming.windowed import (
+        batch_replay_gram_novelty,
+    )
+
+    d = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 23}" for j in range(10)))
+         for i in range(25)],
+        "doc_id long, text string",
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr("doc_id div 7").alias("batch_no"),
+        F.explode(shingles_col(F.col("text"), 3)).alias("gram"),
+    )
+    twin = {
+        r.doc_id: (r.n, r.nov)
+        for r in batch_replay_gram_novelty(grams)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("novel").alias("nov"))
+        .collect()
+    }
+    ledger = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in ngram_novelty_stats(d).collect()
+    }
+    assert twin == ledger
