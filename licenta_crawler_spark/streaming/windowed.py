@@ -824,9 +824,15 @@ def batch_replay_gram_novelty(grams: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(1).cast("long").alias("novel"),
     )
+    # explicit partition count: AQE sizes the post-filter exchange by
+    # BYTES and would coalesce this python-heavy stage to 1-2 tasks —
+    # per-group fold CPU, not shuffle size, is the cost here, so pin a
+    # user-specified width (user repartitions are exempt from AQE
+    # coalescing) and let groupBy reuse the gram partitioning
     multi = (
         counted.where(F.col("_n") > 1)
         .drop("_n")
+        .repartition(32, "gram")
         .groupBy("gram")
         .applyInPandas(replay, schema=NOVEL_OUT_SCHEMA)
     )
