@@ -5473,6 +5473,86 @@ def stream_novelty_replay(spark, sf_dir):
     )
 
 
+def community_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities — the partition-quality
+    score that says whether label propagation found structure or noise:
+    Q = Σ_c [e_c/m − (d_c/2m)²] in exact permille fixed point
+    (divide-before-multiply: half = d_c·1000 div 2m ≤ 1000, squared
+    then rescaled — no float, int64-safe at any m). Per-community
+    contribution ledger + the corpus total repeated per row (the
+    self-audit shape); composes the green `lpa_part_communities` labels
+    and the oracle nests the same unrolled-CTE LPA replay."""
+    from licenta_crawler_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    labels = label_propagation(edges, iterations=3)
+    und = edges.select(
+        F.least("src", "dst").alias("s"), F.greatest("src", "dst").alias("d")
+    ).distinct()
+    m_df = und.agg(F.count("*").alias("m"))
+    deg = (
+        und.select(F.col("s").alias("node"))
+        .unionByName(und.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("deg").cast("long").alias("d_total"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    )
+    la = labels.select(F.col("node").alias("s"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("d"), F.col("label").alias("lb"))
+    ec = (
+        und.join(la, "s")
+        .join(lb, "d")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_intra"))
+    )
+    per = (
+        dc.join(ec, "label", "left")
+        .withColumn("e_intra", F.coalesce("e_intra", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(m_df))
+        .withColumn(
+            "q_contrib_permille",
+            F.expr(
+                "(e_intra * 1000) div m"
+                " - (((d_total * 1000) div (2 * m))"
+                "    * ((d_total * 1000) div (2 * m))) div 1000"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("q_contrib_permille").cast("long").alias("q_total_permille")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("label").alias("community"),
+        "n_nodes",
+        "e_intra",
+        "d_total",
+        "q_contrib_permille",
+        "q_total_permille",
+    )
+
+
 # Registry ORDER is part of the verification contract: the driver's
 # correctness gate checks the first 50 insertion-order keys per round, so
 # each round rotates the not-yet-driver-verified queries to the front.
@@ -5579,6 +5659,7 @@ QUERIES = {
     "bm25f_anchor_search": bm25f_anchor_search,
     "query_autocomplete_index": query_autocomplete_index,
     "stream_novelty_replay": stream_novelty_replay,
+    "community_modularity": community_modularity,
     # ---- driver-verified in r01-r04; re-checked opportunistically ----
     "top_bigrams": top_bigrams,
     "d1_cuckoo_unseen": d1_cuckoo_unseen,
@@ -12292,3 +12373,50 @@ ORACLE_SQL["query_autocomplete_index"] = f"""
 ORACLE_SQL["stream_novelty_replay"] = ORACLE_SQL["ngram_novelty_ledger"].replace(
     "FROM documents", "FROM documents WHERE doc_id < 1500", 1
 )
+
+
+def _community_modularity_sql() -> str:
+    from licenta_crawler_spark.operators.graph import (
+        label_propagation_sql_unrolled,
+    )
+
+    lpa = label_propagation_sql_unrolled(_LPA_EDGES_SQL, iterations=3)
+    return f"""
+    WITH lpa AS MATERIALIZED (SELECT * FROM ({lpa})),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+      FROM ({_LPA_EDGES_SQL})
+    ),
+    mm AS (SELECT count(*)::BIGINT AS m FROM und),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT s AS node FROM und UNION ALL SELECT d FROM und
+      ) GROUP BY node
+    ),
+    dc AS (
+      SELECT label, sum(deg)::BIGINT AS d_total,
+             count(*)::BIGINT AS n_nodes
+      FROM deg JOIN lpa ON deg.node = lpa.node GROUP BY label
+    ),
+    ec AS (
+      SELECT a.label, count(*)::BIGINT AS e_intra
+      FROM und JOIN lpa a ON und.s = a.node JOIN lpa b ON und.d = b.node
+      WHERE a.label = b.label GROUP BY a.label
+    ),
+    per AS (
+      SELECT dc.label AS community, n_nodes,
+             coalesce(e_intra, 0)::BIGINT AS e_intra, d_total,
+             ((coalesce(e_intra, 0) * 1000) // m
+              - (((d_total * 1000) // (2 * m))
+                 * ((d_total * 1000) // (2 * m))) // 1000)::BIGINT
+               AS q_contrib_permille
+      FROM dc LEFT JOIN ec ON dc.label = ec.label CROSS JOIN mm
+    )
+    SELECT community, n_nodes, e_intra, d_total, q_contrib_permille,
+           (SELECT sum(q_contrib_permille) FROM per)::BIGINT
+             AS q_total_permille
+    FROM per
+"""
+
+
+_LAZY_ORACLES["community_modularity"] = _community_modularity_sql

@@ -1222,3 +1222,78 @@ class TestDensestSubgraph:
         assert len(best) == 1
         # the best round's density equals the clique's 45/10 = 4.5
         assert best[0][3] == 4500
+
+
+class TestModularity:
+    """Newman modularity fixed point: hand case + structure detection."""
+
+    def _run(self, spark, edges, labels):
+        """Inline the metric over GIVEN labels (isolates the arithmetic
+        from LPA) by replicating the query's composition."""
+        import pyspark.sql.functions as F
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        lab = spark.createDataFrame(labels, "node long, label long")
+        und = e.select(
+            F.least("src", "dst").alias("s"),
+            F.greatest("src", "dst").alias("d"),
+        ).distinct()
+        m = und.count()
+        deg = (
+            und.select(F.col("s").alias("node"))
+            .unionByName(und.select(F.col("d").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg"))
+        )
+        dc = deg.join(lab, "node").groupBy("label").agg(
+            F.sum("deg").alias("d_total")
+        )
+        la = lab.select(F.col("node").alias("s"), F.col("label").alias("la"))
+        lb = lab.select(F.col("node").alias("d"), F.col("label").alias("lb"))
+        ec = (
+            und.join(la, "s").join(lb, "d")
+            .where(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count("*").alias("e_intra"))
+        )
+        rows = (
+            dc.join(ec, "label", "left")
+            .withColumn("e_intra", F.coalesce("e_intra", F.lit(0)))
+            .withColumn(
+                "q",
+                F.expr(
+                    f"(e_intra * 1000) div {m}"
+                    f" - (((d_total * 1000) div {2 * m})"
+                    f"    * ((d_total * 1000) div {2 * m})) div 1000"
+                ),
+            )
+            .collect()
+        )
+        return {r.label: r.q for r in rows}, sum(r.q for r in rows)
+
+    def test_two_clean_cliques_score_high(self, spark):
+        k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        k4b = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+        edges = k4a + k4b + [(0, 10)]  # one bridge
+        labels = [(i, 0) for i in range(4)] + [(10 + i, 1) for i in range(4)]
+        _, total = self._run(spark, edges, labels)
+        # m=13; per clique: e=6, d=13 -> 6000//13 - (500^2)//1000 = 461-250
+        assert total == 2 * (6000 // 13 - ((13000 // 26) ** 2) // 1000)
+        assert total > 400  # strong structure
+
+    def test_single_community_scores_zero(self, spark):
+        # everything in one label: Q = m/m - (2m/2m)^2 = 0 exactly
+        edges = [(i, (i + 1) % 6) for i in range(6)]
+        labels = [(i, 0) for i in range(6)]
+        _, total = self._run(spark, edges, labels)
+        assert total == 0
+
+    def test_query_composition_runs(self, spark):
+        from licenta_crawler_spark.entry_queries import community_modularity
+
+        rows = community_modularity(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        assert len({r.q_total_permille for r in rows}) == 1
+        assert all(
+            r.q_total_permille == sum(x.q_contrib_permille for x in rows)
+            for r in rows[:1]
+        )
