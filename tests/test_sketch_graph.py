@@ -1297,3 +1297,17 @@ class TestModularity:
             r.q_total_permille == sum(x.q_contrib_permille for x in rows)
             for r in rows[:1]
         )
+
+
+def test_rank_signal_agreement_semantics(spark):
+    """Tau census on the bundled graph: pairs partition exactly and
+    tau matches the (C-D)/total definition; in-degree correlates
+    positively with PageRank on this graph family."""
+    from licenta_crawler_spark.entry_queries import rank_signal_agreement
+
+    [r] = rank_signal_agreement(spark, "/root/testdata/sf0.001").collect()
+    assert r.n_pairs == r.n_concordant + r.n_discordant + r.n_ties == 4950
+    assert r.tau_a_permille == (
+        (r.n_concordant - r.n_discordant) * 1000
+    ) // r.n_pairs
+    assert r.tau_a_permille > 0
