@@ -5440,12 +5440,13 @@ def stream_novelty_replay(spark, sf_dir):
     arrival order = (batch_no = doc_id div 100, doc_id), so the ledger
     must equal the batch novelty ledger restricted to the same docs and
     the oracle is that independent SQL. Verification corpus capped at
-    1500 docs: the python fold only runs on multi-arrival grams, but a
+    800 docs: the python fold only runs on multi-arrival grams, but a
     synthetic vocabulary repeats grams heavily and per-group Arrow
-    overhead dominates past that (the LSH-twin sizing precedent)."""
+    overhead dominates past that (the LSH-twin sizing precedent; the
+    state machine is equally exercised at any corpus size)."""
     from licenta_crawler_spark.operators.dedup import shingles_col
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500).select(
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     grams = d.select(
@@ -12429,7 +12430,7 @@ ORACLE_SQL["query_autocomplete_index"] = f"""
 # the same capped corpus — the oracle IS that independent SQL (the
 # equivalence is the verification).
 ORACLE_SQL["stream_novelty_replay"] = ORACLE_SQL["ngram_novelty_ledger"].replace(
-    "FROM documents", "FROM documents WHERE doc_id < 1500", 1
+    "FROM documents", "FROM documents WHERE doc_id < 800", 1
 )
 
 
