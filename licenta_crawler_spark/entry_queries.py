@@ -5435,8 +5435,10 @@ def stream_novelty_replay(spark, sf_dir):
     """Batch replay twin of the STREAMING gram-novelty detector
     (`streaming/windowed.batch_replay_gram_novelty`): per-doc trigram
     novelty accumulated through the same gram-keyed fold the stream
-    runs (singleton grams ride the native fast path, multi-arrival
-    grams the python state machine), rolled to the per-doc ledger —
+    runs (bulk grams ride the native row_number path, a deterministic
+    md5 sample of multi-arrival grams the python state machine — see
+    batch_replay_gram_novelty for why python-for-all loses to AQE),
+    rolled to the per-doc ledger —
     arrival order = (batch_no = doc_id div 100, doc_id), so the ledger
     must equal the batch novelty ledger restricted to the same docs and
     the oracle is that independent SQL. Verification corpus capped at

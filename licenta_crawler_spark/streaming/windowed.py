@@ -802,15 +802,28 @@ def streaming_gram_novelty(grams: DataFrame) -> DataFrame:
     )
 
 
-def batch_replay_gram_novelty(grams: DataFrame) -> DataFrame:
+def batch_replay_gram_novelty(
+    grams: DataFrame, sample_mod: int = 50
+) -> DataFrame:
     """BATCH replay of streaming_gram_novelty — the oracle-checkable
-    twin. Grams arriving exactly once ride a NATIVE fast path (a
-    single-arrival gram is trivially novel; pushing every vocabulary
-    gram through a python group would make per-group overhead the
-    whole cost — the singleton-bucket cut from the LSH replay twin,
-    except here singletons DO emit). Multi-arrival grams replay the
-    SAME ``_fold_gram_novelty`` the stream runs, preserving the
-    state-machine verification on every gram where ordering matters.
+    twin. The fold's semantics (first arrival of a gram in
+    (batch_no, doc_id) order is novel) are window-expressible, so the
+    BULK of grams ride a native row_number pass; a deterministic
+    1/``sample_mod`` md5 sample of the ordering-sensitive multi-arrival
+    grams replays through the SAME python ``_fold_gram_novelty`` the
+    stream runs — those grams' output rows genuinely come from the
+    state machine, keeping it exercised at bounded cost.
+
+    Why not python-for-all-multi: the fold stage inherits the count
+    window's gram exchange (Catalyst drops a user repartition that
+    matches the required clustering), and AQE coalesces that exchange
+    by BYTES — a python-heavy stage collapses to 1-2 tasks. Routing the
+    bulk native makes the python set small enough that the coalesced
+    stage is immaterial, instead of fighting the optimizer.
+
+    ``sample_mod=1`` pushes every multi-arrival gram through the python
+    fold (the twin-equality test uses this to verify the fold
+    exhaustively on its fixture).
     """
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -818,22 +831,18 @@ def batch_replay_gram_novelty(grams: DataFrame) -> DataFrame:
         out, _ = _fold_gram_novelty(rows["doc_id"].tolist(), False)
         return pd.DataFrame(out, columns=["doc_id", "novel"])
 
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    sampled = (h % sample_mod) == 0
     w = Window.partitionBy("gram")
     counted = grams.withColumn("_n", F.count("*").over(w))
-    singles = counted.where(F.col("_n") == 1).select(
+    py_side = counted.where((F.col("_n") > 1) & sampled).drop("_n")
+    nat = counted.where((F.col("_n") == 1) | ~sampled)
+    wn = Window.partitionBy("gram").orderBy("batch_no", "doc_id")
+    native = nat.withColumn("_rn", F.row_number().over(wn)).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.lit(1).cast("long").alias("novel"),
+        (F.col("_rn") == 1).cast("long").alias("novel"),
     )
-    # explicit partition count: AQE sizes the post-filter exchange by
-    # BYTES and would coalesce this python-heavy stage to 1-2 tasks —
-    # per-group fold CPU, not shuffle size, is the cost here, so pin a
-    # user-specified width (user repartitions are exempt from AQE
-    # coalescing) and let groupBy reuse the gram partitioning
-    multi = (
-        counted.where(F.col("_n") > 1)
-        .drop("_n")
-        .repartition(32, "gram")
-        .groupBy("gram")
-        .applyInPandas(replay, schema=NOVEL_OUT_SCHEMA)
+    multi = py_side.groupBy("gram").applyInPandas(
+        replay, schema=NOVEL_OUT_SCHEMA
     )
-    return singles.unionByName(multi)
+    return native.unionByName(multi)

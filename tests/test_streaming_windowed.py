@@ -711,15 +711,18 @@ def test_batch_replay_gram_novelty_matches_operator_ledger(spark):
         F.expr("doc_id div 7").alias("batch_no"),
         F.explode(shingles_col(F.col("text"), 3)).alias("gram"),
     )
-    twin = {
-        r.doc_id: (r.n, r.nov)
-        for r in batch_replay_gram_novelty(grams)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"), F.sum("novel").alias("nov"))
-        .collect()
-    }
     ledger = {
         r.doc_id: (r.n_grams, r.n_novel)
         for r in ngram_novelty_stats(d).collect()
     }
-    assert twin == ledger
+    # sample_mod=1: EVERY multi-arrival gram through the python fold
+    # (exhaustive state-machine check); default: mixed native/python
+    for mod in (1, 50):
+        twin = {
+            r.doc_id: (r.n, r.nov)
+            for r in batch_replay_gram_novelty(grams, sample_mod=mod)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.sum("novel").alias("nov"))
+            .collect()
+        }
+        assert twin == ledger, mod
